@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Local mode is a stand-in for a real cluster: shuffle partitions are
+  * sized to the core count (not the 200 default), AQE is on so skewed
+  * shuffles re-plan at runtime, and ANSI mode is off for Hive-style
+  * null-on-error semantics (matches the DuckDB oracle's NULL handling
+  * in the driver's correctness gate).
+  */
+object GraftSession {
+  def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      // The driver's events table is TIMESTAMP(NANOS) parquet, which
+      // Spark 4 otherwise rejects; read as raw nanos and normalize in
+      // Tables.events (DuckDB truncates ns→µs the same way).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.ui.enabled", "false")
+
+  /** Standalone session for tests / benchmarks. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      cores.toString
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic pseudo-randomness + numeric hygiene helpers.
+  *
+  * The reference pins every stochastic step to a fixed seed
+  * (`/root/reference/Matlab_part/perform_region_analysis.m:123`,
+  * `perform_session_cca.m:128`). MATLAB's twister stream cannot be
+  * reproduced engine-side, so the engine defines its own deterministic
+  * sampling primitive (SURVEY §7.4.1): a multiplicative-congruential
+  * hash of a stable integer key. It is a pure arithmetic expression, so
+  * it is (a) reproducible across runs/cluster sizes — unlike
+  * `rand(seed)`, which depends on partition layout — and (b) exactly
+  * replayable by any ANSI SQL engine for oracle checks.
+  */
+object Deterministic {
+  /** 0 <= hrand < M, uniform-ish over keys; stable across partitionings. */
+  val M: Long = 2147483648L // 2^31
+
+  def hrand(key: Column, seed: Long): Column =
+    pmod(key * lit(1103515245L) + lit(seed) * lit(12345L) + lit(104729L), lit(M))
+
+  /** Uniform [0,1) deterministic in the key. */
+  def hrand01(key: Column, seed: Long): Column = hrand(key, seed) / lit(M.toDouble)
+
+  /** SQL rendering of the same expression (DuckDB-compatible). */
+  def hrandSql(key: String, seed: Long): String =
+    s"(($key * 1103515245 + $seed * 12345 + 104729) % 2147483648 + 2147483648) % 2147483648"
+
+  /** Exact order-independent sum of a double expression: round each term
+    * to a decimal at `scale`, sum as DECIMAL(38, scale), cast back.
+    * Makes big-group sums bit-stable between Spark and the oracle
+    * regardless of accumulation order.
+    */
+  def stableSum(term: Column, scale: Int = 6): Column =
+    sum(term.cast(org.apache.spark.sql.types.DecimalType(28, scale)))
+      .cast("double")
+
+  def stableSumSql(term: String, scale: Int = 6): String =
+    s"CAST(SUM(CAST($term AS DECIMAL(28,$scale))) AS DOUBLE)"
+}

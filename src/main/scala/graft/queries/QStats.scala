@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Normalization & projection math (L2–L5), statistics layer (T1–T9,
+  * L13), streaming twin — SURVEY §2.8 (Catalyst-expressible part),
+  * §2.9.
+  */
+object QStats {
+
+  private def evT(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn(
+      "t", (unix_micros(col("ts")) / lit(1000000L)).cast("long"))
+
+  private val evSql =
+    "SELECT *, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t FROM events"
+
+  // ------------------------------------------------------------ L2/L3
+  /** Z-score per group via window aggregates (pure Catalyst — no UDF);
+    * NaN→0 guard for degenerate groups.
+    * Ref: Matlab_part/perform_region_pca.m:174;
+    * cross_trial_type_cca_analysis.py:678-683. */
+  val l3 = Q("l3_zscore_window", Some("""
+    SELECT event_id,
+      round(COALESCE(
+        (value - avg(value) OVER (PARTITION BY event_type))
+          / NULLIF(stddev(value) OVER (PARTITION BY event_type), 0), 0), 4) AS z
+    FROM events ORDER BY event_id"""
+  ))((s, d) => {
+    val w = Window.partitionBy("event_type")
+    Tables.events(s, d).select(col("event_id"),
+      round(coalesce(
+        (col("value") - avg("value").over(w)) /
+          nullif(stddev("value").over(w), lit(0)), lit(0)), 4).as("z"))
+      .orderBy("event_id")
+  })
+
+  // --------------------------------------------------------------- L4
+  /** Min-max normalization of |weights| per group.
+    * Ref: Matlab_part/perform_session_cca.m:196-236. */
+  val l4 = Q("l4_minmax_norm", Some("""
+    WITH m AS (
+      SELECT c_nationkey, min(abs(c_acctbal)) AS mn, max(abs(c_acctbal)) AS mx
+      FROM customer GROUP BY 1)
+    SELECT c.c_custkey,
+      round(COALESCE((abs(c.c_acctbal) - m.mn) / NULLIF(m.mx - m.mn, 0), 0), 4) AS w_norm
+    FROM customer c JOIN m ON c.c_nationkey = m.c_nationkey
+    ORDER BY c.c_custkey"""
+  ))((s, d) => {
+    val m = Tables.customer(s, d).groupBy("c_nationkey")
+      .agg(min(abs(col("c_acctbal"))).as("mn"), max(abs(col("c_acctbal"))).as("mx"))
+    Tables.customer(s, d).join(broadcast(m), "c_nationkey")
+      .select(col("c_custkey"),
+        round(coalesce((abs(col("c_acctbal")) - col("mn")) /
+          nullif(col("mx") - col("mn"), lit(0)), lit(0)), 4).as("w_norm"))
+      .orderBy("c_custkey")
+  })
+
+  // --------------------------------------------------------------- L5
+  /** Relational matrix multiply: project embedding vectors onto a
+    * generated component-weight matrix — the engine form of u = X·A.
+    * Ref: Matlab_part/perform_session_cca.m:437-443;
+    * cross_trial_type_cca_analysis.py:686-698. */
+  val l5 = Q("l5_matmul_projection", Some("""
+    WITH e AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings),
+    w AS (
+      SELECT k, d, ((d * 67 + k * 31) % 13 - 6) / 6.0 AS wt
+      FROM range(0, 3) rk(k), range(0, 64) rd(d))
+    SELECT e.vec_id, w.k AS component, round(SUM(e.x * w.wt), 4) AS proj
+    FROM e JOIN w ON e.dim = w.d
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+  ))((s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim").cast("long"), col("xf").cast("double").as("x"))
+    val w = s.range(0, 3).select(col("id").as("k"))
+      .crossJoin(s.range(0, 64).select(col("id").as("d")))
+      .select(col("k"), col("d"),
+        ((pmod(col("d") * 67 + col("k") * 31, lit(13))) - 6).cast("double")./(6.0).as("wt"))
+    e.join(broadcast(w), e("dim") === w("d"))
+      .groupBy(col("vec_id"), col("k").as("component"))
+      .agg(round(sum(col("x") * col("wt")), 4).as("proj"))
+      .orderBy("vec_id", "component")
+  })
+
+  // ----------------------------------------------------------- T1/A14
+  /** Pearson correlation aggregate + t statistic (p-value precursor).
+    * Ref: perform_session_cca.m:310-314;
+    * cross_trial_type_cca_analysis.py:779-792. */
+  val t1 = Q("t1_pearson_corr", Some("""
+    SELECT event_type, count(*) AS n,
+      round(corr(value, t / 86400.0), 4) AS r,
+      round(corr(value, t / 86400.0)
+        * sqrt((count(*) - 2) / (1 - corr(value, t / 86400.0) * corr(value, t / 86400.0))), 4) AS t_stat
+    FROM (""" + evSql + """) GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val e = evT(s, d).withColumn("td", col("t") / 86400.0)
+    e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      round(corr("value", "td"), 4).as("r"),
+      round(corr(col("value"), col("td")) *
+        sqrt((count(lit(1)) - 2) /
+          (lit(1) - corr(col("value"), col("td")) * corr(col("value"), col("td")))), 4).as("t_stat"))
+      .orderBy("event_type")
+  })
+
+  /** Shared CTE for the paired tests: per nation, paired counts of
+    * 'O' vs 'F' orders through its customers (integer-valued pairs →
+    * exact ranks/ties cross-engine). */
+  private val pairsSql = """
+    SELECT c.c_nationkey AS g,
+      SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS x,
+      SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1"""
+
+  private def pairsDf(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("g"))
+      .agg(sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("x"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("y"))
+
+  // ---------------------------------------------------------------- T2
+  /** Wilcoxon signed-rank (paired, two-sided, normal approximation)
+    * with average-rank tie handling, zero-diffs dropped.
+    * Ref: cross_trial_type_cca_analysis.py:1317-1338. */
+  val t2 = Q("t2_wilcoxon_signed_rank", Some(s"""
+    WITH p AS ($pairsSql),
+    dd AS (
+      SELECT g, x - y AS diff, abs(x - y) AS ad FROM p WHERE x - y <> 0),
+    rk AS (
+      SELECT g, diff,
+        rank() OVER (ORDER BY ad) + (count(*) OVER (PARTITION BY ad) - 1) / 2.0 AS r
+      FROM dd)
+    SELECT count(*) AS n_eff,
+      round(SUM(CASE WHEN diff > 0 THEN r ELSE 0 END), 2) AS w_plus,
+      round((SUM(CASE WHEN diff > 0 THEN r ELSE 0 END) - count(*) * (count(*) + 1) / 4.0)
+        / sqrt(count(*) * (count(*) + 1) * (2 * count(*) + 1) / 24.0), 4) AS z
+    FROM rk"""
+  ))((s, d) => {
+    val dd = pairsDf(s, d)
+      .select(col("g"), (col("x") - col("y")).as("diff"), abs(col("x") - col("y")).as("ad"))
+      .filter(col("diff") =!= 0)
+    val rk = dd.select(col("g"), col("diff"),
+      (rank().over(Window.orderBy("ad")) +
+        (count(lit(1)).over(Window.partitionBy("ad")) - 1) / 2.0).as("r"))
+    val wplus = sum(when(col("diff") > 0, col("r")).otherwise(0.0))
+    val n = count(lit(1))
+    rk.agg(
+      n.as("n_eff"),
+      round(wplus, 2).as("w_plus"),
+      round((wplus - n * (n + 1) / 4.0) /
+        sqrt(n * (n + 1) * (n * 2 + 1) / 24.0), 4).as("z"))
+  })
+
+  // ------------------------------------------------------------ T4/T5
+  /** Paired t-test + Cohen's d on the same paired diffs.
+    * Ref: cross_trial_type_cca_analysis_within_session.py:683-690. */
+  val t4 = Q("t4_paired_t_cohens_d", Some(s"""
+    WITH p AS ($pairsSql)
+    SELECT count(*) AS n,
+      round(avg(x - y), 4) AS mean_diff,
+      round(avg(x - y) / (stddev(x - y) / sqrt(count(*))), 4) AS t_stat,
+      round(avg(x - y) / stddev(x - y), 4) AS cohens_d
+    FROM p"""
+  ))((s, d) => {
+    val dcol = col("x") - col("y")
+    pairsDf(s, d).agg(
+      count(lit(1)).as("n"),
+      round(avg(dcol), 4).as("mean_diff"),
+      round(avg(dcol) / (stddev(dcol) / sqrt(count(lit(1)))), 4).as("t_stat"),
+      round(avg(dcol) / stddev(dcol), 4).as("cohens_d"))
+  })
+
+  // ---------------------------------------------------------------- T6
+  /** Spearman correlation: Pearson over average-tie ranks.
+    * Ref: History/.../Dimensionality_communication_analysis.py:322-540. */
+  val t6 = Q("t6_spearman", Some("""
+    WITH r AS (
+      SELECT event_type,
+        rank() OVER (PARTITION BY event_type ORDER BY value)
+          + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS rx,
+        rank() OVER (PARTITION BY event_type ORDER BY len(props))
+          + (count(*) OVER (PARTITION BY event_type, len(props)) - 1) / 2.0 AS ry
+      FROM events)
+    SELECT event_type, round(corr(rx, ry), 4) AS rho, count(*) AS n
+    FROM r GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val e = Tables.events(s, d).withColumn("lp", length(col("props")))
+    val r = e.select(col("event_type"),
+      (rank().over(Window.partitionBy("event_type").orderBy("value")) +
+        (count(lit(1)).over(Window.partitionBy("event_type", "value")) - 1) / 2.0).as("rx"),
+      (rank().over(Window.partitionBy("event_type").orderBy("lp")) +
+        (count(lit(1)).over(Window.partitionBy("event_type", "lp")) - 1) / 2.0).as("ry"))
+    r.groupBy("event_type")
+      .agg(round(corr("rx", "ry"), 4).as("rho"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  })
+
+  // ---------------------------------------------------------------- T7
+  /** Sign-alignment: baseline = first group (in order) with positive
+    * aggregate; flip groups whose sign disagrees with baseline.
+    * Ref: cross_trial_type_cca_analysis.py:1036-1147. */
+  val t7 = Q("t7_sign_alignment", Some(s"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(SUM(CAST(value - 50.0 AS DECIMAL(28,6))) AS DOUBLE) AS dsum
+      FROM events GROUP BY 1, 2),
+    base AS (
+      SELECT event_type, min(day) AS baseline_day FROM daily
+      WHERE dsum > 0 GROUP BY 1)
+    SELECT d.event_type, b.baseline_day,
+      count(*) AS n_days,
+      SUM(CASE WHEN d.dsum <= 0 THEN 1 ELSE 0 END) AS n_flipped
+    FROM daily d JOIN base b ON d.event_type = b.event_type
+    GROUP BY 1, 2 ORDER BY 1"""
+  ))((s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((col("value") - 50.0).cast("decimal(28,6)")).cast("double").as("dsum"))
+    val base = daily.filter(col("dsum") > 0)
+      .groupBy("event_type").agg(min("day").as("baseline_day"))
+    daily.join(base, "event_type")
+      .groupBy("event_type", "baseline_day")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(!(col("dsum") > 0), 1L).otherwise(0L)).as("n_flipped"))
+      .orderBy("event_type")
+  })
+
+  // ----------------------------------------------------------- L8/L13
+  /** Simple linear regression via built-in regression aggregates
+    * (slope, intercept, R²) — the Catalyst-expressible face of the GLM
+    * layer; the multi-predictor kernel lives in graft.linalg.GLM.
+    * Ref: oxford_GLM_CCA_coefficients_extract.m:402-485;
+    * Dimensionality_communication_analysis.py:380-398. */
+  val l13 = Q("l13_linear_trend", Some(s"""
+    WITH e AS ($evSql)
+    SELECT event_type,
+      round(regr_slope(value, t / 86400.0), 4) AS slope,
+      round(regr_intercept(value, t / 86400.0), 4) AS intercept,
+      round(regr_r2(value, t / 86400.0), 4) AS r2,
+      count(*) AS n
+    FROM e GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val e = evT(s, d).withColumn("td", col("t") / 86400.0)
+    e.groupBy("event_type").agg(
+      round(regr_slope(col("value"), col("td")), 4).as("slope"),
+      round(regr_intercept(col("value"), col("td")), 4).as("intercept"),
+      round(regr_r2(col("value"), col("td")), 4).as("r2"),
+      count(lit(1)).as("n"))
+      .orderBy("event_type")
+  })
+
+  // ---------------------------------------------------------- Stream
+  /** Batch twin of the Structured Streaming job (tumbling event-time
+    * window + per-window aggregate); the streaming form lives in
+    * graft.streaming.StreamOps with the same column contract. */
+  val st1 = Q("stream_tumbling_window", Some("""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      count(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+  ))((s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+      .orderBy("window_start", "event_type"))
+
+  val all: Seq[Q] = Seq(l3, l4, l5, t1, t2, t4, t6, t7, l13, st1)
+}

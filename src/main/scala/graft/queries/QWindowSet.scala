@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Deterministic._
+
+/** Window/ranking/sampling (W1–W8) and set operations (SO1–SO5) —
+  * SURVEY §2.5–§2.6.
+  */
+object QWindowSet {
+
+  // ----------------------------------------------------- W1/W2/W3
+  /** Rank by |metric| desc + percent-based removal slice: keep the
+    * bottom (100−ρ)% of ranked rows, ρ=30, with n_keep ≥ 2 guard.
+    * Ref: Matlab_part/Oxford_glm_sensitivity.m:276-303. */
+  val w1 = Q("w1_rank_slice", Some("""
+    WITH r AS (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+        row_number() OVER (PARTITION BY c_nationkey
+          ORDER BY abs(c_acctbal) DESC, c_custkey) AS rnk,
+        count(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM customer)
+    SELECT c_nationkey,
+      count(*) AS n_kept,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS kept_bal
+    FROM r
+    WHERE rnk > LEAST(CAST(round(n * 30 / 100.0) AS BIGINT), n - 2)
+    GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val w = Window.partitionBy("c_nationkey").orderBy(abs(col("c_acctbal")).desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rnk"),
+        count(lit(1)).over(Window.partitionBy("c_nationkey")).as("n"))
+      .filter(col("rnk") >
+        least(round(col("n") * 30 / 100.0).cast("long"), col("n") - 2))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("kept_bal"))
+      .orderBy("c_nationkey")
+  })
+
+  // ---------------------------------------------------------------- W5
+  /** First-match selection: first row (in key order) satisfying a
+    * predicate, per group (sign-baseline analog).
+    * Ref: cross_trial_type_cca_analysis.py:1069-1096. */
+  val w5 = Q("w5_first_match", Some("""
+    WITH f AS (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+        row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey, c_custkey AS first_pos_cust, c_acctbal AS first_pos_bal
+    FROM f WHERE rn = 1 ORDER BY c_nationkey"""
+  ))((s, d) => {
+    val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    Tables.customer(s, d).filter(col("c_acctbal") > 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_nationkey"), col("c_custkey").as("first_pos_cust"),
+        col("c_acctbal").as("first_pos_bal"))
+      .orderBy("c_nationkey")
+  })
+
+  // ---------------------------------------------------------------- W6
+  /** Seeded deterministic sampling: k=3 per group via the engine's
+    * arithmetic hash (replayable on any SQL engine, stable across
+    * partitionings — SURVEY §7.4.1).
+    * Ref: Matlab_part/perform_region_analysis.m:122-124 (seed 12345). */
+  val w6 = Q("w6_seeded_sample", Some(s"""
+    WITH h AS (
+      SELECT c_nationkey, c_custkey,
+        ${hrandSql("c_custkey", 12345L)} AS hr
+      FROM customer),
+    r AS (
+      SELECT c_nationkey, c_custkey,
+        row_number() OVER (PARTITION BY c_nationkey ORDER BY hr, c_custkey) AS rn
+      FROM h)
+    SELECT c_nationkey, c_custkey FROM r WHERE rn <= 3
+    ORDER BY c_nationkey, c_custkey"""
+  ))((s, d) => {
+    val h = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"),
+        hrand(col("c_custkey"), 12345L).as("hr"))
+    val w = Window.partitionBy("c_nationkey").orderBy("hr", "c_custkey")
+    h.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("c_nationkey", "c_custkey")
+      .orderBy("c_nationkey", "c_custkey")
+  })
+
+  // ---------------------------------------------------------------- W7
+  /** Seeded permutation (trial-shuffle analog): key → shuffled key via
+    * hash-ordered row_number zip.
+    * Ref: Matlab_part/perform_session_cca.m:128-133. */
+  val w7 = Q("w7_seeded_permutation", Some(s"""
+    WITH a AS (
+      SELECT s_suppkey, row_number() OVER (ORDER BY s_suppkey) AS rn
+      FROM supplier),
+    b AS (
+      SELECT s_suppkey AS shuffled_key,
+        row_number() OVER (ORDER BY ${hrandSql("s_suppkey", 777L)}, s_suppkey) AS rn
+      FROM supplier)
+    SELECT a.s_suppkey, b.shuffled_key FROM a JOIN b ON a.rn = b.rn
+    ORDER BY a.s_suppkey"""
+  ))((s, d) => {
+    val sup = Tables.supplier(s, d)
+    val a = sup.select(col("s_suppkey"),
+      row_number().over(Window.orderBy("s_suppkey")).as("rn"))
+    val b = sup.select(col("s_suppkey").as("shuffled_key"),
+      row_number().over(Window.orderBy(hrand(col("s_suppkey"), 777L), col("s_suppkey"))).as("rn"))
+    a.join(b, "rn").select("s_suppkey", "shuffled_key").orderBy("s_suppkey")
+  })
+
+  // ------------------------------------------------------- W8 / SO2
+  /** Contiguous k-fold assignment (k=5) + train/test complement sizes
+    * per fold. Ref: Matlab_part/perform_session_cca.m:275-295. */
+  val w8 = Q("w8_kfold_split", Some("""
+    WITH r AS (
+      SELECT c_custkey,
+        row_number() OVER (ORDER BY c_custkey) AS rn,
+        count(*) OVER () AS n
+      FROM customer),
+    f AS (SELECT c_custkey, CAST(FLOOR((rn - 1) * 5.0 / n) AS BIGINT) AS fold, n FROM r)
+    SELECT fold, count(*) AS n_test, max(n) - count(*) AS n_train,
+           min(c_custkey) AS first_key, max(c_custkey) AS last_key
+    FROM f GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val r = Tables.customer(s, d).select(
+      col("c_custkey"),
+      row_number().over(Window.orderBy("c_custkey")).as("rn"),
+      count(lit(1)).over(Window.partitionBy()).as("n"))
+    r.select(col("c_custkey"),
+        floor((col("rn") - 1) * 5.0 / col("n")).cast("long").as("fold"), col("n"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_test"),
+        (max("n") - count(lit(1))).as("n_train"),
+        min("c_custkey").as("first_key"), max("c_custkey").as("last_key"))
+      .orderBy("fold")
+  })
+
+  // ------------------------------------------------- SO1/SO3/SO4/SO5
+  /** Union ∪ intersect ∩ difference over key sets, tagged and stacked
+    * (distinct semantics). Ref: cross_trial_type_cca_analysis.py:
+    * 1022-1032; perform_session_cca.m:158-166,290. */
+  val so1 = Q("so_set_algebra", Some("""
+    WITH cset AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+         sset AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+    SELECT 'both' AS tag, k FROM (SELECT k FROM cset INTERSECT SELECT k FROM sset)
+    UNION ALL
+    SELECT 'cust_only' AS tag, k FROM (SELECT k FROM cset EXCEPT SELECT k FROM sset)
+    UNION ALL
+    SELECT 'either' AS tag, k FROM (SELECT k FROM cset UNION SELECT k FROM sset)
+    ORDER BY tag, k"""
+  ))((s, d) => {
+    val cset = Tables.customer(s, d).select(col("c_nationkey").as("k")).distinct()
+    val sset = Tables.supplier(s, d).select(col("s_nationkey").as("k")).distinct()
+    cset.intersect(sset).select(lit("both").as("tag"), col("k"))
+      .unionAll(cset.except(sset).select(lit("cust_only").as("tag"), col("k")))
+      .unionAll(cset.union(sset).distinct().select(lit("either").as("tag"), col("k")))
+      .orderBy("tag", "k")
+  })
+
+  /** Membership filter (`ismember` / IN-list semi join).
+    * Ref: oxford_GLM_CCA_coefficients_extract.m:176-179. */
+  val so5 = Q("so5_membership", Some("""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders WHERE o_orderstatus IN ('F', 'P')
+    GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "P"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority"))
+
+  val all: Seq[Q] = Seq(w1, w5, w6, w7, w8, so1, so5)
+}
