@@ -1,4 +1,239 @@
 package graft.queries
 
-/** Linear-algebra kernels (placeholder — filled in next milestone). */
-object QKernels { val all: Seq[Q] = Seq() }
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import breeze.linalg.{DenseMatrix, DenseVector}
+import graft.Tables
+import graft.kernels.LinAlg
+
+/** SURVEY §2.8 linear-algebra analytics: per-group dense kernels run
+  * distributed-across-groups via `groupByKey.flatMapGroups` + Breeze.
+  * Groups are small by construction (the reference's per-(session,
+  * region, pair) matrices are ≤ ~50 columns); at 100 TB the group COUNT
+  * scales, not the group SIZE, so this layer scales linearly with
+  * executors and never builds a driver-side matrix.
+  *
+  * These are not SQL-expressible → no DuckDB oracle (driver records a
+  * rows-only check); numerical correctness is pinned by
+  * src/test/scala/graft/KernelSpec.scala golden tests instead.
+  */
+object QKernels {
+
+  /** Embedding rows of one label group, assembled in vec_id order. */
+  private def groupMatrix(rows: Array[(Int, Long, Seq[Float])], dims: Range): DenseMatrix[Double] = {
+    val sorted = rows.sortBy(_._2)
+    val m = DenseMatrix.zeros[Double](sorted.length, dims.length)
+    var i = 0
+    while (i < sorted.length) {
+      val e = sorted(i)._3
+      var j = 0
+      while (j < dims.length) { m(i, j) = e(dims.start + j).toDouble; j += 1 }
+      i += 1
+    }
+    m
+  }
+
+  private def embGrouped(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+  }
+
+  private val r6 = (v: Double) =>
+    if (v.isNaN || v.isInfinite) v else BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
+  // ------------------------------------------------------------------ L6
+  /** PCA per label over the first 16 embedding dims: eigenvalues,
+    * explained/cumulative variance + 5-fold CV reconstruction error.
+    * Ref: Matlab_part/perform_region_pca.m:93-156,201-221. */
+  val l6 = Q("l6_pca_cv", None)((s, d) => {
+    import s.implicits._
+    embGrouped(s, d).flatMapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
+      val x = groupMatrix(it.toArray, 0 until 16)
+      val k = 5
+      val r = LinAlg.pca(x, k)
+      val cv = LinAlg.pcaCvError(x, k, 5)
+      val cvMean = cv.sum / cv.length
+      (0 until k).iterator.map { c =>
+        (label, c + 1, r6(r.eigenvalues(c)), r6(r.explained(c)), r6(r.cumulative(c)), r6(cvMean))
+      }
+    }.toDF("label", "component", "eigenvalue", "explained", "cumulative", "cv_recon_err")
+      .orderBy("label", "component")
+  })
+
+  /** L6 companion: the PCA loading vectors as a long weights table
+    * (label, component, dim, weight) — consumed relationally by L11. */
+  private def pcaWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embGrouped(s, d).flatMapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
+      val x = groupMatrix(it.toArray, 0 until 16)
+      val r = LinAlg.pca(x, 5)
+      for {
+        c <- (0 until 5).iterator
+        i <- (0 until 16).iterator
+      } yield (label, c + 1, i, r.coefficients(i, c), r.eigenvalues(c))
+    }.toDF("label", "component", "dim", "weight", "eigenvalue")
+  }
+
+  // ------------------------------------------------------------------ L7
+  /** CCA per label between dims [0,8) and [8,16) of the embedding:
+    * canonical correlations + 5-fold CV correlation, ridge-escalation
+    * fallback. Ref: Matlab_part/perform_session_cca.m:270-400. */
+  val l7 = Q("l7_cca_cv", None)((s, d) => {
+    import s.implicits._
+    embGrouped(s, d).flatMapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
+      val rows = it.toArray
+      val x = groupMatrix(rows, 0 until 8)
+      val y = groupMatrix(rows, 8 until 16)
+      val k = 3
+      val cc = LinAlg.cca(x, y, k)
+      val cv = LinAlg.ccaCv(x, y, k, 5)
+      (0 until k).iterator.map { c =>
+        val folds = cv.map(_(c))
+        val mean = folds.sum / folds.length
+        val sd = math.sqrt(folds.map(v => (v - mean) * (v - mean)).sum / (folds.length - 1))
+        (label, c + 1, r6(cc.r(c)), r6(mean), r6(sd), cc.ridgeUsed)
+      }
+    }.toDF("label", "component", "r", "cv_r_mean", "cv_r_std", "ridge_lambda")
+      .orderBy("label", "component")
+  })
+
+  /** L7 companion: CCA A-side weights long table for L11. */
+  private def ccaWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embGrouped(s, d).flatMapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
+      val rows = it.toArray
+      val x = groupMatrix(rows, 0 until 8)
+      val y = groupMatrix(rows, 8 until 16)
+      val cc = LinAlg.cca(x, y, 3)
+      for {
+        c <- (0 until cc.r.length).iterator
+        i <- (0 until 8).iterator
+      } yield (label, c + 1, i, cc.a(i, c), cc.r(c))
+    }.toDF("label", "component", "dim", "a_weight", "r")
+  }
+
+  // ------------------------------------------------------------------ L8
+  /** Per-group OLS/GLM with the glmfit stats block: lineitem grouped by
+    * l_returnflag, y = extendedprice, X = (quantity, discount, tax).
+    * Emits one row per coefficient with β/SE/t/p/CI + group-level
+    * R²/adj-R²/AIC/BIC/deviance/dof.
+    * Ref: Matlab_part/oxford_GLM_CCA_coefficients_extract.m:402-485. */
+  val l8 = Q("l8_glm_stats", None)((s, d) => {
+    import s.implicits._
+    val terms = Array("intercept", "l_quantity", "l_discount", "l_tax")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double"), col("l_discount").cast("double"),
+        col("l_tax").cast("double"), col("l_extendedprice").cast("double"))
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (flag: String, it: Iterator[(String, Long, Long, Double, Double, Double, Double)]) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        val x = DenseMatrix.zeros[Double](rows.length, 3)
+        val y = DenseVector.zeros[Double](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          x(i, 0) = rows(i)._4; x(i, 1) = rows(i)._5; x(i, 2) = rows(i)._6
+          y(i) = rows(i)._7
+          i += 1
+        }
+        val o = LinAlg.ols(x, y)
+        (0 until 4).iterator.map { j =>
+          (flag, terms(j), r6(o.beta(j)), r6(o.se(j)), r6(o.t(j)), r6(o.p(j)),
+            r6(o.ciLo(j)), r6(o.ciHi(j)), r6(o.r2), r6(o.adjR2),
+            r6(o.aic), r6(o.bic), o.dof.toLong)
+        }
+      }
+      .toDF("group", "term", "beta", "se", "t_stat", "p_value", "ci_lo", "ci_hi",
+        "r2", "adj_r2", "aic", "bic", "dof")
+      .orderBy("group", "term")
+  })
+
+  // ------------------------------------------------------------------ L9
+  /** GLM sensitivity sweep: per label, regress dim0 on dims 1–12; for
+    * each removal fraction ρ drop the top-ρ% predictors by |β| and refit,
+    * recording the R² drop (n_keep ≥ 2 guard like the reference).
+    * Ref: Matlab_part/Oxford_glm_sensitivity.m:256-342. */
+  val l9 = Q("l9_sensitivity_sweep", None)((s, d) => {
+    import s.implicits._
+    val rhos = Array(0, 25, 50, 75)
+    embGrouped(s, d).flatMapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
+      val rows = it.toArray
+      val full = groupMatrix(rows, 0 until 13)
+      val y = full(::, 0)
+      val x = full(::, 1 until 13).toDenseMatrix
+      val base = LinAlg.ols(x, y)
+      // rank predictors by |β| (excluding intercept), descending
+      val order = (0 until 12).sortBy(j => -math.abs(base.beta(j + 1)))
+      rhos.iterator.map { rho =>
+        val nDrop = math.round(12 * rho / 100.0).toInt
+        val keep = order.drop(nDrop).sorted
+        if (keep.length < 2) (label, rho, keep.length, Double.NaN)
+        else {
+          val xs = x(::, keep).toDenseMatrix
+          val o = LinAlg.ols(xs, y)
+          (label, rho, keep.length, r6(math.max(o.r2, 0.0)))
+        }
+      }
+    }.toDF("label", "rho_pct", "n_kept", "r2")
+      .orderBy("label", "rho_pct")
+  })
+
+  // ----------------------------------------------------------------- L10
+  /** Principal angles between the top-3 PCA subspaces of every label
+    * pair (i < j): min/max/mean angle in degrees.
+    * Ref: History/.../Pca_cca_comparison_framework.py:81-158. */
+  val l10 = Q("l10_principal_angles", None)((s, d) => {
+    import s.implicits._
+    // Subspaces are tiny (16×3 per label) → compute per label
+    // distributed, then the pairwise angle pass on the collected few.
+    val subs = embGrouped(s, d).mapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
+      val x = groupMatrix(it.toArray, 0 until 16)
+      val w = LinAlg.pca(x, 3).coefficients
+      (label, w.data.toSeq) // column-major 16×3
+    }.collect().sortBy(_._1)
+    val pairs = for {
+      a <- subs.indices; b <- subs.indices if subs(a)._1 < subs(b)._1
+    } yield {
+      val ma = new DenseMatrix(16, 3, subs(a)._2.toArray)
+      val mb = new DenseMatrix(16, 3, subs(b)._2.toArray)
+      val th = LinAlg.principalAngles(ma, mb).map(v => math.toDegrees(v))
+      (subs(a)._1, subs(b)._1, r6(th.min), r6(th.max), r6(th.sum / th.length))
+    }
+    s.createDataFrame(pairs).toDF("label_a", "label_b", "theta_min", "theta_max", "theta_mean")
+      .orderBy("label_a", "label_b")
+  })
+
+  // ------------------------------------------------------------ L11/L12
+  /** CCA↔PCA participation (relational matmul over the two weight
+    * tables) + entropy-based effective dimensionality per CCA component:
+    * α_ci = (a_cᵀ w_i)² row-normalized; eff_dim = exp(−Σ α ln α).
+    * The weight tables come from the L6/L7 kernels; this stage is pure
+    * Catalyst — joins + aggregation, duckdb-shaped.
+    * Ref: History/.../Pca_cca_comparison_framework.py:160-265. */
+  val l11 = Q("l11_participation", None)((s, d) => {
+    val pw = pcaWeights(s, d).select(
+      col("label"), col("component").as("pca_comp"), col("dim"), col("weight"))
+      // PCA was fit on dims 0–15; the CCA A-side lives on dims 0–7 —
+      // restrict the inner product to the shared support.
+      .filter(col("dim") < 8)
+    val cw = ccaWeights(s, d).select(
+      col("label"), col("component").as("cca_comp"), col("dim"), col("a_weight"))
+    val alpha = cw.join(pw, Seq("label", "dim"))
+      .groupBy("label", "cca_comp", "pca_comp")
+      .agg(pow(sum(col("a_weight") * col("weight")), 2).as("alpha_raw"))
+    val norm = alpha.groupBy("label", "cca_comp")
+      .agg(sum("alpha_raw").as("alpha_total"))
+    alpha.join(norm, Seq("label", "cca_comp"))
+      .withColumn("alpha", col("alpha_raw") / col("alpha_total"))
+      .groupBy("label", "cca_comp")
+      .agg(round(expr("exp(-sum(CASE WHEN alpha > 0 THEN alpha * ln(alpha) ELSE 0 END))"), 6)
+        .as("eff_dim"))
+      .orderBy("label", "cca_comp")
+  })
+
+  val all: Seq[Q] = Seq(l6, l7, l8, l9, l10, l11)
+}
