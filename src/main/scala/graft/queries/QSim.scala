@@ -1,4 +1,309 @@
 package graft.queries
 
-/** Similarity search (placeholder — filled in next milestone). */
-object QSim { val all: Seq[Q] = Seq() }
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Deduplication + similarity-search operators — the LLM-training-data
+  * pipeline extensions (north star §M5): exact dedup, MinHash+LSH,
+  * SimHash, blocked n-gram Jaccard, embedding near-dup and ANN top-k
+  * with an LSH-bucketed scale path.
+  *
+  * All scoring is pure Catalyst expression work (array lambdas + md5 —
+  * no UDFs, codegen-friendly) built on cross-engine primitives so every
+  * operator has an exact DuckDB oracle. Hash basis: md5 hex strings
+  * (identical bytes→hex in Spark and DuckDB); pseudo-random projections:
+  * the engine's deterministic LCG hash (functions.Deterministic), plain
+  * arithmetic on both sides.
+  *
+  * Scale design (100 TB): every pairwise operator is *blocked* — banding
+  * (MinHash), signature-prefix buckets (SimHash, ANN) or natural keys
+  * (label, lang × length bucket) — so the self-join never goes quadratic
+  * in the corpus, only within buckets. The brute-force variants exist as
+  * correctness baselines for the bucketed ones.
+  */
+object QSim {
+
+  /** Spark-side word 3-gram shingle md5 array (distinct). */
+  private val shinglesExpr =
+    """array_distinct(transform(sequence(0, size(w) - 3),
+         i -> md5(encode(concat_ws(' ', w[i], w[i+1], w[i+2]), 'UTF-8'))))"""
+
+  private val shinglesSqlDuck =
+    "list_distinct([md5(concat_ws(' ', w[i], w[i+1], w[i+2])) for i in generate_series(1, len(w)-2)])"
+
+  // -------------------------------------------------------- exact dedup
+  /** Exact dedup via content hash: per source, total vs distinct-text
+    * counts and the surviving (min doc_id) representative count.
+    * Spark shape: hash-groupBy — map-side partial agg, one shuffle. */
+  val exact = Q("dedup_exact", Some("""
+    WITH h AS (SELECT doc_id, source, md5(text) AS th FROM documents),
+    k AS (SELECT source, th, count(*) AS copies, min(doc_id) AS keep_id FROM h GROUP BY 1, 2)
+    SELECT source, sum(copies) AS n_docs, count(*) AS n_unique,
+           sum(copies) - count(*) AS n_removed, min(keep_id) AS first_keep
+    FROM k GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(encode(col("text"), "UTF-8")).as("th"))
+      .groupBy("source", "th")
+      .agg(count(lit(1)).as("copies"), min("doc_id").as("keep_id"))
+      .groupBy("source")
+      .agg(sum("copies").as("n_docs"), count(lit(1)).as("n_unique"),
+        (sum("copies") - count(lit(1))).as("n_removed"), min("keep_id").as("first_keep"))
+      .orderBy("source"))
+
+  // -------------------------------------------------------- MinHash LSH
+  /** MinHash + LSH banding near-dup detection, end to end:
+    * shingle → 12 seeded minhashes → 6 bands of 2 → band-bucket join →
+    * candidate pairs → exact Jaccard verify ≥ 0.5.
+    * The band join keys on md5(band minhashes), so candidate generation
+    * is an equi-join (shuffle on band key — never a cross join). */
+  private val nHash = 12
+  private val bandRows = 2
+
+  val minhashLsh = Q("dedup_minhash_lsh", Some {
+    val mhCols = (0 until nHash).map(i =>
+      s"min(md5('$i:' || sh)) AS mh$i").mkString(", ")
+    val bandSel = (0 until nHash / bandRows).map { b =>
+      val ks = (0 until bandRows).map(r => s"mh${b * bandRows + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($ks) AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    shs AS (SELECT doc_id, $shinglesSqlDuck AS s FROM w),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM shs),
+    sig AS (SELECT doc_id, $mhCols FROM ex GROUP BY 1),
+    bands AS ($bandSel),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.band = b.band AND a.doc_id < b.doc_id),
+    ver AS (SELECT c.doc_a, c.doc_b,
+                   len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)) AS j
+            FROM cand c JOIN shs sa ON c.doc_a = sa.doc_id JOIN shs sb ON c.doc_b = sb.doc_id)
+    SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM ver WHERE j >= 0.5 ORDER BY 1, 2"""
+  })((s, d) => {
+    val w = Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+    val shs = w.select(col("doc_id"), expr(shinglesExpr).as("s"))
+    val ex = shs.select(col("doc_id"), explode(col("s")).as("sh"))
+    val mhCols = (0 until nHash).map(i =>
+      min(md5(encode(concat(lit(s"$i:"), col("sh")), "UTF-8"))).as(s"mh$i"))
+    val sig = ex.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val bands = (0 until nHash / bandRows).map { b =>
+      val ks = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
+      sig.select(col("doc_id"), lit(b).as("band"),
+        md5(encode(concat(ks: _*), "UTF-8")).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val sa = shs.select(col("doc_id").as("doc_a"), col("s").as("s_a"))
+    val sb = shs.select(col("doc_id").as("doc_b"), col("s").as("s_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("j",
+        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+          size(array_distinct(concat(col("s_a"), col("s_b")))))
+      .filter(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  })
+
+  // ------------------------------------------------------------ SimHash
+  /** Weighted 32-bit SimHash per document; near-dup pairs = same
+    * top-16-bit bucket AND Hamming distance ≤ 2. Bit source: first 8 hex
+    * chars of each token's md5; weight = token multiplicity. */
+  private def simhashDuck = {
+    // per (doc, bit): sum of +-weight, sign -> bit
+    val bitSum = (0 until 32).map { b =>
+      s"sum(CASE WHEN (strpos('0123456789abcdef', h[${b / 4 + 1}]) - 1) // ${Seq(8, 4, 2, 1)(b % 4)} % 2 = 1 THEN cnt ELSE -cnt END) AS b$b"
+    }.mkString(", ")
+    val hashVal = (0 until 32).map(b => s"(CASE WHEN b$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    tc AS (SELECT doc_id, t, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+    th AS (SELECT doc_id, cnt, string_split(substr(md5(t), 1, 8), '') AS h FROM tc),
+    bits AS (SELECT doc_id, $bitSum FROM th GROUP BY 1),
+    sh AS (SELECT doc_id, $hashVal AS simhash FROM bits)"""
+  }
+
+  val simhash = Q("dedup_simhash", Some(s"""
+    ${simhashDuck},
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM sh a JOIN sh b
+            ON a.simhash // 65536 = b.simhash // 65536 AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 2 ORDER BY 1, 2"""
+  ))((s, d) => {
+    val tc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+    val th = tc.withColumn("h", substring(md5(encode(col("t"), "UTF-8")), 1, 8))
+    val bitSums = (0 until 32).map { b =>
+      val bit = expr(
+        s"(((locate(substring(h, ${b / 4 + 1}, 1), '0123456789abcdef') - 1) div ${Seq(8, 4, 2, 1)(b % 4)}) % 2)")
+      sum(when(bit === 1, col("cnt")).otherwise(-col("cnt"))).as(s"b$b")
+    }
+    val bits = th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sh = bits.select(col("doc_id"),
+      (0 until 32).map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+    sh.as("a").join(sh.as("b"),
+        expr("(a.simhash div 65536) = (b.simhash div 65536)") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .orderBy("doc_a", "doc_b")
+  })
+
+  // ------------------------------------------------ blocked n-gram Jaccard
+  /** Classic blocked near-dup: candidates share (lang, length bucket),
+    * verify exact word-3-gram Jaccard ≥ 0.8. Complements MinHash: same
+    * verify metric, different (cheaper, lossier) candidate generation. */
+  val ngramJaccard = Q("dedup_ngram_jaccard", Some(s"""
+    WITH w AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+                      string_split(text, ' ') AS w
+               FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    shs AS (SELECT doc_id, lang, n_tok // 40 AS lb, $shinglesSqlDuck AS s FROM w),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS j
+          FROM shs a JOIN shs b
+            ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.8 ORDER BY 1, 2"""
+  ))((s, d) => {
+    val shs = Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        (size(col("w")).cast("long").divide(lit(40))).cast("long").as("lb"),
+        expr(shinglesExpr).as("s"))
+    shs.as("a").join(shs.as("b"),
+        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+          size(array_distinct(concat(col("a.s"), col("b.s"))))).as("j"))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  })
+
+  // ---------------------------------------------- embedding near-dup
+  /** Embedding-cosine near-dup, label-blocked: pairs within the same
+    * label with cosine ≥ 0.35. Double-precision dot/norms with
+    * list-order summation — bit-identical across engines. */
+  private val cosDuck =
+    """list_sum([a.v[i] * b.v[i] for i in generate_series(1, 64)]) /
+       (sqrt(list_sum([a.v[i] * a.v[i] for i in generate_series(1, 64)])) *
+        sqrt(list_sum([b.v[i] * b.v[i] for i in generate_series(1, 64)])))"""
+
+  private val dotExpr = (x: String, y: String) =>
+    s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (acc, z) -> acc + z)"
+
+  private def cosSpark = {
+    val dot = dotExpr("a.v", "b.v")
+    val na = s"sqrt(${dotExpr("a.v", "a.v")})"
+    val nb = s"sqrt(${dotExpr("b.v", "b.v")})"
+    expr(s"$dot / ($na * $nb)")
+  }
+
+  val embedNearDup = Q("dedup_embedding_cosine", Some(s"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosDuck AS c
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= 0.35 ORDER BY 1, 2"""
+  ))((s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding").as("v"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cosSpark.as("c"))
+      .filter(col("c") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  })
+
+  // ------------------------------------------------- brute-force ANN
+  /** Brute-force cosine top-3 for a fixed query set (vec_id < 8) —
+    * the exactness baseline for the LSH-bucketed path. Broadcast the
+    * tiny query side; rank with (rounded cos DESC, vec_id) so the
+    * cut is engine-independent. */
+  val annTopk = Q("sim_cosine_topk", Some(s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+    sc AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, round($cosDuck, 6) AS c
+           FROM q a JOIN e b ON a.vec_id <> b.vec_id),
+    r AS (SELECT query_id, cand_id, c,
+                 row_number() OVER (PARTITION BY query_id ORDER BY c DESC, cand_id) AS rk
+          FROM sc)
+    SELECT query_id, rk, cand_id, c AS cos FROM r WHERE rk <= 3 ORDER BY 1, 2"""
+  ), headline = true)((s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") < 8)
+    val sc = broadcast(q).as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"),
+        round(cosSpark, 6).as("c"))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("cand_id"))
+    sc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("c").as("cos"))
+      .orderBy("query_id", "rk")
+  })
+
+  // ------------------------------------------------- LSH-bucketed ANN
+  /** Scale path: 8-bit random-hyperplane LSH bucket per vector
+    * (deterministic LCG projection signs), then top-1 within the query's
+    * bucket. At 100 TB the bucket join replaces the full cross join;
+    * recall is tunable via bits/tables. Emits per-query bucket size +
+    * best in-bucket neighbor. */
+  private val nBits = 8
+  /** sign h(j,i) in {+1,-1}, from the engine's LCG hash of key j*64+i. */
+  private def signSql(j: String, i: String, div: String) =
+    s"(CASE WHEN (((($j * 64 + $i) * CAST(1103515245 AS BIGINT) + 104729) $div 131072) % 2) = 0 THEN 1.0 ELSE -1.0 END)"
+
+  private val bucketDuck = {
+    val bits = (0 until nBits).map { j =>
+      s"(CASE WHEN list_sum([v[i] * ${signSql(j.toString, "i", "//")} for i in generate_series(1, 64)]) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"($bits)"
+  }
+
+  private val bucketSpark = {
+    val bits = (0 until nBits).map { j =>
+      val proj = s"aggregate(sequence(1, 64), 0D, (acc, i) -> acc + CAST(element_at(v, i) AS DOUBLE) * ${signSql(j.toString, "i", "div")})"
+      s"(CASE WHEN $proj >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    expr(s"($bits)")
+  }
+
+  val annLsh = Q("sim_ann_lsh_bucket", Some(s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bk AS (SELECT vec_id, v, $bucketDuck AS bucket FROM e),
+    q AS (SELECT * FROM bk WHERE vec_id < 8),
+    sc AS (SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS cand_id, round($cosDuck, 6) AS c
+           FROM q a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    r AS (SELECT query_id, bucket, count(*) OVER (PARTITION BY query_id) AS n_cand, cand_id, c,
+                 row_number() OVER (PARTITION BY query_id ORDER BY c DESC, cand_id) AS rk
+          FROM sc)
+    SELECT query_id, bucket, n_cand, cand_id AS top1_id, c AS top1_cos
+    FROM r WHERE rk = 1 ORDER BY 1"""
+  ))((s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val bk = e.withColumn("bucket", bucketSpark)
+    val q = bk.filter(col("vec_id") < 8)
+    val sc = broadcast(q).as("a").join(bk.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("a.bucket").as("bucket"),
+        col("b.vec_id").as("cand_id"), round(cosSpark, 6).as("c"))
+    val wN = Window.partitionBy("query_id")
+    val wR = Window.partitionBy("query_id").orderBy(col("c").desc, col("cand_id"))
+    sc.withColumn("n_cand", count(lit(1)).over(wN))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("bucket"), col("n_cand"),
+        col("cand_id").as("top1_id"), col("c").as("top1_cos"))
+      .orderBy("query_id")
+  })
+
+  val all: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard, embedNearDup, annTopk, annLsh)
+}
