@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing (north star §M5): media payloads travel
+  * as opaque `BINARY` columns next to a typed metadata struct; decode /
+  * feature-extract runs batched per partition via a typed
+  * `Dataset.mapPartitions` (the Scala-side equivalent of an Arrow-batch
+  * UDF boundary: one iterator pass per partition, no per-row lambda
+  * dispatch, no driver collect).
+  *
+  * The decode step itself is a clearly-marked DETERMINISTIC STUB
+  * (real image/audio codecs aren't in this container): it derives
+  * "features" from the payload bytes. Everything around it — binary
+  * schema, metadata struct, partition-batched iteration, downstream
+  * relational aggregation — is real and oracle-checked: the testdata
+  * text is ASCII, so byte arithmetic on the payload is replayable in
+  * DuckDB as codepoint arithmetic on the source string.
+  */
+object QMedia {
+
+  /** Typed media row: payload + metadata, as a 100 TB table would carry
+    * (payload partition-pruned via the metadata-only projection). */
+  final case class MediaRow(doc_id: Long, format: String, n_bytes: Long, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
+      first_byte: Long, checksum: Long, brightness: Double)
+
+  // ------------------------------------------------------ decode stub
+  /** STUB decode: in production this calls the codec on `payload`
+    * (JPEG/PNG/PCM...). Here: deterministic byte statistics standing in
+    * for decoded-image features. Batched: one pass per partition. */
+  private def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      var sum = 0L
+      var i = 0
+      while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+      MediaFeatures(
+        r.doc_id, r.format, r.n_bytes,
+        first_byte = if (r.payload.nonEmpty) (r.payload(0) & 0xff).toLong else -1L,
+        checksum = sum % 65521L, // Adler-style mod
+        brightness = if (r.payload.isEmpty) 0.0 else sum.toDouble / r.payload.length)
+    }
+
+  /** Media "ingest": documents re-cast as binary payload + metadata —
+    * the schema a real multimodal table would have. */
+  private def media(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        // deterministic fake format from the id — metadata column
+        element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+        length(col("text")).cast("long").as("n_bytes"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Decode + feature extraction + per-format aggregation. The payload
+    * never reaches the driver; the stub runs inside mapPartitions and
+    * only small features shuffle. */
+  val decode = Q("mm_decode_features", Some("""
+    WITH f AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+             length(text) AS n_bytes,
+             ascii(substr(text, 1, 1)) AS first_byte,
+             list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 65521 AS checksum,
+             list_sum(list_transform(string_split(text, ''), c -> ascii(c)))::DOUBLE / length(text) AS brightness
+      FROM documents)
+    SELECT format, count(*) AS n_media, sum(n_bytes) AS total_bytes,
+           round(avg(brightness), 6) AS avg_brightness,
+           min(checksum) AS min_checksum, max(first_byte) AS max_first_byte
+    FROM f GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    import s.implicits._
+    media(s, d)
+      .mapPartitions(decodeStub)
+      .toDF()
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_media"), sum("n_bytes").as("total_bytes"),
+        round(avg("brightness"), 6).as("avg_brightness"),
+        min("checksum").as("min_checksum"), max("first_byte").as("max_first_byte"))
+      .orderBy("format")
+  })
+
+  // ---------------------------------------------------- frame sampling
+  /** Frame sampling: each payload is treated as a frame sequence
+    * (1 frame per 16 bytes); sample every 4th frame, emit a per-frame
+    * feature (STUB: the frame's first byte), aggregate per doc bucket.
+    * Exercises the explode/generator side of media processing with
+    * bounded fan-out. */
+  val frames = Q("mm_frame_sample", Some("""
+    WITH fr AS (
+      SELECT doc_id, i AS frame_no,
+             ascii(substr(text, 1 + i * 16, 1)) AS frame_feat
+      FROM documents, LATERAL unnest(generate_series(0, (length(text) - 1) // 16)) AS t(i)
+      WHERE i % 4 = 0),
+    agg AS (SELECT doc_id, count(*) AS n_sampled, sum(frame_feat) AS feat_sum FROM fr GROUP BY 1)
+    SELECT doc_id % 10 AS bucket, count(*) AS n_docs, sum(n_sampled) AS n_frames,
+           sum(feat_sum) AS feat_total
+    FROM agg GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        expr("filter(sequence(0, CAST((length(text) - 1) div 16 AS INT)), i -> i % 4 = 0)").as("fs"))
+      .select(col("doc_id"), col("text"), explode(col("fs")).as("frame_no"))
+      .select(col("doc_id"),
+        expr("ascii(substring(text, 1 + frame_no * 16, 1))").cast("long").as("frame_feat"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sampled"), sum("frame_feat").as("feat_sum"))
+      .groupBy(pmod(col("doc_id"), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_sampled").as("n_frames"),
+        sum("feat_sum").as("feat_total"))
+      .orderBy("bucket"))
+
+  val all: Seq[Q] = Seq(decode, frames)
+}

@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.streaming.StreamOps
+
+/** Structured Streaming registry entries — bounded-replay deterministic,
+  * so they pass through the same DuckDB oracle gate as the batch
+  * operators (see graft.streaming.StreamOps for semantics).
+  */
+object QStream {
+
+  /** Event-time tumbling window + 1-hour watermark, append mode: only
+    * watermark-finalized windows are emitted. */
+  val wm = Q("stream_watermark_window", Some("""
+    WITH m AS (SELECT max(ts) AS mx FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events, m
+    GROUP BY 1, 2, m.mx
+    HAVING window_start + INTERVAL '2 hour' <= m.mx
+    ORDER BY 1, 2"""
+  ))((s, d) => StreamOps.watermarkTumblingWindow(s, d))
+
+  /** Stateful sessionization (flatMapGroupsWithState, 30-min gap) vs the
+    * relational islands oracle. */
+  val sess = Q("stream_sessionize_state", Some("""
+    WITH e AS (SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t FROM events),
+    o AS (SELECT user_id, t,
+                 CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+    g AS (SELECT user_id, t,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+          FROM o)
+    SELECT user_id, session_id, min(t) AS session_start, max(t) AS session_end,
+           count(*) AS n_events
+    FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
+  ))((s, d) => StreamOps.sessionize(s, d))
+
+  val all: Seq[Q] = Seq(wm, sess)
+}

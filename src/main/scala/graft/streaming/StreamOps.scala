@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY §7.2 M5): event-time windowed
+  * aggregation under a watermark, and custom sessionization state via
+  * `flatMapGroupsWithState`.
+  *
+  * The engine's streams are replayable from the same parquet the batch
+  * queries read (`readStream` file source), so each operator here has a
+  * batch twin with an identical column contract and a DuckDB oracle —
+  * bounded-input replay makes the streaming results deterministic and
+  * hash-comparable. At scale the same code runs against a live source
+  * (Kafka etc.) unchanged: only the `readStream.format` differs.
+  */
+object StreamOps {
+
+  /** File-source readStream over the events table (schema taken from a
+    * batch probe — file streams require a declared schema). Normalizes
+    * the ns-long `ts` to a µs timestamp exactly like Tables.events. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file-stream source requires a DIRECTORY of files (its basePath
+    // and discovery model); the table is a single file, so expose it
+    // through a per-sf temp directory containing one symlink.
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_src", Integer.toHexString(sfDir.hashCode))
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+
+  /** Run a bounded streaming query to a memory sink and return the final
+    * table. Stops any prior run of the same name (re-entrant for the
+    * Verify/Bench drivers). */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Tumbling event-time window + watermark, append mode: a window is
+    * emitted only once the 1-hour watermark passes its end — on bounded
+    * replay that is exactly the windows with
+    * `window_end <= max(ts) - 1h` (the final no-data batch flushes
+    * them), which is the oracle's HAVING clause. */
+  def watermarkTumblingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    runToMemory(spark, agg, "graft_stream_wm", OutputMode.Append())
+      .orderBy("window_start", "event_type")
+  }
+
+  final case class Ev(user_id: Long, t: Long)
+  final case class Session(user_id: Long, session_id: Long, session_start: Long,
+      session_end: Long, n_events: Long)
+
+  /** Per-user sessionization (30-min inactivity gap) via
+    * `flatMapGroupsWithState`. On bounded replay every session closes at
+    * end-of-input, so all sessions are emitted and the result matches
+    * the relational islands oracle (lag → gap flag → cumulative id).
+    * In continuous operation the state would hold the open session and
+    * a ProcessingTimeTimeout would flush it; bounded replay exercises
+    * the same state machinery with a deterministic result. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gap = 1800L
+    val evs = eventsStream(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("t"))
+      .as[Ev]
+    val sessions = evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Long], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[Array[Long]]) =>
+          // carry (session_start, session_end, n, next_session_id) across batches
+          val prior = state.getOption
+          val ts = it.map(_.t).toArray.sorted
+          var sessions = List.empty[Session]
+          var sid = prior.map(_(3)).getOrElse(0L)
+          var start = prior.map(_(0)).getOrElse(-1L)
+          var end = prior.map(_(1)).getOrElse(-1L)
+          var n = prior.map(_(2)).getOrElse(0L)
+          ts.foreach { t =>
+            if (start < 0) { start = t; end = t; n = 1 }
+            else if (t - end > gap) {
+              sessions ::= Session(uid, sid, start, end, n)
+              sid += 1; start = t; end = t; n = 1
+            } else { end = t; n += 1 }
+          }
+          // bounded replay: flush the open session too (deterministic final answer)
+          if (start >= 0) sessions ::= Session(uid, sid, start, end, n)
+          state.update(Array(start, end, n, sid))
+          sessions.reverseIterator
+      }
+    runToMemory(spark, sessions.toDF(), "graft_stream_sess", OutputMode.Append())
+      .orderBy("user_id", "session_id")
+  }
+}
