@@ -23,5 +23,6 @@ object Q {
   /** Full registry, assembled per SURVEY §2 section. */
   def registry: Seq[Q] =
     QCore.all ++ QAgg.all ++ QWindowSet.all ++ QStats.all ++
-      QText.all ++ QSim.all ++ QKernels.all ++ QMedia.all ++ QStream.all
+      QText.all ++ QSim.all ++ QKernels.all ++ QMedia.all ++ QStream.all ++
+      QGaps.all
 }

@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Deterministic._
+
+/** Remaining SURVEY §2 operator rows not yet carried by a dedicated
+  * registry entry: composite filters (F2/F5/F9/F11), distinct-count
+  * gates (F7), index-list sub-selection (F8/C6), both-orderings union
+  * (J8), summary/report stats (A6/A10/S5), top-k mean (A13/W2),
+  * custom-order sort + ordinal pair canonicalization (W4), one-sample
+  * Wilcoxon (T3), flip report (T8), concentration pivot (P3/P4), and
+  * the memoized parquet sink round-trip (S2/S4/S7).
+  */
+object QGaps {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).withColumn(
+      "t", (unix_micros(col("ts")) / lit(1000000L)).cast("long"))
+
+  private val evSql =
+    "SELECT *, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t FROM events"
+
+  // ----------------------------------------------- F2+F5+F9+F11 composite
+  /** Label filter, validity filter, time-window mask and NaN
+    * normalization in one pass.
+    * Ref: Matlab_part/segment_mdl_to_trials.m:138-163 (F2),
+    * perform_region_analysis.m:37-40 (F5),
+    * cross_trial_type_cca_analysis.py:744-745 (F9), :678-683 (F11). */
+  val fComposite = Q("f_composite_validity", Some(s"""
+    WITH e AS ($evSql), b AS (SELECT min(t) AS mn, max(t) AS mx FROM e),
+    f AS (
+      SELECT e.event_type, e.user_id,
+             CASE WHEN e.value < 5 THEN 'NaN'::DOUBLE ELSE e.value END AS v
+      FROM e, b
+      WHERE e.event_type = 'click' AND e.user_id IS NOT NULL
+        AND e.t >= b.mn + 600 AND e.t <= b.mx - 600)
+    SELECT user_id % 10 AS user_bucket, count(*) AS n,
+           sum(CASE WHEN isnan(v) THEN 1 ELSE 0 END) AS n_nan,
+           round(sum(CASE WHEN isnan(v) THEN 0.0 ELSE v END), 4) AS sum_clean
+    FROM f GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val e = ev(s, d)
+    val b = e.agg(min("t").as("mn"), max("t").as("mx"))
+    e.crossJoin(broadcast(b))
+      .filter(col("event_type") === "click" && col("user_id").isNotNull &&
+        col("t") >= col("mn") + 600 && col("t") <= col("mx") - 600)
+      .withColumn("v", when(col("value") < 5, lit(Double.NaN)).otherwise(col("value")))
+      .groupBy(pmod(col("user_id"), lit(10)).as("user_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(isnan(col("v")), 1L).otherwise(0L)).as("n_nan"),
+        round(sum(when(isnan(col("v")), 0.0).otherwise(col("v"))), 4).as("sum_clean"))
+      .orderBy("user_bucket")
+  })
+
+  // --------------------------------------------------------------- F7
+  /** Min-distinct-count gate: keep customers observed with >= 3 distinct
+    * order priorities, then aggregate the survivors.
+    * Ref: cross_trial_type_cca_analysis.py:93-94,1013-1015. */
+  val f7 = Q("f7_min_groups_gate", Some("""
+    WITH g AS (SELECT o_custkey FROM orders GROUP BY 1
+               HAVING count(DISTINCT o_orderpriority) >= 3)
+    SELECT count(*) AS n_custs,
+           (SELECT count(*) FROM orders o JOIN g ON o.o_custkey = g.o_custkey) AS n_orders
+    FROM g"""
+  ))((s, d) => {
+    val o = Tables.orders(s, d)
+    val g = o.groupBy("o_custkey")
+      .agg(countDistinct("o_orderpriority").as("np"))
+      .filter(col("np") >= 3).select("o_custkey")
+    val nOrders = o.join(g, "o_custkey").count()
+    g.agg(count(lit(1)).as("n_custs")).withColumn("n_orders", lit(nOrders))
+  })
+
+  // ----------------------------------------------------------- F8/C6
+  /** Sub-selection by index list with 1-based→0-based shift: the
+    * selection table carries 1-based indices; shift at join time.
+    * Ref: cross_trial_type_cca_analysis.py:430-433; perform_session_cca.m:101-104. */
+  val f8 = Q("f8_index_subselect", Some("""
+    WITH sel AS (SELECT p_partkey + 1 AS idx1 FROM part WHERE p_partkey % 7 = 0)
+    SELECT count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+    FROM part p JOIN sel ON p.p_partkey = sel.idx1 - 1"""
+  ))((s, d) => {
+    val p = Tables.part(s, d)
+    val sel = p.filter(pmod(col("p_partkey"), lit(7)) === 0)
+      .select((col("p_partkey") + 1).as("idx1"))
+    p.join(sel, col("p_partkey") === col("idx1") - 1, "left_semi")
+      .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 4).as("avg_price"))
+  })
+
+  // --------------------------------------------------------------- J8
+  /** Both-orderings union lookup: per unordered nation pair, merge the
+    * (i,j) and (j,i) directed flows before aggregating.
+    * Ref: Single_trial_level/CCA_test_all.py:508-519. */
+  val j8 = Q("j8_both_orderings_union", Some("""
+    WITH f AS (
+      SELECT c.c_nationkey AS ck, s.s_nationkey AS sk,
+             l.l_extendedprice * (1 - l.l_discount) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey < 6 AND s.s_nationkey < 6 AND c.c_nationkey <> s.s_nationkey),
+    u AS (
+      SELECT ck AS a, sk AS b, rev FROM f WHERE ck < sk
+      UNION ALL
+      SELECT sk AS a, ck AS b, rev FROM f WHERE sk < ck)
+    SELECT a, b, count(*) AS n,
+           CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM u GROUP BY 1, 2 ORDER BY 1, 2"""
+  ))((s, d) => {
+    val f = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") < 6 && col("s_nationkey") < 6 &&
+        col("c_nationkey") =!= col("s_nationkey"))
+      .select(col("c_nationkey").as("ck"), col("s_nationkey").as("sk"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val u = f.filter(col("ck") < col("sk")).select(col("ck").as("a"), col("sk").as("b"), col("rev"))
+      .unionByName(
+        f.filter(col("sk") < col("ck")).select(col("sk").as("a"), col("ck").as("b"), col("rev")))
+    u.groupBy("a", "b")
+      .agg(count(lit(1)).as("n"), stableSum(col("rev")).as("revenue"))
+      .orderBy("a", "b")
+  })
+
+  // ------------------------------------------------------- A6/A10/S5
+  /** Summary stats + text-report sink: `mean ± std (range min–max)`
+    * formatted line per group — the engine-side rendering of the
+    * reference's text summaries (decimal-cast formatting keeps the
+    * string identical across engines).
+    * Ref: oxford_GLM_CCA_coefficients_extract.m:509-557 (A6),
+    * save_session_results.m:31-42 (A10), :111+ (S5). */
+  val a6 = Q("a6_summary_report", Some("""
+    WITH s AS (
+      SELECT n_name,
+             CAST(round(avg(c_acctbal), 2) AS DECIMAL(18,2)) AS m,
+             CAST(round(stddev_samp(c_acctbal), 2) AS DECIMAL(18,2)) AS sd,
+             CAST(round(min(c_acctbal), 2) AS DECIMAL(18,2)) AS mn,
+             CAST(round(max(c_acctbal), 2) AS DECIMAL(18,2)) AS mx,
+             count(*) AS n
+      FROM customer c JOIN nation ON c_nationkey = n_nationkey GROUP BY 1)
+    SELECT n_name, n, m AS mean_bal,
+           n_name || ': ' || m::VARCHAR || ' +/- ' || sd::VARCHAR ||
+             ' (range ' || mn::VARCHAR || ' to ' || mx::VARCHAR || ')' AS report_line
+    FROM s ORDER BY 1"""
+  ))((s, d) => {
+    val st = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(avg("c_acctbal"), 2).cast("decimal(18,2)").as("m"),
+        round(stddev_samp(col("c_acctbal")), 2).cast("decimal(18,2)").as("sd"),
+        round(min("c_acctbal"), 2).cast("decimal(18,2)").as("mn"),
+        round(max("c_acctbal"), 2).cast("decimal(18,2)").as("mx"),
+        count(lit(1)).as("n"))
+    st.select(col("n_name"), col("n"), col("m").as("mean_bal"),
+      concat(col("n_name"), lit(": "), col("m").cast("string"), lit(" +/- "),
+        col("sd").cast("string"), lit(" (range "), col("mn").cast("string"),
+        lit(" to "), col("mx").cast("string"), lit(")")).as("report_line"))
+      .orderBy("n_name")
+  })
+
+  // ----------------------------------------------------------- A13/W2
+  /** Top-k mean: rank within group, mean of the top 3 (communication-
+    * capacity metric shape).
+    * Ref: History/.../Dimensionality_communication_analysis.py:265-295. */
+  val a13 = Q("a13_topk_mean", Some("""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+      FROM lineitem)
+    SELECT l_returnflag, round(avg(l_extendedprice), 4) AS top3_mean,
+           round(max(l_extendedprice), 4) AS max_val
+    FROM r WHERE rk <= 3 GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy("l_returnflag")
+      .agg(round(avg("l_extendedprice"), 4).as("top3_mean"),
+        round(max("l_extendedprice"), 4).as("max_val"))
+      .orderBy("l_returnflag")
+  })
+
+  // --------------------------------------------------------------- W4
+  /** Custom-order sort + ordinal pair canonicalization: an explicit
+    * anatomical-style ordering table drives both the sort and the
+    * (least,greatest)-by-ordinal pair key.
+    * Ref: cross_trial_type_cca_analysis.py:167-205;
+    * oxford_GLM_CCA_coefficients_extract.m:378-399. */
+  val w4 = Q("w4_custom_order_sort", Some("""
+    WITH ord(r_name, ord) AS (VALUES
+      ('ASIA', 1), ('AMERICA', 2), ('EUROPE', 3), ('AFRICA', 4), ('MIDDLE EAST', 5)),
+    rr AS (SELECT r.r_name, o.ord, count(*) AS n_nations
+           FROM region r JOIN ord o ON r.r_name = o.r_name
+           JOIN nation n ON r.r_regionkey = n.n_regionkey GROUP BY 1, 2),
+    p AS (SELECT a.r_name AS ra, b.r_name AS rb, a.ord AS oa, b.ord AS ob,
+                 a.n_nations * b.n_nations AS weight
+          FROM rr a JOIN rr b ON a.ord < b.ord)
+    SELECT least(oa, ob) AS ord_a, greatest(oa, ob) AS ord_b,
+           ra || '~' || rb AS pair, weight
+    FROM p ORDER BY 1, 2"""
+  ))((s, d) => {
+    val ordDf = s.createDataFrame(Seq(
+      ("ASIA", 1), ("AMERICA", 2), ("EUROPE", 3), ("AFRICA", 4), ("MIDDLE EAST", 5)))
+      .toDF("r_name", "ord")
+    val rr = Tables.region(s, d)
+      .join(broadcast(ordDf), "r_name")
+      .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
+      .groupBy("r_name", "ord").agg(count(lit(1)).as("n_nations"))
+    val a = rr.select(col("r_name").as("ra"), col("ord").as("oa"), col("n_nations").as("na"))
+    val b = rr.select(col("r_name").as("rb"), col("ord").as("ob"), col("n_nations").as("nb"))
+    a.join(b, col("oa") < col("ob"))
+      .select(least(col("oa"), col("ob")).as("ord_a"),
+        greatest(col("oa"), col("ob")).as("ord_b"),
+        concat(col("ra"), lit("~"), col("rb")).as("pair"),
+        (col("na") * col("nb")).as("weight"))
+      .orderBy("ord_a", "ord_b")
+  })
+
+  // --------------------------------------------------------------- T3
+  /** One-sample Wilcoxon signed-rank vs a constant, one-sided
+    * (alternative: greater), normal approximation; ranks by stable order
+    * (deterministic cross-engine tie handling — SURVEY §7.4.1).
+    * Ref: cross_trial_type_cca_analysis.py:1356-1400. */
+  val t3 = Q("t3_wilcoxon_one_sample", Some("""
+    WITH x AS (
+      SELECT n_name, avg(c_acctbal) AS v FROM customer
+      JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+    dd AS (SELECT n_name, v - 4500.0 AS diff FROM x WHERE v <> 4500.0),
+    r AS (SELECT diff, row_number() OVER (ORDER BY abs(diff), n_name) AS rk FROM dd),
+    w AS (SELECT count(*) AS n, sum(CASE WHEN diff > 0 THEN rk ELSE 0 END) AS w_plus FROM r)
+    SELECT n, w_plus,
+           round((w_plus - n * (n + 1) / 4.0) /
+                 sqrt(n * (n + 1) * (2 * n + 1) / 24.0), 6) AS z
+    FROM w"""
+  ))((s, d) => {
+    val x = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(avg("c_acctbal").as("v"))
+    val dd = x.filter(col("v") =!= 4500.0).withColumn("diff", col("v") - 4500.0)
+    val r = dd.withColumn("rk",
+      row_number().over(Window.orderBy(abs(col("diff")), col("n_name"))))
+    r.agg(count(lit(1)).as("n"),
+        sum(when(col("diff") > 0, col("rk")).otherwise(0L)).as("w_plus"))
+      .select(col("n"), col("w_plus"),
+        round((col("w_plus") - col("n") * (col("n") + 1) / 4.0) /
+          sqrt(col("n") * (col("n") + 1) * (lit(2) * col("n") + 1) / 24.0), 6).as("z"))
+  })
+
+  // --------------------------------------------------------------- T8
+  /** Flip detection & report: per event_type, correlation of value with
+    * time; `flipped` iff r < -0.5; report line (S5-style).
+    * Ref: cross_trial_type_cca_analysis.py:2996-3129. */
+  val t8 = Q("t8_flip_report", Some(s"""
+    WITH e AS ($evSql),
+    c AS (SELECT event_type, round(corr(value, t), 6) AS r, count(*) AS n FROM e GROUP BY 1)
+    SELECT event_type, r, n,
+           CASE WHEN r < -0.5 THEN 'FLIPPED' ELSE 'ok' END AS status
+    FROM c ORDER BY 1"""
+  ))((s, d) =>
+    ev(s, d).groupBy("event_type")
+      .agg(round(corr(col("value"), col("t")), 6).as("r"), count(lit(1)).as("n"))
+      .withColumn("status", when(col("r") < -0.5, "FLIPPED").otherwise("ok"))
+      .select("event_type", "r", "n", "status")
+      .orderBy("event_type"))
+
+  // ------------------------------------------------------------ P3/P4
+  /** Concentration pivot: condition-state pivot (low vs high discount)
+    * per group, then the concentration difference C = v_low − v_high.
+    * Ref: Matlab_part/Oxford_GLM_summary.m:124-257 (P3), :336-511 (P4). */
+  val p4 = Q("p4_concentration_pivot", Some("""
+    SELECT l_returnflag,
+           round(avg(CASE WHEN l_discount < 0.05 THEN l_extendedprice END), 4) AS v_low,
+           round(avg(CASE WHEN l_discount >= 0.05 THEN l_extendedprice END), 4) AS v_high,
+           round(avg(CASE WHEN l_discount < 0.05 THEN l_extendedprice END)
+               - avg(CASE WHEN l_discount >= 0.05 THEN l_extendedprice END), 4) AS concentration
+    FROM lineitem GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(avg(when(col("l_discount") < 0.05, col("l_extendedprice"))), 4).as("v_low"),
+        round(avg(when(col("l_discount") >= 0.05, col("l_extendedprice"))), 4).as("v_high"),
+        round(avg(when(col("l_discount") < 0.05, col("l_extendedprice"))) -
+          avg(when(col("l_discount") >= 0.05, col("l_extendedprice"))), 4).as("concentration"))
+      .orderBy("l_returnflag"))
+
+  // ------------------------------------------------------- S2/S4/S7
+  /** Memoized parquet sink round-trip: stage output written once
+    * (skip-if-exists memo), then read back as a source — the engine's
+    * form of the reference's result cache.
+    * Ref: single_session_oxford_CCA_mdl.m:107-170 (S7), :290-321 (S4). */
+  val s4s7 = Q("s4_sink_memo_roundtrip", Some("""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val memoDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_memo",
+      Integer.toHexString(d.hashCode), "orders_by_priority")
+    val agg = Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        stableSum(col("o_totalprice")).as("total"))
+    if (!java.nio.file.Files.exists(memoDir.resolve("_SUCCESS")))
+      agg.write.mode("overwrite").parquet(memoDir.toString)
+    s.read.parquet(memoDir.toString).orderBy("o_orderpriority")
+  })
+
+  val all: Seq[Q] = Seq(fComposite, f7, f8, j8, a6, a13, w4, t3, t8, p4, s4s7)
+}
