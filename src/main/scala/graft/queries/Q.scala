@@ -24,5 +24,5 @@ object Q {
   def registry: Seq[Q] =
     QCore.all ++ QAgg.all ++ QWindowSet.all ++ QStats.all ++
       QText.all ++ QSim.all ++ QKernels.all ++ QMedia.all ++ QStream.all ++
-      QGaps.all
+      QGaps.all ++ QGaps2.all
 }

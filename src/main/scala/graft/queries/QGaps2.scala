@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Deterministic._
+
+/** Second gap-closure wave over SURVEY §2: stable-unit semi-join (F4),
+  * cross-condition projection join (J3), hierarchical pooled
+  * aggregation (A5), tensor-reshape round-trip (L1), the math-scalar
+  * battery (C3), the multi-scale stability sweep (L14), the
+  * upper-triangle summary matrix (P5), and the rastermap-ordering
+  * substitute (L15, documented approximation per SURVEY §7.3).
+  */
+object QGaps2 {
+
+  // --------------------------------------------------------------- F4
+  /** Stable-unit filter: facts kept via semi join against the dimension
+    * rows whose boolean stability flag is set (engine analog of the
+    * stable-unit mask; the mask-length reconciliation disappears because
+    * the join key is explicit).
+    * Ref: Matlab_part/extract_session_data_mdl.m:174-207. */
+  val f4 = Q("f4_stable_unit_filter", Some(s"""
+    SELECT l_returnflag, count(*) AS n,
+           ${stableSumSql("l_quantity")} AS sum_qty
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0.0)
+    GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val stable = Tables.supplier(s, d)
+      .filter(col("s_acctbal") >= 0.0).select("s_suppkey")
+    Tables.lineitem(s, d)
+      .join(broadcast(stable), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), stableSum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  })
+
+  // --------------------------------------------------------------- J3
+  /** Cross-condition projection join: weights are trained on the
+    * reference condition only ('click'), then broadcast-joined to every
+    * OTHER condition's facts on the shared key and reduced to a
+    * projection — the reference's reuse of reference-condition CCA
+    * weights across trial types.
+    * Ref: cross_trial_type_cca_analysis.py:569-715. */
+  val j3 = Q("j3_cross_condition_projection", Some(s"""
+    WITH e AS (SELECT event_type, user_id % 20 AS bucket, value
+               FROM events WHERE user_id IS NOT NULL),
+    w AS (SELECT bucket, ${stableSumSql("value")} / count(*) AS weight FROM e
+          WHERE event_type = 'click' GROUP BY 1)
+    SELECT e.event_type, count(*) AS n,
+           ${stableSumSql("round(e.value * w.weight, 4)", 4)} AS projection
+    FROM e JOIN w ON e.bucket = w.bucket
+    WHERE e.event_type <> 'click'
+    GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val e = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("event_type"), pmod(col("user_id"), lit(20)).as("bucket"), col("value"))
+    // Weight derived via the stable decimal sum so both engines compute a
+    // bit-identical double before it feeds the multiply-sum downstream.
+    val w = e.filter(col("event_type") === "click")
+      .groupBy("bucket")
+      .agg((stableSum(col("value")) / count(lit(1))).as("weight"))
+    e.filter(col("event_type") =!= "click")
+      .join(broadcast(w), "bucket")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        // Full-precision products round to 4 dp in double space before the
+        // decimal sum — a raw DECIMAL cast of an unrounded product can land
+        // on either side of the last digit across engines.
+        stableSum(round(col("value") * col("weight"), 4), 4).as("projection"))
+      .orderBy("event_type")
+  })
+
+  // --------------------------------------------------------------- A5
+  /** Hierarchical pooled aggregation: group-level stats re-keyed to the
+    * coarser taxonomy level, contributing rows pooled, mean/std/SEM
+    * recomputed over the pooled N, min-membership gate applied.
+    * Ref: cross_trial_type_cca_analysis.py:1770-1819. */
+  val a5 = Q("a5_hierarchical_pooled", Some("""
+    WITH sess AS (SELECT c_nationkey, avg(c_acctbal) AS v FROM customer GROUP BY 1),
+    h AS (SELECT r_name, v FROM sess
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey)
+    SELECT r_name, count(*) AS n_pooled, round(avg(v), 4) AS mean_v,
+           round(stddev_samp(v), 4) AS std_v,
+           round(stddev_samp(v) / sqrt(count(*)), 4) AS sem_v
+    FROM h GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1"""
+  ))((s, d) => {
+    val sess = Tables.customer(s, d)
+      .groupBy("c_nationkey").agg(avg("c_acctbal").as("v"))
+    sess
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_pooled"),
+        round(avg("v"), 4).as("mean_v"),
+        round(stddev_samp(col("v")), 4).as("std_v"),
+        round(stddev_samp(col("v")) / sqrt(count(lit(1))), 4).as("sem_v"))
+      .filter(col("n_pooled") >= 3)
+      .orderBy("r_name")
+  })
+
+  // --------------------------------------------------------------- L1
+  /** Tensor reshape round-trip: long rows grouped into an ordered array
+    * column (the "matrix" form), then exploded back to long — proving
+    * the reshape is lossless. The oracle is the identity aggregate on
+    * the base table.
+    * Ref: Matlab_part/perform_session_cca.m:124-143,412-443. */
+  val l1 = Q("l1_reshape_roundtrip", Some(s"""
+    SELECT l_linenumber, count(*) AS n,
+           ${stableSumSql("l_quantity")} AS sum_qty
+    FROM lineitem GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val arr = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("a"))
+    arr.select(col("l_orderkey"), explode(col("a")).as("e"))
+      .select(col("e.l_linenumber").as("l_linenumber"), col("e.l_quantity").as("l_quantity"))
+      .groupBy("l_linenumber")
+      .agg(count(lit(1)).as("n"), stableSum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_linenumber")
+  })
+
+  // --------------------------------------------------------------- C3
+  /** Math-scalar battery: abs/sqrt/ln/log10/exp/floor/clip/acos/degrees
+    * in one codegen'd pass; terms rounded to 4 dp before the decimal
+    * sum so libm ULP differences between engines cannot flip a digit.
+    * Ref: Matlab_part/Oxford_glm_sensitivity.m:279,290;
+    * History/.../Pca_cca_comparison_framework.py:153-157. */
+  val c3 = Q("c3_math_scalars", Some("""
+    SELECT l_returnflag, count(*) AS n,
+      CAST(SUM(CAST(round(abs(l_quantity - 25.0), 4) AS DECIMAL(28,4))) AS DOUBLE) AS s_abs,
+      CAST(SUM(CAST(round(sqrt(l_extendedprice), 4) AS DECIMAL(28,4))) AS DOUBLE) AS s_sqrt,
+      CAST(SUM(CAST(round(ln(l_quantity) + log10(l_extendedprice), 4) AS DECIMAL(28,4))) AS DOUBLE) AS s_log,
+      CAST(SUM(CAST(round(exp(-l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE) AS s_exp,
+      CAST(SUM(CAST(floor(l_tax * 100) + least(greatest(l_quantity, 10.0), 40.0) AS DECIMAL(28,4))) AS DOUBLE) AS s_floor_clip,
+      CAST(SUM(CAST(round(degrees(acos(1.0 - l_discount)), 4) AS DECIMAL(28,4))) AS DOUBLE) AS s_deg
+    FROM lineitem GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(round(abs(col("l_quantity") - 25.0), 4)).as("s_abs"),
+        dsum(round(sqrt(col("l_extendedprice")), 4)).as("s_sqrt"),
+        dsum(round(log(col("l_quantity")) + log10(col("l_extendedprice")), 4)).as("s_log"),
+        dsum(round(exp(-col("l_discount")), 4)).as("s_exp"),
+        dsum(floor(col("l_tax") * 100) + least(greatest(col("l_quantity"), lit(10.0)), lit(40.0))).as("s_floor_clip"),
+        dsum(round(degrees(acos(lit(1.0) - col("l_discount"))), 4)).as("s_deg"))
+      .orderBy("l_returnflag")
+  })
+
+  // -------------------------------------------------------------- L14
+  /** Multi-scale stability sweep: for each (sample size, iteration)
+    * combo, a seeded deterministic sample per group feeds the group
+    * statistic, whose correlation against the full-population statistic
+    * is the stability score — the reference's neuron-count stability
+    * analysis as one relational DAG (sizes × iterations fan-out via a
+    * broadcast cross join, not a driver loop).
+    * Ref: Matlab_part/oxford_neuron_stability.m:465-565. */
+  val l14 = Q("l14_stability_sweep", Some("""
+    WITH combos(n_sample, iter) AS (VALUES (3,1),(3,2),(5,1),(5,2),(10,1),(10,2)),
+    f AS (SELECT c_nationkey, avg(c_acctbal) AS v_full FROM customer GROUP BY 1),
+    r AS (SELECT co.n_sample, co.iter, c.c_nationkey, c.c_acctbal,
+            row_number() OVER (PARTITION BY co.n_sample, co.iter, c.c_nationkey
+              ORDER BY ((c.c_custkey * 1103515245 + (12345 + co.iter * 100) * 12345 + 104729)
+                        % 2147483648 + 2147483648) % 2147483648, c.c_custkey) AS rn
+          FROM customer c CROSS JOIN combos co),
+    samp AS (SELECT n_sample, iter, c_nationkey, avg(c_acctbal) AS v_samp
+             FROM r WHERE rn <= n_sample GROUP BY 1, 2, 3)
+    SELECT s.n_sample, s.iter, count(*) AS n_groups,
+           round(corr(s.v_samp, f.v_full), 6) AS stability_r
+    FROM samp s JOIN f ON s.c_nationkey = f.c_nationkey
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+  ))((s, d) => {
+    val combos = s.createDataFrame(Seq((3, 1), (3, 2), (5, 1), (5, 2), (10, 1), (10, 2)))
+      .toDF("n_sample", "iter")
+    val c = Tables.customer(s, d).select("c_nationkey", "c_custkey", "c_acctbal")
+    val fullM = c.groupBy("c_nationkey").agg(avg("c_acctbal").as("v_full"))
+    val hr = pmod(
+      col("c_custkey") * lit(1103515245L) +
+        (lit(12345L) + col("iter") * lit(100L)) * lit(12345L) + lit(104729L),
+      lit(M))
+    val w = Window.partitionBy("n_sample", "iter", "c_nationkey")
+      .orderBy(col("hr"), col("c_custkey"))
+    val samp = c.crossJoin(broadcast(combos)).withColumn("hr", hr)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n_sample"))
+      .groupBy("n_sample", "iter", "c_nationkey")
+      .agg(avg("c_acctbal").as("v_samp"))
+    samp.join(broadcast(fullM), "c_nationkey")
+      .groupBy("n_sample", "iter")
+      .agg(count(lit(1)).as("n_groups"),
+        round(corr(col("v_samp"), col("v_full")), 6).as("stability_r"))
+      .orderBy("n_sample", "iter")
+  })
+
+  // --------------------------------------------------------------- P5
+  /** Upper-triangle summary matrix in anatomical order: customer-region
+    * × supplier-region mean revenue, pivoted to a matrix whose rows and
+    * columns follow the explicit ordering table; cells at or below the
+    * diagonal are NULL.
+    * Ref: cross_trial_type_cca_analysis.py:1966-2664. */
+  private val regionOrder = Seq(
+    "ASIA" -> 1, "AMERICA" -> 2, "EUROPE" -> 3, "AFRICA" -> 4, "MIDDLE EAST" -> 5)
+
+  val p5 = Q("p5_upper_triangle_matrix", Some("""
+    WITH ord(r_name, ord) AS (VALUES
+      ('ASIA', 1), ('AMERICA', 2), ('EUROPE', 3), ('AFRICA', 4), ('MIDDLE EAST', 5)),
+    creg AS (SELECT c_custkey, o.ord AS oc, o.r_name AS rc FROM customer
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region r ON n_regionkey = r_regionkey
+             JOIN ord o ON r.r_name = o.r_name),
+    sreg AS (SELECT s_suppkey, o.ord AS os, o.r_name AS rs FROM supplier
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region r ON n_regionkey = r_regionkey
+             JOIN ord o ON r.r_name = o.r_name),
+    f AS (SELECT cr.oc, cr.rc, sr.os, sr.rs,
+                 l.l_extendedprice * (1 - l.l_discount) AS rev
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN creg cr ON o.o_custkey = cr.c_custkey
+          JOIN sreg sr ON l.l_suppkey = sr.s_suppkey)
+    SELECT oc AS ord, rc AS region,
+      round(avg(CASE WHEN os > oc AND rs = 'ASIA' THEN rev END), 4) AS "ASIA",
+      round(avg(CASE WHEN os > oc AND rs = 'AMERICA' THEN rev END), 4) AS "AMERICA",
+      round(avg(CASE WHEN os > oc AND rs = 'EUROPE' THEN rev END), 4) AS "EUROPE",
+      round(avg(CASE WHEN os > oc AND rs = 'AFRICA' THEN rev END), 4) AS "AFRICA",
+      round(avg(CASE WHEN os > oc AND rs = 'MIDDLE EAST' THEN rev END), 4) AS "MIDDLE EAST"
+    FROM f GROUP BY 1, 2 ORDER BY 1"""
+  ))((s, d) => {
+    val ordDf = s.createDataFrame(regionOrder).toDF("r_name", "ord")
+    def reg(dim: org.apache.spark.sql.DataFrame, key: String, nk: String,
+            o: String, r: String) =
+      dim.join(Tables.nation(s, d), col(nk) === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(ordDf), "r_name")
+        .select(col(key), col("ord").as(o), col("r_name").as(r))
+    val creg = reg(Tables.customer(s, d), "c_custkey", "c_nationkey", "oc", "rc")
+    val sreg = reg(Tables.supplier(s, d), "s_suppkey", "s_nationkey", "os", "rs")
+    val f = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(creg), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sreg), col("l_suppkey") === col("s_suppkey"))
+      .select(col("oc"), col("rc"), col("os"), col("rs"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val ut = when(col("os") > col("oc"), col("rev"))
+    f.groupBy(col("oc").as("ord"), col("rc").as("region"))
+      .pivot("rs", regionOrder.map(_._1))
+      .agg(round(avg(ut), 4))
+      .orderBy("ord")
+  })
+
+  // -------------------------------------------------------------- L15
+  /** Rastermap-ordering substitute (documented approximation, SURVEY
+    * §7.3): dims of each label group ordered by their first-principal-
+    * component loading — the engine's stand-in for the 3rd-party
+    * embedding sort. Not SQL-expressible → rows-only check; the PCA
+    * kernel itself is golden-tested in KernelSpec.
+    * Ref: Cross_trial_type_within_session/...within_session.py:724-796. */
+  val l15 = Q("l15_rastermap_order", None)((s, d) => {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
+        val rows = it.toArray.sortBy(_._2)
+        val m = breeze.linalg.DenseMatrix.zeros[Double](rows.length, 16)
+        for (i <- rows.indices; j <- 0 until 16) m(i, j) = rows(i)._3(j).toDouble
+        val r = graft.kernels.LinAlg.pca(m, 1)
+        val loadings = (0 until 16).map(j => j -> r.coefficients(j, 0))
+        loadings.sortBy { case (j, wgt) => (-wgt, j) }.zipWithIndex.iterator
+          .map { case ((j, wgt), rk) => (label, rk + 1, j, wgt) }
+      }
+      .toDF("label", "sort_rank", "dim", "pc1_weight")
+      .orderBy("label", "sort_rank")
+  })
+
+  val all: Seq[Q] = Seq(f4, j3, a5, l1, c3, l14, p5, l15)
+}
