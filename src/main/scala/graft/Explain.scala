@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the formatted physical plan of one or more declared
+  * queries (comma-separated names in args(0)) against args(1) sf dir.
+  * Used to audit broadcast choices, pushed filters and codegen spans.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = GraftSession.configure(
+      SparkSession.builder().master("local[4]").appName("graft-explain"), "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"===== $n =====")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -39,4 +39,20 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Repartition to the session's default parallelism, used ahead of
+    * CPU-bound per-row derivations (hash shingling, minhash banding,
+    * per-vector math) whose compute dwarfs the scan. Without it a
+    * too-coarse input split count — single-row-group files here,
+    * skewed splits at cluster scale — serializes the whole stage onto
+    * a few cores (measured: the sf0.1 shingle explode ran 7.3 s on one
+    * core vs <0.5 s spread over 32). The shuffled payload is the pruned
+    * projection, not the raw file, and AQE coalesces any over-split.
+    */
+  def parallel(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** `documents` / `embeddings` for compute-heavy operators. */
+  def documentsP(s: SparkSession, d: String): DataFrame = parallel(documents(s, d))
+  def embeddingsP(s: SparkSession, d: String): DataFrame = parallel(embeddings(s, d))
 }

@@ -43,7 +43,7 @@ object QSim {
            sum(copies) - count(*) AS n_removed, min(keep_id) AS first_keep
     FROM k GROUP BY 1 ORDER BY 1"""
   ))((s, d) =>
-    Tables.documents(s, d)
+    Tables.documentsP(s, d)
       .select(col("doc_id"), col("source"), md5(encode(col("text"), "UTF-8")).as("th"))
       .groupBy("source", "th")
       .agg(count(lit(1)).as("copies"), min("doc_id").as("keep_id"))
@@ -81,19 +81,29 @@ object QSim {
             FROM cand c JOIN shs sa ON c.doc_a = sa.doc_id JOIN shs sb ON c.doc_b = sb.doc_id)
     SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM ver WHERE j >= 0.5 ORDER BY 1, 2"""
   })((s, d) => {
-    val w = Tables.documents(s, d)
+    val w = Tables.documentsP(s, d)
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
+    // The shingle table feeds four consumers (both sides of the band
+    // self-join and both sides of the Jaccard verify). Catalyst does
+    // not CSE across join branches, so persist it — compute-once,
+    // reuse (SURVEY §4); spills to disk if the corpus outgrows memory.
     val shs = w.select(col("doc_id"), expr(shinglesExpr).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = shs.select(col("doc_id"), explode(col("s")).as("sh"))
     val mhCols = (0 until nHash).map(i =>
       min(md5(encode(concat(lit(s"$i:"), col("sh")), "UTF-8"))).as(s"mh$i"))
     val sig = ex.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-    val bands = (0 until nHash / bandRows).map { b =>
+    // Bands via one explode, not a 6-way union: a union of per-band
+    // selects makes every branch recompute the whole shingle→minhash
+    // pipeline; explode emits all bands in a single pass over sig.
+    val bandStructs = (0 until nHash / bandRows).map { b =>
       val ks = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
-      sig.select(col("doc_id"), lit(b).as("band"),
-        md5(encode(concat(ks: _*), "UTF-8")).as("bkey"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"), md5(encode(concat(ks: _*), "UTF-8")).as("bkey"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -135,7 +145,7 @@ object QSim {
             ON a.simhash // 65536 = b.simhash // 65536 AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 2 ORDER BY 1, 2"""
   ))((s, d) => {
-    val tc = Tables.documents(s, d)
+    val tc = Tables.documentsP(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
     val th = tc.withColumn("h", substring(md5(encode(col("t"), "UTF-8")), 1, 8))
@@ -145,9 +155,11 @@ object QSim {
       sum(when(bit === 1, col("cnt")).otherwise(-col("cnt"))).as(s"b$b")
     }
     val bits = th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // Persisted: both sides of the bucket self-join reuse the signature.
     val sh = bits.select(col("doc_id"),
       (0 until 32).map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.as("a").join(sh.as("b"),
         expr("(a.simhash div 65536) = (b.simhash div 65536)") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -160,7 +172,16 @@ object QSim {
   // ------------------------------------------------ blocked n-gram Jaccard
   /** Classic blocked near-dup: candidates share (lang, length bucket),
     * verify exact word-3-gram Jaccard ≥ 0.8. Complements MinHash: same
-    * verify metric, different (cheaper, lossier) candidate generation. */
+    * verify metric, different candidate generation.
+    *
+    * Physical plan: inverted-index join — explode distinct shingles,
+    * equi-join on (shingle, lang, lb), count shared shingles per pair,
+    * J = inter/(nA+nB−inter). Result-identical to the all-pairs-in-block
+    * form (a J ≥ 0.8 pair shares ≥ 1 shingle) but the join output is
+    * Σ df(shingle)² instead of Σ block² — near-linear in the corpus
+    * because 3-gram document frequency is bounded, so it survives a
+    * 100× scale-up where the naive block self-join (measured 74 s at
+    * sf0.1, 47 % of the whole bench) goes quadratic. */
   val ngramJaccard = Q("dedup_ngram_jaccard", Some(s"""
     WITH w AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
                       string_split(text, ' ') AS w
@@ -172,18 +193,27 @@ object QSim {
             ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.8 ORDER BY 1, 2"""
   ))((s, d) => {
-    val shs = Tables.documents(s, d)
+    val shs = Tables.documentsP(s, d)
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), col("lang"),
         (size(col("w")).cast("long").divide(lit(40))).cast("long").as("lb"),
         expr(shinglesExpr).as("s"))
-    shs.as("a").join(shs.as("b"),
-        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
-          size(array_distinct(concat(col("a.s"), col("b.s"))))).as("j"))
+    // Persisted: the inverted index feeds both sides of the self-join
+    // (broadcast build + probe are separate computations otherwise).
+    val ex = shs
+      .withColumn("n", size(col("s")))
+      .select(col("doc_id"), col("lang"), col("lb"), col("n"),
+        explode(col("s")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
+          col("a.lb") === col("b.lb") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("j"))
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -214,7 +244,7 @@ object QSim {
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
     SELECT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= 0.35 ORDER BY 1, 2"""
   ))((s, d) => {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val e = Tables.embeddingsP(s, d).select(col("vec_id"), col("label"), col("embedding").as("v"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cosSpark.as("c"))
@@ -238,7 +268,7 @@ object QSim {
           FROM sc)
     SELECT query_id, rk, cand_id, c AS cos FROM r WHERE rk <= 3 ORDER BY 1, 2"""
   ), headline = true)((s, d) => {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val e = Tables.embeddingsP(s, d).select(col("vec_id"), col("embedding").as("v"))
     val q = e.filter(col("vec_id") < 8)
     val sc = broadcast(q).as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"),
@@ -288,7 +318,7 @@ object QSim {
     SELECT query_id, bucket, n_cand, cand_id AS top1_id, c AS top1_cos
     FROM r WHERE rk = 1 ORDER BY 1"""
   ))((s, d) => {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val e = Tables.embeddingsP(s, d).select(col("vec_id"), col("embedding").as("v"))
     val bk = e.withColumn("bucket", bucketSpark)
     val q = bk.filter(col("vec_id") < 8)
     val sc = broadcast(q).as("a").join(bk.as("b"),

@@ -31,7 +31,7 @@ object QText {
            sum(length(text)) AS chars
     FROM documents GROUP BY 1 ORDER BY 1"""
   ))((s, d) =>
-    Tables.documents(s, d)
+    Tables.documentsP(s, d)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -58,7 +58,7 @@ object QText {
            sum(CASE WHEN n_tok < 30 THEN 1 ELSE 0 END) AS n_short
     FROM q GROUP BY 1 ORDER BY 1"""
   ))((s, d) => {
-    val q = Tables.documents(s, d)
+    val q = Tables.documentsP(s, d)
       .withColumn("toks", split(col("text"), " "))
       .select(
         col("lang"),
@@ -99,7 +99,7 @@ object QText {
     FROM sc GROUP BY 1, 2 ORDER BY 1, 2""")
   })((s, d) => {
     val langs = markers.map(_._1)
-    val scored = markers.foldLeft(Tables.documents(s, d)) { case (df, (l, pats)) =>
+    val scored = markers.foldLeft(Tables.documentsP(s, d)) { case (df, (l, pats)) =>
       df.withColumn(s"s_$l", pats.map(p => nOcc("text", p)).reduce(_ + _))
     }
     val best = greatest(langs.map(l => col(s"s_$l")): _*)
@@ -124,7 +124,7 @@ object QText {
     SELECT doc_id, count(*) AS n_shingles, min(h) AS fingerprint
     FROM sh GROUP BY 1 ORDER BY 1"""
   ))((s, d) =>
-    Tables.documents(s, d)
+    Tables.documentsP(s, d)
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), expr(
