@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.RangeJoin
+import graft.functions.Deterministic
+
+/** Operator-level specs: the bucketed range join against a naive
+  * `between` reference plan, window-boundary edge cases, and the
+  * partition-layout invariance of the deterministic sampling/summation
+  * primitives (the property that makes results identical on 1 or 1000
+  * executors).
+  */
+class OperatorSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+  import scala.jdk.CollectionConverters._
+
+  private def df(rows: Seq[(Long, Long)], c1: String, c2: String) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField(c1, LongType), StructField(c2, LongType)))
+    spark.createDataFrame(
+      rows.map { case (a, b) => org.apache.spark.sql.Row(a, b) }.asJava, schema)
+  }
+
+  test("RangeJoin.segment matches the naive between-join on seeded data") {
+    val rnd = new scala.util.Random(42)
+    val events = df((1L to 40L).map(i => (i % 5, rnd.nextInt(1000).toLong)), "k", "tau")
+    val series = df((1L to 800L).map(i => (i % 5, rnd.nextInt(1000).toLong)), "k", "t")
+    val (pre, post) = (37L, 90L)
+
+    val got = RangeJoin.segment(events, series, Seq("k"), "tau", "t", pre, post)
+      .select("k", "t", "tau", "rel_off")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val want = series.as("s").join(events.as("e"),
+        col("s.k") === col("e.k") &&
+          col("s.t") >= col("e.tau") - pre && col("s.t") <= col("e.tau") + post)
+      .select(col("s.k"), col("s.t"), col("e.tau"), (col("s.t") - col("e.tau")).as("rel_off"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    assert(got == want)
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, _, off) => off >= -pre && off <= post })
+  }
+
+  test("RangeJoin.segment window boundaries are inclusive on both edges") {
+    val events = df(Seq((1L, 100L)), "k", "tau")
+    val series = df(Seq((1L, 90L), (1L, 91L), (1L, 110L), (1L, 111L)), "k", "t")
+    val got = RangeJoin.segment(events, series, Seq("k"), "tau", "t", 9L, 10L)
+      .select("t").collect().map(_.getLong(0)).toSet
+    assert(got == Set(91L, 110L))
+  }
+
+  test("RangeJoin.segment with zero-width window keeps only exact matches") {
+    val events = df(Seq((1L, 5L), (2L, 7L)), "k", "tau")
+    val series = df(Seq((1L, 5L), (1L, 6L), (2L, 7L), (2L, 8L)), "k", "t")
+    val got = RangeJoin.segment(events, series, Seq("k"), "tau", "t", 0L, 0L)
+      .select("k", "rel_off").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (2L, 0L)))
+  }
+
+  test("RangeJoin.segment without keys joins every event to the time range") {
+    val events = df(Seq((0L, 10L)), "ignore", "tau").select("tau")
+    val series = df((0L to 30L).map(t => (0L, t)), "ignore", "t").select("t")
+    val n = RangeJoin.segment(events, series, Seq.empty, "tau", "t", 2L, 3L).count()
+    assert(n == 6) // t in [8, 13]
+  }
+
+  test("hrand is invariant to partition layout") {
+    import spark.implicits._
+    val keys = (1L to 1000L).toDF("k")
+    def sample(parts: Int): Set[Long] =
+      keys.repartition(parts)
+        .withColumn("h", Deterministic.hrand(col("k"), 12345L))
+        .orderBy("h", "k").limit(50)
+        .select("k").as[Long].collect().toSet
+    assert(sample(1) == sample(7))
+    assert(sample(7) == sample(32))
+  }
+
+  test("stableSum is invariant to row order and partitioning") {
+    import spark.implicits._
+    val vals = (1 to 20000).map(i => 0.1 + i * 1e-4).toDF("v")
+    def total(parts: Int, desc: Boolean): Double = {
+      val ordered = if (desc) vals.orderBy(col("v").desc) else vals
+      ordered.repartition(parts)
+        .agg(Deterministic.stableSum(col("v")).as("s"))
+        .as[Double].head()
+    }
+    val a = total(1, desc = false)
+    val b = total(13, desc = true)
+    assert(a == b) // bit-exact, not approximately equal
+  }
+}
