@@ -160,6 +160,35 @@ object QStats {
         sqrt(n * (n + 1) * (n * 2 + 1) / 24.0), 4).as("z"))
   })
 
+  // ------------------------------------------- T2 (typed Aggregator form)
+  /** Same statistic through the reusable WilcoxonSignedRank Aggregator
+    * (SURVEY §4 custom-code inventory): groups rank independently inside
+    * a hash aggregate instead of one global rank window — the shape that
+    * parallelizes when the test runs per (pair, session) group. */
+  val t2b = Q("t2_wilcoxon_aggregator", Some(s"""
+    WITH p AS ($pairsSql),
+    dd AS (
+      SELECT g, x - y AS diff, abs(x - y) AS ad FROM p WHERE x - y <> 0),
+    rk AS (
+      SELECT g, diff,
+        rank() OVER (ORDER BY ad) + (count(*) OVER (PARTITION BY ad) - 1) / 2.0 AS r
+      FROM dd)
+    SELECT count(*) AS n_eff,
+      round(SUM(CASE WHEN diff > 0 THEN r ELSE 0 END), 2) AS w_plus,
+      round((SUM(CASE WHEN diff > 0 THEN r ELSE 0 END) - count(*) * (count(*) + 1) / 4.0)
+        / sqrt(count(*) * (count(*) + 1) * (2 * count(*) + 1) / 24.0), 4) AS z
+    FROM rk"""
+  ))((s, d) => {
+    val wsr = udaf(graft.functions.WilcoxonSignedRank,
+      org.apache.spark.sql.Encoders.scalaDouble)
+    pairsDf(s, d)
+      .select((col("x") - col("y")).cast("double").as("diff"))
+      .agg(wsr(col("diff")).as("w"))
+      .select(col("w.n_eff").as("n_eff"),
+        round(col("w.w_plus"), 2).as("w_plus"),
+        round(col("w.z"), 4).as("z"))
+  })
+
   // ------------------------------------------------------------ T4/T5
   /** Paired t-test + Cohen's d on the same paired diffs.
     * Ref: cross_trial_type_cca_analysis_within_session.py:683-690. */
@@ -275,5 +304,5 @@ object QStats {
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
       .orderBy("window_start", "event_type"))
 
-  val all: Seq[Q] = Seq(l3, l4, l5, t1, t2, t4, t6, t7, l13, st1)
+  val all: Seq[Q] = Seq(l3, l4, l5, t1, t2, t2b, t4, t6, t7, l13, st1)
 }

@@ -69,6 +69,49 @@ object StreamOps {
       .orderBy("window_start", "event_type")
   }
 
+  /** Stream-stream interval join — the streaming twin of the signature
+    * batch range join (J1): purchase triggers joined to click
+    * observations of the same user within [τ−600 s, τ+300 s].
+    *
+    * Both sides carry a 1-hour watermark and the join's time-range
+    * condition is on the watermarked event-time columns, so join state
+    * is evicted once the watermark passes a row's reachable window —
+    * bounded state in continuous operation. The oracle works in
+    * whole-second offsets (µs truncated), so the event-time range is
+    * widened by 1 s on each edge and the exact truncated-seconds
+    * predicate rides along as an additional join condition. The
+    * PSTH-style roll-up runs downstream of the sink (stream → sink →
+    * batch aggregate), keeping the streaming stage single-stateful.
+    */
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStream(spark, sfDir)
+    def secs(c: org.apache.spark.sql.Column) =
+      (unix_micros(c) / lit(1000000L)).cast("long")
+    val trg = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("trig_id"), col("user_id").as("t_user"),
+        col("ts").as("trig_ts"))
+      .withColumn("trig_t", secs(col("trig_ts")))
+      .withWatermark("trig_ts", "1 hour")
+    val ser = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("s_user"), col("ts").as("obs_ts"), col("value"))
+      .withColumn("obs_t", secs(col("obs_ts")))
+      .withWatermark("obs_ts", "1 hour")
+    val joined = ser.join(trg,
+      col("s_user") === col("t_user") &&
+        col("obs_ts") >= col("trig_ts") - expr("INTERVAL 601 SECONDS") &&
+        col("obs_ts") <= col("trig_ts") + expr("INTERVAL 301 SECONDS") &&
+        col("obs_t") >= col("trig_t") - 600 &&
+        col("obs_t") <= col("trig_t") + 300)
+      .select(col("trig_id"), (col("obs_t") - col("trig_t")).as("rel_off"),
+        col("value"))
+    runToMemory(spark, joined, "graft_stream_ij", OutputMode.Append())
+      .groupBy(floor(col("rel_off") / lit(60.0)).cast("long").as("rel_bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"),
+        countDistinct(col("trig_id")).as("n_trials"))
+      .orderBy("rel_bin")
+  }
+
   final case class Ev(user_id: Long, t: Long)
   final case class Session(user_id: Long, session_id: Long, session_start: Long,
       session_end: Long, n_events: Long)

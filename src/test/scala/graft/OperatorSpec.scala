@@ -81,6 +81,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(sample(7) == sample(32))
   }
 
+  test("WilcoxonSignedRank aggregator: hand-computed cases with ties and zeros") {
+    import graft.functions.WilcoxonSignedRank
+    // no ties: |d| sorted [1,2,3,4], ranks 1..4, W+ = 1+3+4 = 8
+    val a = WilcoxonSignedRank.finish(List(1.0, -2.0, 3.0, 4.0))
+    assert(a.n_eff == 4 && a.w_plus == 8.0)
+    assert(math.abs(a.z - (8.0 - 5.0) / math.sqrt(7.5)) < 1e-12)
+    // ties averaged: |d| = [1,1,2,2,3] -> ranks [1.5,1.5,3.5,3.5,5]
+    val b = WilcoxonSignedRank.finish(List(1.0, -1.0, 2.0, 2.0, -3.0))
+    assert(b.n_eff == 5 && b.w_plus == 1.5 + 3.5 + 3.5)
+    // zero diffs dropped at reduce, empty group is NaN-z
+    val c = WilcoxonSignedRank.finish(
+      List(0.0, 5.0).foldLeft(WilcoxonSignedRank.zero)(WilcoxonSignedRank.reduce))
+    assert(c.n_eff == 1 && c.w_plus == 1.0)
+    assert(WilcoxonSignedRank.finish(Nil).z.isNaN)
+    // merge order cannot change the statistic
+    val l = List(3.0, -1.0); val r = List(2.0, -2.0, 4.0)
+    assert(WilcoxonSignedRank.finish(WilcoxonSignedRank.merge(l, r)) ==
+      WilcoxonSignedRank.finish(WilcoxonSignedRank.merge(r, l)))
+  }
+
   test("stableSum is invariant to row order and partitioning") {
     import spark.implicits._
     val vals = (1 to 20000).map(i => 0.1 + i * 1e-4).toDF("v")
