@@ -335,5 +335,79 @@ object QSim {
       .orderBy("query_id")
   })
 
-  val all: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard, embedNearDup, annTopk, annLsh)
+  // ----------------------------------------------------- IVF ANN
+  /** IVF-style ANN, the second scale path besides LSH: a seeded coarse
+    * quantizer (16 centroid vectors picked by the deterministic LCG
+    * hash — one assignment pass, no Lloyd iterations, so the oracle can
+    * replay it), every vector assigned to its nearest centroid, queries
+    * probe their 2 nearest cells and rank candidates within them. At
+    * scale the inverted lists turn the full cross join into a
+    * cells-probed equi-join; recall is tunable via nlist/nprobe. */
+  private def cosD(x: String, y: String) =
+    s"""list_sum([$x[i] * $y[i] for i in generate_series(1, 64)]) /
+       (sqrt(list_sum([$x[i] * $x[i] for i in generate_series(1, 64)])) *
+        sqrt(list_sum([$y[i] * $y[i] for i in generate_series(1, 64)])))"""
+
+  private def cosS(x: String, y: String) = {
+    val dot = dotExpr(x, y)
+    expr(s"$dot / (sqrt(${dotExpr(x, x)}) * sqrt(${dotExpr(y, y)}))")
+  }
+
+  private val nList = 16
+  private val nProbe = 2
+  private val ivfSeed = 2024L
+
+  val annIvf = Q("sim_ann_ivf", Some(s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+             ORDER BY ${graft.functions.Deterministic.hrandSql("vec_id", ivfSeed)}, vec_id
+             LIMIT $nList),
+    ac AS (SELECT e.vec_id, cent.cent_id, round(${cosD("e.v", "cent.cv")}, 6) AS c
+           FROM e CROSS JOIN cent),
+    asg AS (SELECT vec_id, cent_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+            FROM ac),
+    a1 AS (SELECT vec_id AS cand_id, cent_id FROM asg WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cent_id FROM asg WHERE rn <= $nProbe AND vec_id < 8),
+    cand AS (SELECT p.query_id, a.cand_id FROM probes p
+             JOIN a1 a ON p.cent_id = a.cent_id AND a.cand_id <> p.query_id),
+    sc AS (SELECT c.query_id, c.cand_id, round(${cosD("q.v", "x.v")}, 6) AS cs
+           FROM cand c JOIN e q ON c.query_id = q.vec_id
+                       JOIN e x ON c.cand_id = x.vec_id),
+    r AS (SELECT query_id, cand_id, cs,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cand_id) AS rk
+          FROM sc)
+    SELECT query_id, rk, cand_id, cs AS cos FROM r WHERE rk <= 3 ORDER BY 1, 2"""
+  ))((s, d) => {
+    val e = Tables.embeddingsP(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val cent = e
+      .orderBy(graft.functions.Deterministic.hrand(col("vec_id"), ivfSeed), col("vec_id"))
+      .limit(nList)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val asg = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"), round(cosS("v", "cv"), 6).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c").desc, col("cent_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a1 = asg.filter(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("cent_id"))
+    val probes = asg.filter(col("rn") <= nProbe && col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    val cand = broadcast(probes).join(a1, "cent_id")
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id")
+    val qv = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val xv = e.select(col("vec_id").as("cand_id"), col("v").as("x"))
+    val sc = cand.join(broadcast(qv), "query_id").join(xv, "cand_id")
+      .select(col("query_id"), col("cand_id"), round(cosS("q", "x"), 6).as("cs"))
+    val w = Window.partitionBy("query_id").orderBy(col("cs").desc, col("cand_id"))
+    sc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("cs").as("cos"))
+      .orderBy("query_id", "rk")
+  })
+
+  val all: Seq[Q] =
+    Seq(exact, minhashLsh, simhash, ngramJaccard, embedNearDup, annTopk, annLsh, annIvf)
 }
