@@ -115,5 +115,65 @@ object QMedia {
         sum("feat_sum").as("feat_total"))
       .orderBy("bucket"))
 
-  val all: Seq[Q] = Seq(decode, frames)
+  // --------------------------------------------------------- resize
+  final case class ResizeStats(doc_id: Long, format: String, n_px: Long, px_sum: Long)
+
+  /** STUB resize: payload viewed as an H×32 byte raster (H = bytes/32,
+    * truncated), 2×2 average-pooled to (H/2)×16 with integer (floor)
+    * pixel averaging — exact in both engines. In production the pool
+    * body is the codec's resample; the Spark-side shape (binary in,
+    * per-partition batch, only small stats shuffle) is the real part. */
+  private def resizeStub(rows: Iterator[MediaRow]): Iterator[ResizeStats] =
+    rows.map { r =>
+      val h = r.payload.length / 32
+      var s = 0L
+      var n = 0L
+      var rr = 0
+      while (rr < h / 2) {
+        var cc = 0
+        while (cc < 16) {
+          val p = rr * 2 * 32 + cc * 2
+          val px = ((r.payload(p) & 0xff) + (r.payload(p + 1) & 0xff) +
+            (r.payload(p + 32) & 0xff) + (r.payload(p + 33) & 0xff)) / 4
+          s += px; n += 1
+          cc += 1
+        }
+        rr += 1
+      }
+      ResizeStats(r.doc_id, r.format, n, s)
+    }
+
+  val resize = Q("mm_resize_pool", Some("""
+    WITH d AS (SELECT doc_id,
+                      CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+                      text, length(text) // 32 AS h
+               FROM documents),
+    px AS (SELECT doc_id, format,
+                  (ascii(substr(text, r * 2 * 32 + c * 2 + 1, 1))
+                   + ascii(substr(text, r * 2 * 32 + c * 2 + 2, 1))
+                   + ascii(substr(text, r * 2 * 32 + c * 2 + 33, 1))
+                   + ascii(substr(text, r * 2 * 32 + c * 2 + 34, 1))) // 4 AS v
+           FROM d,
+                LATERAL unnest(generate_series(0, h // 2 - 1)) AS tr(r),
+                LATERAL unnest(generate_series(0, 15)) AS tc(c)
+           WHERE h >= 2),
+    agg AS (SELECT doc_id, format, count(*) AS n_px, sum(v) AS px_sum FROM px GROUP BY 1, 2)
+    SELECT a.format, count(*) AS n_media, sum(a.n_px) AS total_px,
+           sum(a.px_sum) AS px_total,
+           round(sum(a.px_sum)::DOUBLE / sum(a.n_px), 6) AS avg_px
+    FROM agg a GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    import s.implicits._
+    media(s, d)
+      .mapPartitions(resizeStub)
+      .toDF()
+      .filter(col("n_px") > 0)
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_media"), sum("n_px").as("total_px"),
+        sum("px_sum").as("px_total"),
+        round(sum("px_sum").cast("double") / sum("n_px"), 6).as("avg_px"))
+      .orderBy("format")
+  })
+
+  val all: Seq[Q] = Seq(decode, frames, resize)
 }
