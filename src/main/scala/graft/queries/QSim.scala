@@ -24,13 +24,23 @@ import graft.Tables
   */
 object QSim {
 
-  /** Spark-side word 3-gram shingle md5 array (distinct). */
-  private val shinglesExpr =
-    """array_distinct(transform(sequence(0, size(w) - 3),
-         i -> md5(encode(concat_ws(' ', w[i], w[i+1], w[i+2]), 'UTF-8'))))"""
-
   private val shinglesSqlDuck =
     "list_distinct([md5(concat_ws(' ', w[i], w[i+1], w[i+2])) for i in generate_series(1, len(w)-2)])"
+
+  /** Row-wise distinct word-3-gram shingles: explode the start indices,
+    * md5 per ROW with ordinary (whole-stage-codegen'd) expressions, then
+    * distinct. The equivalent `transform(sequence(...), i -> md5(...))`
+    * lambda runs on Spark's interpreted higher-order-function path — no
+    * codegen — measured 7× slower at sf0.1. Input must carry
+    * (doc_id, w); output (doc_id, sh) distinct. */
+  private def shingleRows(docs: org.apache.spark.sql.DataFrame,
+      carry: Seq[String]): org.apache.spark.sql.DataFrame =
+    docs
+      .select((carry.map(col) :+ col("w") :+
+        explode(expr("sequence(0, size(w) - 3)")).as("i")): _*)
+      .select((carry.map(col) :+
+        expr("md5(encode(concat_ws(' ', w[i], w[i+1], w[i+2]), 'UTF-8'))").as("sh")): _*)
+      .distinct()
 
   // -------------------------------------------------------- exact dedup
   /** Exact dedup via content hash: per source, total vs distinct-text
@@ -88,9 +98,11 @@ object QSim {
     // self-join and both sides of the Jaccard verify). Catalyst does
     // not CSE across join branches, so persist it — compute-once,
     // reuse (SURVEY §4); spills to disk if the corpus outgrows memory.
-    val shs = w.select(col("doc_id"), expr(shinglesExpr).as("s"))
+    val ex = shingleRows(w, Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = shs.select(col("doc_id"), explode(col("s")).as("sh"))
+    // set-valued form for the Jaccard verify (order irrelevant: only
+    // intersection/union sizes are consumed)
+    val shs = ex.groupBy("doc_id").agg(collect_set(col("sh")).as("s"))
     val mhCols = (0 until nHash).map(i =>
       min(md5(encode(concat(lit(s"$i:"), col("sh")), "UTF-8"))).as(s"mh$i"))
     val sig = ex.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
@@ -193,18 +205,16 @@ object QSim {
             ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.8 ORDER BY 1, 2"""
   ))((s, d) => {
-    val shs = Tables.documentsP(s, d)
+    val docs = Tables.documentsP(s, d)
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), col("lang"),
-        (size(col("w")).cast("long").divide(lit(40))).cast("long").as("lb"),
-        expr(shinglesExpr).as("s"))
+      .withColumn("lb", (size(col("w")).cast("long").divide(lit(40))).cast("long"))
     // Persisted: the inverted index feeds both sides of the self-join
     // (broadcast build + probe are separate computations otherwise).
-    val ex = shs
-      .withColumn("n", size(col("s")))
-      .select(col("doc_id"), col("lang"), col("lb"), col("n"),
-        explode(col("s")).as("sh"))
+    // Per-doc distinct-shingle count n rides along via a doc-partitioned
+    // window so the Jaccard denominator needs no second scan.
+    val ex = shingleRows(docs, Seq("doc_id", "lang", "lb"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
@@ -228,8 +238,14 @@ object QSim {
        (sqrt(list_sum([a.v[i] * a.v[i] for i in generate_series(1, 64)])) *
         sqrt(list_sum([b.v[i] * b.v[i] for i in generate_series(1, 64)])))"""
 
+  /** 64-term dot product UNROLLED into a flat expression: ordinary
+    * codegen'd arithmetic instead of the interpreted `aggregate`
+    * higher-order lambda (measured ~7× on the pairwise queries).
+    * `0D + t1 + t2 + …` reproduces the fold's left-to-right accumulation
+    * exactly, so values stay bit-identical to the DuckDB `list_sum`. */
   private val dotExpr = (x: String, y: String) =>
-    s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (acc, z) -> acc + z)"
+    "0D" + (1 to 64).map(i =>
+      s" + (CAST(element_at($x, $i) AS DOUBLE) * CAST(element_at($y, $i) AS DOUBLE))").mkString
 
   private def cosSpark = {
     val dot = dotExpr("a.v", "b.v")
@@ -298,10 +314,19 @@ object QSim {
     s"($bits)"
   }
 
+  /** Same hyperplane-sign sequence as the SQL CASE, precomputed (the
+    * LCG is pure integer arithmetic), emitted as an unrolled ±-sum so
+    * the projection is codegen'd instead of an interpreted fold. */
+  private def signVal(j: Int, i: Int): Double =
+    if ((((j * 64L + i) * 1103515245L + 104729L) / 131072L) % 2 == 0) 1.0 else -1.0
+
   private val bucketSpark = {
     val bits = (0 until nBits).map { j =>
-      val proj = s"aggregate(sequence(1, 64), 0D, (acc, i) -> acc + CAST(element_at(v, i) AS DOUBLE) * ${signSql(j.toString, "i", "div")})"
-      s"(CASE WHEN $proj >= 0 THEN ${1 << j} ELSE 0 END)"
+      val proj = "0D" + (1 to 64).map { i =>
+        val op = if (signVal(j, i) > 0) "+" else "-"
+        s" $op CAST(element_at(v, $i) AS DOUBLE)"
+      }.mkString
+      s"(CASE WHEN ($proj) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
     expr(s"($bits)")
   }

@@ -124,13 +124,15 @@ object QText {
     SELECT doc_id, count(*) AS n_shingles, min(h) AS fingerprint
     FROM sh GROUP BY 1 ORDER BY 1"""
   ))((s, d) =>
+    // Row-wise md5 (explode indices, then codegen'd scalar md5) — the
+    // transform(...) lambda form runs interpreted, ~7× slower.
     Tables.documentsP(s, d)
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), expr(
-        """transform(sequence(0, size(w) - 3),
-             i -> md5(encode(concat_ws(' ', w[i], w[i+1], w[i+2]), 'UTF-8')))""").as("hs"))
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, size(w) - 3)")).as("i"))
+      .select(col("doc_id"),
+        expr("md5(encode(concat_ws(' ', w[i], w[i+1], w[i+2]), 'UTF-8'))").as("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), min("h").as("fingerprint"))
       .orderBy("doc_id"))
