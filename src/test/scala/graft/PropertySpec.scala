@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.RangeJoin
+
+/** Property-style tests over seeded random cases: the bucketed range
+  * join is equivalent to the naive between-join for arbitrary window
+  * shapes (including degenerate and asymmetric ones), and the Wilcoxon
+  * aggregator is permutation- and merge-split-invariant.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+
+  test("RangeJoin equals naive between-join for arbitrary windows (8 seeded cases)") {
+    import spark.implicits._
+    for (caseSeed <- 1 to 8) {
+      val rnd = new scala.util.Random(1000L + caseSeed)
+      val pre = rnd.nextInt(121).toLong
+      val post = rnd.nextInt(121).toLong
+      val events = Seq.fill(15)((rnd.nextInt(3).toLong, rnd.nextInt(500).toLong))
+        .toDF("k", "tau")
+      val series = Seq.fill(300)((rnd.nextInt(3).toLong, rnd.nextInt(500).toLong))
+        .toDF("k", "t")
+      val got = RangeJoin.segment(events, series, Seq("k"), "tau", "t", pre, post)
+        .select("k", "t", "tau").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val want = series.as("s").join(events.as("e"),
+          col("s.k") === col("e.k") &&
+            col("s.t") >= col("e.tau") - pre && col("s.t") <= col("e.tau") + post)
+        .select(col("s.k"), col("s.t"), col("e.tau")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got == want, s"case $caseSeed (pre=$pre post=$post)")
+    }
+  }
+
+  test("Wilcoxon aggregator is invariant to permutation and merge splits (20 seeded cases)") {
+    import graft.functions.{WilcoxonSignedRank => W, WilcoxonStats}
+    def eq(x: WilcoxonStats, y: WilcoxonStats) =
+      x.n_eff == y.n_eff && x.w_plus == y.w_plus &&
+        (x.z == y.z || (x.z.isNaN && y.z.isNaN))
+    for (caseSeed <- 1 to 20) {
+      val rnd = new scala.util.Random(2000L + caseSeed)
+      val ds = List.fill(30)((rnd.nextInt(41) - 20).toDouble) // many ties + zeros
+      val cut = rnd.nextInt(ds.length + 1)
+      val base = ds.foldLeft(W.zero)(W.reduce)
+      val shuffled = rnd.shuffle(ds).foldLeft(W.zero)(W.reduce)
+      val (l, r) = ds.splitAt(cut)
+      val merged = W.merge(l.foldLeft(W.zero)(W.reduce), r.foldLeft(W.zero)(W.reduce))
+      assert(eq(W.finish(base), W.finish(shuffled)), s"case $caseSeed shuffle")
+      assert(eq(W.finish(base), W.finish(merged)), s"case $caseSeed merge@$cut")
+    }
+  }
+}
