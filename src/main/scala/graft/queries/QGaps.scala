@@ -136,8 +136,11 @@ object QGaps {
   val a6 = Q("a6_summary_report", Some("""
     WITH s AS (
       SELECT n_name,
-             CAST(round(avg(c_acctbal), 2) AS DECIMAL(18,2)) AS m,
-             CAST(round(stddev_samp(c_acctbal), 2) AS DECIMAL(18,2)) AS sd,
+             CAST(round(CAST(SUM(CAST(c_acctbal * 100 AS DECIMAL(28,0))) AS DOUBLE) / count(*)) / 100 AS DECIMAL(18,2)) AS m,
+             CAST(round(sqrt((CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                              - CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                                * CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(*))
+                             / (count(*) - 1)), 2) AS DECIMAL(18,2)) AS sd,
              CAST(round(min(c_acctbal), 2) AS DECIMAL(18,2)) AS mn,
              CAST(round(max(c_acctbal), 2) AS DECIMAL(18,2)) AS mx,
              count(*) AS n
@@ -147,15 +150,25 @@ object QGaps {
              ' (range ' || mn::VARCHAR || ' to ' || mx::VARCHAR || ')' AS report_line
     FROM s ORDER BY 1"""
   ))((s, d) => {
+    // Mean and stddev derive from exact decimal sums (Σx, Σx²) so both
+    // engines see the SAME double. The mean additionally rounds in
+    // integer-cent space: 2-dp means often land exactly on .xx5, where
+    // Spark's round (via the double's shortest decimal string) and
+    // DuckDB's (via the binary value) disagree; a cents quotient is
+    // either an exact .5 (both round up) or ≥ 1/(2n) from the boundary.
+    val sx = stableSum(col("c_acctbal"))
+    val sxx = stableSum(col("c_acctbal") * col("c_acctbal"))
+    val sxCents = stableSum(col("c_acctbal") * 100, 0)
+    val n = count(lit(1))
     val st = Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(
-        round(avg("c_acctbal"), 2).cast("decimal(18,2)").as("m"),
-        round(stddev_samp(col("c_acctbal")), 2).cast("decimal(18,2)").as("sd"),
+        (round(sxCents / n) / 100).cast("decimal(18,2)").as("m"),
+        round(sqrt((sxx - sx * sx / n) / (n - lit(1))), 2).cast("decimal(18,2)").as("sd"),
         round(min("c_acctbal"), 2).cast("decimal(18,2)").as("mn"),
         round(max("c_acctbal"), 2).cast("decimal(18,2)").as("mx"),
-        count(lit(1)).as("n"))
+        n.as("n"))
     st.select(col("n_name"), col("n"), col("m").as("mean_bal"),
       concat(col("n_name"), lit(": "), col("m").cast("string"), lit(" +/- "),
         col("sd").cast("string"), lit(" (range "), col("mn").cast("string"),

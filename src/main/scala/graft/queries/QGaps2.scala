@@ -44,31 +44,37 @@ object QGaps2 {
     * weights across trial types.
     * Ref: cross_trial_type_cca_analysis.py:569-715. */
   val j3 = Q("j3_cross_condition_projection", Some(s"""
-    WITH e AS (SELECT event_type, user_id % 20 AS bucket, value
+    WITH e AS (SELECT event_type, user_id % 20 AS bucket,
+                      CAST(round(value * 100) AS BIGINT) AS v100
                FROM events WHERE user_id IS NOT NULL),
-    w AS (SELECT bucket, ${stableSumSql("value")} / count(*) AS weight FROM e
-          WHERE event_type = 'click' GROUP BY 1)
+    w AS (SELECT bucket,
+                 CAST(round((${stableSumSql("v100")} / 100.0 / count(*)) * 1000000) AS BIGINT) AS w6
+          FROM e WHERE event_type = 'click' GROUP BY 1)
     SELECT e.event_type, count(*) AS n,
-           ${stableSumSql("round(e.value * w.weight, 4)", 4)} AS projection
+           CAST(SUM(CAST(e.v100 * w.w6 AS DECIMAL(28,0))) AS DOUBLE) / 100000000 AS projection
     FROM e JOIN w ON e.bucket = w.bucket
     WHERE e.event_type <> 'click'
     GROUP BY 1 ORDER BY 1"""
   ))((s, d) => {
+    // Fixed-point throughout: values are 2-dp, so v100 is an exact
+    // integer; the weight quantizes to 1e-6 once per bucket; the
+    // projection is then an exact integer sum scaled at the end. Every
+    // floating step operates on bit-identical inputs in both engines, so
+    // no per-term rounding can flip (the earlier round-then-decimal-sum
+    // form flipped one term in ~800 at sf0.001).
     val e = Tables.events(s, d).filter(col("user_id").isNotNull)
-      .select(col("event_type"), pmod(col("user_id"), lit(20)).as("bucket"), col("value"))
-    // Weight derived via the stable decimal sum so both engines compute a
-    // bit-identical double before it feeds the multiply-sum downstream.
+      .select(col("event_type"), pmod(col("user_id"), lit(20)).as("bucket"),
+        round(col("value") * 100).cast("long").as("v100"))
     val w = e.filter(col("event_type") === "click")
       .groupBy("bucket")
-      .agg((stableSum(col("value")) / count(lit(1))).as("weight"))
+      .agg(round((stableSum(col("v100")) / lit(100.0) / count(lit(1))) * lit(1000000))
+        .cast("long").as("w6"))
     e.filter(col("event_type") =!= "click")
       .join(broadcast(w), "bucket")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        // Full-precision products round to 4 dp in double space before the
-        // decimal sum — a raw DECIMAL cast of an unrounded product can land
-        // on either side of the last digit across engines.
-        stableSum(round(col("value") * col("weight"), 4), 4).as("projection"))
+        (sum((col("v100") * col("w6")).cast(org.apache.spark.sql.types.DecimalType(28, 0)))
+          .cast("double") / lit(100000000L)).as("projection"))
       .orderBy("event_type")
   })
 

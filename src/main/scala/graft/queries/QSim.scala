@@ -231,12 +231,21 @@ object QSim {
 
   // ---------------------------------------------- embedding near-dup
   /** Embedding-cosine near-dup, label-blocked: pairs within the same
-    * label with cosine ≥ 0.35. Double-precision dot/norms with
-    * list-order summation — bit-identical across engines. */
+    * label with cosine ≥ 0.35.
+    *
+    * The oracle's dot products are UNROLLED in the same left-to-right
+    * order as the Spark expression (`dotExpr`): `list_sum` is free to
+    * use a different summation algorithm (pairwise/SIMD), and a 1-ULP
+    * difference flips a rounded digit when a cosine lands near a 6-dp
+    * boundary (observed at sf0.001). With an identical addition chain
+    * on identical exact float×float products, the doubles are
+    * bit-identical by construction. */
+  private def duckDot(x: String, y: String) =
+    "(0" + (1 to 64).map(i => s" + ($x[$i] * $y[$i])").mkString + ")"
+
   private val cosDuck =
-    """list_sum([a.v[i] * b.v[i] for i in generate_series(1, 64)]) /
-       (sqrt(list_sum([a.v[i] * a.v[i] for i in generate_series(1, 64)])) *
-        sqrt(list_sum([b.v[i] * b.v[i] for i in generate_series(1, 64)])))"""
+    s"""${duckDot("a.v", "b.v")} /
+       (sqrt(${duckDot("a.v", "a.v")}) * sqrt(${duckDot("b.v", "b.v")}))"""
 
   /** 64-term dot product UNROLLED into a flat expression: ordinary
     * codegen'd arithmetic instead of the interpreted `aggregate`
@@ -244,8 +253,10 @@ object QSim {
     * `0D + t1 + t2 + …` reproduces the fold's left-to-right accumulation
     * exactly, so values stay bit-identical to the DuckDB `list_sum`. */
   private val dotExpr = (x: String, y: String) =>
-    "0D" + (1 to 64).map(i =>
-      s" + (CAST(element_at($x, $i) AS DOUBLE) * CAST(element_at($y, $i) AS DOUBLE))").mkString
+    // outer parens are load-bearing: without them a following "/ norm"
+    // binds to the LAST term only (caught via .explain at sf0.001)
+    "(0D" + (1 to 64).map(i =>
+      s" + (CAST(element_at($x, $i) AS DOUBLE) * CAST(element_at($y, $i) AS DOUBLE))").mkString + ")"
 
   private def cosSpark = {
     val dot = dotExpr("a.v", "b.v")
@@ -307,9 +318,17 @@ object QSim {
   private def signSql(j: String, i: String, div: String) =
     s"(CASE WHEN (((($j * 64 + $i) * CAST(1103515245 AS BIGINT) + 104729) $div 131072) % 2) = 0 THEN 1.0 ELSE -1.0 END)"
 
+  // Same unrolled ±-chain as the Spark side (bucketSpark below): the
+  // hyperplane sign sequence is precomputed from the LCG, and the
+  // addition order matches exactly so the projection double — and hence
+  // the bucket — is bit-identical in both engines.
   private val bucketDuck = {
     val bits = (0 until nBits).map { j =>
-      s"(CASE WHEN list_sum([v[i] * ${signSql(j.toString, "i", "//")} for i in generate_series(1, 64)]) >= 0 THEN ${1 << j} ELSE 0 END)"
+      val proj = "0" + (1 to 64).map { i =>
+        val op = if (signVal(j, i) > 0) "+" else "-"
+        s" $op v[$i]"
+      }.mkString
+      s"(CASE WHEN ($proj) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
     s"($bits)"
   }
@@ -369,9 +388,8 @@ object QSim {
     * scale the inverted lists turn the full cross join into a
     * cells-probed equi-join; recall is tunable via nlist/nprobe. */
   private def cosD(x: String, y: String) =
-    s"""list_sum([$x[i] * $y[i] for i in generate_series(1, 64)]) /
-       (sqrt(list_sum([$x[i] * $x[i] for i in generate_series(1, 64)])) *
-        sqrt(list_sum([$y[i] * $y[i] for i in generate_series(1, 64)])))"""
+    s"""${duckDot(x, y)} /
+       (sqrt(${duckDot(x, x)}) * sqrt(${duckDot(y, y)}))"""
 
   private def cosS(x: String, y: String) = {
     val dot = dotExpr(x, y)
