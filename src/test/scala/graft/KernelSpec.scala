@@ -129,6 +129,21 @@ class KernelSpec extends AnyFunSuite {
     close(SF.normCdf(-1.959963985), 0.025, 1e-6)
   }
 
+  test("CCA CV uses contiguous folds and zero-pads undersized ones") {
+    // strongly correlated pair: every valid fold's first canonical r ≈ 1
+    val n = 50
+    val a = DenseMatrix.tabulate(n, 2)((i, j) => i.toDouble + j * 0.1 + math.sin(i * 0.7 + j))
+    val b = DenseMatrix.tabulate(n, 2)((i, j) => i.toDouble * 1.3 - j * 0.2 + math.cos(i * 0.7 + j))
+    val folds = LinAlg.ccaCv(a, b, 2, 5)
+    assert(folds.length == 5)
+    folds.foreach { r => assert(r(0) > 0.9, r.mkString(",")) }
+    // too many folds → tiny test slices (<3 rows) stay zero-padded, no throw
+    val degenerate = LinAlg.ccaCv(a(0 until 8, ::).toDenseMatrix,
+      b(0 until 8, ::).toDenseMatrix, 2, 5)
+    assert(degenerate.length == 5)
+    assert(degenerate.flatten.forall(v => !v.isInfinite))
+  }
+
   test("PCA CV reconstruction error is positive and fold-stable on smooth data") {
     val n = 40
     val m = DenseMatrix.zeros[Double](n, 4)
