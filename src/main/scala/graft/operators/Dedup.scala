@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Reusable corpus-deduplication operators (the LLM-training-data
+  * extension set). DataFrame-in → DataFrame-out, schema-parameterized —
+  * the `graft.queries` registry entries are thin instantiations of
+  * these over the testdata schema.
+  *
+  * Scale design: candidate generation is always an equi-join (band
+  * keys, signature buckets, inverted shingle index) — never an
+  * all-pairs join; hashing runs as row-wise codegen'd expressions
+  * (higher-order lambdas are interpreted in Spark, measured 7× slower);
+  * tables consumed by both sides of a self-join are persisted because
+  * Catalyst does not CSE across join branches.
+  */
+object Dedup {
+
+  /** Row-wise distinct word n-gram md5 shingles. Output: `carry` columns
+    * + `sh` (md5 hex), one row per distinct (carry, shingle). Documents
+    * with fewer than `n` whitespace tokens are dropped. */
+  def shingles(docs: DataFrame, textCol: String, carry: Seq[String], n: Int = 3): DataFrame = {
+    val grams = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(", ")
+    docs
+      .withColumn("w", split(col(textCol), " "))
+      .filter(size(col("w")) >= n)
+      .select((carry.map(col) :+ col("w") :+
+        explode(expr(s"sequence(0, size(w) - $n)")).as("i")): _*)
+      .select((carry.map(col) :+
+        expr(s"md5(encode(concat_ws(' ', $grams), 'UTF-8'))").as("sh")): _*)
+      .distinct()
+  }
+
+  /** Exact-dedup summary per group: total/distinct/removed counts and the
+    * smallest surviving id. One hash-groupBy — map-side combine, one
+    * shuffle. */
+  def exactSummary(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol), col(groupCol), md5(encode(col(textCol), "UTF-8")).as("th"))
+      .groupBy(groupCol, "th")
+      .agg(count(lit(1)).as("copies"), min(idCol).as("keep_id"))
+      .groupBy(groupCol)
+      .agg(sum("copies").as("n_docs"), count(lit(1)).as("n_unique"),
+        (sum("copies") - count(lit(1))).as("n_removed"), min("keep_id").as("first_keep"))
+
+  /** MinHash + LSH banding near-dup pairs: shingle → `nHash` seeded
+    * minhashes → `nHash/bandRows` bands → band-bucket equi-join →
+    * exact Jaccard verify ≥ `threshold`.
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      nHash: Int = 12, bandRows: Int = 2, threshold: Double = 0.5,
+      ngram: Int = 3): DataFrame = {
+    val ex = shingles(docs, textCol, Seq(idCol), ngram)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // set-valued form for the Jaccard verify (only set sizes consumed)
+    val shs = ex.groupBy(idCol).agg(collect_set(col("sh")).as("s"))
+    val mhCols = (0 until nHash).map(i =>
+      min(md5(encode(concat(lit(s"$i:"), col("sh")), "UTF-8"))).as(s"mh$i"))
+    val sig = ex.groupBy(idCol).agg(mhCols.head, mhCols.tail: _*)
+    // bands via ONE explode — a per-band union would recompute the
+    // shingle→signature pipeline once per band
+    val bandStructs = (0 until nHash / bandRows).map { b =>
+      val ks = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
+      struct(lit(b).as("band"), md5(encode(concat(ks: _*), "UTF-8")).as("bkey"))
+    }
+    val bands = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.band") === col("b.band") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b")).distinct()
+    val sa = shs.select(col(idCol).as("doc_a"), col("s").as("s_a"))
+    val sb = shs.select(col(idCol).as("doc_b"), col("s").as("s_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("j",
+        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+          size(array_distinct(concat(col("s_a"), col("s_b")))))
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+  }
+
+  /** Blocked n-gram Jaccard near-dup pairs via an inverted-index join:
+    * candidates must share a shingle AND every `blockCols` value; shared
+    * shingles are counted per pair and J = inter/(nA+nB−inter). The join
+    * output is Σ df(shingle)² — near-linear in the corpus — and
+    * result-identical to the quadratic all-pairs-in-block form (a pair
+    * above any positive threshold shares ≥ 1 shingle).
+    * `docs` must already carry `blockCols`. Output: (doc_a, doc_b, jaccard). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double = 0.8, ngram: Int = 3): DataFrame = {
+    val ex = shingles(docs, textCol, idCol +: blockCols, ngram)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(idCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val joinCond = (Seq("sh") ++ blockCols)
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    ex.as("a").join(ex.as("b"), joinCond)
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("j"))
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+  }
+
+  /** Weighted 32-bit SimHash near-dup pairs: bit source = first 8 hex
+    * chars of each token's md5, weight = token multiplicity; candidates
+    * share the signature's top bits (bucket = simhash div 2^16) and pass
+    * `hamming ≤ maxHamming`. Output: (doc_a, doc_b, hamming). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 2): DataFrame = {
+    val tc = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .groupBy(idCol, "t").agg(count(lit(1)).as("cnt"))
+    val th = tc.withColumn("h", substring(md5(encode(col("t"), "UTF-8")), 1, 8))
+    val bitSums = (0 until 32).map { b =>
+      val bit = expr(
+        s"(((locate(substring(h, ${b / 4 + 1}, 1), '0123456789abcdef') - 1) div ${Seq(8, 4, 2, 1)(b % 4)}) % 2)")
+      sum(when(bit === 1, col("cnt")).otherwise(-col("cnt"))).as(s"b$b")
+    }
+    val bits = th.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val sh = bits.select(col(idCol),
+      (0 until 32).map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sh.as("a").join(sh.as("b"),
+        expr("(a.simhash div 65536) = (b.simhash div 65536)") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}
