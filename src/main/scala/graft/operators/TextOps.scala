@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable text-analysis operators for corpus curation: token
+  * counting, heuristic quality scoring, marker-based language ID and
+  * shingle fingerprinting. DataFrame-in → DataFrame-out, schema
+  * parameterized; all pure Catalyst expression chains (codegen'd, no
+  * UDFs) built from engine-portable primitives (whitespace split,
+  * replace-based substring counting, md5 hex).
+  */
+object TextOps {
+
+  /** Substring occurrence count via the replace trick — portable to any
+    * SQL engine with `replace`. */
+  def occurrences(textCol: String, pattern: String): Column =
+    ((length(col(textCol)) - length(expr(s"replace($textCol, '$pattern', '')"))) /
+      pattern.length).cast("long")
+
+  /** Per-group token statistics: whitespace tokens, BPE-ish regex tokens
+    * (letter runs / digit runs / single other chars) and characters. */
+  def tokenStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("ws_tokens"),
+        sum(size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long")).as("bpe_tokens"),
+        sum(length(col(textCol)).cast("long")).as("chars"))
+
+  /** Heuristic quality roll-up per group: stopword ratio, mean word
+    * length, short-document count. */
+  def qualityStats(docs: DataFrame, groupCol: String, textCol: String,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to"),
+      shortDocTokens: Int = 30): DataFrame = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    val q = docs
+      .withColumn("toks", split(col(textCol), " "))
+      .select(
+        col(groupCol),
+        size(col("toks")).as("n_tok"),
+        size(expr(s"filter(toks, w -> w IN ($stopList))")).as("n_stop"),
+        length(col(textCol)).as("n_chars"))
+    q.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_stop").cast("double") / col("n_tok")), 6).as("stopword_ratio"),
+        round(avg((col("n_chars") - col("n_tok") + 1).cast("double") / col("n_tok")), 6)
+          .as("mean_word_len"),
+        sum(when(col("n_tok") < shortDocTokens, 1L).otherwise(0L)).as("n_short"))
+  }
+
+  /** Marker-n-gram language ID: per-language marker occurrence scores,
+    * argmax with first-marker (alphabetical) tie-break. Adds `predicted`
+    * to the input rows. */
+  def languageId(docs: DataFrame, textCol: String,
+      markers: Seq[(String, Seq[String])]): DataFrame = {
+    val langs = markers.map(_._1)
+    val scored = markers.foldLeft(docs) { case (df, (l, pats)) =>
+      df.withColumn(s"s_$l", pats.map(p => occurrences(textCol, p)).reduce(_ + _))
+    }
+    val best = greatest(langs.map(l => col(s"s_$l")): _*)
+    val pred = langs.foldRight(lit(null).cast("string")) { (l, acc) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("predicted", pred).drop(langs.map(l => s"s_$l"): _*)
+  }
+
+  /** Per-document shingle fingerprint: count + lexicographic min of the
+    * word n-gram md5s (row-wise codegen'd hashing; non-distinct, so
+    * `n_shingles` = tokens − n + 1). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(", ")
+    docs
+      .withColumn("w", split(col(textCol), " "))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), col("w"),
+        explode(expr(s"sequence(0, size(w) - $n)")).as("i"))
+      .select(col(idCol),
+        expr(s"md5(encode(concat_ws(' ', $grams), 'UTF-8'))").as("h"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"), min("h").as("fingerprint"))
+  }
+}
