@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Exercises the reusable operator library with NON-default parameters
+  * and schemas (the registry queries only instantiate the defaults):
+  * custom column names, n-gram sizes, block keys, vector dimensions.
+  */
+class LibraryOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "grp", "body")
+  }
+
+  test("Dedup.ngramJaccard finds an exact near-dup pair with custom schema/params") {
+    val d = docs(
+      (1L, "x", "alpha beta gamma delta epsilon"),
+      (2L, "x", "alpha beta gamma delta zeta"),   // 4/6 trigrams... j vs doc1
+      (3L, "x", "one two three four five"),
+      (4L, "y", "alpha beta gamma delta epsilon")) // same text, other block
+    val out = Dedup.ngramJaccard(d, "id", "body", blockCols = Seq("grp"),
+      threshold = 0.2, ngram = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))     // share bigrams within block x
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L)) // blocked away
+  }
+
+  test("Dedup.exactSummary counts duplicates per custom group column") {
+    val d = docs(
+      (1L, "a", "same text"), (2L, "a", "same text"),
+      (3L, "a", "other"), (4L, "b", "same text"))
+    val m = Dedup.exactSummary(d, "grp", "id", "body")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m("a") == ((3L, 2L, 1L))) // 3 docs, 2 unique, 1 removed
+    assert(m("b") == ((1L, 1L, 0L)))
+  }
+
+  test("Dedup.simhash links identical docs and respects maxHamming") {
+    val d = docs(
+      (1L, "g", "the quick brown fox jumps over the lazy dog"),
+      (2L, "g", "the quick brown fox jumps over the lazy dog"),
+      (3L, "g", "completely different content entirely here now"))
+    val pairs = Dedup.simhash(d, "id", "body", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("Similarity.cosine/bruteTopK work at a non-default dimension") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vid", "emb")
+    val top = Similarity.bruteTopK(vecs, vecs.filter(col("vid") === 1), "vid", "emb",
+      k = 2, dim = 3)
+      .orderBy("rk").collect().map(r => r.getLong(2))
+    assert(top.head == 2L)             // nearest to e1 is the 0.9/0.1 vector
+    assert(top.toSeq == Seq(2L, 3L) || top.toSeq == Seq(2L, 4L))
+  }
+
+  test("TextOps.languageId honors a custom marker set and tie-break order") {
+    val d = docs((1L, "?", "xx yy xx"), (2L, "?", "zz zz zz"))
+    val out = TextOps.languageId(d, "body",
+        Seq("first" -> Seq("xx"), "second" -> Seq("zz"), "third" -> Seq("xx")))
+      .select("id", "predicted")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "first")  // ties (first vs third) break to the earlier marker
+    assert(out(2L) == "second")
+  }
+
+  test("TextOps.fingerprint with bigram shingles counts tokens-1") {
+    val d = docs((7L, "g", "a b c d"))
+    val r = TextOps.fingerprint(d, "id", "body", n = 2).collect()(0)
+    assert(r.getLong(1) == 3) // 4 tokens -> 3 bigrams
+  }
+}
