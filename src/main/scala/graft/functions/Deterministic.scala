@@ -19,15 +19,21 @@ object Deterministic {
   /** 0 <= hrand < M, uniform-ish over keys; stable across partitionings. */
   val M: Long = 2147483648L // 2^31
 
+  /** The key is reduced mod 2^31 BEFORE the multiply so every
+    * intermediate stays < 2^62: a raw 64-bit key above ~8.4e9 would
+    * silently wrap in Spark (ANSI off) while DuckDB raises/promotes —
+    * the reduction keeps the primitive engine-portable at any key scale.
+    * For keys < 2^31 (all current testdata) the value is unchanged. */
   def hrand(key: Column, seed: Long): Column =
-    pmod(key * lit(1103515245L) + lit(seed) * lit(12345L) + lit(104729L), lit(M))
+    pmod(pmod(key, lit(M)) * lit(1103515245L) + lit(seed) * lit(12345L) + lit(104729L), lit(M))
 
   /** Uniform [0,1) deterministic in the key. */
   def hrand01(key: Column, seed: Long): Column = hrand(key, seed) / lit(M.toDouble)
 
   /** SQL rendering of the same expression (DuckDB-compatible). */
   def hrandSql(key: String, seed: Long): String =
-    s"(($key * 1103515245 + $seed * 12345 + 104729) % 2147483648 + 2147483648) % 2147483648"
+    s"(((($key % 2147483648 + 2147483648) % 2147483648) * 1103515245 + $seed * 12345 + 104729) " +
+      "% 2147483648 + 2147483648) % 2147483648"
 
   /** Exact order-independent sum of a double expression: round each term
     * to a decimal at `scale`, sum as DECIMAL(38, scale), cast back.

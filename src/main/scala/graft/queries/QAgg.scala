@@ -115,7 +115,7 @@ object QAgg {
       GROUP BY 1, 2),
     thr AS (SELECT * FROM (VALUES (1), (2), (3), (5), (8)) v(threshold))
     SELECT r.r_name, thr.threshold,
-           SUM(CASE WHEN nc.n_cust >= thr.threshold THEN 1 ELSE 0 END) AS n_qualifying
+           CAST(SUM(CASE WHEN nc.n_cust >= thr.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_qualifying
     FROM nc JOIN region r ON nc.n_regionkey = r.r_regionkey CROSS JOIN thr
     GROUP BY 1, 2 ORDER BY 1, 2"""
   ))((s, d) => {
@@ -249,7 +249,7 @@ object QAgg {
              CASE WHEN value < 1.0 THEN 'NaN'::DOUBLE ELSE value END AS v
       FROM events)
     SELECT event_type,
-      SUM(CASE WHEN isnan(v) THEN 1 ELSE 0 END) AS n_nan,
+      CAST(SUM(CASE WHEN isnan(v) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
       count(*) AS n,
       round(avg(CASE WHEN NOT isnan(v) THEN v END), 4) AS avg_clean
     FROM x GROUP BY 1 ORDER BY 1"""

@@ -145,25 +145,35 @@ object QCore {
   })
 
   // ----------------------------------------------------------- J2/J7
-  /** Positional zip: align two tables by rank, natural min-length
-    * truncation via inner join.
-    * Ref: Matlab_part/extract_session_data_mdl.m:141-151. */
+  /** Positional zip: align two tables by rank WITHIN a session-like
+    * group (nation), natural min-length truncation via inner join.
+    * The reference zips per session, never globally
+    * (Matlab_part/extract_session_data_mdl.m:141-151) — the partitioned
+    * window keeps every rank computation parallel at scale (no
+    * single-task global sort). */
   val j2 = Q("j2_positional_zip", Some("""
-    WITH a AS (SELECT row_number() OVER (ORDER BY c_custkey) AS rn, c_custkey, c_acctbal FROM customer),
-         b AS (SELECT row_number() OVER (ORDER BY s_suppkey) AS rn, s_suppkey, s_acctbal FROM supplier)
-    SELECT a.rn, a.c_custkey, b.s_suppkey, round(a.c_acctbal + b.s_acctbal, 2) AS pair_bal
-    FROM a JOIN b ON a.rn = b.rn ORDER BY a.rn"""
+    WITH a AS (SELECT c_nationkey AS grp,
+                      row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn,
+                      c_custkey, c_acctbal FROM customer),
+         b AS (SELECT s_nationkey AS grp,
+                      row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS rn,
+                      s_suppkey, s_acctbal FROM supplier)
+    SELECT a.grp, a.rn, a.c_custkey, b.s_suppkey,
+           round(a.c_acctbal + b.s_acctbal, 2) AS pair_bal
+    FROM a JOIN b ON a.grp = b.grp AND a.rn = b.rn ORDER BY a.grp, a.rn"""
   ))((s, d) => {
     val a = Tables.customer(s, d)
-      .withColumn("rn", row_number().over(Window.orderBy("c_custkey")))
-      .select("rn", "c_custkey", "c_acctbal")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c_nationkey").orderBy("c_custkey")))
+      .select(col("c_nationkey").as("grp"), col("rn"), col("c_custkey"), col("c_acctbal"))
     val b = Tables.supplier(s, d)
-      .withColumn("rn", row_number().over(Window.orderBy("s_suppkey")))
-      .select("rn", "s_suppkey", "s_acctbal")
-    a.join(b, "rn")
-      .select(col("rn"), col("c_custkey"), col("s_suppkey"),
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("s_nationkey").orderBy("s_suppkey")))
+      .select(col("s_nationkey").as("grp"), col("rn"), col("s_suppkey"), col("s_acctbal"))
+    a.join(b, Seq("grp", "rn"))
+      .select(col("grp"), col("rn"), col("c_custkey"), col("s_suppkey"),
         round(col("c_acctbal") + col("s_acctbal"), 2).as("pair_bal"))
-      .orderBy("rn")
+      .orderBy("grp", "rn")
   })
 
   // -------------------------------------------------------- J4/J5/C1
@@ -183,7 +193,7 @@ object QCore {
       JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
     SELECT least(cn, sn) || '_' || greatest(cn, sn) AS pair,
            count(*) AS n,
-           SUM(CASE WHEN cn > sn THEN 1 ELSE 0 END) AS n_swapped,
+           CAST(SUM(CASE WHEN cn > sn THEN 1 ELSE 0 END) AS BIGINT) AS n_swapped,
            CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) AS revenue
     FROM f GROUP BY 1 ORDER BY 1"""
   ))((s, d) => {

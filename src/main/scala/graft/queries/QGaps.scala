@@ -37,7 +37,7 @@ object QGaps {
       WHERE e.event_type = 'click' AND e.user_id IS NOT NULL
         AND e.t >= b.mn + 600 AND e.t <= b.mx - 600)
     SELECT user_id % 10 AS user_bucket, count(*) AS n,
-           sum(CASE WHEN isnan(v) THEN 1 ELSE 0 END) AS n_nan,
+           CAST(sum(CASE WHEN isnan(v) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
            round(sum(CASE WHEN isnan(v) THEN 0.0 ELSE v END), 4) AS sum_clean
     FROM f GROUP BY 1 ORDER BY 1"""
   ))((s, d) => {
@@ -103,9 +103,7 @@ object QGaps {
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       WHERE c.c_nationkey < 6 AND s.s_nationkey < 6 AND c.c_nationkey <> s.s_nationkey),
     u AS (
-      SELECT ck AS a, sk AS b, rev FROM f WHERE ck < sk
-      UNION ALL
-      SELECT sk AS a, ck AS b, rev FROM f WHERE sk < ck)
+      SELECT least(ck, sk) AS a, greatest(ck, sk) AS b, rev FROM f)
     SELECT a, b, count(*) AS n,
            CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) AS revenue
     FROM u GROUP BY 1, 2 ORDER BY 1, 2"""
@@ -118,9 +116,12 @@ object QGaps {
         col("c_nationkey") =!= col("s_nationkey"))
       .select(col("c_nationkey").as("ck"), col("s_nationkey").as("sk"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-    val u = f.filter(col("ck") < col("sk")).select(col("ck").as("a"), col("sk").as("b"), col("rev"))
-      .unionByName(
-        f.filter(col("sk") < col("ck")).select(col("sk").as("a"), col("ck").as("b"), col("rev")))
+    // ck ≠ sk is already enforced, so routing each row to its canonical
+    // (least, greatest) pair is exactly the two-branch union — in ONE pass
+    // over the 4-table join lineage (Catalyst does not CSE across union
+    // branches, so the old shape executed the join twice).
+    val u = f.select(least(col("ck"), col("sk")).as("a"),
+      greatest(col("ck"), col("sk")).as("b"), col("rev"))
     u.groupBy("a", "b")
       .agg(count(lit(1)).as("n"), stableSum(col("rev")).as("revenue"))
       .orderBy("a", "b")
@@ -145,7 +146,7 @@ object QGaps {
              CAST(round(max(c_acctbal), 2) AS DECIMAL(18,2)) AS mx,
              count(*) AS n
       FROM customer c JOIN nation ON c_nationkey = n_nationkey GROUP BY 1)
-    SELECT n_name, n, m AS mean_bal,
+    SELECT n_name, n, CAST(m AS DOUBLE) AS mean_bal,
            n_name || ': ' || m::VARCHAR || ' +/- ' || sd::VARCHAR ||
              ' (range ' || mn::VARCHAR || ' to ' || mx::VARCHAR || ')' AS report_line
     FROM s ORDER BY 1"""
@@ -169,7 +170,7 @@ object QGaps {
         round(min("c_acctbal"), 2).cast("decimal(18,2)").as("mn"),
         round(max("c_acctbal"), 2).cast("decimal(18,2)").as("mx"),
         n.as("n"))
-    st.select(col("n_name"), col("n"), col("m").as("mean_bal"),
+    st.select(col("n_name"), col("n"), col("m").cast("double").as("mean_bal"),
       concat(col("n_name"), lit(": "), col("m").cast("string"), lit(" +/- "),
         col("sd").cast("string"), lit(" (range "), col("mn").cast("string"),
         lit(" to "), col("mx").cast("string"), lit(")")).as("report_line"))
@@ -238,18 +239,25 @@ object QGaps {
   })
 
   // --------------------------------------------------------------- T3
-  /** One-sample Wilcoxon signed-rank vs a constant, one-sided
-    * (alternative: greater), normal approximation; ranks by stable order
-    * (deterministic cross-engine tie handling — SURVEY §7.4.1).
+  /** One-sample Wilcoxon signed-rank vs a constant (normal
+    * approximation, average-rank ties) through the reusable
+    * WilcoxonSignedRank Aggregator — ranks inside a hash aggregate, no
+    * global rank window (SURVEY §7.4.1; all rank sums are dyadic
+    * rationals, so both engines agree bit-exactly).
     * Ref: cross_trial_type_cca_analysis.py:1356-1400. */
   val t3 = Q("t3_wilcoxon_one_sample", Some("""
     WITH x AS (
       SELECT n_name, avg(c_acctbal) AS v FROM customer
       JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
-    dd AS (SELECT n_name, v - 4500.0 AS diff FROM x WHERE v <> 4500.0),
-    r AS (SELECT diff, row_number() OVER (ORDER BY abs(diff), n_name) AS rk FROM dd),
-    w AS (SELECT count(*) AS n, sum(CASE WHEN diff > 0 THEN rk ELSE 0 END) AS w_plus FROM r)
-    SELECT n, w_plus,
+    dd AS (SELECT n_name, v - 4500.0 AS diff, abs(v - 4500.0) AS ad FROM x
+           WHERE v <> 4500.0),
+    rk AS (SELECT diff,
+                  rank() OVER (ORDER BY ad)
+                    + (count(*) OVER (PARTITION BY ad) - 1) / 2.0 AS r
+           FROM dd),
+    w AS (SELECT count(*) AS n,
+                 sum(CASE WHEN diff > 0 THEN r ELSE 0 END) AS w_plus FROM rk)
+    SELECT n, round(w_plus, 2) AS w_plus,
            round((w_plus - n * (n + 1) / 4.0) /
                  sqrt(n * (n + 1) * (2 * n + 1) / 24.0), 6) AS z
     FROM w"""
@@ -257,14 +265,13 @@ object QGaps {
     val x = Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name").agg(avg("c_acctbal").as("v"))
-    val dd = x.filter(col("v") =!= 4500.0).withColumn("diff", col("v") - 4500.0)
-    val r = dd.withColumn("rk",
-      row_number().over(Window.orderBy(abs(col("diff")), col("n_name"))))
-    r.agg(count(lit(1)).as("n"),
-        sum(when(col("diff") > 0, col("rk")).otherwise(0L)).as("w_plus"))
-      .select(col("n"), col("w_plus"),
-        round((col("w_plus") - col("n") * (col("n") + 1) / 4.0) /
-          sqrt(col("n") * (col("n") + 1) * (lit(2) * col("n") + 1) / 24.0), 6).as("z"))
+    val wsr = udaf(graft.functions.WilcoxonSignedRank,
+      org.apache.spark.sql.Encoders.scalaDouble)
+    x.select((col("v") - 4500.0).as("diff"))
+      .agg(wsr(col("diff")).as("w"))
+      .select(col("w.n_eff").as("n"),
+        round(col("w.w_plus"), 2).as("w_plus"),
+        round(col("w.z"), 6).as("z"))
   })
 
   // --------------------------------------------------------------- T8

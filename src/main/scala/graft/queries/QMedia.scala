@@ -46,7 +46,12 @@ object QMedia {
     * the schema a real multimodal table would have. */
   private def media(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
+    // Empty payloads are dropped at ingest (mirrored by length(text) > 0
+    // in every oracle): ascii('')/integer-div semantics diverge between
+    // engines on empty strings, and a zero-byte media payload is
+    // undecodable anyway.
     Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
       .select(
         col("doc_id"),
         // deterministic fake format from the id — metadata column
@@ -68,10 +73,11 @@ object QMedia {
              ascii(substr(text, 1, 1)) AS first_byte,
              list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 65521 AS checksum,
              list_sum(list_transform(string_split(text, ''), c -> ascii(c)))::DOUBLE / length(text) AS brightness
-      FROM documents)
-    SELECT format, count(*) AS n_media, sum(n_bytes) AS total_bytes,
+      FROM documents WHERE length(text) > 0)
+    SELECT format, count(*) AS n_media, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            round(avg(brightness), 6) AS avg_brightness,
-           min(checksum) AS min_checksum, max(first_byte) AS max_first_byte
+           CAST(min(checksum) AS BIGINT) AS min_checksum,
+           CAST(max(first_byte) AS BIGINT) AS max_first_byte
     FROM f GROUP BY 1 ORDER BY 1"""
   ))((s, d) => {
     import s.implicits._
@@ -96,13 +102,15 @@ object QMedia {
       SELECT doc_id, i AS frame_no,
              ascii(substr(text, 1 + i * 16, 1)) AS frame_feat
       FROM documents, LATERAL unnest(generate_series(0, (length(text) - 1) // 16)) AS t(i)
-      WHERE i % 4 = 0),
+      WHERE i % 4 = 0 AND length(text) > 0),
     agg AS (SELECT doc_id, count(*) AS n_sampled, sum(frame_feat) AS feat_sum FROM fr GROUP BY 1)
-    SELECT doc_id % 10 AS bucket, count(*) AS n_docs, sum(n_sampled) AS n_frames,
-           sum(feat_sum) AS feat_total
+    SELECT doc_id % 10 AS bucket, count(*) AS n_docs,
+           CAST(sum(n_sampled) AS BIGINT) AS n_frames,
+           CAST(sum(feat_sum) AS BIGINT) AS feat_total
     FROM agg GROUP BY 1 ORDER BY 1"""
   ))((s, d) =>
     Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         expr("filter(sequence(0, CAST((length(text) - 1) div 16 AS INT)), i -> i % 4 = 0)").as("fs"))
       .select(col("doc_id"), col("text"), explode(col("fs")).as("frame_no"))
@@ -147,7 +155,7 @@ object QMedia {
     WITH d AS (SELECT doc_id,
                       CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
                       text, length(text) // 32 AS h
-               FROM documents),
+               FROM documents WHERE length(text) > 0),
     px AS (SELECT doc_id, format,
                   (ascii(substr(text, r * 2 * 32 + c * 2 + 1, 1))
                    + ascii(substr(text, r * 2 * 32 + c * 2 + 2, 1))
@@ -158,8 +166,8 @@ object QMedia {
                 LATERAL unnest(generate_series(0, 15)) AS tc(c)
            WHERE h >= 2),
     agg AS (SELECT doc_id, format, count(*) AS n_px, sum(v) AS px_sum FROM px GROUP BY 1, 2)
-    SELECT a.format, count(*) AS n_media, sum(a.n_px) AS total_px,
-           sum(a.px_sum) AS px_total,
+    SELECT a.format, count(*) AS n_media, CAST(sum(a.n_px) AS BIGINT) AS total_px,
+           CAST(sum(a.px_sum) AS BIGINT) AS px_total,
            round(sum(a.px_sum)::DOUBLE / sum(a.n_px), 6) AS avg_px
     FROM agg a GROUP BY 1 ORDER BY 1"""
   ))((s, d) => {

@@ -25,8 +25,8 @@ object QSim {
   val exact = Q("dedup_exact", Some("""
     WITH h AS (SELECT doc_id, source, md5(text) AS th FROM documents),
     k AS (SELECT source, th, count(*) AS copies, min(doc_id) AS keep_id FROM h GROUP BY 1, 2)
-    SELECT source, sum(copies) AS n_docs, count(*) AS n_unique,
-           sum(copies) - count(*) AS n_removed, min(keep_id) AS first_keep
+    SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs, count(*) AS n_unique,
+           CAST(sum(copies) - count(*) AS BIGINT) AS n_removed, min(keep_id) AS first_keep
     FROM k GROUP BY 1 ORDER BY 1"""
   ))((s, d) =>
     Dedup.exactSummary(Tables.documentsP(s, d), "source", "doc_id", "text")

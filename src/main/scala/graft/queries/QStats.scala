@@ -90,15 +90,36 @@ object QStats {
   })
 
   // ----------------------------------------------------------- T1/A14
-  /** Pearson correlation aggregate + t statistic (p-value precursor).
+  /** Pearson correlation aggregate + t statistic + two-sided p-value.
     * Ref: perform_session_cca.m:310-314;
-    * cross_trial_type_cca_analysis.py:779-792. */
+    * cross_trial_type_cca_analysis.py:779-792 (reports r AND p).
+    *
+    * The p-value uses the large-df normal approximation to the t
+    * distribution via the Abramowitz–Stegun §26.2.17 rational polynomial
+    * (the same shape SpecialFunctions.normCdf uses for the Wilcoxon
+    * z-tests) — the exact betainc t-CDF (kernels.SpecialFunctions.tCdf,
+    * used in the L8 GLM kernel) is not expressible in portable SQL, and
+    * at n ≈ thousands per group the normal form differs from exact by
+    * < 1e-4 while being bit-replayable in the DuckDB oracle. It is
+    * evaluated on the ALREADY-ROUNDED t statistic so both engines feed
+    * identical doubles into the identical expression tree. */
+  private val normApproxP =
+    "round(2.0 * dd * u * (0.319381530 + u * (-0.356563782 + u * (1.781477937 + " +
+      "u * (-1.821255978 + u * 1.330274429)))), 6)"
+
   val t1 = Q("t1_pearson_corr", Some("""
-    SELECT event_type, count(*) AS n,
-      round(corr(value, t / 86400.0), 4) AS r,
-      round(corr(value, t / 86400.0)
-        * sqrt((count(*) - 2) / (1 - corr(value, t / 86400.0) * corr(value, t / 86400.0))), 4) AS t_stat
-    FROM (""" + evSql + """) GROUP BY 1 ORDER BY 1"""
+    WITH c AS (
+      SELECT event_type, count(*) AS n,
+        round(corr(value, t / 86400.0), 4) AS r,
+        round(corr(value, t / 86400.0)
+          * sqrt((count(*) - 2) / (1 - corr(value, t / 86400.0) * corr(value, t / 86400.0))), 4) AS t_stat
+      FROM (""" + evSql + """) GROUP BY 1),
+    z AS (
+      SELECT *, 1.0 / (1.0 + 0.2316419 * abs(t_stat)) AS u,
+             0.3989422804014327 * exp(-(t_stat * t_stat) / 2.0) AS dd
+      FROM c)
+    SELECT event_type, n, r, t_stat, """ + normApproxP + """ AS p
+    FROM z ORDER BY 1"""
   ))((s, d) => {
     val e = evT(s, d).withColumn("td", col("t") / 86400.0)
     e.groupBy("event_type").agg(
@@ -107,6 +128,10 @@ object QStats {
       round(corr(col("value"), col("td")) *
         sqrt((count(lit(1)) - 2) /
           (lit(1) - corr(col("value"), col("td")) * corr(col("value"), col("td")))), 4).as("t_stat"))
+      .withColumn("u", lit(1.0) / (lit(1.0) + lit(0.2316419) * abs(col("t_stat"))))
+      .withColumn("dd", lit(0.3989422804014327) * exp(-(col("t_stat") * col("t_stat")) / lit(2.0)))
+      .withColumn("p", expr(normApproxP))
+      .select("event_type", "n", "r", "t_stat", "p")
       .orderBy("event_type")
   })
 
@@ -247,7 +272,7 @@ object QStats {
       WHERE dsum > 0 GROUP BY 1)
     SELECT d.event_type, b.baseline_day,
       count(*) AS n_days,
-      SUM(CASE WHEN d.dsum <= 0 THEN 1 ELSE 0 END) AS n_flipped
+      CAST(SUM(CASE WHEN d.dsum <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped
     FROM daily d JOIN base b ON d.event_type = b.event_type
     GROUP BY 1, 2 ORDER BY 1"""
   ))((s, d) => {

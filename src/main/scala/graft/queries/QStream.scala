@@ -30,8 +30,8 @@ object QStream {
                       THEN 1 ELSE 0 END AS brk
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
     g AS (SELECT user_id, t,
-                 sum(brk) OVER (PARTITION BY user_id ORDER BY t
-                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                 CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
           FROM o)
     SELECT user_id, session_id, min(t) AS session_start, max(t) AS session_end,
            count(*) AS n_events

@@ -21,9 +21,9 @@ object QText {
   val tokenCount = Q("text_token_count", Some("""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS ws_tokens,
-           sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_tokens,
-           sum(length(text)) AS chars
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS chars
     FROM documents GROUP BY 1 ORDER BY 1"""
   ))((s, d) =>
     TextOps.tokenStats(Tables.documentsP(s, d), "source", "text")
@@ -43,7 +43,7 @@ object QText {
     SELECT lang, count(*) AS n_docs,
            round(avg(CAST(n_stop AS DOUBLE) / n_tok), 6) AS stopword_ratio,
            round(avg(CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok), 6) AS mean_word_len,
-           sum(CASE WHEN n_tok < 30 THEN 1 ELSE 0 END) AS n_short
+           CAST(sum(CASE WHEN n_tok < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
     FROM q GROUP BY 1 ORDER BY 1"""
   ))((s, d) =>
     TextOps.qualityStats(Tables.documentsP(s, d), "lang", "text")

@@ -90,53 +90,66 @@ object QWindowSet {
   })
 
   // ---------------------------------------------------------------- W7
-  /** Seeded permutation (trial-shuffle analog): key → shuffled key via
-    * hash-ordered row_number zip.
-    * Ref: Matlab_part/perform_session_cca.m:128-133. */
+  /** Seeded permutation WITHIN a session-like group (trial-shuffle
+    * analog): key → shuffled key via hash-ordered row_number zip. The
+    * reference shuffles trials within one session, never globally
+    * (Matlab_part/perform_session_cca.m:128-133); partitioning the
+    * window keeps the rank parallel at scale. */
   val w7 = Q("w7_seeded_permutation", Some(s"""
     WITH a AS (
-      SELECT s_suppkey, row_number() OVER (ORDER BY s_suppkey) AS rn
+      SELECT s_nationkey AS grp, s_suppkey,
+        row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS rn
       FROM supplier),
     b AS (
-      SELECT s_suppkey AS shuffled_key,
-        row_number() OVER (ORDER BY ${hrandSql("s_suppkey", 777L)}, s_suppkey) AS rn
+      SELECT s_nationkey AS grp, s_suppkey AS shuffled_key,
+        row_number() OVER (PARTITION BY s_nationkey
+          ORDER BY ${hrandSql("s_suppkey", 777L)}, s_suppkey) AS rn
       FROM supplier)
-    SELECT a.s_suppkey, b.shuffled_key FROM a JOIN b ON a.rn = b.rn
+    SELECT a.grp, a.s_suppkey, b.shuffled_key
+    FROM a JOIN b ON a.grp = b.grp AND a.rn = b.rn
     ORDER BY a.s_suppkey"""
   ))((s, d) => {
     val sup = Tables.supplier(s, d)
-    val a = sup.select(col("s_suppkey"),
-      row_number().over(Window.orderBy("s_suppkey")).as("rn"))
-    val b = sup.select(col("s_suppkey").as("shuffled_key"),
-      row_number().over(Window.orderBy(hrand(col("s_suppkey"), 777L), col("s_suppkey"))).as("rn"))
-    a.join(b, "rn").select("s_suppkey", "shuffled_key").orderBy("s_suppkey")
+    val a = sup.select(col("s_nationkey").as("grp"), col("s_suppkey"),
+      row_number().over(
+        Window.partitionBy("s_nationkey").orderBy("s_suppkey")).as("rn"))
+    val b = sup.select(col("s_nationkey").as("grp"), col("s_suppkey").as("shuffled_key"),
+      row_number().over(Window.partitionBy("s_nationkey")
+        .orderBy(hrand(col("s_suppkey"), 777L), col("s_suppkey"))).as("rn"))
+    a.join(b, Seq("grp", "rn")).select("grp", "s_suppkey", "shuffled_key")
+      .orderBy("s_suppkey")
   })
 
   // ------------------------------------------------------- W8 / SO2
-  /** Contiguous k-fold assignment (k=5) + train/test complement sizes
-    * per fold. Ref: Matlab_part/perform_session_cca.m:275-295. */
+  /** Contiguous k-fold assignment (k=5) WITHIN a session-like group +
+    * train/test complement sizes per (group, fold). The reference folds
+    * within one session's trials (Matlab_part/perform_session_cca.m:
+    * 275-295); the partitioned window avoids a global single-task sort. */
   val w8 = Q("w8_kfold_split", Some("""
     WITH r AS (
-      SELECT c_custkey,
-        row_number() OVER (ORDER BY c_custkey) AS rn,
-        count(*) OVER () AS n
+      SELECT c_nationkey AS grp, c_custkey,
+        row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn,
+        count(*) OVER (PARTITION BY c_nationkey) AS n
       FROM customer),
-    f AS (SELECT c_custkey, CAST(FLOOR((rn - 1) * 5.0 / n) AS BIGINT) AS fold, n FROM r)
-    SELECT fold, count(*) AS n_test, max(n) - count(*) AS n_train,
+    f AS (SELECT grp, c_custkey,
+                 CAST(FLOOR((rn - 1) * 5.0 / n) AS BIGINT) AS fold, n FROM r)
+    SELECT grp, fold, count(*) AS n_test, max(n) - count(*) AS n_train,
            min(c_custkey) AS first_key, max(c_custkey) AS last_key
-    FROM f GROUP BY 1 ORDER BY 1"""
+    FROM f GROUP BY 1, 2 ORDER BY 1, 2"""
   ))((s, d) => {
     val r = Tables.customer(s, d).select(
+      col("c_nationkey").as("grp"),
       col("c_custkey"),
-      row_number().over(Window.orderBy("c_custkey")).as("rn"),
-      count(lit(1)).over(Window.partitionBy()).as("n"))
-    r.select(col("c_custkey"),
+      row_number().over(
+        Window.partitionBy("c_nationkey").orderBy("c_custkey")).as("rn"),
+      count(lit(1)).over(Window.partitionBy("c_nationkey")).as("n"))
+    r.select(col("grp"), col("c_custkey"),
         floor((col("rn") - 1) * 5.0 / col("n")).cast("long").as("fold"), col("n"))
-      .groupBy("fold")
+      .groupBy("grp", "fold")
       .agg(count(lit(1)).as("n_test"),
         (max("n") - count(lit(1))).as("n_train"),
         min("c_custkey").as("first_key"), max("c_custkey").as("last_key"))
-      .orderBy("fold")
+      .orderBy("grp", "fold")
   })
 
   // ------------------------------------------------- SO1/SO3/SO4/SO5
