@@ -47,9 +47,21 @@ object Dedup {
       .agg(sum("copies").as("n_docs"), count(lit(1)).as("n_unique"),
         (sum("copies") - count(lit(1))).as("n_removed"), min("keep_id").as("first_keep"))
 
-  /** MinHash + LSH banding near-dup pairs: shingle → `nHash` seeded
-    * minhashes → `nHash/bandRows` bands → band-bucket equi-join →
-    * exact Jaccard verify ≥ `threshold`.
+  /** The `nHash` minhash "permutations" are affine bijections of
+    * Z_2^31 — (h·A_i + B_i) mod 2^31 with A_i ODD (odd multipliers are
+    * invertible mod 2^31, so each map is a true permutation) — applied
+    * to ONE 31-bit integer derived from the shingle's single md5. One
+    * md5 per shingle instead of `nHash` (measured: the 12-md5 form was
+    * the #1 bench cost center), and the mix constants render identically
+    * in the DuckDB oracle. All intermediates < 2^62: portable to any
+    * engine without overflow. */
+  val mixM = 2147483648L // 2^31
+  def mixA(i: Int): Long = 1103515245L + 2L * i * 7919L // odd
+  def mixB(i: Int): Long = 104729L + 12345L * i
+
+  /** MinHash + LSH banding near-dup pairs: shingle → one md5 → 31-bit
+    * integer → `nHash` affine-mix minhashes → `nHash/bandRows` bands →
+    * band-bucket equi-join → exact Jaccard verify ≥ `threshold`.
     * Output: (doc_a, doc_b, jaccard), doc_a < doc_b. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       nHash: Int = 12, bandRows: Int = 2, threshold: Double = 0.5,
@@ -58,14 +70,16 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // set-valued form for the Jaccard verify (only set sizes consumed)
     val shs = ex.groupBy(idCol).agg(collect_set(col("sh")).as("s"))
+    // 31-bit integer from the first 8 hex chars of the shingle's md5
+    val h1 = pmod(expr("conv(substring(sh, 1, 8), 16, 10)").cast("long"), lit(mixM))
     val mhCols = (0 until nHash).map(i =>
-      min(md5(encode(concat(lit(s"$i:"), col("sh")), "UTF-8"))).as(s"mh$i"))
-    val sig = ex.groupBy(idCol).agg(mhCols.head, mhCols.tail: _*)
+      min(pmod(col("h1") * lit(mixA(i)) + lit(mixB(i)), lit(mixM))).as(s"mh$i"))
+    val sig = ex.withColumn("h1", h1).groupBy(idCol).agg(mhCols.head, mhCols.tail: _*)
     // bands via ONE explode — a per-band union would recompute the
     // shingle→signature pipeline once per band
     val bandStructs = (0 until nHash / bandRows).map { b =>
       val ks = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
-      struct(lit(b).as("band"), md5(encode(concat(ks: _*), "UTF-8")).as("bkey"))
+      struct(lit(b).as("band"), concat_ws("_", ks: _*).as("bkey"))
     }
     val bands = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
@@ -111,10 +125,38 @@ object Dedup {
 
   /** Weighted 32-bit SimHash near-dup pairs: bit source = first 8 hex
     * chars of each token's md5, weight = token multiplicity; candidates
-    * share the signature's top bits (bucket = simhash div 2^16) and pass
-    * `hamming ≤ maxHamming`. Output: (doc_a, doc_b, hamming). */
+    * share a MULTI-PROBED bucket of the signature's top 16 bits and
+    * pass `hamming ≤ maxHamming`.
+    *
+    * Multi-probe: every doc emits its bucket plus the 16 single-bit
+    * flips of it. If two signatures differ in bits {i, j} of the bucket,
+    * flip_i(a) == flip_j(b), so two-sided single-bit probing finds every
+    * pair within Hamming 2 of the bucket — the recall hole of the plain
+    * top-bits join (a near-dup pair whose 2 differing bits both landed
+    * in the bucket was invisible). Probe fan-out is 17× on the join
+    * input, the standard multi-probe trade for not raising bucket count;
+    * both `probeBits` and the fan-out are constants, not data-dependent.
+    * Output: (doc_a, doc_b, hamming). */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 2): DataFrame = {
+      maxHamming: Int = 2, probeBits: Int = 16): DataFrame = {
+    val sh = simhashSignatures(docs, idCol, textCol)
+    val base = expr(s"simhash div ${1L << probeBits}")
+    val probes = base +: (0 until probeBits).map(k => base.bitwiseXOR(lit(1L << k)))
+    val pr = sh.select(col(idCol), col("simhash"),
+        explode(array(probes: _*)).as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pr.as("a").join(pr.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can meet in several probed buckets
+  }
+
+  /** The signature stage of [[simhash]] alone: (idCol, simhash). Public
+    * so recall tests can brute-force all-pairs hamming on the exact
+    * signatures the bucketed operator sees. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tc = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
       .groupBy(idCol, "t").agg(count(lit(1)).as("cnt"))
@@ -125,15 +167,8 @@ object Dedup {
       sum(when(bit === 1, col("cnt")).otherwise(-col("cnt"))).as(s"b$b")
     }
     val bits = th.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-    val sh = bits.select(col(idCol),
+    bits.select(col(idCol),
       (0 until 32).map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    sh.as("a").join(sh.as("b"),
-        expr("(a.simhash div 65536) = (b.simhash div 65536)") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -334,5 +334,52 @@ object QGaps {
     s.read.parquet(memoDir.toString).orderBy("o_orderpriority")
   })
 
-  val all: Seq[Q] = Seq(fComposite, f7, f8, j8, a6, a13, w4, t3, t8, p4, s4s7)
+  // ------------------------------------------------------------ S5/S6
+  /** PHYSICAL file sinks: the per-nation report is written as a real
+    * JSON dataset (`df.write.json`) and a real text file
+    * (`df.write.text`), then both are READ BACK as sources and re-joined
+    * — the engine-side twin of the reference's .txt/.json report writers,
+    * verified end-to-end through the filesystem like s4's parquet memo.
+    * Ref: oxford_GLM_CCA_coefficients_extract.m:488-565 (text report),
+    * cross_trial_type_cca_analysis_within_session.py:1326-1348 (json). */
+  val s5s6 = Q("s5_file_sinks_roundtrip", Some("""
+    WITH s AS (
+      SELECT n_name, count(*) AS n,
+             CAST(round(CAST(SUM(CAST(c_acctbal * 100 AS DECIMAL(28,0))) AS DOUBLE) / count(*)) / 100 AS DECIMAL(18,2)) AS m
+      FROM customer c JOIN nation ON c_nationkey = n_nationkey GROUP BY 1)
+    SELECT n_name, n, CAST(m AS DOUBLE) AS mean_bal,
+           n_name || ': n=' || n::VARCHAR || ' mean=' || m::VARCHAR AS report_line
+    FROM s ORDER BY 1"""
+  ))((s, d) => {
+    val sinkDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_file_sinks",
+      Integer.toHexString(d.hashCode))
+    // integer-cent mean (same boundary-safe rounding as a6)
+    val base = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        (round(stableSum(col("c_acctbal") * 100, 0) / count(lit(1))) / 100)
+          .cast("decimal(18,2)").as("m"))
+    // S6: JSON sink (one dataset, machine-readable)
+    base.select(col("n_name"), col("n"), col("m").cast("double").as("mean_bal"))
+      .coalesce(1)
+      .write.mode("overwrite").json(sinkDir.resolve("report_json").toString)
+    // S5: text sink (human-readable report lines)
+    base.select(concat(col("n_name"), lit(": n="), col("n").cast("string"),
+        lit(" mean="), col("m").cast("string")).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(sinkDir.resolve("report_txt").toString)
+    // read BOTH back as sources and re-join — proves the files are real
+    val j = s.read.json(sinkDir.resolve("report_json").toString)
+      .select(col("n_name"), col("n"), col("mean_bal"))
+    val t = s.read.text(sinkDir.resolve("report_txt").toString)
+      .select(split(col("value"), ":").getItem(0).as("n_name"),
+        col("value").as("report_line"))
+    j.join(t, "n_name")
+      .select(col("n_name"), col("n"), col("mean_bal"), col("report_line"))
+      .orderBy("n_name")
+  })
+
+  val all: Seq[Q] = Seq(fComposite, f7, f8, j8, a6, a13, w4, t3, t8, p4, s4s7, s5s6)
 }

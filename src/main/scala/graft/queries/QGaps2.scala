@@ -264,10 +264,12 @@ object QGaps2 {
   /** Rastermap-ordering substitute (documented approximation, SURVEY
     * §7.3): dims of each label group ordered by their first-principal-
     * component loading — the engine's stand-in for the 3rd-party
-    * embedding sort. Not SQL-expressible → rows-only check; the PCA
-    * kernel itself is golden-tested in KernelSpec.
+    * embedding sort. Not SQL-expressible → gated by a committed golden
+    * fixture (Q.fixtureOracle); the PCA kernel itself is golden-tested
+    * in KernelSpec.
     * Ref: Cross_trial_type_within_session/...within_session.py:724-796. */
-  val l15 = Q("l15_rastermap_order", None)((s, d) => {
+  val l15 = Q("l15_rastermap_order",
+    Some(Q.fixtureOracle("l15_rastermap_order", "label, sort_rank")))((s, d) => {
     import s.implicits._
     Tables.embeddings(s, d)
       .select(col("label"), col("vec_id"), col("embedding"))
@@ -280,7 +282,10 @@ object QGaps2 {
         val r = graft.kernels.LinAlg.pca(m, 1)
         val loadings = (0 until 16).map(j => j -> r.coefficients(j, 0))
         loadings.sortBy { case (j, wgt) => (-wgt, j) }.zipWithIndex.iterator
-          .map { case ((j, wgt), rk) => (label, rk + 1, j, wgt) }
+          .map { case ((j, wgt), rk) =>
+            (label, rk + 1, j,
+              BigDecimal(wgt).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+          }
       }
       .toDF("label", "sort_rank", "dim", "pc1_weight")
       .orderBy("label", "sort_rank")

@@ -48,7 +48,7 @@ object QKernels {
   /** PCA per label over the first 16 embedding dims: eigenvalues,
     * explained/cumulative variance + 5-fold CV reconstruction error.
     * Ref: Matlab_part/perform_region_pca.m:93-156,201-221. */
-  val l6 = Q("l6_pca_cv", None)((s, d) => {
+  val l6 = Q("l6_pca_cv", Some(Q.fixtureOracle("l6_pca_cv", "label, component")))((s, d) => {
     import s.implicits._
     embGrouped(s, d).flatMapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
       val x = groupMatrix(it.toArray, 0 until 16)
@@ -81,7 +81,7 @@ object QKernels {
   /** CCA per label between dims [0,8) and [8,16) of the embedding:
     * canonical correlations + 5-fold CV correlation, ridge-escalation
     * fallback. Ref: Matlab_part/perform_session_cca.m:270-400. */
-  val l7 = Q("l7_cca_cv", None)((s, d) => {
+  val l7 = Q("l7_cca_cv", Some(Q.fixtureOracle("l7_cca_cv", "label, component")))((s, d) => {
     import s.implicits._
     embGrouped(s, d).flatMapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
       val rows = it.toArray
@@ -121,7 +121,8 @@ object QKernels {
     * Emits one row per coefficient with β/SE/t/p/CI + group-level
     * R²/adj-R²/AIC/BIC/deviance/dof.
     * Ref: Matlab_part/oxford_GLM_CCA_coefficients_extract.m:402-485. */
-  val l8 = Q("l8_glm_stats", None)((s, d) => {
+  val l8 = Q("l8_glm_stats",
+    Some(Q.fixtureOracle("l8_glm_stats", "\"group\", term")))((s, d) => {
     import s.implicits._
     val terms = Array("intercept", "l_quantity", "l_discount", "l_tax")
     Tables.lineitem(s, d)
@@ -157,7 +158,8 @@ object QKernels {
     * each removal fraction ρ drop the top-ρ% predictors by |β| and refit,
     * recording the R² drop (n_keep ≥ 2 guard like the reference).
     * Ref: Matlab_part/Oxford_glm_sensitivity.m:256-342. */
-  val l9 = Q("l9_sensitivity_sweep", None)((s, d) => {
+  val l9 = Q("l9_sensitivity_sweep",
+    Some(Q.fixtureOracle("l9_sensitivity_sweep", "label, rho_pct")))((s, d) => {
     import s.implicits._
     val rhos = Array(0, 25, 50, 75)
     embGrouped(s, d).flatMapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
@@ -184,26 +186,31 @@ object QKernels {
 
   // ----------------------------------------------------------------- L10
   /** Principal angles between the top-3 PCA subspaces of every label
-    * pair (i < j): min/max/mean angle in degrees.
+    * pair (i < j): min/max/mean angle in degrees. The per-label
+    * subspaces (16×3, tiny) are computed distributed, then paired via a
+    * broadcast θ-self-join and the angle kernel runs per joined row —
+    * nothing is collected to the driver, so the pattern survives a
+    * growing group key.
     * Ref: History/.../Pca_cca_comparison_framework.py:81-158. */
-  val l10 = Q("l10_principal_angles", None)((s, d) => {
+  val l10 = Q("l10_principal_angles",
+    Some(Q.fixtureOracle("l10_principal_angles", "label_a, label_b")))((s, d) => {
     import s.implicits._
-    // Subspaces are tiny (16×3 per label) → compute per label
-    // distributed, then the pairwise angle pass on the collected few.
     val subs = embGrouped(s, d).mapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
       val x = groupMatrix(it.toArray, 0 until 16)
       val w = LinAlg.pca(x, 3).coefficients
       (label, w.data.toSeq) // column-major 16×3
-    }.collect().sortBy(_._1)
-    val pairs = for {
-      a <- subs.indices; b <- subs.indices if subs(a)._1 < subs(b)._1
-    } yield {
-      val ma = new DenseMatrix(16, 3, subs(a)._2.toArray)
-      val mb = new DenseMatrix(16, 3, subs(b)._2.toArray)
-      val th = LinAlg.principalAngles(ma, mb).map(v => math.toDegrees(v))
-      (subs(a)._1, subs(b)._1, r6(th.min), r6(th.max), r6(th.sum / th.length))
-    }
-    s.createDataFrame(pairs).toDF("label_a", "label_b", "theta_min", "theta_max", "theta_mean")
+    }.toDF("label", "w")
+    val pairs = subs.select(col("label").as("label_a"), col("w").as("wa"))
+      .join(broadcast(subs.select(col("label").as("label_b"), col("w").as("wb"))),
+        col("label_a") < col("label_b"))
+      .as[(Int, Seq[Double], Int, Seq[Double])]
+      .map { case (la, wa, lb, wb) =>
+        val ma = new DenseMatrix(16, 3, wa.toArray)
+        val mb = new DenseMatrix(16, 3, wb.toArray)
+        val th = LinAlg.principalAngles(ma, mb).map(v => math.toDegrees(v))
+        (la, lb, r6(th.min), r6(th.max), r6(th.sum / th.length))
+      }
+    pairs.toDF("label_a", "label_b", "theta_min", "theta_max", "theta_mean")
       .orderBy("label_a", "label_b")
   })
 
@@ -214,7 +221,8 @@ object QKernels {
     * The weight tables come from the L6/L7 kernels; this stage is pure
     * Catalyst — joins + aggregation, duckdb-shaped.
     * Ref: History/.../Pca_cca_comparison_framework.py:160-265. */
-  val l11 = Q("l11_participation", None)((s, d) => {
+  val l11 = Q("l11_participation",
+    Some(Q.fixtureOracle("l11_participation", "label, cca_comp")))((s, d) => {
     val pw = pcaWeights(s, d).select(
       col("label"), col("component").as("pca_comp"), col("dim"), col("weight"))
       // PCA was fit on dims 0–15; the CCA A-side lives on dims 0–7 —

@@ -34,22 +34,33 @@ object QSim {
 
   // -------------------------------------------------------- MinHash LSH
   /** MinHash + LSH banding near-dup — operators.Dedup.minhashLsh
-    * (12 hashes, 6 bands of 2, Jaccard ≥ 0.5). */
+    * (12 affine-mix hashes off one md5, 6 bands of 2, Jaccard ≥ 0.5).
+    * The oracle parses the md5's first 8 hex chars positionally into the
+    * same 31-bit integer Spark gets from conv(·,16,10), then replays the
+    * identical (h·A+B) mod 2^31 mixes. */
   private val nHash = 12
   private val bandRows = 2
 
+  // (strpos hex parse) == conv(substring(sh,1,8),16,10): digit k of 8
+  // scales by 16^(8-k) = 2^(4(8-k)); all terms integer-exact BIGINTs.
+  private val h1Duck = "(" + (1 to 8).map(k =>
+    s"(strpos('0123456789abcdef', sh[$k]) - 1) * ${1L << (4 * (8 - k))}")
+    .mkString(" + ") + s") % ${graft.operators.Dedup.mixM}"
+
   val minhashLsh = Q("dedup_minhash_lsh", Some {
     val mhCols = (0 until nHash).map(i =>
-      s"min(md5('$i:' || sh)) AS mh$i").mkString(", ")
+      s"min((h1 * ${graft.operators.Dedup.mixA(i)} + ${graft.operators.Dedup.mixB(i)}) " +
+        s"% ${graft.operators.Dedup.mixM}) AS mh$i").mkString(", ")
     val bandSel = (0 until nHash / bandRows).map { b =>
-      val ks = (0 until bandRows).map(r => s"mh${b * bandRows + r}").mkString(" || ")
-      s"SELECT doc_id, $b AS band, md5($ks) AS bkey FROM sig"
+      val ks = (0 until bandRows).map(r => s"mh${b * bandRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $ks) AS bkey FROM sig"
     }.mkString(" UNION ALL ")
     s"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
     shs AS (SELECT doc_id, $shinglesSqlDuck AS s FROM w),
     ex AS (SELECT doc_id, unnest(s) AS sh FROM shs),
-    sig AS (SELECT doc_id, $mhCols FROM ex GROUP BY 1),
+    hx AS (SELECT doc_id, $h1Duck AS h1 FROM ex),
+    sig AS (SELECT doc_id, $mhCols FROM hx GROUP BY 1),
     bands AS ($bandSel),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.band = b.band AND a.doc_id < b.doc_id),
@@ -64,7 +75,7 @@ object QSim {
 
   // ------------------------------------------------------------ SimHash
   /** Weighted 32-bit SimHash — operators.Dedup.simhash (top-16-bit
-    * bucket, Hamming ≤ 2). */
+    * bucket with two-sided single-bit multi-probe, Hamming ≤ 2). */
   private def simhashDuck = {
     val bitSum = (0 until 32).map { b =>
       s"sum(CASE WHEN (strpos('0123456789abcdef', h[${b / 4 + 1}]) - 1) // ${Seq(8, 4, 2, 1)(b % 4)} % 2 = 1 THEN cnt ELSE -cnt END) AS b$b"
@@ -78,12 +89,16 @@ object QSim {
     sh AS (SELECT doc_id, $hashVal AS simhash FROM bits)"""
   }
 
+  private val probeListDuck = ("simhash // 65536" +:
+    (0 until 16).map(k => s"xor(simhash // 65536, ${1L << k})")).mkString(", ")
+
   val simhash = Q("dedup_simhash", Some(s"""
     ${simhashDuck},
-    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    pr AS (SELECT doc_id, simhash, unnest([$probeListDuck]) AS bucket FROM sh),
+    p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  bit_count(xor(a.simhash, b.simhash)) AS hamming
-          FROM sh a JOIN sh b
-            ON a.simhash // 65536 = b.simhash // 65536 AND a.doc_id < b.doc_id)
+          FROM pr a JOIN pr b
+            ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 2 ORDER BY 1, 2"""
   ))((s, d) =>
     Dedup.simhash(Tables.documentsP(s, d), "doc_id", "text", maxHamming = 2)

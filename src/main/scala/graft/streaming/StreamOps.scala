@@ -117,12 +117,15 @@ object StreamOps {
       session_end: Long, n_events: Long)
 
   /** Per-user sessionization (30-min inactivity gap) via
-    * `flatMapGroupsWithState`. On bounded replay every session closes at
-    * end-of-input, so all sessions are emitted and the result matches
-    * the relational islands oracle (lag → gap flag → cumulative id).
-    * In continuous operation the state would hold the open session and
-    * a ProcessingTimeTimeout would flush it; bounded replay exercises
-    * the same state machinery with a deterministic result. */
+    * `flatMapGroupsWithState`. Each batch emits a SNAPSHOT of every
+    * session it touched — closed sessions with their final extent, the
+    * open session with its extent so far. Snapshots for one
+    * (user, session_id) are monotone (start fixed, end/n grow), i.e. an
+    * append-mode change-log as a real pipeline would write to an upsert
+    * sink; the read-back compacts last-writer-wins (min start / max end /
+    * max n per key), so the result is identical whether the source
+    * delivers one batch or many (second file, maxFilesPerTrigger, live
+    * source) — no duplicate/overlapping session rows can survive. */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val gap = 1800L
@@ -150,12 +153,19 @@ object StreamOps {
               sid += 1; start = t; end = t; n = 1
             } else { end = t; n += 1 }
           }
-          // bounded replay: flush the open session too (deterministic final answer)
+          // emit the open session's snapshot too: the change-log row the
+          // sink compacts (and, on bounded replay, the final answer)
           if (start >= 0) sessions ::= Session(uid, sid, start, end, n)
           state.update(Array(start, end, n, sid))
           sessions.reverseIterator
       }
     runToMemory(spark, sessions.toDF(), "graft_stream_sess", OutputMode.Append())
+      // change-log compaction: snapshots per (user, session) are monotone,
+      // so last-writer-wins is exactly min/max/max
+      .groupBy("user_id", "session_id")
+      .agg(min("session_start").as("session_start"),
+        max("session_end").as("session_end"),
+        max("n_events").as("n_events"))
       .orderBy("user_id", "session_id")
   }
 }

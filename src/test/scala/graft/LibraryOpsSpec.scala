@@ -52,6 +52,34 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("Dedup.simhash multi-probe finds EVERY Hamming<=2 pair (vs brute force)") {
+    // Near-identical long docs: single-token edits usually move only a
+    // few signature bits, including across the top-16 bucket boundary —
+    // exactly the pairs the plain top-bits join missed. The guarantee
+    // under test: any pair within Hamming 2 differs in <= 2 bucket bits,
+    // and two-sided single-bit probing always joins such a pair.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = docs((0 until 12).map { i =>
+      val body = if (i == 0) base else base.replace(s"tok$i", s"alt$i")
+      (i.toLong, "g", body)
+    }: _*)
+    val sigs = Dedup.simhashSignatures(d, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 2
+    } yield (ia, ib, h.toLong)).toSet
+    assert(expected.nonEmpty, "test corpus produced no Hamming<=2 pair; make edits smaller")
+    // at least one expected pair must straddle a bucket boundary, else
+    // the multi-probe path isn't exercised
+    val sigMap = sigs.toMap
+    assert(expected.exists { case (a, b, _) => (sigMap(a) >> 16) != (sigMap(b) >> 16) },
+      "no cross-bucket pair in corpus; recall regression would be invisible")
+    val found = Dedup.simhash(d, "id", "body", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(found == expected)
+  }
+
   test("Similarity.cosine/bruteTopK work at a non-default dimension") {
     import spark.implicits._
     val vecs = Seq(
