@@ -171,4 +171,49 @@ object Dedup {
       (0 until 32).map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
   }
+
+  /** Embedding-cosine near-dup with IVF-cell blocking: a seeded coarse
+    * quantizer (same `hrand`-picked centroids as Similarity.ivfTopK)
+    * assigns every vector to its `nProbe` nearest of `nList` cells, and
+    * the pair join runs on (blockCols..., cell) equality — never an
+    * all-pairs join within a block key, so a popular block at 100 TB
+    * splits across cells instead of exploding O(n²). Multi-probe on
+    * BOTH sides: a pair is emitted when any probed cell is shared
+    * (≥ the single-cell recall of a query-side-only probe).
+    *
+    * Approximation contract: recall is complete only in the regime
+    * blocking is designed for — genuinely near-duplicate vectors
+    * (cos ≳ 0.8, proven in LibraryOpsSpec on planted near-dups). At low
+    * thresholds an exact dense similarity join has no sublinear method;
+    * on all three committed test scales the default parameters happen
+    * to find every τ=0.35 pair, but that is measured, not guaranteed.
+    * Output: (vec_a, vec_b, cos), distinct, cos rounded 6dp.
+    */
+  def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
+      blockCols: Seq[String], threshold: Double, nList: Int = 8,
+      nProbe: Int = 4, seed: Long = 1337L, dim: Int = 64): DataFrame = {
+    import graft.functions.Deterministic.hrand
+    val cent = vectors
+      .orderBy(hrand(col(idCol), seed), col(idCol))
+      .limit(nList)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+    val carried = col(idCol) +: blockCols.map(col) :+ col(vecCol)
+    val asg = vectors.select(carried: _*)
+      .crossJoin(broadcast(cent))
+      .withColumn("c", round(Similarity.cosine(vecCol, "cv", dim), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("c").desc, col("cent_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(carried :+ col("cent_id").as("cell"): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val joinCond = blockCols
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.cell") === col("b.cell") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))(_ && _)
+    asg.as("a").join(asg.as("b"), joinCond)
+      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
+        round(Similarity.cosine(s"a.$vecCol", s"b.$vecCol", dim), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
 }

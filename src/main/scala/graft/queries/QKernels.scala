@@ -44,6 +44,20 @@ object QKernels {
   private val r6 = (v: Double) =>
     if (v.isNaN || v.isInfinite) v else BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
 
+  /** Order-invariant double sum for the Catalyst stages (L11/L12):
+    * accumulate as DECIMAL(38,18) so the result does not depend on
+    * shuffle-fetch order — the committed golden fixtures must be
+    * bit-reproducible across runs and partitionings. */
+  private def stableSumHi(c: org.apache.spark.sql.Column) =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 18))).cast("double")
+
+  /** Scalar twin of functions.Deterministic.hrand — same LCG, same
+    * reduction — for seeded choices inside the per-group kernels. */
+  private def hrandLong(key: Long, seed: Long): Long = {
+    val k = ((key % 2147483648L) + 2147483648L) % 2147483648L
+    (((k * 1103515245L + seed * 12345L + 104729L) % 2147483648L) + 2147483648L) % 2147483648L
+  }
+
   // ------------------------------------------------------------------ L6
   /** PCA per label over the first 16 embedding dims: eigenvalues,
     * explained/cumulative variance + 5-fold CV reconstruction error.
@@ -156,8 +170,15 @@ object QKernels {
   // ------------------------------------------------------------------ L9
   /** GLM sensitivity sweep: per label, regress dim0 on dims 1–12; for
     * each removal fraction ρ drop the top-ρ% predictors by |β| and refit,
-    * recording the R² drop (n_keep ≥ 2 guard like the reference).
-    * Ref: Matlab_part/Oxford_glm_sensitivity.m:256-342. */
+    * recording the R² drop (n_keep ≥ 2 guard like the reference), plus
+    * the Monte-Carlo random-removal curve (10 seeded iterations of
+    * keeping a random n_keep subset — the reference's commented-out
+    * `var_explained_random`, driven here by the deterministic hrand LCG
+    * so the fixture is reproducible).
+    * Ref: Matlab_part/Oxford_glm_sensitivity.m:256-342 (MC: 305-312). */
+  private val mcIters = 10
+  private val mcSeed = 777L
+
   val l9 = Q("l9_sensitivity_sweep",
     Some(Q.fixtureOracle("l9_sensitivity_sweep", "label, rho_pct")))((s, d) => {
     import s.implicits._
@@ -173,14 +194,23 @@ object QKernels {
       rhos.iterator.map { rho =>
         val nDrop = math.round(12 * rho / 100.0).toInt
         val keep = order.drop(nDrop).sorted
-        if (keep.length < 2) (label, rho, keep.length, Double.NaN)
+        if (keep.length < 2) (label, rho, keep.length, Double.NaN, Double.NaN, Double.NaN)
         else {
           val xs = x(::, keep).toDenseMatrix
           val o = LinAlg.ols(xs, y)
-          (label, rho, keep.length, r6(math.max(o.r2, 0.0)))
+          // Monte-Carlo: keep a seeded-random subset of the same size
+          val mc = (0 until mcIters).map { t =>
+            val keepR = (0 until 12)
+              .sortBy(j => (hrandLong(label.toLong * 1000000L + rho * 10000L + t * 100L + j, mcSeed), j))
+              .take(keep.length).sorted
+            math.max(LinAlg.ols(x(::, keepR).toDenseMatrix, y).r2, 0.0)
+          }
+          val mcMean = mc.sum / mc.length
+          val mcSd = math.sqrt(mc.map(v => (v - mcMean) * (v - mcMean)).sum / (mc.length - 1))
+          (label, rho, keep.length, r6(math.max(o.r2, 0.0)), r6(mcMean), r6(mcSd))
         }
       }
-    }.toDF("label", "rho_pct", "n_kept", "r2")
+    }.toDF("label", "rho_pct", "n_kept", "r2", "r2_mc_mean", "r2_mc_std")
       .orderBy("label", "rho_pct")
   })
 
@@ -232,16 +262,54 @@ object QKernels {
       col("label"), col("component").as("cca_comp"), col("dim"), col("a_weight"))
     val alpha = cw.join(pw, Seq("label", "dim"))
       .groupBy("label", "cca_comp", "pca_comp")
-      .agg(pow(sum(col("a_weight") * col("weight")), 2).as("alpha_raw"))
+      .agg(pow(stableSumHi(col("a_weight") * col("weight")), 2).as("alpha_raw"))
     val norm = alpha.groupBy("label", "cca_comp")
-      .agg(sum("alpha_raw").as("alpha_total"))
+      .agg(stableSumHi(col("alpha_raw")).as("alpha_total"))
     alpha.join(norm, Seq("label", "cca_comp"))
       .withColumn("alpha", col("alpha_raw") / col("alpha_total"))
       .groupBy("label", "cca_comp")
-      .agg(round(expr("exp(-sum(CASE WHEN alpha > 0 THEN alpha * ln(alpha) ELSE 0 END))"), 6)
+      .agg(round(exp(-stableSumHi(
+        when(col("alpha") > 0, col("alpha") * log(col("alpha"))).otherwise(lit(0D)))), 6)
         .as("eff_dim"))
       .orderBy("label", "cca_comp")
   })
 
-  val all: Seq[Q] = Seq(l6, l7, l8, l9, l10, l11)
+  // ----------------------------------------------------------------- L12
+  /** Shared/private variance decomposition per label: total variance is
+    * the PCA eigenvalue mass Σλ; the shared part is what the CCA
+    * components capture of it, `shared = Σ_k r_k² · Σ_i (a_kᵀw_i)²·λ_i`
+    * (raw participation of CCA weight k in PCA direction i, weighted by
+    * that direction's variance); `private = total − shared`. Pure
+    * Catalyst over the L6/L7 weight tables — joins + order-invariant
+    * decimal sums, no new kernel.
+    * Ref: History/.../Pca_cca_comparison_framework.py:359-467
+    * (compute_variance_decomposition). */
+  val l12 = Q("l12_variance_decomposition",
+    Some(Q.fixtureOracle("l12_variance_decomposition", "label")))((s, d) => {
+    val pw = pcaWeights(s, d).select(col("label"), col("component").as("pca_comp"),
+      col("dim"), col("weight"), col("eigenvalue"))
+    val cw = ccaWeights(s, d).select(col("label"), col("component").as("cca_comp"),
+      col("dim"), col("a_weight"), col("r"))
+    // participation on the shared support (CCA A-side lives on dims 0–7)
+    val part = cw.join(pw.filter(col("dim") < 8), Seq("label", "dim"))
+      .groupBy("label", "cca_comp", "pca_comp")
+      .agg(pow(stableSumHi(col("a_weight") * col("weight")), 2).as("part_raw"),
+        max("eigenvalue").as("lambda"), max("r").as("r"))
+    val contrib = part.groupBy("label", "cca_comp")
+      .agg(stableSumHi(col("part_raw") * col("lambda")).as("var_contrib"),
+        max("r").as("r"))
+    val shared = contrib.groupBy("label")
+      .agg(stableSumHi(col("r") * col("r") * col("var_contrib")).as("shared_var"))
+    val total = pw.groupBy("label", "pca_comp").agg(max("eigenvalue").as("lambda"))
+      .groupBy("label").agg(stableSumHi(col("lambda")).as("total_var"))
+    total.join(shared, "label")
+      .select(col("label"),
+        round(col("total_var"), 6).as("total_var"),
+        round(col("shared_var"), 6).as("shared_var"),
+        round(col("total_var") - col("shared_var"), 6).as("private_var"),
+        round(col("shared_var") / col("total_var"), 6).as("shared_frac"))
+      .orderBy("label")
+  })
+
+  val all: Seq[Q] = Seq(l6, l7, l8, l9, l10, l11, l12)
 }

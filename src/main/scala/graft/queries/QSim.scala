@@ -128,10 +128,6 @@ object QSim {
   })
 
   // ---------------------------------------------- embedding near-dup
-  /** Embedding-cosine near-dup, label-blocked, cosine ≥ 0.35 —
-    * operators.Similarity.cosine over the blocked self-join. The
-    * oracle's dot products are unrolled in the same left-to-right order
-    * as the Spark chain so both engines' doubles are bit-identical. */
   private def duckDot(x: String, y: String) =
     "(0" + (1 to 64).map(i => s" + ($x[$i] * $y[$i])").mkString + ")"
 
@@ -141,19 +137,36 @@ object QSim {
 
   private val cosDuck = cosD("a.v", "b.v")
 
+  /** Embedding-cosine near-dup, (label, IVF-cell)-blocked, cosine ≥ 0.35
+    * — operators.Dedup.embeddingNearDup. The former within-label
+    * all-pairs join was the repo's one remaining quadratic scale-killer;
+    * the seeded 8-cell quantizer with 4-way multi-probe bounds the join
+    * fan-out and (measured) still finds every τ-pair at all three test
+    * scales. The oracle replays centroid pick, assignment ranks and the
+    * blocked join with the identical unrolled arithmetic, so the result
+    * is bit-exact across engines. */
+  private val dupNList = 8
+  private val dupNProbe = 4
+  private val dupSeed = 1337L
+
   val embedNearDup = Q("dedup_embedding_cosine", Some(s"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosDuck AS c
-          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= 0.35 ORDER BY 1, 2"""
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+             ORDER BY ${graft.functions.Deterministic.hrandSql("vec_id", dupSeed)}, vec_id
+             LIMIT $dupNList),
+    ac AS (SELECT e.vec_id, e.label, e.v, cent.cent_id, round(${cosD("e.v", "cent.cv")}, 6) AS c
+           FROM e CROSS JOIN cent),
+    ec AS (SELECT vec_id, label, v, cent_id AS cell FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn FROM ac)
+           WHERE rn <= $dupNProbe),
+    p AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cosDuck, 6) AS cos
+          FROM ec a JOIN ec b
+            ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35 ORDER BY 1, 2"""
   ))((s, d) => {
     val e = Tables.embeddingsP(s, d).select(col("vec_id"), col("label"), col("embedding").as("v"))
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Similarity.cosine("a.v", "b.v").as("c"))
-      .filter(col("c") >= 0.35)
-      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cos"))
+    Dedup.embeddingNearDup(e, "vec_id", "v", blockCols = Seq("label"),
+      threshold = 0.35, nList = dupNList, nProbe = dupNProbe, seed = dupSeed)
       .orderBy("vec_a", "vec_b")
   })
 

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Q
+
+/** Guard against the round-2 regression class: a fixture-gated oracle
+  * wired in code while the fixture parquet was never generated or
+  * committed — which only surfaced when the external driver ran. This
+  * fails `sbt test` the moment a `Q.fixtureOracle` name has no
+  * committed, non-empty `fixtures/<name>/` directory.
+  */
+class FixtureSpec extends AnyFunSuite {
+
+  private val fixturePat = """read_parquet\('([^']*/fixtures/[^/']+)/\*\.parquet'""".r
+
+  private def gated: Seq[(String, String)] =
+    Q.registry.flatMap(q =>
+      q.oracle.toSeq.flatMap(o => fixturePat.findAllMatchIn(o).map(m => q.name -> m.group(1))))
+
+  test("every fixture-gated oracle has a committed, non-empty fixture directory") {
+    val g = gated
+    assert(g.nonEmpty, "no fixture-gated queries found — oracle pattern drift?")
+    g.foreach { case (qn, dir) =>
+      val files = Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty,
+        s"query $qn reads fixture dir $dir which is missing or empty — " +
+          "regenerate from a verified run (tools/make_fixtures.py) and commit")
+    }
+  }
+
+  test("the fixture-gated set is exactly the declared kernel queries") {
+    val expected = Set("l6_pca_cv", "l7_cca_cv", "l8_glm_stats",
+      "l9_sensitivity_sweep", "l10_principal_angles", "l11_participation",
+      "l12_variance_decomposition", "l15_rastermap_order")
+    assert(gated.map(_._1).toSet == expected)
+  }
+
+  test("fixtures carry a stamp for every committed test scale") {
+    gated.foreach { case (qn, dir) =>
+      val stamps = Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+      // customer row counts of sf0.001 / sf0.01 / sf0.1
+      Seq("sf_150.parquet", "sf_1500.parquet", "sf_15000.parquet").foreach(s =>
+        assert(stamps.contains(s), s"$qn fixture lacks $s — run make_fixtures.py at that scale"))
+    }
+  }
+}

@@ -80,6 +80,41 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(found == expected)
   }
 
+  test("Dedup.embeddingNearDup (IVF-cell blocking) finds EVERY planted near-dup (vs brute force)") {
+    import spark.implicits._
+    val dim = 8
+    // deterministic LCG vectors — 30 bases over 2 block keys, plus a
+    // lightly-perturbed near-dup of every 5th (cos > 0.999)
+    def rng(seed: Long): Iterator[Double] = Iterator.iterate(seed * 2862933555777941757L + 3037000493L)(
+      s => s * 2862933555777941757L + 3037000493L)
+      .map(s => (s >>> 33).toDouble / (1L << 31).toDouble - 0.5)
+    val base = (0 until 30).map(i => (i.toLong, i % 2, rng(i + 1).take(dim).toArray))
+    val dups = base.filter(_._1 % 5 == 0).map { case (id, lb, v) =>
+      val noise = rng(id + 1000).take(dim).toArray
+      (id + 100, lb, v.zip(noise).map { case (a, b) => a + 0.001 * b })
+    }
+    val rows = (base ++ dups).map { case (id, lb, v) => (id, lb, v.map(_.toFloat)) }
+    val df = rows.toDF("vid", "lbl", "vec")
+    // brute force on the same float-rounded values the operator sees
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val tau = 0.9
+    val expected = (for {
+      (ia, la, va) <- rows; (ib, lb2, vb) <- rows
+      if ia < ib && la == lb2 && cos(va, vb) >= tau
+    } yield (ia, ib)).toSet
+    val planted = dups.map(d => (d._1 - 100, d._1)).toSet
+    assert(planted.subsetOf(expected), "every planted dup must be a brute-force tau-pair")
+    val found = Dedup.embeddingNearDup(df, "vid", "vec", blockCols = Seq("lbl"),
+      threshold = tau, nList = 4, nProbe = 2, seed = 7L, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == expected,
+      s"blocking missed ${expected -- found} / emitted spurious ${found -- expected}")
+  }
+
   test("Similarity.cosine/bruteTopK work at a non-default dimension") {
     import spark.implicits._
     val vecs = Seq(

@@ -1,0 +1,372 @@
+#!/usr/bin/env python3
+"""Independent cross-check of the dense linear-algebra kernel queries.
+
+The committed fixtures (tools/make_fixtures.py) are regression pins --
+copies of the engine's own Verify output. This tool is the independence
+leg: it recomputes every kernel query (l6-l12, l15) from the raw parquet
+in pure numpy (PCA/CCA/OLS/principal angles re-implemented from the
+textbook formulations, t-distribution via the incomplete-beta continued
+fraction) and compares against the Verify output within 2e-6 (outputs
+are 6-dp rounded; the two implementations agree to ~1e-9 before
+rounding, so only exact .5-boundary ties could exceed 1e-6).
+
+Usage: tools/check_kernels.py <sf_dir> <verify_out_dir>
+Exit 0 = all kernels match. Run once per scale BEFORE stamping fixtures.
+"""
+import sys, math, glob
+import numpy as np
+import duckdb
+
+TOL = 2e-6
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+
+
+def load(name):
+    f = glob.glob(f"{out_dir}/{name}/*.parquet")
+    assert f, f"no Verify output for {name}"
+    return con.execute(f"SELECT * FROM read_parquet('{f[0]}')").df()
+
+
+# ---------------------------------------------------------------- kernels
+def sign_fix(w):
+    """Entry with max |value| per column made positive (matches LinAlg)."""
+    flips = np.ones(w.shape[1])
+    for j in range(w.shape[1]):
+        i = np.argmax(np.abs(w[:, j]))
+        if w[i, j] < 0:
+            w[:, j] = -w[:, j]
+            flips[j] = -1.0
+    return flips
+
+
+def pca(x, k):
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / (x.shape[0] - 1)
+    ev, vec = np.linalg.eigh(cov)           # ascending
+    order = np.arange(len(ev))[::-1][:k]    # descending, top k
+    lam = np.maximum(ev[order], 0.0)
+    w = vec[:, order].copy()
+    sign_fix(w)
+    total = np.maximum(ev, 0.0).sum() or 1.0
+    expl = lam / total
+    return w, lam, expl, np.cumsum(expl)
+
+
+def pca_cv_err(x, k, folds):
+    n = x.shape[0]
+    errs = np.zeros(folds)
+    for f in range(folds):
+        lo, hi = f * n // folds, (f + 1) * n // folds
+        tr = np.r_[0:lo, hi:n]
+        te = np.r_[lo:hi]
+        if len(te) and len(tr) > 1:
+            mu = x[tr].mean(axis=0)
+            w, *_ = pca(x[tr], k)
+            xte = x[te] - mu
+            diff = xte - xte @ (w @ w.T)
+            errs[f] = (diff ** 2).sum() / diff.size
+    return errs
+
+
+def cca(x, y, k):
+    """Bjorck-Golub QR+SVD with the same ridge-escalation contract."""
+    n = x.shape[0]
+    xc = x - x.mean(axis=0)
+    yc = y - y.mean(axis=0)
+
+    def attempt(lam):
+        if lam == 0.0:
+            xa, ya = xc, yc
+        else:
+            rl = math.sqrt(lam)
+            px, py = xc.shape[1], yc.shape[1]
+            xa = np.vstack([xc, rl * np.eye(px), np.zeros((py, px))])
+            ya = np.vstack([yc, np.zeros((px, py)), rl * np.eye(py)])
+        qx, rx = np.linalg.qr(xa)
+        qy, ry = np.linalg.qr(ya)
+        dx, dy = np.abs(np.diag(rx)), np.abs(np.diag(ry))
+        if dx.min() <= dx.max() * xa.shape[0] * 2.2e-16:
+            return None
+        if dy.min() <= dy.max() * ya.shape[0] * 2.2e-16:
+            return None
+        u, s, vt = np.linalg.svd(qx.T @ qy)
+        kk = min(k, x.shape[1], y.shape[1])
+        scale = math.sqrt(n - 1)
+        a = np.linalg.solve(rx, u[:, :kk]) * scale
+        b = np.linalg.solve(ry, vt.T[:, :kk]) * scale
+        flips = sign_fix(a)
+        b *= flips
+        r = np.clip(s[:kk], 0.0, 1.0)
+        return a, b, r, lam
+
+    lam, out, tries = 0.0, attempt(0.0), 0
+    while out is None and tries < 5:
+        lam = 1e-6 if lam == 0.0 else lam * 10
+        out = attempt(lam)
+        tries += 1
+    assert out is not None, "CCA ridge escalation exhausted"
+    return out
+
+
+def pearson(a, b):
+    da, db = a - a.mean(), b - b.mean()
+    saa, sbb = (da ** 2).sum(), (db ** 2).sum()
+    return 0.0 if saa <= 0 or sbb <= 0 else (da * db).sum() / math.sqrt(saa * sbb)
+
+
+def cca_cv(x, y, k, folds):
+    n = x.shape[0]
+    res = np.zeros((folds, k))
+    for f in range(folds):
+        lo, hi = f * n // folds, (f + 1) * n // folds
+        te, tr = np.r_[lo:hi], np.r_[0:lo, hi:n]
+        if len(te) > 2 and len(tr) > max(x.shape[1], y.shape[1]) + 1:
+            a, b, r, _ = cca(x[tr], y[tr], k)
+            u, v = x[te] @ a, y[te] @ b
+            for c in range(min(k, len(r))):
+                res[f, c] = pearson(u[:, c], v[:, c])
+    return res
+
+
+def betacf(a, b, x):
+    """Continued fraction for the incomplete beta (Lentz; public-domain
+    textbook algorithm)."""
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c, d = 1.0, 1.0 - qab * x / qap
+    if abs(d) < 1e-30:
+        d = 1e-30
+    d = 1.0 / d
+    h = d
+    for m in range(1, 200):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < 1e-30: d = 1e-30
+        c = 1.0 + aa / c
+        if abs(c) < 1e-30: c = 1e-30
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < 1e-30: d = 1e-30
+        c = 1.0 + aa / c
+        if abs(c) < 1e-30: c = 1e-30
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 3e-16:
+            break
+    return h
+
+
+def betai(a, b, x):
+    if x <= 0.0: return 0.0
+    if x >= 1.0: return 1.0
+    ln_bt = (math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+             + a * math.log(x) + b * math.log(1.0 - x))
+    bt = math.exp(ln_bt)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * betacf(a, b, x) / a
+    return 1.0 - bt * betacf(b, a, 1.0 - x) / b
+
+
+def t_two_sided_p(t, dof):
+    if math.isnan(t): return float("nan")
+    return betai(dof / 2.0, 0.5, dof / (dof + t * t))
+
+
+def t_inv(prob, dof):
+    lo, hi = 0.0, 1e3
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if 1.0 - t_two_sided_p(mid, dof) / 2.0 < prob:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def ols(x, y):
+    n, p = x.shape[0], x.shape[1] + 1
+    xd = np.hstack([np.ones((n, 1)), x])
+    xtx_inv = np.linalg.inv(xd.T @ xd)
+    beta = xtx_inv @ (xd.T @ y)
+    resid = y - xd @ beta
+    rss = (resid ** 2).sum()
+    tss = ((y - y.mean()) ** 2).sum()
+    dof = n - p
+    sigma2 = rss / dof
+    se = np.sqrt(np.maximum(np.diag(xtx_inv), 0.0) * sigma2)
+    t = np.where(se > 0, beta / se, np.nan)
+    pv = np.array([t_two_sided_p(tv, dof) for tv in t])
+    tc = t_inv(0.975, dof)
+    r2 = 1.0 - rss / tss if tss > 0 else 0.0
+    adj = 1.0 - (1.0 - r2) * (n - 1) / dof
+    ll = -0.5 * n * (math.log(2 * math.pi * rss / n) + 1.0)
+    aic = -2 * ll + 2.0 * (p + 1)
+    bic = -2 * ll + math.log(n) * (p + 1)
+    return beta, se, t, pv, beta - tc * se, beta + tc * se, r2, adj, aic, bic, dof
+
+
+def principal_angles(a, b):
+    qa = np.linalg.qr(a)[0]
+    qb = np.linalg.qr(b)[0]
+    s = np.linalg.svd(qa.T @ qb, compute_uv=False)
+    return np.degrees(np.arccos(np.clip(s, -1.0, 1.0)))
+
+
+def hrand(key, seed):
+    k = ((key % 2147483648) + 2147483648) % 2147483648
+    return (((k * 1103515245 + seed * 12345 + 104729) % 2147483648)
+            + 2147483648) % 2147483648
+
+
+# ------------------------------------------------------------------ data
+emb = con.execute(
+    f"SELECT label, vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+    "ORDER BY label, vec_id").fetchall()
+groups = {}
+for label, vec_id, e in emb:
+    groups.setdefault(label, []).append(np.asarray(e, dtype=np.float32).astype(np.float64))
+groups = {lb: np.vstack(v) for lb, v in sorted(groups.items())}
+
+failures = []
+
+
+def check(name, expected_rows, got_df, cols):
+    """expected_rows: list of tuples keyed like got_df's leading columns."""
+    exp = np.array([[r[c] for c in cols] for r in expected_rows], dtype=np.float64)
+    got = got_df[cols].to_numpy(dtype=np.float64)
+    if exp.shape != got.shape:
+        failures.append(f"{name}: shape {got.shape} != expected {exp.shape}")
+        return
+    with np.errstate(invalid="ignore"):
+        both_nan = np.isnan(exp) & np.isnan(got)
+        diff = np.abs(exp - got)
+        diff[both_nan] = 0.0
+    mx = np.nanmax(diff) if diff.size else 0.0
+    status = "OK " if mx <= TOL else "FAIL"
+    print(f"[{status}] {name}: max|diff| = {mx:.3g} over {got.shape[0]} rows")
+    if mx > TOL:
+        failures.append(f"{name}: max diff {mx}")
+
+
+# ------------------------------------------------------------------ l6
+rows = []
+for lb, x in groups.items():
+    w, lam, expl, cum = pca(x[:, :16], 5)
+    cv = pca_cv_err(x[:, :16], 5, 5)
+    for c in range(5):
+        rows.append({"eigenvalue": lam[c], "explained": expl[c],
+                     "cumulative": cum[c], "cv_recon_err": cv.mean()})
+check("l6_pca_cv", rows, load("l6_pca_cv").sort_values(["label", "component"]),
+      ["eigenvalue", "explained", "cumulative", "cv_recon_err"])
+
+# ------------------------------------------------------------------ l7
+rows = []
+cca_cache = {}
+for lb, m in groups.items():
+    x, y = m[:, :8], m[:, 8:16]
+    a, b, r, lam = cca(x, y, 3)
+    cca_cache[lb] = (a, r)
+    cv = cca_cv(x, y, 3, 5)
+    for c in range(3):
+        rows.append({"r": r[c], "cv_r_mean": cv[:, c].mean(),
+                     "cv_r_std": cv[:, c].std(ddof=1), "ridge_lambda": lam})
+check("l7_cca_cv", rows, load("l7_cca_cv").sort_values(["label", "component"]),
+      ["r", "cv_r_mean", "cv_r_std", "ridge_lambda"])
+
+# ------------------------------------------------------------------ l8
+li = con.execute(
+    "SELECT l_returnflag, l_quantity::DOUBLE, l_discount::DOUBLE, l_tax::DOUBLE, "
+    f"l_extendedprice::DOUBLE FROM read_parquet('{sf_dir}/lineitem.parquet') "
+    "ORDER BY l_returnflag, l_orderkey, l_linenumber").fetchall()
+by_flag = {}
+for flag, q, disc, tax, ep in li:
+    by_flag.setdefault(flag, []).append((q, disc, tax, ep))
+rows = []
+for flag in sorted(by_flag):
+    arr = np.array(by_flag[flag])
+    beta, se, t, pv, lo, hi, r2, adj, aic, bic, dof = ols(arr[:, :3], arr[:, 3])
+    # output is ORDER BY group, term: intercept, l_discount, l_quantity, l_tax
+    for j in (0, 2, 1, 3):
+        rows.append({"beta": beta[j], "se": se[j], "t_stat": t[j], "p_value": pv[j],
+                     "ci_lo": lo[j], "ci_hi": hi[j], "r2": r2, "adj_r2": adj,
+                     "aic": aic, "bic": bic, "dof": dof})
+check("l8_glm_stats", rows, load("l8_glm_stats").sort_values(["group", "term"]),
+      ["beta", "se", "t_stat", "p_value", "ci_lo", "ci_hi", "r2", "adj_r2",
+       "aic", "bic", "dof"])
+
+# ------------------------------------------------------------------ l9
+rows = []
+for lb, m in groups.items():
+    y, x = m[:, 0], m[:, 1:13]
+    base = ols(x, y)[0]
+    order = sorted(range(12), key=lambda j: -abs(base[j + 1]))
+    for rho in (0, 25, 50, 75):
+        n_drop = int(round(12 * rho / 100.0))
+        keep = sorted(order[n_drop:])
+        r2 = max(ols(x[:, keep], y)[6], 0.0)
+        mc = []
+        for t_it in range(10):
+            key = lambda j: (hrand(lb * 1000000 + rho * 10000 + t_it * 100 + j, 777), j)
+            keep_r = sorted(sorted(range(12), key=key)[:len(keep)])
+            mc.append(max(ols(x[:, keep_r], y)[6], 0.0))
+        mc = np.array(mc)
+        rows.append({"n_kept": len(keep), "r2": r2, "r2_mc_mean": mc.mean(),
+                     "r2_mc_std": mc.std(ddof=1)})
+check("l9_sensitivity_sweep", rows,
+      load("l9_sensitivity_sweep").sort_values(["label", "rho_pct"]),
+      ["n_kept", "r2", "r2_mc_mean", "r2_mc_std"])
+
+# ------------------------------------------------------------------ l10
+subs = {lb: pca(x[:, :16], 3)[0] for lb, x in groups.items()}
+labels = sorted(subs)
+rows = []
+for i, la in enumerate(labels):
+    for lb in labels[i + 1:]:
+        th = principal_angles(subs[la], subs[lb])
+        rows.append({"theta_min": th.min(), "theta_max": th.max(),
+                     "theta_mean": th.mean()})
+check("l10_principal_angles", rows,
+      load("l10_principal_angles").sort_values(["label_a", "label_b"]),
+      ["theta_min", "theta_max", "theta_mean"])
+
+# ------------------------------------------------------------- l11 / l12
+rows11, rows12 = [], []
+for lb, m in groups.items():
+    w16, lam, _, _ = pca(m[:, :16], 5)
+    a, r = cca_cache[lb]
+    w = w16[:8, :]                      # shared support dims 0-7
+    shared = 0.0
+    for k in range(a.shape[1]):
+        part = np.array([(a[:, k] @ w[:, i]) ** 2 for i in range(5)])
+        alpha = part / part.sum()
+        ent = -np.sum(np.where(alpha > 0, alpha * np.log(alpha), 0.0))
+        rows11.append({"eff_dim": math.exp(ent)})
+        shared += r[k] ** 2 * (part * lam).sum()
+    total = lam.sum()
+    rows12.append({"total_var": total, "shared_var": shared,
+                   "private_var": total - shared, "shared_frac": shared / total})
+check("l11_participation", rows11,
+      load("l11_participation").sort_values(["label", "cca_comp"]), ["eff_dim"])
+check("l12_variance_decomposition", rows12,
+      load("l12_variance_decomposition").sort_values(["label"]),
+      ["total_var", "shared_var", "private_var", "shared_frac"])
+
+# ------------------------------------------------------------------ l15
+rows = []
+for lb, m in groups.items():
+    w, *_ = pca(m[:, :16], 1)
+    loadings = sorted(((j, w[j, 0]) for j in range(16)), key=lambda t: (-t[1], t[0]))
+    for rk, (j, wgt) in enumerate(loadings):
+        rows.append({"sort_rank": rk + 1, "dim": j, "pc1_weight": wgt})
+check("l15_rastermap_order", rows,
+      load("l15_rastermap_order").sort_values(["label", "sort_rank"]),
+      ["sort_rank", "dim", "pc1_weight"])
+
+if failures:
+    print("\nFAILED:\n  " + "\n  ".join(failures))
+    sys.exit(1)
+print("\nall kernel cross-checks passed")

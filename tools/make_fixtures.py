@@ -10,17 +10,24 @@ oracle (Q.fixtureOracle) globs all scales and selects WHERE scale_n =
 test scale.
 
 Usage: tools/make_fixtures.py <sf_dir> <verify_out_dir>
-Run once per scale after a verified Verify run.
+Run once per scale, ONLY from a Verify run whose SQL oracles all passed
+(the out dir must contain oracle_sql.json — proof it came from
+graft.Verify, not a hand-made directory). Fixtures are regression pins,
+never hand-edited; independent math cross-check: tools/check_kernels.py.
 """
 import sys, os, glob
 import duckdb
 
 KERNELS = [
     "l6_pca_cv", "l7_cca_cv", "l8_glm_stats", "l9_sensitivity_sweep",
-    "l10_principal_angles", "l11_participation", "l15_rastermap_order",
+    "l10_principal_angles", "l11_participation",
+    "l12_variance_decomposition", "l15_rastermap_order",
 ]
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+assert os.path.exists(os.path.join(out_dir, "oracle_sql.json")), (
+    f"{out_dir} lacks oracle_sql.json — fixtures may only be stamped from "
+    "a complete graft.Verify output directory")
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 con = duckdb.connect()
 n = con.execute(
