@@ -173,6 +173,10 @@ object QStats {
     val dd = pairsDf(s, d)
       .select(col("g"), (col("x") - col("y")).as("diff"), abs(col("x") - col("y")).as("ad"))
       .filter(col("diff") =!= 0)
+    // GLOBAL rank window: single-group demonstrator ONLY (one bounded
+    // test statistic). Never copy this shape onto a fact table — the
+    // scale form is t2_wilcoxon_aggregator (typed Aggregator, one
+    // hash-aggregate pass, partitioned by group).
     val rk = dd.select(col("g"), col("diff"),
       (rank().over(Window.orderBy("ad")) +
         (count(lit(1)).over(Window.partitionBy("ad")) - 1) / 2.0).as("r"))

@@ -43,12 +43,28 @@ object StreamOps {
 
   /** Run a bounded streaming query to a memory sink and return the final
     * table. Stops any prior run of the same name (re-entrant for the
-    * Verify/Bench drivers). */
+    * Verify/Bench drivers).
+    *
+    * State partitioning: every micro-batch commits one state-store delta
+    * file per partition per stateful operator, so the state width is a
+    * deployment knob separate from the batch shuffle width — on bounded
+    * replay (2–3 micro-batches, small state) the batch default of 32 is
+    * pure commit fan-out. The streaming stage runs at
+    * SPARK_GRAFT_STREAM_PARTITIONS (default 8); the session conf is
+    * restored afterwards, so downstream batch aggregation keeps the
+    * engine default. Results are partitioning-invariant (keyed state).
+    * StreamExecution clones the session at start(), making the scoped
+    * override race-free. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(key, prior)
     spark.table(name)
   }
 
