@@ -210,10 +210,18 @@ object Dedup {
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.cell") === col("b.cell") &&
         col(s"a.$idCol") < col(s"b.$idCol"))(_ && _)
+    // The pair cosine is evaluated once per SHARED probed cell (expected
+    // ~nProbe²/nList ≈ 2 evaluations/pair) and collapsed by distinct();
+    // deduping ids first would instead shuffle both 64-wide vectors per
+    // candidate to re-join them — more bytes moved than the duplicate
+    // codegen'd arithmetic costs. Threshold applies to the RAW cosine
+    // (rounding is display-only), matching the documented `cos >= τ`
+    // contract exactly.
     asg.as("a").join(asg.as("b"), joinCond)
       .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
-        round(Similarity.cosine(s"a.$vecCol", s"b.$vecCol", dim), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+        Similarity.cosine(s"a.$vecCol", s"b.$vecCol", dim).as("c"))
+      .filter(col("c") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cos"))
       .distinct()
   }
 }

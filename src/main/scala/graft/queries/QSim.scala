@@ -159,10 +159,10 @@ object QSim {
     ec AS (SELECT vec_id, label, v, cent_id AS cell FROM
              (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn FROM ac)
            WHERE rn <= $dupNProbe),
-    p AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cosDuck, 6) AS cos
+    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosDuck AS c
           FROM ec a JOIN ec b
             ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35 ORDER BY 1, 2"""
+    SELECT DISTINCT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= 0.35 ORDER BY 1, 2"""
   ))((s, d) => {
     val e = Tables.embeddingsP(s, d).select(col("vec_id"), col("label"), col("embedding").as("v"))
     Dedup.embeddingNearDup(e, "vec_id", "v", blockCols = Seq("label"),

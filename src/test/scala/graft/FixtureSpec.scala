@@ -11,17 +11,21 @@ import graft.queries.Q
   */
 class FixtureSpec extends AnyFunSuite {
 
-  private val fixturePat = """read_parquet\('([^']*/fixtures/[^/']+)/\*\.parquet'""".r
+  private val fixturePat = """read_parquet\('[^']*/fixtures/([^/']+)/\*\.parquet'""".r
 
-  private def gated: Seq[(String, String)] =
+  /** (query, fixture dir) pairs — resolved against THIS checkout
+    * (user.dir), not the absolute path baked into the oracle SQL, so the
+    * guard inspects the tree actually under test. */
+  private def gated: Seq[(String, java.io.File)] =
     Q.registry.flatMap(q =>
-      q.oracle.toSeq.flatMap(o => fixturePat.findAllMatchIn(o).map(m => q.name -> m.group(1))))
+      q.oracle.toSeq.flatMap(o => fixturePat.findAllMatchIn(o).map(m =>
+        q.name -> new java.io.File(sys.props("user.dir"), s"fixtures/${m.group(1)}"))))
 
   test("every fixture-gated oracle has a committed, non-empty fixture directory") {
     val g = gated
     assert(g.nonEmpty, "no fixture-gated queries found — oracle pattern drift?")
     g.foreach { case (qn, dir) =>
-      val files = Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+      val files = Option(dir.listFiles).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
       assert(files.nonEmpty,
         s"query $qn reads fixture dir $dir which is missing or empty — " +
@@ -38,7 +42,7 @@ class FixtureSpec extends AnyFunSuite {
 
   test("fixtures carry a stamp for every committed test scale") {
     gated.foreach { case (qn, dir) =>
-      val stamps = Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+      val stamps = Option(dir.listFiles).getOrElse(Array.empty)
         .map(_.getName).filter(_.endsWith(".parquet")).toSet
       // customer row counts of sf0.001 / sf0.01 / sf0.1
       Seq("sf_150.parquet", "sf_1500.parquet", "sf_15000.parquet").foreach(s =>

@@ -245,7 +245,9 @@ def check(name, expected_rows, got_df, cols):
         both_nan = np.isnan(exp) & np.isnan(got)
         diff = np.abs(exp - got)
         diff[both_nan] = 0.0
-    mx = np.nanmax(diff) if diff.size else 0.0
+    # np.max, NOT nanmax: a one-sided NaN (engine NaN vs finite numpy, or
+    # vice versa) must propagate and FAIL, not be skipped
+    mx = np.max(diff) if diff.size else 0.0
     status = "OK " if mx <= TOL else "FAIL"
     print(f"[{status}] {name}: max|diff| = {mx:.3g} over {got.shape[0]} rows")
     if mx > TOL:
