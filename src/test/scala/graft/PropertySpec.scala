@@ -52,4 +52,26 @@ class PropertySpec extends AnyFunSuite {
       assert(eq(W.finish(base), W.finish(merged)), s"case $caseSeed merge@$cut")
     }
   }
+
+  test("embeddingNearDup is invariant to input partitioning and row order") {
+    // The IVF centroid pick is a seeded hrand orderBy-limit and every
+    // downstream stage is keyed — nothing may depend on how (or in what
+    // order) the input arrives. 1-partition sorted vs 7-partition
+    // hash-scattered input must produce identical (pair, cos) sets.
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(31L)
+    val rows = (0 until 60).map { i =>
+      (i.toLong, i % 3, Array.fill(8)((rnd.nextDouble() - 0.5).toFloat))
+    }
+    val df = rows.toDF("vid", "lbl", "vec")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.embeddingNearDup(d, "vid", "vec", blockCols = Seq("lbl"),
+        threshold = 0.3, nList = 4, nProbe = 2, seed = 9L, dim = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = run(df.coalesce(1).orderBy("vid"))
+    val b = run(df.repartition(7, col("vec")))
+    assert(a == b)
+    assert(a.nonEmpty, "threshold too high for the seeded corpus — property vacuous")
+  }
 }
