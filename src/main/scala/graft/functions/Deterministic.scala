@@ -44,6 +44,17 @@ object Deterministic {
     sum(term.cast(org.apache.spark.sql.types.DecimalType(28, scale)))
       .cast("double")
 
+  /** High-precision guarded variant (18 fractional digits) for internal
+    * fixture-pinned stages: casting a double to DECIMAL nulls NaN/±Inf
+    * (and out-of-range values), and `sum` skips nulls — poison would
+    * silently become a plausible finite answer. The guard aggregate
+    * propagates NaN whenever any term is non-finite or ≥ 1e18. */
+  def stableSumGuarded(term: Column): Column = {
+    val bad = sum(when(isnan(term) || abs(term) >= lit(1e18), lit(1)).otherwise(lit(0)))
+    when(bad > 0, lit(Double.NaN))
+      .otherwise(sum(term.cast(org.apache.spark.sql.types.DecimalType(38, 18))).cast("double"))
+  }
+
   def stableSumSql(term: String, scale: Int = 6): String =
     s"CAST(SUM(CAST($term AS DECIMAL(28,$scale))) AS DOUBLE)"
 }

@@ -44,18 +44,12 @@ object QKernels {
   private val r6 = (v: Double) =>
     if (v.isNaN || v.isInfinite) v else BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
 
-  /** Order-invariant double sum for the Catalyst stages (L11/L12):
-    * accumulate as DECIMAL(38,18) so the result does not depend on
-    * shuffle-fetch order — the committed golden fixtures must be
-    * bit-reproducible across runs and partitionings. NaN/±Inf terms cast
-    * to null and would silently VANISH from a decimal sum, turning
-    * poison into a plausible finite answer; the guard aggregate
-    * propagates NaN instead (|x| ≥ 1e18 also exceeds DECIMAL(38,18)). */
-  private def stableSumHi(c: org.apache.spark.sql.Column) = {
-    val bad = sum(when(isnan(c) || abs(c) >= lit(1e18), lit(1)).otherwise(lit(0)))
-    when(bad > 0, lit(Double.NaN))
-      .otherwise(sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 18))).cast("double"))
-  }
+  /** Order-invariant guarded double sum for the Catalyst stages
+    * (L11/L12): decimal accumulation makes the committed golden fixtures
+    * bit-reproducible across runs/partitionings; the NaN guard keeps
+    * poison visible. See functions.Deterministic.stableSumGuarded. */
+  private def stableSumHi(c: org.apache.spark.sql.Column) =
+    graft.functions.Deterministic.stableSumGuarded(c)
 
   /** Scalar twin of functions.Deterministic.hrand — same LCG, same
     * reduction — for seeded choices inside the per-group kernels. */

@@ -114,4 +114,19 @@ class OperatorSpec extends AnyFunSuite {
     val b = total(13, desc = true)
     assert(a == b) // bit-exact, not approximately equal
   }
+
+  test("stableSumGuarded propagates NaN/Inf instead of dropping them") {
+    import spark.implicits._
+    def agg(vs: Seq[Double]): Double =
+      vs.toDF("v").repartition(3)
+        .agg(Deterministic.stableSumGuarded(col("v")).as("s"))
+        .as[Double].head()
+    // clean data: exact decimal sum
+    assert(agg(Seq(0.25, 0.5, 0.125)) == 0.875)
+    // poison: a decimal cast would null these and sum() would skip them —
+    // the guard must surface NaN, never a plausible finite total
+    assert(agg(Seq(1.0, Double.NaN, 2.0)).isNaN)
+    assert(agg(Seq(1.0, Double.PositiveInfinity)).isNaN)
+    assert(agg(Seq(1.0, 1e19)).isNaN) // exceeds DECIMAL(38,18) range
+  }
 }
