@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session factory with the engine's standard configuration.
   *
@@ -9,10 +11,29 @@ import org.apache.spark.sql.SparkSession
   * shuffles re-plan at runtime, and ANSI mode is off for Hive-style
   * null-on-error semantics (matches the DuckDB oracle's NULL handling
   * in the driver's correctness gate).
+  *
+  * The engine's native Catalyst expressions are injected through
+  * `SparkSessionExtensions` (the supported extension point), so
+  * `graft_cosine(...)` is available to SQL and `expr(...)` in every
+  * session built here.
   */
 object GraftSession {
   def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", cores)
+    b.withExtensions { ext =>
+        ext.injectFunction((
+          FunctionIdentifier("graft_cosine"),
+          new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName,
+            "graft_cosine"),
+          (children: Seq[Expression]) =>
+            graft.functions.CosineSimilarity(children(0), children(1))))
+        ext.injectFunction((
+          FunctionIdentifier("graft_lsh_bucket"),
+          new ExpressionInfo(classOf[graft.functions.LshBucket].getName,
+            "graft_lsh_bucket"),
+          (children: Seq[Expression]) =>
+            graft.functions.LshBucket(children(0), children(1))))
+      }
+      .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -21,14 +21,21 @@ object Similarity {
 
   /** Unrolled `dim`-term dot product expression string over two array
     * columns. Outer parentheses are load-bearing: without them a
-    * following `/ norm` binds to the last term only. */
+    * following `/ norm` binds to the last term only. (Kept as the
+    * reference formulation the native expression is tested against.) */
   def dotExpr(x: String, y: String, dim: Int = 64): String =
     "(0D" + (1 to dim).map(i =>
       s" + (CAST(element_at($x, $i) AS DOUBLE) * CAST(element_at($y, $i) AS DOUBLE))").mkString + ")"
 
-  /** Cosine similarity column between two array columns. */
+  /** Cosine similarity column between two array columns — the native
+    * codegen expression `graft_cosine` (functions.CosineSimilarity,
+    * injected via SparkSessionExtensions in GraftSession): bit-identical
+    * to the unrolled chain (same left-to-right fold, proven in
+    * LibraryOpsSpec) but compiled as a small loop, with the dimension
+    * read from the data. `dim` is retained for source compatibility and
+    * for [[dotExpr]]-based callers; the native expression ignores it. */
   def cosine(x: String, y: String, dim: Int = 64): Column =
-    expr(s"${dotExpr(x, y, dim)} / (sqrt(${dotExpr(x, x, dim)}) * sqrt(${dotExpr(y, y, dim)}))")
+    expr(s"graft_cosine($x, $y)")
 
   /** Brute-force cosine top-k: every query against every other vector,
     * ranked by (rounded cosine DESC, candidate id) so the cut is
@@ -51,18 +58,22 @@ object Similarity {
   def lshSign(j: Int, i: Int): Double =
     if ((((j * 64L + i) * 1103515245L + 104729L) / 131072L) % 2 == 0) 1.0 else -1.0
 
-  /** `bits`-bit random-hyperplane LSH bucket column over `vecCol` —
-    * unrolled ±-chains, one CASE per bit. */
-  def lshBucket(vecCol: String, bits: Int = 8, dim: Int = 64): Column = {
-    val bitExprs = (0 until bits).map { j =>
-      val proj = "0D" + (1 to dim).map { i =>
-        val op = if (lshSign(j, i) > 0) "+" else "-"
-        s" $op CAST(element_at($vecCol, $i) AS DOUBLE)"
-      }.mkString
-      s"(CASE WHEN ($proj) >= 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString(" + ")
-    expr(s"($bitExprs)")
-  }
+  /** The unrolled ±-chain formulation of one LSH projection — kept as
+    * the reference the native expression is bit-tested against. */
+  def lshProjExpr(vecCol: String, j: Int, dim: Int = 64): String =
+    "0D" + (1 to dim).map { i =>
+      val op = if (lshSign(j, i) > 0) "+" else "-"
+      s" $op CAST(element_at($vecCol, $i) AS DOUBLE)"
+    }.mkString
+
+  /** `bits`-bit random-hyperplane LSH bucket column over `vecCol` — the
+    * native codegen expression `graft_lsh_bucket` (functions.LshBucket,
+    * injected via SparkSessionExtensions): bit-identical to the unrolled
+    * ±-chains (same sequential fold; proven in LibraryOpsSpec) but
+    * compiled as a small loop. `dim` is read from the data; the
+    * parameter remains for source compatibility. */
+  def lshBucket(vecCol: String, bits: Int = 8, dim: Int = 64): Column =
+    expr(s"graft_lsh_bucket($vecCol, $bits)")
 
   /** IVF-style top-k: a seeded coarse quantizer (`nList` centroid
     * vectors picked by the deterministic hash — single assignment pass,

@@ -115,6 +115,50 @@ class LibraryOpsSpec extends AnyFunSuite {
       s"blocking missed ${expected -- found} / emitted spurious ${found -- expected}")
   }
 
+  test("native graft_cosine is BIT-identical to the unrolled chain (float and double arrays)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    val dim = 64
+    val fdf = (0 until 50).map(i => (i.toLong, Array.fill(dim)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("id", "v")
+    val ddf = (0 until 50).map(i => (i.toLong, Array.fill(dim)(rnd.nextDouble() - 0.5)))
+      .toDF("id", "v")
+    for (df <- Seq(fdf, ddf)) {
+      val pairs = df.as("a").crossJoin(df.as("b"))
+        .select(
+          expr("graft_cosine(a.v, b.v)").as("native"),
+          expr(s"${Similarity.dotExpr("a.v", "b.v", dim)} / " +
+            s"(sqrt(${Similarity.dotExpr("a.v", "a.v", dim)}) * " +
+            s"sqrt(${Similarity.dotExpr("b.v", "b.v", dim)}))").as("unrolled"))
+        .collect()
+      // bit-level equality, not tolerance: the oracle gate hashes doubles
+      assert(pairs.forall(r =>
+        java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+    }
+    // null element → null, like the unrolled chain's null propagation
+    val withNull = Seq((1L, Array[java.lang.Float](1.0f, null, 2.0f)),
+      (2L, Array[java.lang.Float](1.0f, 1.0f, 1.0f))).toDF("id", "v")
+    val r = withNull.as("a").join(withNull.as("b"), col("a.id") < col("b.id"))
+      .select(expr("graft_cosine(a.v, b.v)")).collect()
+    assert(r.length == 1 && r(0).isNullAt(0))
+  }
+
+  test("native graft_lsh_bucket is BIT-identical to the unrolled sign chains") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99L)
+    val df = (0 until 200).map(i => (i.toLong, Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("id", "v")
+    val bits = 8
+    val unrolled = (0 until bits).map(j =>
+      s"(CASE WHEN (${Similarity.lshProjExpr("v", j)}) >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    val rows = df.select(
+      expr(s"graft_lsh_bucket(v, $bits)").as("native"),
+      expr(s"($unrolled)").as("chain")).collect()
+    assert(rows.forall(r => r.getInt(0) == r.getInt(1)))
+  }
+
   test("Similarity.cosine/bruteTopK work at a non-default dimension") {
     import spark.implicits._
     val vecs = Seq(
