@@ -159,6 +159,32 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getInt(0) == r.getInt(1)))
   }
 
+  test("native expressions: interpreted eval is bit-identical to codegen") {
+    // Catalyst can fall back to the interpreted path (codegen failure,
+    // NO_CODEGEN factory mode); both paths must produce the same bits.
+    import spark.implicits._
+    val rnd = new scala.util.Random(123L)
+    val df = (0 until 40).map(i => (i.toLong, Array.fill(16)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("id", "v")
+    df.createOrReplaceGlobalTempView("native_vs_interp")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.wholeStage", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val sql = """SELECT a.id, b.id, graft_cosine(a.v, b.v) AS c,
+                        graft_lsh_bucket(a.v, 6) AS bk
+                 FROM global_temp.native_vs_interp a
+                 JOIN global_temp.native_vs_interp b ON a.id < b.id
+                 ORDER BY 1, 2"""
+    val gen = spark.sql(sql).collect()
+    val interp = s2.sql(sql).collect()
+    assert(gen.length == interp.length && gen.nonEmpty)
+    gen.zip(interp).foreach { case (g, i) =>
+      assert(java.lang.Double.doubleToRawLongBits(g.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(i.getDouble(2)))
+      assert(g.getInt(3) == i.getInt(3))
+    }
+  }
+
   test("Similarity.cosine/bruteTopK work at a non-default dimension") {
     import spark.implicits._
     val vecs = Seq(
