@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Q
+
+/** Mechanized plan audit (SCALE.md §Plan audit): nested-loop/cartesian
+  * joins may appear ONLY in the known, dimension-bounded plans — literal
+  * threshold fan-outs, seeded-centroid crosses, 1-row scalar bounds,
+  * label-count theta pairs, the brute-force ANN baseline. A new operator
+  * that accidentally plans a nested loop over data-sized inputs fails
+  * here instead of surfacing in a 100 TB run.
+  *
+  * Streaming queries are excluded: building them executes the stream;
+  * their (batch) post-sink plans are audited by the oracle gate instead.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+
+  test("nested-loop joins appear only in the eleven intentional dimension-bounded plans") {
+    val intentional = Set(
+      "a11_threshold_sweep",      // threshold-literal fan-out
+      "l14_stability_sweep",      // sizes×iters literal fan-out
+      "sim_ann_ivf",              // 16-row seeded centroid cross
+      "dedup_embedding_cosine",   // 8-row seeded centroid cross
+      "f3_boundary_filter",       // 1-row scalar-aggregate bound
+      "f_composite_validity",     // 1-row scalar-aggregate bound
+      "l5_matmul_projection",     // 1-row scalar-aggregate bound
+      "j6_self_theta_pairs",      // ≤ dimension-count pair generation
+      "w4_custom_order_sort",     // 5-row ordering-table cross
+      "l10_principal_angles",     // ≤ label-count subspace pairs
+      "sim_cosine_topk")          // brute-force baseline, 8 broadcast queries
+    val offenders = Q.registry
+      .filterNot(_.name.startsWith("stream_"))
+      .flatMap { q =>
+        val plan = q.build(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan.toString
+        if (plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+          Some(q.name)
+        else None
+      }.toSet
+    assert(offenders == intentional,
+      s"unexpected nested-loop plans: ${offenders -- intentional}; " +
+        s"no longer nested-loop (update the list): ${intentional -- offenders}")
+  }
+
+  test("filters and projections reach the parquet scans of the core filter queries") {
+    for (name <- Seq("f1_equality_filter", "j1_event_window_segment")) {
+      val plan = Q.registry.find(_.name == name).get
+        .build(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [Is") || plan.contains("PushedFilters: [Equal"),
+        s"$name scan lost its pushed filters:\n$plan")
+      assert(!plan.contains("ReadSchema: struct<>"), s"$name reads no columns?")
+    }
+  }
+}
