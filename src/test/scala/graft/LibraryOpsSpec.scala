@@ -199,6 +199,28 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq(2L, 3L) || top.toSeq == Seq(2L, 4L))
   }
 
+  test("SkewJoin.saltedInner equals the plain join on a 90%-hot-key table and spreads the salt") {
+    import spark.implicits._
+    import graft.operators.SkewJoin
+    val rnd = new scala.util.Random(55L)
+    // 90% of left rows share key 7 — the classic single-task hot key
+    val left = (0 until 2000).map(i =>
+      (if (rnd.nextDouble() < 0.9) 7L else rnd.nextInt(50).toLong, i.toLong))
+      .toDF("k", "payload")
+    val right = (0L until 50L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    val factor = 8
+    val got = SkewJoin.saltedInner(left, right, Seq("k"), factor)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val want = left.join(right, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(got == want)
+    // the hot key must actually spread: its rows carry >1 distinct salt
+    val salts = left.filter(col("k") === 7)
+      .withColumn("s", pmod(hash(left.columns.map(col): _*), lit(factor)))
+      .select(countDistinct("s")).as[Long].head()
+    assert(salts > factor / 2, s"hot key only spread over $salts/$factor salts")
+  }
+
   test("TextOps.languageId honors a custom marker set and tie-break order") {
     val d = docs((1L, "?", "xx yy xx"), (2L, "?", "zz zz zz"))
     val out = TextOps.languageId(d, "body",
