@@ -221,6 +221,21 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(salts > factor / 2, s"hot key only spread over $salts/$factor salts")
   }
 
+  test("dedup/similarity operators return empty (not crash) on empty input") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String, String)].toDF("id", "grp", "body")
+    val noVecs = Seq.empty[(Long, Int, Array[Float])].toDF("vid", "lbl", "vec")
+    assert(Dedup.exactSummary(noDocs, "grp", "id", "body").count() == 0)
+    assert(Dedup.minhashLsh(noDocs, "id", "body").count() == 0)
+    assert(Dedup.simhash(noDocs, "id", "body").count() == 0)
+    assert(Dedup.ngramJaccard(noDocs, "id", "body", blockCols = Seq("grp")).count() == 0)
+    assert(Dedup.embeddingNearDup(noVecs, "vid", "vec", Seq("lbl"),
+      threshold = 0.9, nList = 4, nProbe = 2, dim = 8).count() == 0)
+    assert(Similarity.bruteTopK(noVecs, noVecs, "vid", "vec", k = 3, dim = 8).count() == 0)
+    assert(Similarity.ivfTopK(noVecs, noVecs, "vid", "vec", k = 3,
+      nList = 4, nProbe = 2, dim = 8).count() == 0)
+  }
+
   test("TextOps.languageId honors a custom marker set and tie-break order") {
     val d = docs((1L, "?", "xx yy xx"), (2L, "?", "zz zz zz"))
     val out = TextOps.languageId(d, "body",
