@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Reusable corpus-deduplication operators (the LLM-training-data
   * extension set). DataFrame-in → DataFrame-out, schema-parameterized —
@@ -15,7 +14,8 @@ import org.apache.spark.storage.StorageLevel
   * all-pairs join; hashing runs as row-wise codegen'd expressions
   * (higher-order lambdas are interpreted in Spark, measured 7× slower);
   * tables consumed by both sides of a self-join are persisted because
-  * Catalyst does not CSE across join branches.
+  * Catalyst does not CSE across join branches — via [[CacheScope.persist]],
+  * so the consumer's scope unpersists them once its action completes.
   */
 object Dedup {
 
@@ -66,8 +66,8 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       nHash: Int = 12, bandRows: Int = 2, threshold: Double = 0.5,
       ngram: Int = 3): DataFrame = {
-    val ex = shingles(docs, textCol, Seq(idCol), ngram)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // scope-enrolled persist: unpersisted when the caller's CacheScope closes
+    val ex = CacheScope.persist(shingles(docs, textCol, Seq(idCol), ngram))
     // set-valued form for the Jaccard verify (only set sizes consumed)
     val shs = ex.groupBy(idCol).agg(collect_set(col("sh")).as("s"))
     // 31-bit integer from the first 8 hex chars of the shingle's md5
@@ -107,9 +107,8 @@ object Dedup {
     * `docs` must already carry `blockCols`. Output: (doc_a, doc_b, jaccard). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double = 0.8, ngram: Int = 3): DataFrame = {
-    val ex = shingles(docs, textCol, idCol +: blockCols, ngram)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(idCol)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = CacheScope.persist(shingles(docs, textCol, idCol +: blockCols, ngram)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(idCol))))
     val joinCond = (Seq("sh") ++ blockCols)
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
@@ -142,9 +141,8 @@ object Dedup {
     val sh = simhashSignatures(docs, idCol, textCol)
     val base = expr(s"simhash div ${1L << probeBits}")
     val probes = base +: (0 until probeBits).map(k => base.bitwiseXOR(lit(1L << k)))
-    val pr = sh.select(col(idCol), col("simhash"),
-        explode(array(probes: _*)).as("bucket"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pr = CacheScope.persist(sh.select(col(idCol), col("simhash"),
+      explode(array(probes: _*)).as("bucket")))
     pr.as("a").join(pr.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
@@ -205,7 +203,7 @@ object Dedup {
         Window.partitionBy(idCol).orderBy(col("c").desc, col("cent_id"))))
       .filter(col("rn") <= nProbe)
       .select(carried :+ col("cent_id").as("cell"): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val asgC = CacheScope.persist(asg)
     val joinCond = blockCols
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.cell") === col("b.cell") &&
@@ -217,7 +215,7 @@ object Dedup {
     // codegen'd arithmetic costs. Threshold applies to the RAW cosine
     // (rounding is display-only), matching the documented `cos >= τ`
     // contract exactly.
-    asg.as("a").join(asg.as("b"), joinCond)
+    asgC.as("a").join(asgC.as("b"), joinCond)
       .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
         Similarity.cosine(s"a.$vecCol", s"b.$vecCol", dim).as("c"))
       .filter(col("c") >= threshold)

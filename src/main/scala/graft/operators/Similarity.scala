@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Reusable similarity-search operators over a fixed-width embedding
   * column (`array<float>`/`array<double>`): brute-force cosine top-k
@@ -87,12 +86,12 @@ object Similarity {
       .orderBy(hrand(col(idCol), seed), col(idCol))
       .limit(nList)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
-    val asg = vectors.crossJoin(broadcast(cent))
+    // scope-enrolled persist: unpersisted when the caller's CacheScope closes
+    val asg = CacheScope.persist(vectors.crossJoin(broadcast(cent))
       .select(col(idCol), col("cent_id"),
         round(cosine(vecCol, "cv", dim), 6).as("c"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("c").desc, col("cent_id"))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        Window.partitionBy(idCol).orderBy(col("c").desc, col("cent_id")))))
     val a1 = asg.filter(col("rn") === 1)
       .select(col(idCol).as("cand_id"), col("cent_id"))
     val probes = asg.join(queries.select(col(idCol)), idCol)
