@@ -24,8 +24,13 @@ import org.apache.spark.sql.types._
   * doubles are strict IEEE-754 (JEP 306), leaving no platform drift.
   *
   * Null contract: null array → null; a null ELEMENT in either array →
-  * null (the unrolled chain's `null * x` propagation). Lengths may
-  * differ; the common prefix is used.
+  * null (the unrolled chain's `null * x` propagation); a zero-norm or
+  * empty input → null, reproducing the unrolled chain's non-ANSI
+  * `Divide`-by-zero → NULL (raw IEEE division would yield NaN, and
+  * Spark sorts NaN above every double, so a `cos >= τ` filter would
+  * emit spurious NaN "near-dup" pairs and diverge from the DuckDB
+  * oracle's NULL handling). Lengths may differ; the common prefix is
+  * used.
   *
   * Registered as SQL function `graft_cosine` via
   * `SparkSessionExtensions.injectFunction` (see GraftSession) — the
@@ -50,6 +55,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Null even for non-nullable inputs (null elements, zero norms) — and
+  // load-bearing for codegen: BinaryExpression's default would take the
+  // non-nullable nullSafeCodeGen branch, where the loop's `isNull = true`
+  // references an undeclared variable (janino failure → silent
+  // interpreted fallback).
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val xa = l.asInstanceOf[ArrayData]
     val ya = r.asInstanceOf[ArrayData]
@@ -65,7 +77,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; nx += x * x; ny += y * y
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null // covers n == 0; Divide-by-zero → NULL
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -86,7 +99,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
          |}
          |if (!${ev.isNull}) {
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  if ($nx == 0.0 || $ny == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
        """.stripMargin
     })

@@ -17,7 +17,12 @@ import org.apache.spark.sql.types._
   * Same contract as [[CosineSimilarity]]: sequential left-to-right
   * accumulation per projection — `x + (−v)` is bit-identical to
   * `x − v` in IEEE-754, so the loop equals the old ±-chain bit for
-  * bit (proven in LibraryOpsSpec); a null element nulls the result;
+  * bit (proven in LibraryOpsSpec); a null element or an EMPTY array
+  * nulls the result (an empty array would otherwise project 0.0 on
+  * every hyperplane and collapse all degenerate vectors into the
+  * all-ones bucket — the old NULL-propagating CASE chain sent them to
+  * no bucket at all); arrays shorter than 64 hash over their actual
+  * length (the old chain was fixed at dim=64 and nulled short arrays);
   * ~30 lines of generated code instead of a bits×dim-term tree.
   *
   * Registered as SQL function `graft_lsh_bucket(v, bits)` via
@@ -56,6 +61,7 @@ case class LshBucket(left: Expression, right: Expression)
     if (arr == null) return null
     val xa = arr.asInstanceOf[ArrayData]
     val n = xa.numElements()
+    if (n == 0) return null // degenerate vector: no meaningful bucket
     var bucket = 0
     var j = 0
     while (j < bits) {
@@ -87,6 +93,7 @@ case class LshBucket(left: Expression, right: Expression)
          |int ${ev.value} = 0;
          |if (!${ev.isNull}) {
          |  int $n = $xa.numElements();
+         |  if ($n == 0) { ${ev.isNull} = true; }
          |  int $bucket = 0;
          |  for (int $j = 0; $j < $bits && !${ev.isNull}; $j++) {
          |    double $proj = 0.0;

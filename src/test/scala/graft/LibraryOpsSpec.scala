@@ -159,6 +159,38 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getInt(0) == r.getInt(1)))
   }
 
+  test("degenerate vectors: zero-norm/empty → NULL, like the old non-ANSI Divide") {
+    // The unrolled chain divided via Spark's non-ANSI Divide (÷0 → NULL);
+    // raw IEEE division would yield NaN, which Spark sorts ABOVE every
+    // double, so a `cos >= τ` filter would emit spurious "near-dup" pairs.
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f)), // zero norm
+      (2L, Array(1.0f, 2.0f, 2.0f)),
+      (3L, Array.empty[Float])       // empty
+    ).toDF("id", "v")
+    df.createOrReplaceGlobalTempView("degenerate_vecs")
+    val s2 = spark.newSession() // interpreted twin
+    s2.conf.set("spark.sql.codegen.wholeStage", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val sql = """SELECT a.id, graft_cosine(a.v, b.v) AS c, graft_lsh_bucket(a.v, 6) AS bk
+                 FROM global_temp.degenerate_vecs a
+                 JOIN global_temp.degenerate_vecs b ON b.id = 2
+                 ORDER BY a.id"""
+    for (s <- Seq(spark, s2)) {
+      val rows = s.sql(sql).collect()
+      assert(rows.length == 3)
+      assert(rows(0).isNullAt(1), "zero-norm cosine must be NULL, not NaN")
+      assert(!rows(0).isNullAt(2), "zero vector still projects to a bucket")
+      assert(!rows(1).isNullAt(1) && !rows(1).isNullAt(2))
+      assert(rows(2).isNullAt(1), "empty-array cosine must be NULL")
+      assert(rows(2).isNullAt(2), "empty-array bucket must be NULL, not all-ones")
+      // and a τ-filter must NOT pass the degenerate pairs
+      assert(s.sql(sql.replace("ORDER BY a.id", "")).where("c >= 0.5")
+        .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    }
+  }
+
   test("native expressions: interpreted eval is bit-identical to codegen") {
     // Catalyst can fall back to the interpreted path (codegen failure,
     // NO_CODEGEN factory mode); both paths must produce the same bits.
