@@ -13,7 +13,7 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the signature interval-join segmentation (J1) rolled up PSTH-style. */
   def entry(spark: SparkSession): DataFrame =
-    queries("j1_event_window_segment")(spark, "/root/testdata/sf0.001")
+    queries("j1_event_window_segment")(spark, s"${Q.testdataRoot}/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -33,7 +33,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val offenders = Q.registry
       .filterNot(_.name.startsWith("stream_"))
       .flatMap { q =>
-        val plan = q.build(spark, "/root/testdata/sf0.001")
+        val plan = q.build(spark, s"${Q.testdataRoot}/sf0.001")
           .queryExecution.executedPlan.toString
         if (plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
           Some(q.name)
@@ -47,7 +47,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("filters and projections reach the parquet scans of the core filter queries") {
     for (name <- Seq("f1_equality_filter", "j1_event_window_segment")) {
       val plan = Q.registry.find(_.name == name).get
-        .build(spark, "/root/testdata/sf0.001")
+        .build(spark, s"${Q.testdataRoot}/sf0.001")
         .queryExecution.executedPlan.toString
       assert(plan.contains("PushedFilters: [Is") || plan.contains("PushedFilters: [Equal"),
         s"$name scan lost its pushed filters:\n$plan")
