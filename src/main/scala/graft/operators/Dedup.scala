@@ -127,20 +127,23 @@ object Dedup {
     * share a MULTI-PROBED bucket of the signature's top 16 bits and
     * pass `hamming ≤ maxHamming`.
     *
-    * Multi-probe: every doc emits its bucket plus the 16 single-bit
-    * flips of it. If two signatures differ in bits {i, j} of the bucket,
+    * Multi-probe: every doc emits its bucket plus ALL single-bit flips
+    * of it. If two signatures differ in bits {i, j} of the bucket,
     * flip_i(a) == flip_j(b), so two-sided single-bit probing finds every
     * pair within Hamming 2 of the bucket — the recall hole of the plain
     * top-bits join (a near-dup pair whose 2 differing bits both landed
-    * in the bucket was invisible). Probe fan-out is 17× on the join
-    * input, the standard multi-probe trade for not raising bucket count;
-    * both `probeBits` and the fan-out are constants, not data-dependent.
-    * Output: (doc_a, doc_b, hamming). */
+    * in the bucket was invisible) — and stays complete at ANY bucket
+    * width. The bucket width is data-driven per [[autoBucketBits]]:
+    * `probeBits` is the floor, and a growing corpus widens the bucket
+    * (halving expected bucket population per extra bit) at a probe
+    * fan-out of only bucketBits+1. Output: (doc_a, doc_b, hamming). */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 2, probeBits: Int = 16): DataFrame = {
+      maxHamming: Int = 2, probeBits: Int = 16,
+      targetBucketSize: Int = 256): DataFrame = {
+    val bucketBits = autoBucketBits(docs.count(), probeBits, targetBucketSize)
     val sh = simhashSignatures(docs, idCol, textCol)
-    val base = expr(s"simhash div ${1L << probeBits}")
-    val probes = base +: (0 until probeBits).map(k => base.bitwiseXOR(lit(1L << k)))
+    val base = expr(s"simhash div ${1L << (32 - bucketBits)}")
+    val probes = base +: (0 until bucketBits).map(k => base.bitwiseXOR(lit(1L << k)))
     val pr = CacheScope.persist(sh.select(col(idCol), col("simhash"),
       explode(array(probes: _*)).as("bucket")))
     pr.as("a").join(pr.as("b"),
@@ -149,6 +152,20 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair can meet in several probed buckets
+  }
+
+  /** Bucket width for [[simhash]] (SCALE.md §ANN): enough of the
+    * signature's top bits that the EXPECTED BUCKET POPULATION stays
+    * near `targetBucketSize` — `log2(n / targetBucketSize)` bits —
+    * with the caller's `probeBits` as the floor and 28 as the cap
+    * (the 32-bit signature needs ≥ a few residual bits to make the
+    * in-bucket hamming verify meaningful). Single-bit multi-probe is
+    * Hamming-2-complete at any width, so widening costs only linear
+    * probe fan-out (bucketBits+1), never recall. */
+  def autoBucketBits(n: Long, floor: Int, targetBucketSize: Int = 256): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt
+    math.min(28, math.max(floor, needed))
   }
 
   /** The signature stage of [[simhash]] alone: (idCol, simhash). Public
@@ -171,8 +188,9 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup with IVF-cell blocking: a seeded coarse
-    * quantizer (same `hrand`-picked centroids as Similarity.ivfTopK)
-    * assigns every vector to its `nProbe` nearest of `nList` cells, and
+    * quantizer (same `hrand`-picked centroids as Similarity.ivfTopK;
+    * cell count data-driven with `nList` as floor, Similarity.autoNList)
+    * assigns every vector to its `nProbe` nearest cells, and
     * the pair join runs on (blockCols..., cell) equality — never an
     * all-pairs join within a block key, so a popular block at 100 TB
     * splits across cells instead of exploding O(n²). Multi-probe on
@@ -189,11 +207,16 @@ object Dedup {
     */
   def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
       blockCols: Seq[String], threshold: Double, nList: Int = 8,
-      nProbe: Int = 4, seed: Long = 1337L, dim: Int = 64): DataFrame = {
+      nProbe: Int = 4, seed: Long = 1337L, dim: Int = 64,
+      targetCellSize: Int = 256): DataFrame = {
     import graft.functions.Deterministic.hrand
+    // Data-driven cell count (Similarity.autoNList √ rule): `nList` is
+    // the floor, so a growing corpus splits into more cells instead of
+    // letting within-cell candidate volume go O(n²/constant).
+    val nCells = Similarity.autoNList(vectors.count(), nList, targetCellSize)
     val cent = vectors
       .orderBy(hrand(col(idCol), seed), col(idCol))
-      .limit(nList)
+      .limit(nCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
     val carried = col(idCol) +: blockCols.map(col) :+ col(vecCol)
     val asg = vectors.select(carried: _*)

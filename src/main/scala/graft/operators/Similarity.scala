@@ -74,17 +74,35 @@ object Similarity {
   def lshBucket(vecCol: String, bits: Int = 8, dim: Int = 64): Column =
     expr(s"graft_lsh_bucket($vecCol, $bits)")
 
-  /** IVF-style top-k: a seeded coarse quantizer (`nList` centroid
-    * vectors picked by the deterministic hash — single assignment pass,
-    * no Lloyd iterations), inverted lists by nearest centroid, queries
-    * probe their `nProbe` nearest cells. Output: (query_id, rk, cand_id, cos). */
+  /** √-rule coarse-quantizer sizing (SCALE.md §ANN): hold the EXPECTED
+    * CELL SIZE near `targetCellSize` as the corpus grows instead of
+    * letting a constant cell count make within-cell candidate volume
+    * O(n²/nList). `ceil(sqrt(n / targetCellSize))` cells gives cell
+    * size ~`sqrt(n · targetCellSize)` — the standard IVF √n compromise
+    * between within-cell cost and probe-miss recall loss — while the
+    * centroid table stays tiny (10⁹ vectors, target 256 → 1 977 cells,
+    * still trivially broadcastable). `floor` is the caller's `nList`:
+    * sizing only ever grows the constant the operator was tuned with. */
+  def autoNList(n: Long, floor: Int, targetCellSize: Int = 256): Int =
+    math.max(floor, math.ceil(math.sqrt(n.toDouble / targetCellSize)).toInt)
+
+  /** IVF-style top-k: a seeded coarse quantizer (centroid vectors
+    * picked by the deterministic hash — single assignment pass, no
+    * Lloyd iterations), inverted lists by nearest centroid, queries
+    * probe their `nProbe` nearest cells. The cell count is data-driven:
+    * `max(nList, ceil(sqrt(n / targetCellSize)))` per [[autoNList]], so
+    * `nList` acts as the floor and the quantizer keeps cell sizes
+    * bounded as the corpus grows (the count() it costs is one cheap
+    * metadata-level job — quantizer sizing needs a corpus statistic,
+    * same as any ANALYZE). Output: (query_id, rk, cand_id, cos). */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 3, nList: Int = 16, nProbe: Int = 2,
-      seed: Long = 2024L, dim: Int = 64): DataFrame = {
+      seed: Long = 2024L, dim: Int = 64, targetCellSize: Int = 256): DataFrame = {
     import graft.functions.Deterministic.hrand
+    val nCells = autoNList(vectors.count(), nList, targetCellSize)
     val cent = vectors
       .orderBy(hrand(col(idCol), seed), col(idCol))
-      .limit(nList)
+      .limit(nCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
     // scope-enrolled persist: unpersisted when the caller's CacheScope closes
     val asg = CacheScope.persist(vectors.crossJoin(broadcast(cent))

@@ -115,6 +115,57 @@ class LibraryOpsSpec extends AnyFunSuite {
       s"blocking missed ${expected -- found} / emitted spurious ${found -- expected}")
   }
 
+  test("auto quantizer sizing: a 10x corpus picks more cells, recall preserved") {
+    import spark.implicits._
+    // The sizing rules are monotone and only ever GROW the caller's
+    // floor — bench-scale corpora keep the tuned constants bit-for-bit.
+    assert(Similarity.autoNList(2000, 8) == 8)            // bench scale: floor wins
+    assert(Similarity.autoNList(1L << 20, 8) == 64)       // 1M vectors, target 256
+    assert(Similarity.autoNList(1L << 30, 8) == 2048)     // 1G vectors: still broadcastable
+    assert(Dedup.autoBucketBits(5000, 16) == 16)          // bench scale: floor wins
+    assert(Dedup.autoBucketBits(1L << 26, 16) == 18)      // 67M docs, target 256
+    assert(Dedup.autoBucketBits(Long.MaxValue, 16) == 28) // capped at 28 of 32 bits
+    // End-to-end: same planted-near-dup harness as above, at 1x and 10x.
+    val dim = 8
+    def rng(seed: Long): Iterator[Double] = Iterator.iterate(seed * 2862933555777941757L + 3037000493L)(
+      s => s * 2862933555777941757L + 3037000493L)
+      .map(s => (s >>> 33).toDouble / (1L << 31).toDouble - 0.5)
+    def corpus(nBase: Int): Seq[(Long, Int, Array[Float])] = {
+      val base = (0 until nBase).map(i => (i.toLong, i % 2, rng(i + 1).take(dim).toArray))
+      val dups = base.filter(_._1 % 5 == 0).map { case (id, lb, v) =>
+        val noise = rng(id + 10000).take(dim).toArray
+        (id + 10000L, lb, v.zip(noise).map { case (a, b) => a + 0.001 * b })
+      }
+      (base ++ dups).map { case (id, lb, v) => (id, lb, v.map(_.toFloat)) }
+    }
+    val small = corpus(30)
+    val big = corpus(300)
+    val (floor, target) = (2, 8)
+    val cellsSmall = Similarity.autoNList(small.size, floor, target)
+    val cellsBig = Similarity.autoNList(big.size, floor, target)
+    assert(cellsSmall < cellsBig, s"10x corpus must pick more cells ($cellsSmall vs $cellsBig)")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val tau = 0.97
+    for (rows <- Seq(small, big)) {
+      val expected = (for {
+        (ia, la, va) <- rows; (ib, lb2, vb) <- rows
+        if ia < ib && la == lb2 && cos(va, vb) >= tau
+      } yield (ia, ib)).toSet
+      val planted = rows.collect { case (id, _, _) if id >= 10000L => (id - 10000L, id) }.toSet
+      assert(planted.subsetOf(expected))
+      val found = Dedup.embeddingNearDup(rows.toDF("vid", "lbl", "vec"), "vid", "vec",
+        blockCols = Seq("lbl"), threshold = tau, nList = floor, nProbe = 3,
+        seed = 7L, dim = dim, targetCellSize = target)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found == expected,
+        s"n=${rows.size}: missed ${expected -- found} / spurious ${found -- expected}")
+    }
+  }
+
   test("native graft_cosine is BIT-identical to the unrolled chain (float and double arrays)") {
     import spark.implicits._
     val rnd = new scala.util.Random(77L)
