@@ -55,4 +55,20 @@ object Tables {
   /** `documents` / `embeddings` for compute-heavy operators. */
   def documentsP(s: SparkSession, d: String): DataFrame = parallel(documents(s, d))
   def embeddingsP(s: SparkSession, d: String): DataFrame = parallel(embeddings(s, d))
+
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Session-cached table row count — the corpus statistic the
+    * data-driven quantizer sizing needs (Dedup.autoBucketBits,
+    * Similarity.autoNList). Counted on the RAW parquet scan, never on a
+    * derived/repartitioned frame: a bare `count()` over a parquet source
+    * is a metadata-level job (zero columns read, no shuffle — the ANALYZE
+    * shape), where the same count after [[parallel]] would full-shuffle
+    * the corpus just to learn a number the footers already hold. Cached
+    * per (sfDir, table) for the JVM lifetime, so repeated operator calls
+    * in one session pay for it once. */
+  def rowCount(s: SparkSession, sfDir: String, name: String): Long =
+    rowCountCache.computeIfAbsent(s"$sfDir/$name.parquet",
+      p => Long.box(s.read.parquet(p).count()))
 }

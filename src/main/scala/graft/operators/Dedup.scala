@@ -139,8 +139,11 @@ object Dedup {
     * fan-out of only bucketBits+1. Output: (doc_a, doc_b, hamming). */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 2, probeBits: Int = 16,
-      targetBucketSize: Int = 256): DataFrame = {
-    val bucketBits = autoBucketBits(docs.count(), probeBits, targetBucketSize)
+      targetBucketSize: Int = 256, numDocs: Option[Long] = None): DataFrame = {
+    // Corpus size for the bucket-width rule: pass it via `numDocs`
+    // (Tables.rowCount — session-cached, metadata-level); the
+    // `docs.count()` fallback replays whatever lineage `docs` carries.
+    val bucketBits = autoBucketBits(numDocs.getOrElse(docs.count()), probeBits, targetBucketSize)
     val sh = simhashSignatures(docs, idCol, textCol)
     val base = expr(s"simhash div ${1L << (32 - bucketBits)}")
     val probes = base +: (0 until bucketBits).map(k => base.bitwiseXOR(lit(1L << k)))
@@ -172,14 +175,20 @@ object Dedup {
     * so recall tests can brute-force all-pairs hamming on the exact
     * signatures the bucketed operator sees. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tc = docs
+    // ONE shuffle, not two: the weighted bit-sum over DISTINCT tokens
+    // (±count per token, the textbook formulation the DuckDB oracle
+    // replays) equals the unweighted ±1 sum over raw token OCCURRENCES
+    // — integer-exact — so the per-(doc, token) count aggregate the
+    // first version ran is a redundant full shuffle wave. Bit b of the
+    // md5's big-endian leading 32 bits (digit b/4, weight 8>>(b%4)) is
+    // exactly `(v >> (31-b)) & 1` — one integer parse + shifts per
+    // occurrence instead of a 32×(locate+substring) string battery.
+    val th = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
-      .groupBy(idCol, "t").agg(count(lit(1)).as("cnt"))
-    val th = tc.withColumn("h", substring(md5(encode(col("t"), "UTF-8")), 1, 8))
+      .withColumn("v",
+        expr("conv(substring(md5(encode(t, 'UTF-8')), 1, 8), 16, 10)").cast("long"))
     val bitSums = (0 until 32).map { b =>
-      val bit = expr(
-        s"(((locate(substring(h, ${b / 4 + 1}, 1), '0123456789abcdef') - 1) div ${Seq(8, 4, 2, 1)(b % 4)}) % 2)")
-      sum(when(bit === 1, col("cnt")).otherwise(-col("cnt"))).as(s"b$b")
+      sum(expr(s"CASE WHEN (v >> ${31 - b}) & 1 = 1 THEN 1 ELSE -1 END")).as(s"b$b")
     }
     val bits = th.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
     bits.select(col(idCol),
@@ -208,24 +217,28 @@ object Dedup {
   def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
       blockCols: Seq[String], threshold: Double, nList: Int = 8,
       nProbe: Int = 4, seed: Long = 1337L, dim: Int = 64,
-      targetCellSize: Int = 256): DataFrame = {
+      targetCellSize: Int = 256, numVectors: Option[Long] = None): DataFrame = {
     import graft.functions.Deterministic.hrand
     // Data-driven cell count (Similarity.autoNList √ rule): `nList` is
     // the floor, so a growing corpus splits into more cells instead of
-    // letting within-cell candidate volume go O(n²/constant).
-    val nCells = Similarity.autoNList(vectors.count(), nList, targetCellSize)
+    // letting within-cell candidate volume go O(n²/constant). Corpus
+    // size comes in as `numVectors` (session-cached metadata statistic);
+    // the count() fallback replays the input's lineage.
+    val nCells = Similarity.autoNList(numVectors.getOrElse(vectors.count()), nList, targetCellSize)
     val cent = vectors
       .orderBy(hrand(col(idCol), seed), col(idCol))
       .limit(nCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
     val carried = col(idCol) +: blockCols.map(col) :+ col(vecCol)
+    // Shuffle-free multi-probe assignment (Similarity.topCells): the
+    // top-nProbe cells per vector are selected inside one expression
+    // over the broadcast centroid array — nProbe rows out per vector,
+    // no Window, no n×nCells shuffle (O(n^1.5) rows at the √n rule).
     val asg = vectors.select(carried: _*)
-      .crossJoin(broadcast(cent))
-      .withColumn("c", round(Similarity.cosine(vecCol, "cv", dim), 6))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("c").desc, col("cent_id"))))
-      .filter(col("rn") <= nProbe)
-      .select(carried :+ col("cent_id").as("cell"): _*)
+      .crossJoin(broadcast(Similarity.centroidArray(cent)))
+      .select(col(idCol) +: blockCols.map(col) :+ col(vecCol) :+
+        explode(Similarity.topCells(vecCol, nProbe)).as("cc"): _*)
+      .select(carried :+ col("cc.cent_id").as("cell"): _*)
     val asgC = CacheScope.persist(asg)
     val joinCond = blockCols
       .map(c => col(s"a.$c") === col(s"b.$c"))

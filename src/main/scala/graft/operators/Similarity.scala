@@ -86,30 +86,66 @@ object Similarity {
   def autoNList(n: Long, floor: Int, targetCellSize: Int = 256): Int =
     math.max(floor, math.ceil(math.sqrt(n.toDouble / targetCellSize)).toInt)
 
+  /** The centroid table rolled into ONE array-of-structs row, for the
+    * shuffle-free per-row assignment of [[topCells]]. `collect_list`
+    * order is partition-dependent, but the downstream comparator sorts
+    * by (c, cent_id) — a deterministic total order — so the result is
+    * partition-invariant. */
+  def centroidArray(cent: DataFrame): DataFrame =
+    cent.agg(collect_list(struct(col("cent_id"), col("cv"))).as("cents"))
+
+  /** Per-row top-`nProbe` cells over the broadcast centroid array:
+    * `slice(array_sort(transform(...)))` ranks every centroid by
+    * (rounded cosine DESC, cent_id — NULL cosines last, exactly the
+    * `row_number` ordering the DuckDB oracles replay) INSIDE one
+    * expression, so the plan has no Window and no n×nCells shuffle —
+    * the rows that leave the operator are the nProbe survivors, not
+    * every (vector, centroid) pair. At the √n sizing rule a windowed
+    * assignment shuffles O(n^1.5) rows at corpus scale; this shuffles
+    * none. */
+  def topCells(vecCol: String, nProbe: Int): Column = {
+    val cmp = """(l, r) -> CASE
+      WHEN l.c IS NULL AND r.c IS NULL THEN
+        CASE WHEN l.cent_id < r.cent_id THEN -1 WHEN l.cent_id > r.cent_id THEN 1 ELSE 0 END
+      WHEN l.c IS NULL THEN 1
+      WHEN r.c IS NULL THEN -1
+      WHEN l.c > r.c THEN -1
+      WHEN l.c < r.c THEN 1
+      WHEN l.cent_id < r.cent_id THEN -1
+      WHEN l.cent_id > r.cent_id THEN 1
+      ELSE 0 END"""
+    expr(s"slice(array_sort(transform(cents, ct -> " +
+      s"struct(round(graft_cosine($vecCol, ct.cv), 6) AS c, ct.cent_id AS cent_id)), $cmp), 1, $nProbe)")
+  }
+
   /** IVF-style top-k: a seeded coarse quantizer (centroid vectors
     * picked by the deterministic hash — single assignment pass, no
     * Lloyd iterations), inverted lists by nearest centroid, queries
     * probe their `nProbe` nearest cells. The cell count is data-driven:
-    * `max(nList, ceil(sqrt(n / targetCellSize)))` per [[autoNList]], so
-    * `nList` acts as the floor and the quantizer keeps cell sizes
-    * bounded as the corpus grows (the count() it costs is one cheap
-    * metadata-level job — quantizer sizing needs a corpus statistic,
-    * same as any ANALYZE). Output: (query_id, rk, cand_id, cos). */
+    * `max(nList, ceil(sqrt(n / targetCellSize)))` per [[autoNList]] —
+    * pass the corpus size via `numVectors` (e.g. Tables.rowCount, a
+    * session-cached metadata-level statistic); the `vectors.count()`
+    * fallback is correct but prices in whatever lineage `vectors`
+    * carries. Output: (query_id, rk, cand_id, cos). */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 3, nList: Int = 16, nProbe: Int = 2,
-      seed: Long = 2024L, dim: Int = 64, targetCellSize: Int = 256): DataFrame = {
+      seed: Long = 2024L, dim: Int = 64, targetCellSize: Int = 256,
+      numVectors: Option[Long] = None): DataFrame = {
     import graft.functions.Deterministic.hrand
-    val nCells = autoNList(vectors.count(), nList, targetCellSize)
+    val nCells = autoNList(numVectors.getOrElse(vectors.count()), nList, targetCellSize)
     val cent = vectors
       .orderBy(hrand(col(idCol), seed), col(idCol))
       .limit(nCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
-    // scope-enrolled persist: unpersisted when the caller's CacheScope closes
-    val asg = CacheScope.persist(vectors.crossJoin(broadcast(cent))
-      .select(col(idCol), col("cent_id"),
-        round(cosine(vecCol, "cv", dim), 6).as("c"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("c").desc, col("cent_id")))))
+    // Shuffle-free assignment: one-row centroid-array build side, then
+    // the top-nProbe cells per vector selected inside a single
+    // expression (see topCells) — nProbe output rows per vector, no
+    // Window. Scope-enrolled persist: the frame feeds both the inverted
+    // list and the query probes.
+    val asg = CacheScope.persist(vectors.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroidArray(cent)))
+      .select(col(idCol), posexplode(topCells(vecCol, math.max(nProbe, 1))))
+      .select(col(idCol), (col("pos") + 1).as("rn"), col("col.cent_id").as("cent_id")))
     val a1 = asg.filter(col("rn") === 1)
       .select(col(idCol).as("cand_id"), col("cent_id"))
     val probes = asg.join(queries.select(col(idCol)), idCol)

@@ -20,6 +20,15 @@ object QSim {
   private val shinglesSqlDuck =
     "list_distinct([md5(concat_ws(' ', w[i], w[i+1], w[i+2])) for i in generate_series(1, len(w)-2)])"
 
+  // Input choice (SCALE.md §Dedup): only the SHINGLE-heavy operators
+  // (minhash, ngram-Jaccard — 3-gram concat+md5 per position, the
+  // measured 7.3 s single-core stage) read through Tables.documentsP's
+  // pre-repartition; the hash/signature/vector operators read the RAW
+  // scan — their per-row compute is light, the first groupBy
+  // redistributes anyway, and the up-front repartition is a pure extra
+  // shuffle wave (measured ~0.3 s/query at sf0.1; at cluster scale the
+  // parquet splits provide the scan parallelism).
+
   // -------------------------------------------------------- exact dedup
   /** Exact dedup via content hash — operators.Dedup.exactSummary. */
   val exact = Q("dedup_exact", Some("""
@@ -29,7 +38,7 @@ object QSim {
            CAST(sum(copies) - count(*) AS BIGINT) AS n_removed, min(keep_id) AS first_keep
     FROM k GROUP BY 1 ORDER BY 1"""
   ))((s, d) =>
-    Dedup.exactSummary(Tables.documentsP(s, d), "source", "doc_id", "text")
+    Dedup.exactSummary(Tables.documents(s, d), "source", "doc_id", "text")
       .orderBy("source"))
 
   // -------------------------------------------------------- MinHash LSH
@@ -101,7 +110,8 @@ object QSim {
             ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 2 ORDER BY 1, 2"""
   ))((s, d) =>
-    Dedup.simhash(Tables.documentsP(s, d), "doc_id", "text", maxHamming = 2)
+    Dedup.simhash(Tables.documents(s, d), "doc_id", "text", maxHamming = 2,
+      numDocs = Some(Tables.rowCount(s, d, "documents")))
       .orderBy("doc_a", "doc_b"))
 
   // ------------------------------------------------ blocked n-gram Jaccard
@@ -164,9 +174,10 @@ object QSim {
             ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id)
     SELECT DISTINCT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= 0.35 ORDER BY 1, 2"""
   ))((s, d) => {
-    val e = Tables.embeddingsP(s, d).select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding").as("v"))
     Dedup.embeddingNearDup(e, "vec_id", "v", blockCols = Seq("label"),
-      threshold = 0.35, nList = dupNList, nProbe = dupNProbe, seed = dupSeed)
+      threshold = 0.35, nList = dupNList, nProbe = dupNProbe, seed = dupSeed,
+      numVectors = Some(Tables.rowCount(s, d, "embeddings")))
       .orderBy("vec_a", "vec_b")
   })
 
@@ -184,7 +195,7 @@ object QSim {
           FROM sc)
     SELECT query_id, rk, cand_id, c AS cos FROM r WHERE rk <= 3 ORDER BY 1, 2"""
   ), headline = true)((s, d) => {
-    val e = Tables.embeddingsP(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     Similarity.bruteTopK(e, e.filter(col("vec_id") < 8), "vec_id", "v", k = 3)
       .orderBy("query_id", "rk")
   })
@@ -222,7 +233,7 @@ object QSim {
     FROM r WHERE rk = 1 ORDER BY 1"""
   ))((s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddingsP(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     val bk = e.withColumn("bucket", Similarity.lshBucket("v", nBits))
     val q = bk.filter(col("vec_id") < 8)
     val sc = broadcast(q).as("a").join(bk.as("b"),
@@ -269,9 +280,10 @@ object QSim {
           FROM sc)
     SELECT query_id, rk, cand_id, cs AS cos FROM r WHERE rk <= 3 ORDER BY 1, 2"""
   ))((s, d) => {
-    val e = Tables.embeddingsP(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "vec_id", "v",
-      k = 3, nList = nList, nProbe = nProbe, seed = ivfSeed)
+      k = 3, nList = nList, nProbe = nProbe, seed = ivfSeed,
+      numVectors = Some(Tables.rowCount(s, d, "embeddings")))
       .orderBy("query_id", "rk")
   })
 
