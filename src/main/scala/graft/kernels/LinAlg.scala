@@ -301,6 +301,46 @@ object LinAlg {
     OlsResult(bArr, se, tArr, pArr, ciLo, ciHi, r2, adjR2, aic, bic, rss, dof)
   }
 
+  /** OLS from per-group sufficient statistics — the scale-safe twin of
+    * [[ols]]: `xtx` is the (p+1)×(p+1) normal matrix WITH the intercept
+    * row/col (so xtx(0,0) = n), `xty` the matching moment vector
+    * (xty(0) = Σy), `yty` = Σy². The caller aggregates the moments
+    * distributed (order-invariant decimal sums — see
+    * functions.Deterministic.stableSumGuarded); only these O(p²)
+    * numbers ever leave the aggregation, so group SIZE never
+    * materializes on a task. Identical stats block to [[ols]];
+    * rss = y'y − 2β'X'y + β'(X'X)β is exact for any β, and with
+    * exactly-accumulated moments agrees with the residual-pass
+    * formulation to ~1e-12 relative (independent cross-check:
+    * tools/check_kernels.py). */
+  def olsFromMoments(xtx: DenseMatrix[Double], xty: DenseVector[Double],
+      yty: Double, nRows: Long): OlsResult = {
+    val p = xtx.rows
+    val n = nRows.toDouble
+    require(nRows > p, s"OLS needs n > p ($nRows <= $p)")
+    val xtxInv = inv(xtx)
+    val beta = xtxInv * xty
+    val rss = math.max(yty - 2.0 * (beta dot xty) + (beta dot (xtx * beta)), 0.0)
+    val ym = xty(0) / n
+    val tss = math.max(yty - n * ym * ym, 0.0)
+    val dof = (nRows - p).toInt
+    val sigma2 = rss / dof
+    val se = (0 until p).map(j => math.sqrt(math.max(xtxInv(j, j), 0.0) * sigma2)).toArray
+    val bArr = beta.toArray
+    val tArr = (0 until p).map(j => if (se(j) > 0) bArr(j) / se(j) else Double.NaN).toArray
+    val pArr = tArr.map(tv => SpecialFunctions.tTwoSidedP(tv, dof.toDouble))
+    val tc = SpecialFunctions.tInv(0.975, dof.toDouble)
+    val ciLo = (0 until p).map(j => bArr(j) - tc * se(j)).toArray
+    val ciHi = (0 until p).map(j => bArr(j) + tc * se(j)).toArray
+    val r2 = if (tss > 0) 1.0 - rss / tss else 0.0
+    val adjR2 = 1.0 - (1.0 - r2) * (n - 1) / dof
+    val ll = -0.5 * n * (math.log(2 * math.Pi * rss / n) + 1.0)
+    val kParams = p + 1
+    val aic = -2 * ll + 2.0 * kParams
+    val bic = -2 * ll + math.log(n) * kParams
+    OlsResult(bArr, se, tArr, pArr, ciLo, ciHi, r2, adjR2, aic, bic, rss, dof)
+  }
+
   // -------------------------------------------------- principal angles
   /** Principal angles between the column spaces of a and b (radians,
     * ascending): orthonormalize via QR, SVD of Q1ᵀQ2, θ=acos(σ).

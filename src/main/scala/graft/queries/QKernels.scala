@@ -8,10 +8,13 @@ import graft.kernels.LinAlg
 
 /** SURVEY §2.8 linear-algebra analytics: per-group dense kernels run
   * distributed-across-groups via `groupByKey.flatMapGroups` + Breeze.
-  * Groups are small by construction (the reference's per-(session,
-  * region, pair) matrices are ≤ ~50 columns); at 100 TB the group COUNT
-  * scales, not the group SIZE, so this layer scales linearly with
-  * executors and never builds a driver-side matrix.
+  * The flatMapGroups shape is used ONLY where the group size is bounded
+  * by construction (the reference's per-(session, region, pair)
+  * matrices are ≤ ~50 columns and the embedding label groups are
+  * per-session slices); where a group's SIZE scales with the data — L8,
+  * whose groups are whole return-flag partitions of the fact table —
+  * the kernel runs on SUFFICIENT STATISTICS aggregated by an ordinary
+  * hash aggregate instead, so no task ever materializes a group.
   *
   * These are not SQL-expressible → no DuckDB oracle (driver records a
   * rows-only check); numerical correctness is pinned by
@@ -134,30 +137,66 @@ object QKernels {
     * l_returnflag, y = extendedprice, X = (quantity, discount, tax).
     * Emits one row per coefficient with β/SE/t/p/CI + group-level
     * R²/adj-R²/AIC/BIC/deviance/dof.
+    *
+    * SUFFICIENT-STATISTICS plan (the 100 TB shape): these groups' SIZE
+    * scales with the data (3 return flags over all of lineitem), so the
+    * `flatMapGroups` + in-task matrix build the other kernels use would
+    * put the whole table on 3 tasks. OLS needs only X'X/X'y/y'y/n —
+    * 15 moments accumulated by an ordinary hash aggregate (map-side
+    * partial, order-invariant decimal sums), after which the 4×4 solve
+    * runs on one row per GROUP. Nothing anywhere holds more than O(p²)
+    * doubles per group.
     * Ref: Matlab_part/oxford_GLM_CCA_coefficients_extract.m:402-485. */
+  /* Moment accumulation is EXACT INTEGER arithmetic: the regressors are
+   * fixed-point by schema (quantity integer; discount/tax/price 2-dp
+   * decimals), so scaling to cents makes every product an exact long
+   * and the sums bit-reproducible under ANY partitioning/merge order —
+   * at plain codegen'd long-sum speed (the DECIMAL(38,18) alternative
+   * measured ~17× slower, the r4 regression). Only Σ(y²) can outgrow a
+   * long (price² ≈ 2^47/row), so its terms are split at 2^31 into two
+   * long sums and recombined at finalization. Bound: exact while
+   * n_group · max_term < 2^63 (margin ~10^4 at sf0.1); past that the
+   * same query swaps the long sums for DECIMAL(38,0) integer sums —
+   * identical values, one scan, just slower. */
+  private val centsShift = 2147483648L // 2^31
+
   val l8 = Q("l8_glm_stats",
     Some(Q.fixtureOracle("l8_glm_stats", "\"group\", term")))((s, d) => {
     import s.implicits._
     val terms = Array("intercept", "l_quantity", "l_discount", "l_tax")
-    Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast("double"), col("l_discount").cast("double"),
-        col("l_tax").cast("double"), col("l_extendedprice").cast("double"))
-      .as[(String, Long, Long, Double, Double, Double, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (flag: String, it: Iterator[(String, Long, Long, Double, Double, Double, Double)]) =>
-        val rows = it.toArray.sortBy(r => (r._2, r._3))
-        val x = DenseMatrix.zeros[Double](rows.length, 3)
-        val y = DenseVector.zeros[Double](rows.length)
-        var i = 0
-        while (i < rows.length) {
-          x(i, 0) = rows(i)._4; x(i, 1) = rows(i)._5; x(i, 2) = rows(i)._6
-          y(i) = rows(i)._7
-          i += 1
-        }
-        val o = LinAlg.ols(x, y)
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("g"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dc"),
+      expr("CAST(round(l_tax * 100) AS BIGINT)").as("tc"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("yc"))
+    val m = li.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum("q").as("sq"), sum("dc").as("sd"), sum("tc").as("st"), sum("yc").as("sy"),
+      sum(col("q") * col("q")).as("sqq"), sum(col("q") * col("dc")).as("sqd"),
+      sum(col("q") * col("tc")).as("sqt"),
+      sum(col("dc") * col("dc")).as("sdd"), sum(col("dc") * col("tc")).as("sdt"),
+      sum(col("tc") * col("tc")).as("stt"),
+      sum(col("q") * col("yc")).as("sqy"), sum(col("dc") * col("yc")).as("sdy"),
+      sum(col("tc") * col("yc")).as("sty"),
+      sum(expr(s"(yc * yc) div $centsShift")).as("syy_hi"),
+      sum(expr(s"(yc * yc) % $centsShift")).as("syy_lo"))
+    m.as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long, Long, Long, Long, Long)]
+      .flatMap { case (g, n, sq, sd, st, sy, sqq, sqd, sqt, sdd, sdt, stt,
+          sqy, sdy, sty, syyHi, syyLo) =>
+        // back to original units — each conversion is one deterministic
+        // double rounding of an exact integer
+        val xtx = DenseMatrix(
+          (n.toDouble, sq.toDouble, sd / 1e2, st / 1e2),
+          (sq.toDouble, sqq.toDouble, sqd / 1e2, sqt / 1e2),
+          (sd / 1e2, sqd / 1e2, sdd / 1e4, sdt / 1e4),
+          (st / 1e2, sqt / 1e2, sdt / 1e4, stt / 1e4))
+        val xty = DenseVector(sy / 1e2, sqy / 1e2, sdy / 1e4, sty / 1e4)
+        val syy = (syyHi.toDouble * centsShift + syyLo.toDouble) / 1e4
+        val o = LinAlg.olsFromMoments(xtx, xty, syy, n)
         (0 until 4).iterator.map { j =>
-          (flag, terms(j), r6(o.beta(j)), r6(o.se(j)), r6(o.t(j)), r6(o.p(j)),
+          (g, terms(j), r6(o.beta(j)), r6(o.se(j)), r6(o.t(j)), r6(o.p(j)),
             r6(o.ciLo(j)), r6(o.ciHi(j)), r6(o.r2), r6(o.adjR2),
             r6(o.aic), r6(o.bic), o.dof.toLong)
         }

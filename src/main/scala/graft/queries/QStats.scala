@@ -90,19 +90,21 @@ object QStats {
   })
 
   // ----------------------------------------------------------- T1/A14
-  /** Pearson correlation aggregate + t statistic + two-sided p-value.
+  /** Pearson correlation aggregate + t statistic + TWO p-values.
     * Ref: perform_session_cca.m:310-314;
     * cross_trial_type_cca_analysis.py:779-792 (reports r AND p).
     *
-    * The p-value uses the large-df normal approximation to the t
-    * distribution via the Abramowitz–Stegun §26.2.17 rational polynomial
-    * (the same shape SpecialFunctions.normCdf uses for the Wilcoxon
-    * z-tests) — the exact betainc t-CDF (kernels.SpecialFunctions.tCdf,
-    * used in the L8 GLM kernel) is not expressible in portable SQL, and
-    * at n ≈ thousands per group the normal form differs from exact by
-    * < 1e-4 while being bit-replayable in the DuckDB oracle. It is
-    * evaluated on the ALREADY-ROUNDED t statistic so both engines feed
-    * identical doubles into the identical expression tree. */
+    * `p_norm` is the large-df normal approximation via the
+    * Abramowitz–Stegun §26.2.17 rational polynomial — bit-replayable in
+    * portable SQL, so it carries the full cross-engine oracle.
+    * `p_exact` is the reference's exact t-distribution p (scipy's
+    * pearsonr convention) through kernels.SpecialFunctions.tTwoSidedP
+    * (regularized incomplete beta) — not SQL-expressible, so the oracle
+    * side replays it from the committed fixture
+    * (fixtures/t1_pearson_corr, same scale-stamp contract as the L6–L12
+    * kernels) and tools/check_kernels.py re-derives it independently.
+    * Both are evaluated on the ALREADY-ROUNDED t statistic so every
+    * engine feeds identical doubles into the identical function. */
   private val normApproxP =
     "round(2.0 * dd * u * (0.319381530 + u * (-0.356563782 + u * (1.781477937 + " +
       "u * (-1.821255978 + u * 1.330274429)))), 6)"
@@ -118,9 +120,17 @@ object QStats {
       SELECT *, 1.0 / (1.0 + 0.2316419 * abs(t_stat)) AS u,
              0.3989422804014327 * exp(-(t_stat * t_stat) / 2.0) AS dd
       FROM c)
-    SELECT event_type, n, r, t_stat, """ + normApproxP + """ AS p
-    FROM z ORDER BY 1"""
+    SELECT z.event_type, z.n, z.r, z.t_stat, """ + normApproxP + """ AS p_norm, f.p_exact
+    FROM z JOIN read_parquet('""" + Q.repoRoot + """/fixtures/t1_pearson_corr/*.parquet') f
+      ON f.scale_n = (SELECT count(*) FROM customer) AND f.event_type = z.event_type
+    ORDER BY 1"""
   ))((s, d) => {
+    val pExact = udf((t: Double, n: Long) => {
+      val nu = (n - 2).toDouble
+      if (nu <= 0) Double.NaN
+      else BigDecimal(graft.kernels.SpecialFunctions.tTwoSidedP(t, nu))
+        .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    })
     val e = evT(s, d).withColumn("td", col("t") / 86400.0)
     e.groupBy("event_type").agg(
       count(lit(1)).as("n"),
@@ -130,8 +140,10 @@ object QStats {
           (lit(1) - corr(col("value"), col("td")) * corr(col("value"), col("td")))), 4).as("t_stat"))
       .withColumn("u", lit(1.0) / (lit(1.0) + lit(0.2316419) * abs(col("t_stat"))))
       .withColumn("dd", lit(0.3989422804014327) * exp(-(col("t_stat") * col("t_stat")) / lit(2.0)))
-      .withColumn("p", expr(normApproxP))
-      .select("event_type", "n", "r", "t_stat", "p")
+      .withColumn("p_norm", expr(normApproxP))
+      .withColumn("p_exact",
+        when(col("t_stat").isNotNull, pExact(col("t_stat"), col("n"))))
+      .select("event_type", "n", "r", "t_stat", "p_norm", "p_exact")
       .orderBy("event_type")
   })
 

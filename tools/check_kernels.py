@@ -368,6 +368,15 @@ check("l15_rastermap_order", rows,
       load("l15_rastermap_order").sort_values(["label", "sort_rank"]),
       ["sort_rank", "dim", "pc1_weight"])
 
+# ------------------------------------------------------------------ t1
+# p_exact = exact two-sided t p-value from the (already SQL-oracled)
+# rounded t_stat and n — independently re-derived here through this
+# file's own betainc-based t_two_sided_p.
+t1 = load("t1_pearson_corr").sort_values("event_type")
+rows = [{"p_exact": round(t_two_sided_p(t, n - 2), 6)}
+        for t, n in zip(t1["t_stat"], t1["n"])]
+check("t1_pearson_corr", rows, t1, ["p_exact"])
+
 if failures:
     print("\nFAILED:\n  " + "\n  ".join(failures))
     sys.exit(1)

@@ -22,6 +22,8 @@ KERNELS = [
     "l6_pca_cv", "l7_cca_cv", "l8_glm_stats", "l9_sensitivity_sweep",
     "l10_principal_angles", "l11_participation",
     "l12_variance_decomposition", "l15_rastermap_order",
+    # SQL-oracled except p_exact, which rides the fixture contract
+    "t1_pearson_corr",
 ]
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
