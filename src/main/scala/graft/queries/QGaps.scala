@@ -291,6 +291,38 @@ object QGaps {
       .select("event_type", "r", "n", "status")
       .orderBy("event_type"))
 
+  // ------------------------------------------------------- T8 (grouped)
+  /** Grouped text rendering of the flip report: one line per event type
+    * rendered as `type(r=…)`, aggregated into a single report string per
+    * status — the engine form of the reference's grouped console report.
+    * The r value is rendered through DECIMAL(9,6) so both engines print
+    * the identical fixed-point string (double→string would diverge on
+    * E-notation), and lines are sorted lexicographically on BOTH sides.
+    * Ref: cross_trial_type_cca_analysis.py:2996-3129. */
+  val t8g = Q("t8_flip_report_grouped", Some(s"""
+    WITH e AS ($evSql),
+    c AS (SELECT event_type, round(corr(value, t), 6) AS r, count(*) AS n FROM e GROUP BY 1),
+    s AS (SELECT event_type,
+                 event_type || '(r=' || CAST(CAST(r AS DECIMAL(9,6)) AS VARCHAR) || ')' AS line,
+                 CASE WHEN r < -0.5 THEN 'FLIPPED' ELSE 'ok' END AS status,
+                 n
+          FROM c)
+    SELECT status, count(*) AS n_types, CAST(SUM(n) AS BIGINT) AS n_events,
+           string_agg(line, '; ' ORDER BY line) AS report
+    FROM s GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    ev(s, d).groupBy("event_type")
+      .agg(round(corr(col("value"), col("t")), 6).as("r"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        concat(col("event_type"), lit("(r="),
+          col("r").cast("decimal(9,6)").cast("string"), lit(")")).as("line"),
+        when(col("r") < -0.5, "FLIPPED").otherwise("ok").as("status"),
+        col("n"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_types"), sum("n").as("n_events"),
+        array_join(array_sort(collect_list(col("line"))), "; ").as("report"))
+      .orderBy("status"))
+
   // ------------------------------------------------------------ P3/P4
   /** Concentration pivot: condition-state pivot (low vs high discount)
     * per group, then the concentration difference C = v_low − v_high.
@@ -381,5 +413,5 @@ object QGaps {
       .orderBy("n_name")
   })
 
-  val all: Seq[Q] = Seq(fComposite, f7, f8, j8, a6, a13, w4, t3, t8, p4, s4s7, s5s6)
+  val all: Seq[Q] = Seq(fComposite, f7, f8, j8, a6, a13, w4, t3, t8, t8g, p4, s4s7, s5s6)
 }

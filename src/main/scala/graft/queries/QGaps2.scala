@@ -260,6 +260,71 @@ object QGaps2 {
       .orderBy("ord")
   })
 
+  // --------------------------------------------------- P5 (hierarchical)
+  /** Upper-triangle matrix in HIERARCHICAL order: same pivot as
+    * [[p5]], but the row/column order is data-driven — regions ranked
+    * by their customer-side revenue mass (descending, name-tiebroken) —
+    * the engine's stand-in for the reference's cluster-derived region
+    * ordering. The ranking total is a decimal stable sum, so the order
+    * (and therefore which cells are NULLed as lower-triangle) is
+    * bit-identical across engines. The 5-row rank table is broadcast
+    * back onto the fact join; the fact is scanned twice (rank pass +
+    * pivot pass) rather than persisted — two cheap scans beat caching a
+    * fact-sized projection at scale.
+    * Ref: cross_trial_type_cca_analysis.py:2996-3129 (hierarchical
+    * variant of 1966-2664). */
+  val p5h = Q("p5_upper_triangle_hier", Some("""
+    WITH creg AS (SELECT c_custkey, r.r_name AS rc FROM customer
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region r ON n_regionkey = r_regionkey),
+    sreg AS (SELECT s_suppkey, r.r_name AS rs FROM supplier
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region r ON n_regionkey = r_regionkey),
+    f AS (SELECT cr.rc, sr.rs, l.l_extendedprice * (1 - l.l_discount) AS rev
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN creg cr ON o.o_custkey = cr.c_custkey
+          JOIN sreg sr ON l.l_suppkey = sr.s_suppkey),
+    hier AS (SELECT rc AS r_name,
+                    row_number() OVER (
+                      ORDER BY CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) DESC, rc) AS ord
+             FROM f GROUP BY rc),
+    g AS (SELECT hc.ord AS oc, f.rc, hs.ord AS os, f.rs, f.rev
+          FROM f JOIN hier hc ON f.rc = hc.r_name
+                 JOIN hier hs ON f.rs = hs.r_name)
+    SELECT oc AS ord, rc AS region,
+      round(avg(CASE WHEN os > oc AND rs = 'ASIA' THEN rev END), 4) AS "ASIA",
+      round(avg(CASE WHEN os > oc AND rs = 'AMERICA' THEN rev END), 4) AS "AMERICA",
+      round(avg(CASE WHEN os > oc AND rs = 'EUROPE' THEN rev END), 4) AS "EUROPE",
+      round(avg(CASE WHEN os > oc AND rs = 'AFRICA' THEN rev END), 4) AS "AFRICA",
+      round(avg(CASE WHEN os > oc AND rs = 'MIDDLE EAST' THEN rev END), 4) AS "MIDDLE EAST"
+    FROM g GROUP BY 1, 2 ORDER BY 1"""
+  ))((s, d) => {
+    def reg2(dim: org.apache.spark.sql.DataFrame, key: String, nk: String, out: String) =
+      dim.join(Tables.nation(s, d), col(nk) === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select(col(key), col("r_name").as(out))
+    val creg = reg2(Tables.customer(s, d), "c_custkey", "c_nationkey", "rc")
+    val sreg = reg2(Tables.supplier(s, d), "s_suppkey", "s_nationkey", "rs")
+    val f = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(creg), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sreg), col("l_suppkey") === col("s_suppkey"))
+      .select(col("rc"), col("rs"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val hier = f.groupBy(col("rc").as("r_name"))
+      .agg(stableSum(col("rev")).as("total"))
+      .select(col("r_name"),
+        row_number().over(Window.orderBy(col("total").desc, col("r_name"))).as("ord"))
+    val g = f
+      .join(broadcast(hier.select(col("r_name").as("rc"), col("ord").as("oc"))), "rc")
+      .join(broadcast(hier.select(col("r_name").as("rs"), col("ord").as("os"))), "rs")
+    g.groupBy(col("oc").as("ord"), col("rc").as("region"))
+      .pivot("rs", regionOrder.map(_._1))
+      .agg(round(avg(when(col("os") > col("oc"), col("rev"))), 4))
+      .orderBy("ord")
+  })
+
   // -------------------------------------------------------------- L15
   /** Rastermap-ordering substitute (documented approximation, SURVEY
     * §7.3): dims of each label group ordered by their first-principal-
@@ -291,5 +356,38 @@ object QGaps2 {
       .orderBy("label", "sort_rank")
   })
 
-  val all: Seq[Q] = Seq(f4, j3, a5, l1, c3, l14, p5, l15)
+  // ----------------------------------------------------------- J1-skew
+  /** Segmentation under a pathological hot key: one session is made to
+    * carry ~50 % of all events (the reference's dominant-session shape,
+    * cross_trial_type_cca_analysis.py:1003-1008), then the session
+    * dimension is joined through operators.SkewJoin.saltedInner —
+    * deterministic 8-way salt on the fact side, dimension replicated
+    * per salt — so the hot key becomes 8 parallel tasks instead of one
+    * straggler. Salting is result-invariant: the oracle replays the
+    * plain join. */
+  val j1skew = Q("j1_skewed_segment", Some("""
+    WITH sk AS (SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE user_id END AS sess,
+                       value
+                FROM events)
+    SELECT c.c_nationkey, count(*) AS n_events,
+           count(DISTINCT sk.sess) AS n_sessions,
+           CAST(SUM(CAST(sk.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM sk JOIN customer c ON sk.sess = c.c_custkey
+    GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val sk = Tables.events(s, d).select(
+      when(pmod(col("event_id"), lit(2)) === 0, lit(1L))
+        .otherwise(col("user_id")).as("sess"),
+      col("value"))
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey").as("sess"), col("c_nationkey"))
+    graft.operators.SkewJoin.saltedInner(sk, dim, Seq("sess"), factor = 8)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("sess").as("n_sessions"),
+        stableSum(col("value")).as("sum_value"))
+      .orderBy("c_nationkey")
+  })
+
+  val all: Seq[Q] = Seq(f4, j3, a5, l1, c3, l14, p5, p5h, l15, j1skew)
 }

@@ -183,5 +183,126 @@ object QMedia {
       .orderBy("format")
   })
 
-  val all: Seq[Q] = Seq(decode, frames, resize)
+  // ------------------------------------------------- REAL codec: WAV
+  final case class WavRow(doc_id: Long, payload: Array[Byte])
+  final case class WavFeatures(doc_id: Long, sample_rate: Long, n_samples: Long,
+      amp_sum: Long, sq_sum: Long, peak: Long)
+
+  /** Build a VALID RIFF/WAVE file: 8-bit mono PCM, canonical 44-byte
+    * header plus a LIST/INFO chunk inserted before `data` so the decoder
+    * must genuinely walk the chunk structure (a fixed-offset "parser"
+    * would read garbage). Sample payload = the document's bytes. */
+  private def wavBytes(rate: Int, samples: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + 12 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(4 + 24 + 12 + 8 + samples.length) // riff payload size
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(rate)
+    bb.putInt(rate) // byte rate = rate * channels * bits/8
+    bb.putShort(1)  // block align
+    bb.putShort(8)  // bits per sample
+    bb.put("LIST".getBytes("US-ASCII")); bb.putInt(4)
+    bb.put("INFO".getBytes("US-ASCII"))
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(samples.length)
+    bb.put(samples)
+    bb.array()
+  }
+
+  /** REAL WAV decode — no codec library, but a genuine parser: verifies
+    * the RIFF/WAVE magics, walks the chunk list (skipping unknown chunks
+    * by their declared size), reads the fmt block (PCM, mono, 8-bit
+    * enforced) and extracts the `data` PCM samples. Amplitude features
+    * use the 8-bit PCM convention (unsigned, bias 128). Batched per
+    * partition like the stub paths. */
+  private def decodeWav(rows: Iterator[WavRow]): Iterator[WavFeatures] =
+    rows.map { r =>
+      val bb = java.nio.ByteBuffer.wrap(r.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(fourcc() == "RIFF", s"doc ${r.doc_id}: not a RIFF file")
+      val riffLen = bb.getInt
+      require(riffLen == r.payload.length - 8, s"doc ${r.doc_id}: truncated RIFF")
+      require(fourcc() == "WAVE", s"doc ${r.doc_id}: not WAVE")
+      var rate = -1
+      var samples: Array[Byte] = null
+      while (samples == null || rate < 0) {
+        val id = fourcc()
+        val len = bb.getInt
+        id match {
+          case "fmt " =>
+            val fmt = bb.getShort; val ch = bb.getShort
+            rate = bb.getInt; bb.getInt; bb.getShort
+            val bits = bb.getShort
+            require(fmt == 1 && ch == 1 && bits == 8,
+              s"doc ${r.doc_id}: unsupported WAV layout fmt=$fmt ch=$ch bits=$bits")
+            bb.position(bb.position() + len - 16)
+          case "data" =>
+            samples = new Array[Byte](len); bb.get(samples)
+          case _ => // unknown chunk: skip by declared size (+pad to even)
+            bb.position(bb.position() + len + (len & 1))
+        }
+      }
+      var s = 0L; var sq = 0L; var pk = 0L
+      var i = 0
+      while (i < samples.length) {
+        val a = (samples(i) & 0xff) - 128L // 8-bit PCM: unsigned, bias 128
+        s += a; sq += a * a
+        if (math.abs(a) > pk) pk = math.abs(a)
+        i += 1
+      }
+      WavFeatures(r.doc_id, rate.toLong, samples.length.toLong, s, sq, pk)
+    }
+
+  /** End-to-end real-codec path: synthesize a valid WAV per document
+    * (sample rate keyed by doc_id, PCM payload = the text bytes), decode
+    * it with the genuine chunk-walking parser, aggregate amplitude
+    * statistics per sample rate. All aggregates reduce exact integer
+    * sums, so the DuckDB oracle reproduces every double bit-for-bit from
+    * the source text without parsing WAV itself — the header fields the
+    * parser extracts (rate, sample count) are cross-checked because they
+    * must agree with the oracle's independently derived values. */
+  val wav = Q("mm_wav_decode", Some("""
+    WITH f AS (
+      SELECT doc_id, 8000 * (1 + doc_id % 3) AS sample_rate,
+             length(text) AS n_samples,
+             list_sum(list_transform(string_split(text, ''), c -> ascii(c) - 128)) AS amp_sum,
+             list_sum(list_transform(string_split(text, ''), c -> (ascii(c) - 128) * (ascii(c) - 128))) AS sq_sum,
+             list_max(list_transform(string_split(text, ''), c -> abs(ascii(c) - 128))) AS peak
+      FROM documents WHERE length(text) > 0)
+    SELECT sample_rate, count(*) AS n_clips,
+           CAST(sum(n_samples) AS BIGINT) AS total_samples,
+           round(sum(n_samples) * 1000.0 / sample_rate / count(*), 6) AS avg_duration_ms,
+           CAST(max(peak) AS BIGINT) AS peak_amp,
+           round(CAST(sum(amp_sum) AS DOUBLE) / sum(n_samples), 6) AS mean_amp,
+           round(sqrt(CAST(sum(sq_sum) AS DOUBLE) / sum(n_samples)), 6) AS rms
+    FROM f GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    import s.implicits._
+    val ingest = Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        WavRow(id, wavBytes(8000 * (1 + (id % 3)).toInt, raw))
+      })
+    ingest.mapPartitions(decodeWav).toDF()
+      .groupBy("sample_rate")
+      .agg(count(lit(1)).as("n_clips"),
+        sum("n_samples").as("total_samples"),
+        round(sum("n_samples") * lit(1000.0) / col("sample_rate") / count(lit(1)), 6)
+          .as("avg_duration_ms"),
+        max("peak").as("peak_amp"),
+        round(sum("amp_sum").cast("double") / sum("n_samples"), 6).as("mean_amp"),
+        round(sqrt(sum("sq_sum").cast("double") / sum("n_samples")), 6).as("rms"))
+      .orderBy("sample_rate")
+  })
+
+  val all: Seq[Q] = Seq(decode, frames, resize, wav)
 }

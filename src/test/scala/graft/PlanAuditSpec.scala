@@ -44,6 +44,14 @@ class PlanAuditSpec extends AnyFunSuite {
         s"no longer nested-loop (update the list): ${intentional -- offenders}")
   }
 
+  test("j1_skewed_segment joins on the deterministic salt") {
+    val plan = Q.registry.find(_.name == "j1_skewed_segment").get
+      .build(spark, s"${Q.testdataRoot}/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"),
+      s"skewed segmentation lost its salted join:\n$plan")
+  }
+
   test("filters and projections reach the parquet scans of the core filter queries") {
     for (name <- Seq("f1_equality_filter", "j1_event_window_segment")) {
       val plan = Q.registry.find(_.name == name).get
