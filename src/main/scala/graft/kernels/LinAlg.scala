@@ -65,7 +65,12 @@ object LinAlg {
     val n = x.rows
     require(n > 1, s"pca needs >1 rows, got $n")
     val xc = centered(x, colMeans(x))
-    val cov = (xc.t * xc) /:/ (n - 1).toDouble
+    pcaFromCov((xc.t * xc) /:/ (n - 1).toDouble, k)
+  }
+
+  /** The eigendecomposition half of [[pca]], on an explicit covariance:
+    * shared by the data path and the sufficient-statistics path. */
+  def pcaFromCov(cov: DenseMatrix[Double], k: Int): PcaResult = {
     val es = eigSym(cov) // ascending eigenvalues
     val p = cov.rows
     val kk = math.min(k, p)
@@ -88,6 +93,27 @@ object LinAlg {
     val expl = ev.map(_ / total)
     val cum = expl.scanLeft(0.0)(_ + _).drop(1)
     PcaResult(coeff, ev, expl, cum)
+  }
+
+  /** PCA from sufficient statistics: sample covariance assembled as
+    * (M − s·s'/n)/(n−1) from raw second moments M = X'X and column sums
+    * s, then the identical eigen path as [[pca]]. The caller aggregates
+    * (n, s, M) distributed; no task ever holds the data matrix. */
+  def pcaFromMoments(n: Long, s: DenseVector[Double], m: DenseMatrix[Double],
+      k: Int): PcaResult = {
+    require(n > 1, s"pca needs >1 rows, got $n")
+    val p = m.rows
+    val cov = DenseMatrix.zeros[Double](p, p)
+    var i = 0
+    while (i < p) {
+      var j = 0
+      while (j < p) {
+        cov(i, j) = (m(i, j) - s(i) * s(j) / n) / (n - 1).toDouble
+        j += 1
+      }
+      i += 1
+    }
+    pcaFromCov(cov, k)
   }
 
   /** k-fold CV reconstruction error for PCA: train on the fold
@@ -172,6 +198,66 @@ object LinAlg {
         val a = aFull(::, 0 until kk).toDenseMatrix *:* scale
         val b = bFull(::, 0 until kk).toDenseMatrix *:* scale
         // joint sign fix: A drives, B follows so corr(Xa, Yb) keeps sign
+        val flips = signFix(a)
+        var j = 0
+        while (j < b.cols) {
+          if (flips(j) < 0) { var i = 0; while (i < b.rows) { b(i, j) = -b(i, j); i += 1 } }
+          j += 1
+        }
+        val r = (0 until kk).map(i => math.min(1.0, math.max(0.0, s.singularValues(i)))).toArray
+        Some(CcaResult(a, b, r, lambda))
+      }
+    }
+
+    var lambda = 0.0
+    var out: Option[CcaResult] = attempt(0.0)
+    var tries = 0
+    while (out.isEmpty && tries < 5) {
+      lambda = if (lambda == 0.0) 1e-6 else lambda * 10
+      out = attempt(lambda)
+      tries += 1
+    }
+    out.getOrElse(throw new IllegalStateException(
+      s"CCA failed after ridge escalation to lambda=$lambda"))
+  }
+
+  /** CCA from sufficient statistics: the same Björck–Golub
+    * factorization as [[cca]], run on upper Cholesky factors of the
+    * CENTERED scatter blocks (Sxx = Xc'Xc etc). R from chol(Sxx)
+    * equals qr(Xc).r up to row signs, and the sign ambiguity cancels
+    * in A/B/r (D-absorption through the SVD), so results match the
+    * data path to factorization round-off. The ridge escalation adds
+    * λI to the scatter — EXACTLY what [[cca]]'s [X; √λ·I] row
+    * augmentation produces — and the rank tolerance mirrors the QR
+    * diagonal check (chol diag = |qr diag| in exact arithmetic),
+    * including the augmented row count. */
+  def ccaFromMoments(n: Long, sxx: DenseMatrix[Double], sxy: DenseMatrix[Double],
+      syy: DenseMatrix[Double], k: Int): CcaResult = {
+    val px = sxx.rows; val py = syy.rows
+
+    def attempt(lambda: Double): Option[CcaResult] = {
+      val axx = if (lambda == 0.0) sxx
+        else sxx + DenseMatrix.eye[Double](px) *:* lambda
+      val ayy = if (lambda == 0.0) syy
+        else syy + DenseMatrix.eye[Double](py) *:* lambda
+      val rows = if (lambda == 0.0) n else n + px + py
+      val (rx, ry) = try {
+        (breeze.linalg.cholesky(axx).t, breeze.linalg.cholesky(ayy).t)
+      } catch { case _: Exception => return None } // not PD → rank-deficient
+      val dx = (0 until px).map(i => math.abs(rx(i, i)))
+      val dy = (0 until py).map(i => math.abs(ry(i, i)))
+      val tolx = dx.max * rows * 2.2e-16
+      val toly = dy.max * rows * 2.2e-16
+      if (dx.min <= tolx || dy.min <= toly) None
+      else {
+        val m = inv(rx.t) * sxy * inv(ry) // Qx'Qy of the data path
+        val s = svd.reduced(m)
+        val kk = math.min(k, math.min(px, py))
+        val scale = math.sqrt((n - 1).toDouble)
+        val aFull = inv(rx) * s.leftVectors
+        val bFull = inv(ry) * s.rightVectors.t
+        val a = aFull(::, 0 until kk).toDenseMatrix *:* scale
+        val b = bFull(::, 0 until kk).toDenseMatrix *:* scale
         val flips = signFix(a)
         var j = 0
         while (j < b.cols) {

@@ -280,24 +280,28 @@ object QGaps2 {
     sreg AS (SELECT s_suppkey, r.r_name AS rs FROM supplier
              JOIN nation ON s_nationkey = n_nationkey
              JOIN region r ON n_regionkey = r_regionkey),
-    f AS (SELECT cr.rc, sr.rs, l.l_extendedprice * (1 - l.l_discount) AS rev
+    f AS (SELECT cr.rc, sr.rs,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS rev4
           FROM lineitem l
           JOIN orders o ON l.l_orderkey = o.o_orderkey
           JOIN creg cr ON o.o_custkey = cr.c_custkey
           JOIN sreg sr ON l.l_suppkey = sr.s_suppkey),
+    cells AS (SELECT rc, rs, CAST(SUM(rev4) AS BIGINT) AS s4, count(*) AS c
+              FROM f GROUP BY 1, 2),
     hier AS (SELECT rc AS r_name,
-                    row_number() OVER (
-                      ORDER BY CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) DESC, rc) AS ord
-             FROM f GROUP BY rc),
-    g AS (SELECT hc.ord AS oc, f.rc, hs.ord AS os, f.rs, f.rev
-          FROM f JOIN hier hc ON f.rc = hc.r_name
-                 JOIN hier hs ON f.rs = hs.r_name)
+                    row_number() OVER (ORDER BY SUM(s4) DESC, rc) AS ord
+             FROM cells GROUP BY rc),
+    g AS (SELECT hc.ord AS oc, cells.rc, cells.rs,
+                 CASE WHEN hs.ord > hc.ord
+                      THEN round(CAST(s4 AS DOUBLE) / 10000 / c, 4) END AS v
+          FROM cells JOIN hier hc ON cells.rc = hc.r_name
+                     JOIN hier hs ON cells.rs = hs.r_name)
     SELECT oc AS ord, rc AS region,
-      round(avg(CASE WHEN os > oc AND rs = 'ASIA' THEN rev END), 4) AS "ASIA",
-      round(avg(CASE WHEN os > oc AND rs = 'AMERICA' THEN rev END), 4) AS "AMERICA",
-      round(avg(CASE WHEN os > oc AND rs = 'EUROPE' THEN rev END), 4) AS "EUROPE",
-      round(avg(CASE WHEN os > oc AND rs = 'AFRICA' THEN rev END), 4) AS "AFRICA",
-      round(avg(CASE WHEN os > oc AND rs = 'MIDDLE EAST' THEN rev END), 4) AS "MIDDLE EAST"
+      max(CASE WHEN rs = 'ASIA' THEN v END) AS "ASIA",
+      max(CASE WHEN rs = 'AMERICA' THEN v END) AS "AMERICA",
+      max(CASE WHEN rs = 'EUROPE' THEN v END) AS "EUROPE",
+      max(CASE WHEN rs = 'AFRICA' THEN v END) AS "AFRICA",
+      max(CASE WHEN rs = 'MIDDLE EAST' THEN v END) AS "MIDDLE EAST"
     FROM g GROUP BY 1, 2 ORDER BY 1"""
   ))((s, d) => {
     def reg2(dim: org.apache.spark.sql.DataFrame, key: String, nk: String, out: String) =
@@ -306,22 +310,35 @@ object QGaps2 {
         .select(col(key), col("r_name").as(out))
     val creg = reg2(Tables.customer(s, d), "c_custkey", "c_nationkey", "rc")
     val sreg = reg2(Tables.supplier(s, d), "s_suppkey", "s_nationkey", "rs")
+    // ONE pass over the fact join: 25 region-pair cells carry EXACT
+    // revenue sums (revenue is 4-dp fixed-point by schema, so scaling
+    // to 10^-4 units makes every sum exact long arithmetic — same
+    // determinism as decimal accumulation at ~17× less per-row cost,
+    // the l8 trick) + counts; the hierarchy rank, the upper-triangle
+    // mask and the cell means all derive from that tiny table, and the
+    // exact integer totals make the data-driven ordering bit-identical
+    // to the oracle's whole-fact ranking.
     val f = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(creg), col("o_custkey") === col("c_custkey"))
       .join(broadcast(sreg), col("l_suppkey") === col("s_suppkey"))
       .select(col("rc"), col("rs"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-    val hier = f.groupBy(col("rc").as("r_name"))
-      .agg(stableSum(col("rev")).as("total"))
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)").as("rev4"))
+    val cells = f.groupBy("rc", "rs")
+      .agg(sum(col("rev4")).as("s4"), count(lit(1)).as("c"))
+    val hier = cells.groupBy(col("rc").as("r_name"))
+      .agg(sum(col("s4")).as("total"))
       .select(col("r_name"),
-        row_number().over(Window.orderBy(col("total").desc, col("r_name"))).as("ord"))
-    val g = f
+        row_number().over(
+          Window.orderBy(col("total").desc, col("r_name"))).as("ord"))
+    cells
       .join(broadcast(hier.select(col("r_name").as("rc"), col("ord").as("oc"))), "rc")
       .join(broadcast(hier.select(col("r_name").as("rs"), col("ord").as("os"))), "rs")
-    g.groupBy(col("oc").as("ord"), col("rc").as("region"))
+      .withColumn("v", when(col("os") > col("oc"),
+        round(col("s4").cast("double") / lit(10000) / col("c"), 4)))
+      .groupBy(col("oc").as("ord"), col("rc").as("region"))
       .pivot("rs", regionOrder.map(_._1))
-      .agg(round(avg(when(col("os") > col("oc"), col("rev"))), 4))
+      .agg(max(col("v")))
       .orderBy("ord")
   })
 
@@ -336,22 +353,19 @@ object QGaps2 {
   val l15 = Q("l15_rastermap_order",
     Some(Q.fixtureOracle("l15_rastermap_order", "label, sort_rank")))((s, d) => {
     import s.implicits._
-    Tables.embeddings(s, d)
-      .select(col("label"), col("vec_id"), col("embedding"))
-      .as[(Int, Long, Seq[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
-        val rows = it.toArray.sortBy(_._2)
-        val m = breeze.linalg.DenseMatrix.zeros[Double](rows.length, 16)
-        for (i <- rows.indices; j <- 0 until 16) m(i, j) = rows(i)._3(j).toDouble
-        val r = graft.kernels.LinAlg.pca(m, 1)
-        val loadings = (0 until 16).map(j => j -> r.coefficients(j, 0))
-        loadings.sortBy { case (j, wgt) => (-wgt, j) }.zipWithIndex.iterator
-          .map { case ((j, wgt), rk) =>
-            (label, rk + 1, j,
-              BigDecimal(wgt).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
-          }
-      }
+    // PC1 loadings from the per-label sufficient statistics
+    // (QKernels.labelMoments) — the covariance eigenvector needs no row
+    // materialization, so this scales with label COUNT only.
+    QKernels.labelMoments(s, d, 16).flatMap { case (label, n, sv, m) =>
+      val r = graft.kernels.LinAlg.pcaFromMoments(n,
+        breeze.linalg.DenseVector(sv.toArray), QKernels.unpack(m, 16), 1)
+      val loadings = (0 until 16).map(j => j -> r.coefficients(j, 0))
+      loadings.sortBy { case (j, wgt) => (-wgt, j) }.zipWithIndex.iterator
+        .map { case ((j, wgt), rk) =>
+          (label, rk + 1, j,
+            BigDecimal(wgt).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+        }
+    }
       .toDF("label", "sort_rank", "dim", "pc1_weight")
       .orderBy("label", "sort_rank")
   })

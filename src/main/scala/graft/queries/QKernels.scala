@@ -22,30 +22,124 @@ import graft.kernels.LinAlg
   */
 object QKernels {
 
-  /** Embedding rows of one label group, assembled in vec_id order. */
-  private def groupMatrix(rows: Array[(Int, Long, Seq[Float])], dims: Range): DenseMatrix[Double] = {
-    val sorted = rows.sortBy(_._2)
-    val m = DenseMatrix.zeros[Double](sorted.length, dims.length)
-    var i = 0
-    while (i < sorted.length) {
-      val e = sorted(i)._3
-      var j = 0
-      while (j < dims.length) { m(i, j) = e(dims.start + j).toDouble; j += 1 }
-      i += 1
-    }
-    m
-  }
-
-  private def embGrouped(s: SparkSession, d: String) = {
-    import s.implicits._
-    Tables.embeddings(s, d)
-      .select(col("label"), col("vec_id"), col("embedding"))
-      .as[(Int, Long, Seq[Float])]
-      .groupByKey(_._1)
-  }
-
   private val r6 = (v: Double) =>
     if (v.isNaN || v.isInfinite) v else BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
+  // ------------------------------------------------- sufficient stats
+  /** Index of (i, j), i ≤ j, in the packed upper triangle of a
+    * `dims`×`dims` symmetric matrix. */
+  private[queries] def triIdx(i: Int, j: Int, dims: Int): Int =
+    i * dims - i * (i - 1) / 2 + (j - i)
+
+  /** Packed upper triangle → full symmetric DenseMatrix. */
+  private[queries] def unpack(m: Seq[Double], dims: Int): DenseMatrix[Double] = {
+    val out = DenseMatrix.zeros[Double](dims, dims)
+    var i = 0
+    while (i < dims) {
+      var j = i
+      while (j < dims) {
+        val v = m(triIdx(i, j, dims)); out(i, j) = v; out(j, i) = v
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Centered scatter block S[xs, ys] = M − s·s'/n from packed moments
+    * (= Xc'Yc of the corresponding dimension ranges). */
+  private[queries] def scatterBlock(n: Long, sv: Seq[Double], m: Seq[Double],
+      dims: Int, xs: Range, ys: Range): DenseMatrix[Double] = {
+    def mm(i: Int, j: Int) = m(triIdx(math.min(i, j), math.max(i, j), dims))
+    val out = DenseMatrix.zeros[Double](xs.length, ys.length)
+    var i = 0
+    while (i < xs.length) {
+      var j = 0
+      while (j < ys.length) {
+        out(i, j) = mm(xs(i), ys(j)) - sv(xs(i)) * sv(ys(j)) / n
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Per-label sufficient statistics of the first `dims` embedding
+    * dimensions: (label, n, first-order sums s, packed upper-triangle
+    * second-order sums m) — ONE hash aggregate with map-side combine,
+    * order-invariant decimal accumulation. Everything any dense kernel
+    * needs (covariance blocks, normal equations, per-subset refits)
+    * derives from these O(dims²) numbers, so group SIZE never
+    * materializes on a task — the scale-safe alternative to
+    * [[embGrouped]]'s flatMapGroups shape (the embedding rows are only
+    * a few thousand per label at test scale; at corpus scale they grow
+    * with the data). Decimal cost is per-row·dims², fine at the
+    * embedding table's width; the fact-table analog (L8) uses exact
+    * integer units instead. */
+  private[queries] def labelMoments(s: SparkSession, d: String, dims: Int) = {
+    import s.implicits._
+    def el(i: Int) = expr(s"CAST(element_at(embedding, ${i + 1}) AS DOUBLE)")
+    val firsts = (0 until dims).map(i => stableSumHi(el(i)))
+    val seconds = for { i <- 0 until dims; j <- i until dims }
+      yield stableSumHi(el(i) * el(j))
+    Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), array(firsts: _*).as("s"),
+        array(seconds: _*).as("m"))
+      .as[(Int, Long, Seq[Double], Seq[Double])]
+  }
+
+  /** [[labelMoments]] at (label, CV-fold) granularity: the fold id is
+    * the reference's contiguous slice over the vec_id order, assigned
+    * per row as ⌊((rank+1)·F − 1)/n⌋ — so fold and train statistics
+    * come from ONE aggregate (train = label total − fold, moments are
+    * additive) and no task ever sees the rows. The rank window
+    * shuffles once by label — the same single shuffle the
+    * flatMapGroups shape paid. */
+  private def labelFoldMoments(s: SparkSession, d: String, dims: Int, nFolds: Int) = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def el(i: Int) = expr(s"CAST(element_at(embedding, ${i + 1}) AS DOUBLE)")
+    val firsts = (0 until dims).map(i => stableSumHi(el(i)))
+    val seconds = for { i <- 0 until dims; j <- i until dims }
+      yield stableSumHi(el(i) * el(j))
+    Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), col("embedding"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy("vec_id")) - 1)
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("label")))
+      .withColumn("fold", expr(s"CAST(((rn + 1) * $nFolds - 1) div nn AS INT)"))
+      .groupBy(col("label"), col("fold"))
+      .agg(count(lit(1)).as("n"), array(firsts: _*).as("s"),
+        array(seconds: _*).as("m"))
+      .as[(Int, Int, Long, Seq[Double], Seq[Double])]
+  }
+
+  /** Element-wise sums/differences of packed moment vectors. */
+  private def vadd(a: Seq[Double], b: Seq[Double]): Seq[Double] =
+    a.zip(b).map { case (x, y) => x + y }
+  private def vsub(a: Seq[Double], b: Seq[Double]): Seq[Double] =
+    a.zip(b).map { case (x, y) => x - y }
+
+  /** Normal-equation blocks for regressing dimension `yDim` on the
+    * dimension subset `keep` (with intercept), assembled from packed
+    * moments: (X'X, X'y, y'y). */
+  private def olsBlocks(n: Long, sv: Seq[Double], m: Seq[Double], dims: Int,
+      yDim: Int, keep: Seq[Int]): (DenseMatrix[Double], DenseVector[Double], Double) = {
+    def mm(i: Int, j: Int) = m(triIdx(math.min(i, j), math.max(i, j), dims))
+    val p = keep.length
+    val xtx = DenseMatrix.zeros[Double](p + 1, p + 1)
+    xtx(0, 0) = n.toDouble
+    var i = 0
+    while (i < p) {
+      xtx(0, i + 1) = sv(keep(i)); xtx(i + 1, 0) = sv(keep(i))
+      var j = 0
+      while (j < p) { xtx(i + 1, j + 1) = mm(keep(i), keep(j)); j += 1 }
+      i += 1
+    }
+    val xty = DenseVector((sv(yDim) +: keep.map(k => mm(k, yDim))).toArray)
+    (xtx, xty, mm(yDim, yDim))
+  }
 
   /** Order-invariant guarded double sum for the Catalyst stages
     * (L11/L12): decimal accumulation makes the committed golden fixtures
@@ -64,29 +158,65 @@ object QKernels {
   // ------------------------------------------------------------------ L6
   /** PCA per label over the first 16 embedding dims: eigenvalues,
     * explained/cumulative variance + 5-fold CV reconstruction error.
+    *
+    * SUFFICIENT-STATISTICS plan: moments are aggregated per
+    * (label, fold); the full-data PCA uses their sum and each fold's
+    * TRAIN covariance is total − fold (moments are additive). The CV
+    * reconstruction error needs no test rows either:
+    * ‖Xte_c(I−WW')‖² = tr(C) − Σ_k wₖ'Cwₖ with
+    * C = M_f − s_f·μ' − μ·s_f' + n_f·μμ' (μ = train mean) — so the
+    * whole query reduces 25 tiny moment rows.
     * Ref: Matlab_part/perform_region_pca.m:93-156,201-221. */
   val l6 = Q("l6_pca_cv", Some(Q.fixtureOracle("l6_pca_cv", "label, component")))((s, d) => {
     import s.implicits._
-    embGrouped(s, d).flatMapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
-      val x = groupMatrix(it.toArray, 0 until 16)
-      val k = 5
-      val r = LinAlg.pca(x, k)
-      val cv = LinAlg.pcaCvError(x, k, 5)
-      val cvMean = cv.sum / cv.length
-      (0 until k).iterator.map { c =>
-        (label, c + 1, r6(r.eigenvalues(c)), r6(r.explained(c)), r6(r.cumulative(c)), r6(cvMean))
-      }
-    }.toDF("label", "component", "eigenvalue", "explained", "cumulative", "cv_recon_err")
+    val dims = 16; val k = 5; val nFolds = 5
+    labelFoldMoments(s, d, dims, nFolds)
+      .groupByKey(_._1)
+      .flatMapGroups { (label: Int, it: Iterator[(Int, Int, Long, Seq[Double], Seq[Double])]) =>
+        val folds = it.toArray
+        val nTot = folds.map(_._3).sum
+        val sTot = folds.map(_._4).reduce(vadd)
+        val mTot = folds.map(_._5).reduce(vadd)
+        val r = LinAlg.pcaFromMoments(nTot, DenseVector(sTot.toArray), unpack(mTot, dims), k)
+        val errs = (0 until nFolds).map { f =>
+          folds.find(_._2 == f) match {
+            case Some((_, _, nf, sf, mf)) if nf > 0 && nTot - nf > 1 =>
+              val nTr = nTot - nf
+              val sTr = vsub(sTot, sf)
+              val w = LinAlg.pcaFromMoments(nTr, DenseVector(sTr.toArray),
+                unpack(vsub(mTot, mf), dims), k).coefficients
+              val mu = DenseVector(sTr.map(_ / nTr).toArray)
+              val mF = unpack(mf, dims)
+              val sF = DenseVector(sf.toArray)
+              // C = M_f − s_f μ' − μ s_f' + n_f μμ'
+              val c = mF - (sF * mu.t) - (mu * sF.t) + ((mu * mu.t) *:* nf.toDouble)
+              var tr = 0.0
+              var i = 0
+              while (i < dims) { tr += c(i, i); i += 1 }
+              var proj = 0.0
+              var kk = 0
+              while (kk < w.cols) {
+                val wc = w(::, kk); proj += wc.t * (c * wc); kk += 1
+              }
+              (tr - proj) / (nf.toDouble * dims)
+            case _ => 0.0
+          }
+        }
+        val cvMean = errs.sum / nFolds
+        (0 until k).iterator.map { c =>
+          (label, c + 1, r6(r.eigenvalues(c)), r6(r.explained(c)), r6(r.cumulative(c)), r6(cvMean))
+        }
+      }.toDF("label", "component", "eigenvalue", "explained", "cumulative", "cv_recon_err")
       .orderBy("label", "component")
   })
 
   /** L6 companion: the PCA loading vectors as a long weights table
-    * (label, component, dim, weight) — consumed relationally by L11. */
+    * (label, component, dim, weight) — consumed relationally by L11.
+    * Derived from the label moments; no group materialization. */
   private def pcaWeights(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    embGrouped(s, d).flatMapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
-      val x = groupMatrix(it.toArray, 0 until 16)
-      val r = LinAlg.pca(x, 5)
+    labelMoments(s, d, 16).flatMap { case (label, n, sv, m) =>
+      val r = LinAlg.pcaFromMoments(n, DenseVector(sv.toArray), unpack(m, 16), 5)
       for {
         c <- (0 until 5).iterator
         i <- (0 until 16).iterator
@@ -97,34 +227,92 @@ object QKernels {
   // ------------------------------------------------------------------ L7
   /** CCA per label between dims [0,8) and [8,16) of the embedding:
     * canonical correlations + 5-fold CV correlation, ridge-escalation
-    * fallback. Ref: Matlab_part/perform_session_cca.m:270-400. */
+    * fallback.
+    *
+    * SUFFICIENT-STATISTICS plan: the full CCA runs on centered scatter
+    * blocks of the label totals (LinAlg.ccaFromMoments — Cholesky in
+    * place of the data QR, identical ridge/tolerance contract); each
+    * fold's train CCA uses total − fold blocks, and the held-out
+    * correlation corr(Xte·a, Yte·b) is shift-invariant, so it reduces
+    * the fold's RAW moments: Σu = a's_x, Σu² = a'Mxx a, Σuv = a'Mxy b.
+    * Ref: Matlab_part/perform_session_cca.m:270-400. */
   val l7 = Q("l7_cca_cv", Some(Q.fixtureOracle("l7_cca_cv", "label, component")))((s, d) => {
     import s.implicits._
-    embGrouped(s, d).flatMapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
-      val rows = it.toArray
-      val x = groupMatrix(rows, 0 until 8)
-      val y = groupMatrix(rows, 8 until 16)
-      val k = 3
-      val cc = LinAlg.cca(x, y, k)
-      val cv = LinAlg.ccaCv(x, y, k, 5)
-      (0 until k).iterator.map { c =>
-        val folds = cv.map(_(c))
-        val mean = folds.sum / folds.length
-        val sd = math.sqrt(folds.map(v => (v - mean) * (v - mean)).sum / (folds.length - 1))
-        (label, c + 1, r6(cc.r(c)), r6(mean), r6(sd), cc.ridgeUsed)
-      }
-    }.toDF("label", "component", "r", "cv_r_mean", "cv_r_std", "ridge_lambda")
+    val dims = 16; val k = 3; val nFolds = 5
+    val xs = 0 until 8; val ys = 8 until 16
+    labelFoldMoments(s, d, dims, nFolds)
+      .groupByKey(_._1)
+      .flatMapGroups { (label: Int, it: Iterator[(Int, Int, Long, Seq[Double], Seq[Double])]) =>
+        val folds = it.toArray
+        val nTot = folds.map(_._3).sum
+        val sTot = folds.map(_._4).reduce(vadd)
+        val mTot = folds.map(_._5).reduce(vadd)
+        def blocks(n: Long, sv: Seq[Double], m: Seq[Double]) =
+          (scatterBlock(n, sv, m, dims, xs, xs),
+            scatterBlock(n, sv, m, dims, xs, ys),
+            scatterBlock(n, sv, m, dims, ys, ys))
+        val (sxx, sxy, syy) = blocks(nTot, sTot, mTot)
+        val cc = LinAlg.ccaFromMoments(nTot, sxx, sxy, syy, k)
+        // CV: res(fold)(component), zero-padded like the reference
+        val res = Array.fill(nFolds)(new Array[Double](k))
+        var f = 0
+        while (f < nFolds) {
+          folds.find(_._2 == f) match {
+            case Some((_, _, nf, sf, mf)) if nf > 2 && nTot - nf > math.max(xs.length, ys.length) + 1 =>
+              val nTr = nTot - nf
+              val (txx, txy, tyy) = blocks(nTr, vsub(sTot, sf), vsub(mTot, mf))
+              val ct = LinAlg.ccaFromMoments(nTr, txx, txy, tyy, k)
+              def mm(i: Int, j: Int) = mf(triIdx(math.min(i, j), math.max(i, j), dims))
+              var c = 0
+              while (c < math.min(k, ct.r.length)) {
+                val a = ct.a(::, c); val b = ct.b(::, c)
+                var su = 0.0; var sv2 = 0.0; var suu = 0.0; var svv = 0.0; var suv = 0.0
+                var i = 0
+                while (i < xs.length) {
+                  su += a(i) * sf(xs(i))
+                  var j = 0
+                  while (j < xs.length) { suu += a(i) * a(j) * mm(xs(i), xs(j)); j += 1 }
+                  j = 0
+                  while (j < ys.length) { suv += a(i) * b(j) * mm(xs(i), ys(j)); j += 1 }
+                  i += 1
+                }
+                i = 0
+                while (i < ys.length) {
+                  sv2 += b(i) * sf(ys(i))
+                  var j = 0
+                  while (j < ys.length) { svv += b(i) * b(j) * mm(ys(i), ys(j)); j += 1 }
+                  i += 1
+                }
+                val saa = suu - su * su / nf
+                val sbb = svv - sv2 * sv2 / nf
+                val sab = suv - su * sv2 / nf
+                res(f)(c) = if (saa <= 0 || sbb <= 0) 0.0 else sab / math.sqrt(saa * sbb)
+                c += 1
+              }
+            case _ => // leave zeros
+          }
+          f += 1
+        }
+        (0 until k).iterator.map { c =>
+          val fv = res.map(_(c))
+          val mean = fv.sum / fv.length
+          val sd = math.sqrt(fv.map(v => (v - mean) * (v - mean)).sum / (fv.length - 1))
+          (label, c + 1, r6(cc.r(c)), r6(mean), r6(sd), cc.ridgeUsed)
+        }
+      }.toDF("label", "component", "r", "cv_r_mean", "cv_r_std", "ridge_lambda")
       .orderBy("label", "component")
   })
 
-  /** L7 companion: CCA A-side weights long table for L11. */
+  /** L7 companion: CCA A-side weights long table for L11 — from the
+    * label moments, no group materialization. */
   private def ccaWeights(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    embGrouped(s, d).flatMapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
-      val rows = it.toArray
-      val x = groupMatrix(rows, 0 until 8)
-      val y = groupMatrix(rows, 8 until 16)
-      val cc = LinAlg.cca(x, y, 3)
+    val dims = 16; val xs = 0 until 8; val ys = 8 until 16
+    labelMoments(s, d, dims).flatMap { case (label, n, sv, m) =>
+      val cc = LinAlg.ccaFromMoments(n,
+        scatterBlock(n, sv, m, dims, xs, xs),
+        scatterBlock(n, sv, m, dims, xs, ys),
+        scatterBlock(n, sv, m, dims, ys, ys), 3)
       for {
         c <- (0 until cc.r.length).iterator
         i <- (0 until 8).iterator
@@ -222,12 +410,16 @@ object QKernels {
     Some(Q.fixtureOracle("l9_sensitivity_sweep", "label, rho_pct")))((s, d) => {
     import s.implicits._
     val rhos = Array(0, 25, 50, 75)
-    embGrouped(s, d).flatMapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
-      val rows = it.toArray
-      val full = groupMatrix(rows, 0 until 13)
-      val y = full(::, 0)
-      val x = full(::, 1 until 13).toDenseMatrix
-      val base = LinAlg.ols(x, y)
+    // SUFFICIENT-STATISTICS plan: the base fit, every ρ-removal refit
+    // AND all 10 seeded Monte-Carlo refits per ρ are normal-equation
+    // solves over sub-blocks of ONE 13×13 moment matrix per label —
+    // 45 OLS fits from a single aggregated row, no group materialized.
+    labelMoments(s, d, 13).flatMap { case (label, n, sv, m) =>
+      def fit(keepDims: Seq[Int]) = {
+        val (xtx, xty, yty) = olsBlocks(n, sv, m, 13, 0, keepDims)
+        LinAlg.olsFromMoments(xtx, xty, yty, n)
+      }
+      val base = fit(1 to 12)
       // rank predictors by |β| (excluding intercept), descending
       val order = (0 until 12).sortBy(j => -math.abs(base.beta(j + 1)))
       rhos.iterator.map { rho =>
@@ -235,14 +427,13 @@ object QKernels {
         val keep = order.drop(nDrop).sorted
         if (keep.length < 2) (label, rho, keep.length, Double.NaN, Double.NaN, Double.NaN)
         else {
-          val xs = x(::, keep).toDenseMatrix
-          val o = LinAlg.ols(xs, y)
+          val o = fit(keep.map(_ + 1))
           // Monte-Carlo: keep a seeded-random subset of the same size
           val mc = (0 until mcIters).map { t =>
             val keepR = (0 until 12)
               .sortBy(j => (hrandLong(label.toLong * 1000000L + rho * 10000L + t * 100L + j, mcSeed), j))
               .take(keep.length).sorted
-            math.max(LinAlg.ols(x(::, keepR).toDenseMatrix, y).r2, 0.0)
+            math.max(fit(keepR.map(_ + 1)).r2, 0.0)
           }
           val mcMean = mc.sum / mc.length
           val mcSd = math.sqrt(mc.map(v => (v - mcMean) * (v - mcMean)).sum / (mc.length - 1))
@@ -264,9 +455,8 @@ object QKernels {
   val l10 = Q("l10_principal_angles",
     Some(Q.fixtureOracle("l10_principal_angles", "label_a, label_b")))((s, d) => {
     import s.implicits._
-    val subs = embGrouped(s, d).mapGroups { (label: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
-      val x = groupMatrix(it.toArray, 0 until 16)
-      val w = LinAlg.pca(x, 3).coefficients
+    val subs = labelMoments(s, d, 16).map { case (label, n, sv, m) =>
+      val w = LinAlg.pcaFromMoments(n, DenseVector(sv.toArray), unpack(m, 16), 3).coefficients
       (label, w.data.toSeq) // column-major 16×3
     }.toDF("label", "w")
     val pairs = subs.select(col("label").as("label_a"), col("w").as("wa"))
