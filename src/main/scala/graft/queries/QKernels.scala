@@ -6,19 +6,21 @@ import breeze.linalg.{DenseMatrix, DenseVector}
 import graft.Tables
 import graft.kernels.LinAlg
 
-/** SURVEY §2.8 linear-algebra analytics: per-group dense kernels run
-  * distributed-across-groups via `groupByKey.flatMapGroups` + Breeze.
-  * The flatMapGroups shape is used ONLY where the group size is bounded
-  * by construction (the reference's per-(session, region, pair)
-  * matrices are ≤ ~50 columns and the embedding label groups are
-  * per-session slices); where a group's SIZE scales with the data — L8,
-  * whose groups are whole return-flag partitions of the fact table —
-  * the kernel runs on SUFFICIENT STATISTICS aggregated by an ordinary
-  * hash aggregate instead, so no task ever materializes a group.
+/** SURVEY §2.8 linear-algebra analytics — run on SUFFICIENT
+  * STATISTICS end to end: every query aggregates one moment row per
+  * group (count + first-order sums + packed second-moment triangle,
+  * via the exact order-invariant functions.MomentsAgg, or exact
+  * integer units on the fact table for L8) and the dense Breeze solves
+  * run on those O(dims²) numbers. No task ever materializes a group,
+  * so the layer is immune to group-size growth at corpus scale; the
+  * only row-level shuffles are the hash aggregate itself and the L6/L7
+  * fold-rank window. The data-path kernels (LinAlg.pca/cca/ols) remain
+  * as golden-tested reference implementations.
   *
   * These are not SQL-expressible → no DuckDB oracle (driver records a
   * rows-only check); numerical correctness is pinned by
-  * src/test/scala/graft/KernelSpec.scala golden tests instead.
+  * src/test/scala/graft/KernelSpec.scala golden tests, the committed
+  * fixtures, and the independent numpy leg in tools/check_kernels.py.
   */
 object QKernels {
 
@@ -67,25 +69,27 @@ object QKernels {
   /** Per-label sufficient statistics of the first `dims` embedding
     * dimensions: (label, n, first-order sums s, packed upper-triangle
     * second-order sums m) — ONE hash aggregate with map-side combine,
-    * order-invariant decimal accumulation. Everything any dense kernel
-    * needs (covariance blocks, normal equations, per-subset refits)
-    * derives from these O(dims²) numbers, so group SIZE never
-    * materializes on a task — the scale-safe alternative to
-    * [[embGrouped]]'s flatMapGroups shape (the embedding rows are only
-    * a few thousand per label at test scale; at corpus scale they grow
-    * with the data). Decimal cost is per-row·dims², fine at the
-    * embedding table's width; the fact-table analog (L8) uses exact
+    * through the exact order-invariant [[graft.functions.MomentsAgg]]
+    * Aggregator (bit-reproducible under any partitioning, zero
+    * truncation, and a single aggregate expression — a wide DECIMAL
+    * column formulation planned 150+ aggregates and paid seconds of
+    * per-build analysis/codegen/AQE re-planning). Everything any dense
+    * kernel needs (covariance blocks, normal equations, per-subset
+    * refits) derives from these O(dims²) numbers, so group SIZE never
+    * materializes on a task; the fact-table analog (L8) uses exact
     * integer units instead. */
+  private def vecCol(dims: Int) =
+    array((0 until dims).map(i =>
+      expr(s"CAST(element_at(embedding, ${i + 1}) AS DOUBLE)")): _*)
+
   private[queries] def labelMoments(s: SparkSession, d: String, dims: Int) = {
     import s.implicits._
-    def el(i: Int) = expr(s"CAST(element_at(embedding, ${i + 1}) AS DOUBLE)")
-    val firsts = (0 until dims).map(i => stableSumHi(el(i)))
-    val seconds = for { i <- 0 until dims; j <- i until dims }
-      yield stableSumHi(el(i) * el(j))
+    val magg = udaf(new graft.functions.MomentsAgg(dims),
+      implicitly[org.apache.spark.sql.Encoder[Seq[Double]]])
     Tables.embeddings(s, d)
       .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), array(firsts: _*).as("s"),
-        array(seconds: _*).as("m"))
+      .agg(magg(vecCol(dims)).as("mm"))
+      .select(col("label"), col("mm.n"), col("mm.s"), col("mm.m"))
       .as[(Int, Long, Seq[Double], Seq[Double])]
   }
 
@@ -99,19 +103,17 @@ object QKernels {
   private def labelFoldMoments(s: SparkSession, d: String, dims: Int, nFolds: Int) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    def el(i: Int) = expr(s"CAST(element_at(embedding, ${i + 1}) AS DOUBLE)")
-    val firsts = (0 until dims).map(i => stableSumHi(el(i)))
-    val seconds = for { i <- 0 until dims; j <- i until dims }
-      yield stableSumHi(el(i) * el(j))
+    val magg = udaf(new graft.functions.MomentsAgg(dims),
+      implicitly[org.apache.spark.sql.Encoder[Seq[Double]]])
     Tables.embeddings(s, d)
-      .select(col("label"), col("vec_id"), col("embedding"))
+      .select(col("label"), col("vec_id"), vecCol(dims).as("v"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("label").orderBy("vec_id")) - 1)
       .withColumn("nn", count(lit(1)).over(Window.partitionBy("label")))
       .withColumn("fold", expr(s"CAST(((rn + 1) * $nFolds - 1) div nn AS INT)"))
       .groupBy(col("label"), col("fold"))
-      .agg(count(lit(1)).as("n"), array(firsts: _*).as("s"),
-        array(seconds: _*).as("m"))
+      .agg(magg(col("v")).as("mm"))
+      .select(col("label"), col("fold"), col("mm.n"), col("mm.s"), col("mm.m"))
       .as[(Int, Int, Long, Seq[Double], Seq[Double])]
   }
 
@@ -455,10 +457,13 @@ object QKernels {
   val l10 = Q("l10_principal_angles",
     Some(Q.fixtureOracle("l10_principal_angles", "label_a, label_b")))((s, d) => {
     import s.implicits._
-    val subs = labelMoments(s, d, 16).map { case (label, n, sv, m) =>
-      val w = LinAlg.pcaFromMoments(n, DenseVector(sv.toArray), unpack(m, 16), 3).coefficients
-      (label, w.data.toSeq) // column-major 16×3
-    }.toDF("label", "w")
+    // scope-enrolled persist: the tiny subspace table feeds BOTH sides
+    // of the θ-self-join — without it the moment aggregation runs twice
+    val subs = graft.operators.CacheScope.persist(
+      labelMoments(s, d, 16).map { case (label, n, sv, m) =>
+        val w = LinAlg.pcaFromMoments(n, DenseVector(sv.toArray), unpack(m, 16), 3).coefficients
+        (label, w.data.toSeq) // column-major 16×3
+      }.toDF("label", "w"))
     val pairs = subs.select(col("label").as("label_a"), col("w").as("wa"))
       .join(broadcast(subs.select(col("label").as("label_b"), col("w").as("wb"))),
         col("label_a") < col("label_b"))
@@ -489,9 +494,11 @@ object QKernels {
       .filter(col("dim") < 8)
     val cw = ccaWeights(s, d).select(
       col("label"), col("component").as("cca_comp"), col("dim"), col("a_weight"))
-    val alpha = cw.join(pw, Seq("label", "dim"))
+    // alpha feeds both the normalizer and the final join — persist the
+    // tiny table so the weight kernels don't recompute per branch
+    val alpha = graft.operators.CacheScope.persist(cw.join(pw, Seq("label", "dim"))
       .groupBy("label", "cca_comp", "pca_comp")
-      .agg(pow(stableSumHi(col("a_weight") * col("weight")), 2).as("alpha_raw"))
+      .agg(pow(stableSumHi(col("a_weight") * col("weight")), 2).as("alpha_raw")))
     val norm = alpha.groupBy("label", "cca_comp")
       .agg(stableSumHi(col("alpha_raw")).as("alpha_total"))
     alpha.join(norm, Seq("label", "cca_comp"))
@@ -515,8 +522,10 @@ object QKernels {
     * (compute_variance_decomposition). */
   val l12 = Q("l12_variance_decomposition",
     Some(Q.fixtureOracle("l12_variance_decomposition", "label")))((s, d) => {
-    val pw = pcaWeights(s, d).select(col("label"), col("component").as("pca_comp"),
-      col("dim"), col("weight"), col("eigenvalue"))
+    // pw feeds both the participation join and the total-variance roll-up
+    val pw = graft.operators.CacheScope.persist(
+      pcaWeights(s, d).select(col("label"), col("component").as("pca_comp"),
+        col("dim"), col("weight"), col("eigenvalue")))
     val cw = ccaWeights(s, d).select(col("label"), col("component").as("cca_comp"),
       col("dim"), col("a_weight"), col("r"))
     // participation on the shared support (CCA A-side lives on dims 0–7)
