@@ -1,0 +1,59 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One candidate row for [[TopKByAgg]]: the ranked value plus two
+  * integer tie-break keys (ascending). */
+final case class TopKRow(v: Double, k1: Long, k2: Long)
+
+/** Bounded-state top-k selection: the k rows ranking first by
+  * (v DESC, k1 ASC, k2 ASC), returned as the values in rank order.
+  *
+  * The scale-safe replacement for `row_number() OVER (PARTITION BY g
+  * ORDER BY …) <= k`: the window form shuffles and sorts every row of
+  * the partition on one task (group size scales with the corpus), while
+  * this aggregate carries at most k rows of state per group through an
+  * ordinary hash aggregate with map-side combine — memory is O(k) per
+  * group regardless of data volume.
+  *
+  * Determinism: (v, k1, k2) is a total order when (k1, k2) is unique,
+  * so the selected set and its order are unique — no floating-point
+  * accumulation happens here at all. Downstream means over the returned
+  * array should fold left-to-right (rank order), which matches the
+  * summation order of both engines' windowed formulation.
+  */
+class TopKByAgg(k: Int) extends Aggregator[TopKRow, ArrayBuffer[TopKRow], Seq[Double]] {
+
+  /** True when `a` ranks strictly before `b`. */
+  private def before(a: TopKRow, b: TopKRow): Boolean =
+    a.v > b.v || (a.v == b.v &&
+      (a.k1 < b.k1 || (a.k1 == b.k1 && a.k2 < b.k2)))
+
+  override def zero: ArrayBuffer[TopKRow] = ArrayBuffer.empty
+
+  private def insert(b: ArrayBuffer[TopKRow], r: TopKRow): ArrayBuffer[TopKRow] = {
+    if (b.length == k && before(b(k - 1), r)) return b
+    var i = b.length
+    while (i > 0 && before(r, b(i - 1))) i -= 1
+    b.insert(i, r)
+    if (b.length > k) b.remove(k)
+    b
+  }
+
+  override def reduce(b: ArrayBuffer[TopKRow], r: TopKRow): ArrayBuffer[TopKRow] =
+    insert(b, r)
+
+  override def merge(a: ArrayBuffer[TopKRow], b: ArrayBuffer[TopKRow]): ArrayBuffer[TopKRow] = {
+    b.foreach(insert(a, _))
+    a
+  }
+
+  override def finish(b: ArrayBuffer[TopKRow]): Seq[Double] = b.map(_.v).toSeq
+
+  override def bufferEncoder: Encoder[ArrayBuffer[TopKRow]] = Encoders.kryo
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}

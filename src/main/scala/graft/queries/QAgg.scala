@@ -64,9 +64,12 @@ object QAgg {
 
   // ------------------------------------------------------------ A7/A8
   /** Peak amplitude max(|x|) and signed peak (value at argmax|x|,
-    * deterministic tie-break). Ref: cross_trial_type_cca_analysis.py:
-    * 744-767, 1071-1096; implemented as window-rank, the scalable
-    * shape of `max_by`. */
+    * deterministic tie-break). One-pass `max_by` over the total order
+    * (|v| DESC, event_id ASC) — O(1) state per group with map-side
+    * combine; the previous window-rank form sorted each event-type
+    * partition (size ∝ corpus) on one task. Selection only, no
+    * accumulation, so the result is value-exact by construction.
+    * Ref: cross_trial_type_cca_analysis.py:744-767, 1071-1096. */
   val a7 = Q("a7_signed_peak", Some("""
     WITH r AS (
       SELECT event_type, value, abs(value) AS av,
@@ -77,13 +80,12 @@ object QAgg {
            max(CASE WHEN rn = 1 THEN value END) AS signed_peak
     FROM r GROUP BY 1 ORDER BY 1"""
   ))((s, d) => {
-    val w = Window.partitionBy("event_type").orderBy(abs(col("value")).desc, col("event_id"))
     Tables.events(s, d)
       .select(col("event_type"), col("value"), abs(col("value")).as("av"),
-        row_number().over(w).as("rn"))
+        (-col("event_id").cast("long")).as("neg_id"))
       .groupBy("event_type")
       .agg(max("av").as("peak_abs"),
-        max(when(col("rn") === 1, col("value"))).as("signed_peak"))
+        max_by(col("value"), struct(col("av"), col("neg_id"))).as("signed_peak"))
       .orderBy("event_type")
   })
 

@@ -83,7 +83,17 @@ object QCore {
 
   // ----------------------------------------------------------- F10/T9
   /** Percentile significance threshold (discrete 90th pct per group) +
-    * count above. Ref: Matlab_part/perform_session_cca.m:154-156. */
+    * count above, via a distinct-value histogram: ONE fact scan
+    * aggregates (group, value) → count, and the rank-k selection plus
+    * the strictly-above count both read off cumulative counts over the
+    * histogram. The k-th-smallest VALUE ignores which duplicate holds
+    * rank k, so the row-level tie-break (l_orderkey, l_linenumber) in
+    * the oracle's formulation cannot change the result. The window now
+    * runs over DISTINCT values per group (bounded by the 2-dp price
+    * domain), not corpus rows — the previous form sorted every row of a
+    * return-flag partition on one task and scanned the fact twice.
+    * Counts are exact longs; the threshold double is selected, never
+    * accumulated. Ref: Matlab_part/perform_session_cca.m:154-156. */
   val f10 = Q("f10_percentile_threshold", Some("""
     WITH r AS (
       SELECT l_returnflag, l_extendedprice,
@@ -100,17 +110,19 @@ object QCore {
               AND l.l_extendedprice > t.threshold) AS n_above
     FROM thr t ORDER BY t.l_returnflag"""
   ))((s, d) => {
-    val li = Tables.lineitem(s, d)
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    val r = li.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-    val thr = r.filter(col("rn") === ceil(lit(0.9) * col("n")).cast("long"))
-      .select(col("l_returnflag"), col("l_extendedprice").as("threshold"), col("n"))
-    li.join(thr, Seq("l_returnflag"))
-      .groupBy("l_returnflag", "threshold", "n")
-      .agg(sum(when(col("l_extendedprice") > col("threshold"), 1L).otherwise(0L)).as("n_above"))
-      .select("l_returnflag", "threshold", "n", "n_above")
+    val hist = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("l_returnflag")
+    hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wTot))
+      .withColumn("k", ceil(lit(0.9) * col("n")).cast("long"))
+      .filter(col("cum") - col("c") < col("k") && col("k") <= col("cum"))
+      .select(col("l_returnflag"), col("l_extendedprice").as("threshold"),
+        col("n"), (col("n") - col("cum")).as("n_above"))
       .orderBy("l_returnflag")
   })
 

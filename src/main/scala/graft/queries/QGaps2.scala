@@ -267,10 +267,10 @@ object QGaps2 {
     * the engine's stand-in for the reference's cluster-derived region
     * ordering. The ranking total is a decimal stable sum, so the order
     * (and therefore which cells are NULLed as lower-triangle) is
-    * bit-identical across engines. The 5-row rank table is broadcast
-    * back onto the fact join; the fact is scanned twice (rank pass +
-    * pivot pass) rather than persisted — two cheap scans beat caching a
-    * fact-sized projection at scale.
+    * bit-identical across engines. The fact join runs ONCE into a
+    * 25-cell exact-sum table (scope-persisted — it feeds the pivot and
+    * both broadcast copies of the rank table); everything downstream
+    * operates on those 25 rows.
     * Ref: cross_trial_type_cca_analysis.py:2996-3129 (hierarchical
     * variant of 1966-2664). */
   val p5h = Q("p5_upper_triangle_hier", Some("""
@@ -324,8 +324,12 @@ object QGaps2 {
       .join(broadcast(sreg), col("l_suppkey") === col("s_suppkey"))
       .select(col("rc"), col("rs"),
         expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)").as("rev4"))
-    val cells = f.groupBy("rc", "rs")
-      .agg(sum(col("rev4")).as("s4"), count(lit(1)).as("c"))
+    // scope-enrolled persist: the 25-row cell table feeds THREE plan
+    // subtrees (the pivot input and both broadcast copies of the rank
+    // table) — without it the whole fact join re-executes per subtree
+    val cells = graft.operators.CacheScope.persist(
+      f.groupBy("rc", "rs")
+        .agg(sum(col("rev4")).as("s4"), count(lit(1)).as("c")))
     val hier = cells.groupBy(col("rc").as("r_name"))
       .agg(sum(col("s4")).as("total"))
       .select(col("r_name"),

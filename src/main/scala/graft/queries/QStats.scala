@@ -250,7 +250,22 @@ object QStats {
   })
 
   // ---------------------------------------------------------------- T6
-  /** Spearman correlation: Pearson over average-tie ranks.
+  /** Spearman correlation: Pearson over average-tie ranks, computed
+    * from the JOINT DISTINCT-VALUE HISTOGRAM: one scan of the fact
+    * aggregates (group, value, lp) → count; marginal histograms (and
+    * hence the average-tie rank of every distinct value, rank =
+    * cum_before + (c+1)/2) derive from it, and the five Pearson
+    * sufficient statistics are Σc·f(rank) sums over histogram cells.
+    * The previous form rank-windowed every ROW of an event-type
+    * partition (size ∝ corpus) on one task; here the only window runs
+    * over DISTINCT values per group (bounded domain — measured
+    * saturating: 1k rows → 952 distinct, 100k → 17.8k). Determinism is
+    * total: ranks are exact halves, products exact quarters, sums
+    * accumulate as DECIMAL(38,2) (exact for quarter-multiples, ~1e36
+    * integer headroom ≥ n·rank² at any plausible corpus), and the final
+    * rho is one scalar double expression per group — bit-identical
+    * under any partitioning, where corr()-over-rows depended on
+    * accumulation order.
     * Ref: History/.../Dimensionality_communication_analysis.py:322-540. */
   val t6 = Q("t6_spearman", Some("""
     WITH r AS (
@@ -263,14 +278,38 @@ object QStats {
     SELECT event_type, round(corr(rx, ry), 4) AS rho, count(*) AS n
     FROM r GROUP BY 1 ORDER BY 1"""
   ))((s, d) => {
-    val e = Tables.events(s, d).withColumn("lp", length(col("props")))
-    val r = e.select(col("event_type"),
-      (rank().over(Window.partitionBy("event_type").orderBy("value")) +
-        (count(lit(1)).over(Window.partitionBy("event_type", "value")) - 1) / 2.0).as("rx"),
-      (rank().over(Window.partitionBy("event_type").orderBy("lp")) +
-        (count(lit(1)).over(Window.partitionBy("event_type", "lp")) - 1) / 2.0).as("ry"))
-    r.groupBy("event_type")
-      .agg(round(corr("rx", "ry"), 4).as("rho"), count(lit(1)).as("n"))
+    // joint histogram feeds three subtrees (both marginals + the cell
+    // scan) — scope-persist so the fact scans once
+    val joint = graft.operators.CacheScope.persist(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("value"), length(col("props")).as("lp"))
+        .agg(count(lit(1)).as("c")))
+    def marginalRanks(key: String, out: String) = {
+      val wc = Window.partitionBy("event_type").orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      joint.groupBy(col("event_type"), col(key))
+        .agg(sum(col("c")).as("mc"))
+        .withColumn("cum", sum("mc").over(wc))
+        .select(col("event_type"), col(key),
+          (col("cum") - col("mc") + (col("mc") + lit(1)) / 2.0).as(out))
+    }
+    val dec = org.apache.spark.sql.types.DecimalType(38, 2)
+    def qsum(term: org.apache.spark.sql.Column) = sum(term.cast(dec)).cast("double")
+    val g = joint
+      .join(marginalRanks("value", "rx"), Seq("event_type", "value"))
+      .join(marginalRanks("lp", "ry"), Seq("event_type", "lp"))
+      .groupBy("event_type")
+      .agg(sum(col("c")).as("n"),
+        qsum(col("c") * col("rx")).as("sx"), qsum(col("c") * col("ry")).as("sy"),
+        qsum(col("c") * col("rx") * col("rx")).as("sxx"),
+        qsum(col("c") * col("ry") * col("ry")).as("syy"),
+        qsum(col("c") * col("rx") * col("ry")).as("sxy"))
+    val nD = col("n").cast("double")
+    g.select(col("event_type"),
+      round((nD * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+          sqrt(nD * col("syy") - col("sy") * col("sy"))), 4).as("rho"),
+      col("n"))
       .orderBy("event_type")
   })
 
