@@ -86,10 +86,15 @@ object QKernels {
     import s.implicits._
     val magg = udaf(new graft.functions.MomentsAgg(dims),
       implicitly[org.apache.spark.sql.Encoder[Seq[Double]]])
-    Tables.embeddings(s, d)
-      .groupBy(col("label"))
-      .agg(magg(vecCol(dims)).as("mm"))
-      .select(col("label"), col("mm.n"), col("mm.s"), col("mm.m"))
+    // scope-enrolled persist of the one-row-per-label moment table:
+    // l11/l12 consume it through BOTH weight tables (pcaWeights +
+    // ccaWeights build the identical plan, and Spark's cache is
+    // plan-keyed, so the second aggregation becomes a cache hit)
+    graft.operators.CacheScope.persist(
+      Tables.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(magg(vecCol(dims)).as("mm"))
+        .select(col("label"), col("mm.n"), col("mm.s"), col("mm.m")))
       .as[(Int, Long, Seq[Double], Seq[Double])]
   }
 
@@ -209,7 +214,7 @@ object QKernels {
           (label, c + 1, r6(r.eigenvalues(c)), r6(r.explained(c)), r6(r.cumulative(c)), r6(cvMean))
         }
       }.toDF("label", "component", "eigenvalue", "explained", "cumulative", "cv_recon_err")
-      .orderBy("label", "component")
+      .repartition(1).sortWithinPartitions("label", "component")
   })
 
   /** L6 companion: the PCA loading vectors as a long weights table
@@ -302,7 +307,7 @@ object QKernels {
           (label, c + 1, r6(cc.r(c)), r6(mean), r6(sd), cc.ridgeUsed)
         }
       }.toDF("label", "component", "r", "cv_r_mean", "cv_r_std", "ridge_lambda")
-      .orderBy("label", "component")
+      .repartition(1).sortWithinPartitions("label", "component")
   })
 
   /** L7 companion: CCA A-side weights long table for L11 — from the
@@ -393,7 +398,7 @@ object QKernels {
       }
       .toDF("group", "term", "beta", "se", "t_stat", "p_value", "ci_lo", "ci_hi",
         "r2", "adj_r2", "aic", "bic", "dof")
-      .orderBy("group", "term")
+      .repartition(1).sortWithinPartitions("group", "term")
   })
 
   // ------------------------------------------------------------------ L9
@@ -443,7 +448,7 @@ object QKernels {
         }
       }
     }.toDF("label", "rho_pct", "n_kept", "r2", "r2_mc_mean", "r2_mc_std")
-      .orderBy("label", "rho_pct")
+      .repartition(1).sortWithinPartitions("label", "rho_pct")
   })
 
   // ----------------------------------------------------------------- L10
@@ -475,7 +480,7 @@ object QKernels {
         (la, lb, r6(th.min), r6(th.max), r6(th.sum / th.length))
       }
     pairs.toDF("label_a", "label_b", "theta_min", "theta_max", "theta_mean")
-      .orderBy("label_a", "label_b")
+      .repartition(1).sortWithinPartitions("label_a", "label_b")
   })
 
   // ------------------------------------------------------------ L11/L12
@@ -507,7 +512,7 @@ object QKernels {
       .agg(round(exp(-stableSumHi(
         when(col("alpha") > 0, col("alpha") * log(col("alpha"))).otherwise(lit(0D)))), 6)
         .as("eff_dim"))
-      .orderBy("label", "cca_comp")
+      .repartition(1).sortWithinPartitions("label", "cca_comp")
   })
 
   // ----------------------------------------------------------------- L12
@@ -546,7 +551,7 @@ object QKernels {
         round(col("shared_var"), 6).as("shared_var"),
         round(col("total_var") - col("shared_var"), 6).as("private_var"),
         round(col("shared_var") / col("total_var"), 6).as("shared_frac"))
-      .orderBy("label")
+      .repartition(1).sortWithinPartitions("label")
   })
 
   val all: Seq[Q] = Seq(l6, l7, l8, l9, l10, l11, l12)

@@ -252,9 +252,9 @@ object QStats {
   // ---------------------------------------------------------------- T6
   /** Spearman correlation: Pearson over average-tie ranks, computed
     * from the JOINT DISTINCT-VALUE HISTOGRAM: one scan of the fact
-    * aggregates (group, value, lp) → count; marginal histograms (and
-    * hence the average-tie rank of every distinct value, rank =
-    * cum_before + (c+1)/2) derive from it, and the five Pearson
+    * aggregates (group, value, lp) → count; the average-tie rank of
+    * every distinct value (rank = cum_before + (c+1)/2) comes from
+    * range-frame windows over the cells, and the five Pearson
     * sufficient statistics are Σc·f(rank) sums over histogram cells.
     * The previous form rank-windowed every ROW of an event-type
     * partition (size ∝ corpus) on one task; here the only window runs
@@ -278,26 +278,30 @@ object QStats {
     SELECT event_type, round(corr(rx, ry), 4) AS rho, count(*) AS n
     FROM r GROUP BY 1 ORDER BY 1"""
   ))((s, d) => {
-    // joint histogram feeds three subtrees (both marginals + the cell
-    // scan) — scope-persist so the fact scans once
-    val joint = graft.operators.CacheScope.persist(
-      Tables.events(s, d)
-        .groupBy(col("event_type"), col("value"), length(col("props")).as("lp"))
-        .agg(count(lit(1)).as("c")))
-    def marginalRanks(key: String, out: String) = {
-      val wc = Window.partitionBy("event_type").orderBy(key)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      joint.groupBy(col("event_type"), col(key))
-        .agg(sum(col("c")).as("mc"))
-        .withColumn("cum", sum("mc").over(wc))
-        .select(col("event_type"), col(key),
-          (col("cum") - col("mc") + (col("mc") + lit(1)) / 2.0).as(out))
+    // ONE fact aggregation into the joint histogram, then the
+    // average-tie ranks come from RANGE-frame windows over the cells
+    // themselves (a range frame bounded at the current ORDER BY value
+    // spans every cell tied on that value, so cum-through-ties and the
+    // tie count both fall out without marginal tables or joins); the
+    // two window specs share the event_type partitioning → one window
+    // shuffle total, no persist, no join.
+    val joint = Tables.events(s, d)
+      .groupBy(col("event_type"), col("value"), length(col("props")).as("lp"))
+      .agg(count(lit(1)).as("c"))
+    def tieRank(key: String) = {
+      val through = Window.partitionBy("event_type").orderBy(key)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val ties = Window.partitionBy("event_type").orderBy(key)
+        .rangeBetween(Window.currentRow, Window.currentRow)
+      val cum = sum("c").over(through)
+      val mc = sum("c").over(ties)
+      cum - mc + (mc + lit(1)) / 2.0
     }
     val dec = org.apache.spark.sql.types.DecimalType(38, 2)
     def qsum(term: org.apache.spark.sql.Column) = sum(term.cast(dec)).cast("double")
     val g = joint
-      .join(marginalRanks("value", "rx"), Seq("event_type", "value"))
-      .join(marginalRanks("lp", "ry"), Seq("event_type", "lp"))
+      .select(col("event_type"), col("c"),
+        tieRank("value").as("rx"), tieRank("lp").as("ry"))
       .groupBy("event_type")
       .agg(sum(col("c")).as("n"),
         qsum(col("c") * col("rx")).as("sx"), qsum(col("c") * col("ry")).as("sy"),
