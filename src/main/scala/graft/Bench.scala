@@ -7,15 +7,44 @@ import org.apache.spark.sql.SparkSession
   * forced with a count() action (full pipeline execution, no result
   * materialization on the driver).
   *
-  * Each query runs SPARK_GRAFT_REPS times (default 3) and reports the
-  * MINIMUM, so the numbers measure the plan rather than JVM/codegen
-  * warm-up — a cold single shot was observed 2× the warm band.
+  * Each query runs SPARK_GRAFT_REPS times (default 5) and reports the
+  * MINIMUM (per-query median rides along under "queries_median"), so
+  * the numbers measure the plan rather than JVM/codegen warm-up — a
+  * cold single shot was observed 2× the warm band.
+  *
+  * Load robustness: min-of-N cannot filter SUSTAINED machine load (the
+  * r5 recording was inflated 2–3× across its whole duration), so the
+  * run brackets itself with a fixed CPU-bound canary job timed before
+  * the first query and after the last. "canary_ratio" (end/start) near
+  * 1.0 means a steady machine; either leg far off the historical band
+  * (~0.2 s at local[32]) or a ratio outside [0.67, 1.5] marks the
+  * recording suspect — re-run rather than trust it.
   */
 object Bench {
+
+  /** Fixed CPU-bound probe: ~16M hash+sum across all cores, no IO, no
+    * shuffle width sensitivity. Median of 5 single shots. */
+  private def canarySec(spark: SparkSession): Double = {
+    val times = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 24, 1L, 32)
+        .selectExpr("sum(hash(id)) AS s").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    median(times)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) Double.NaN
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       cpus).getOrCreate()
@@ -30,6 +59,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val canaryStart = canarySec(spark)
     val results = selected.map { case (name, fn) =>
       // A rep that throws yields None: a query failing every rep reports
       // null in the JSON, never the min of N fast failure times.
@@ -44,16 +74,21 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.flatten.minOption
+      name -> times.flatten
     }
-    val qs = results.map {
-      case (k, Some(v)) => "\"" + k + f"\":$v%.3f"
-      case (k, None) => "\"" + k + "\":null"
+    val canaryEnd = canarySec(spark)
+    val canaryRatio = canaryEnd / canaryStart
+    def fmt(sel: Seq[Double] => Double) = results.map {
+      case (k, ts) if ts.nonEmpty => "\"" + k + f"\":${sel(ts)}%.3f"
+      case (k, _) => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
+    val qs = fmt(_.min)
+    val qsMed = fmt(median)
+    val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+    val totalMed = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
     val nFailed = results.count(_._2.isEmpty)
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"total_median":$totalMed%.3f,"canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_ratio":$canaryRatio%.3f,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}"""
     println(full)
     // The full line (~3 KB at 86 queries) outgrows the harness's 2000-char
     // output tail, so per-query numbers also go to a FILE, and the very
@@ -63,10 +98,10 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    val slowest = results.collect { case (k, Some(v)) => (k, v) }
+    val slowest = results.collect { case (k, ts) if ts.nonEmpty => (k, ts.min) }
       .sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"sf":"$sfDir","queries_file":"$outPath","slowest":$slowest}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"canary_ratio":$canaryRatio%.3f,"sf":"$sfDir","queries_file":"$outPath","slowest":$slowest}""")
     spark.stop()
   }
 }

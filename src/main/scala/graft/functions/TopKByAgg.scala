@@ -27,6 +27,10 @@ final case class TopKRow(v: Double, k1: Long, k2: Long)
   */
 class TopKByAgg(k: Int) extends Aggregator[TopKRow, ArrayBuffer[TopKRow], Seq[Double]] {
 
+  // k < 1 would otherwise surface as an opaque IndexOutOfBounds inside
+  // executor tasks (insert touches b(k - 1)); fail at construction.
+  require(k >= 1, s"TopKByAgg needs k >= 1, got $k")
+
   /** True when `a` ranks strictly before `b`. */
   private def before(a: TopKRow, b: TopKRow): Boolean =
     a.v > b.v || (a.v == b.v &&

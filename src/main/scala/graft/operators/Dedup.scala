@@ -19,19 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Row-wise distinct word n-gram md5 shingles. Output: `carry` columns
-    * + `sh` (md5 hex), one row per distinct (carry, shingle). Documents
-    * with fewer than `n` whitespace tokens are dropped. */
-  def shingles(docs: DataFrame, textCol: String, carry: Seq[String], n: Int = 3): DataFrame = {
+  /** Row-wise word n-gram md5 shingles. Output: `carry` columns + `sh`
+    * (md5 hex). With `dedup` (the default) one row per distinct
+    * (carry, shingle) — set semantics for consumers that count rows.
+    * `dedup = false` skips that full shuffle and emits one row per
+    * shingle OCCURRENCE — the right form for consumers that are
+    * multiset-insensitive anyway (min-of-hash signatures, collect_set).
+    * Documents with fewer than `n` whitespace tokens are dropped. */
+  def shingles(docs: DataFrame, textCol: String, carry: Seq[String], n: Int = 3,
+      dedup: Boolean = true): DataFrame = {
     val grams = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(", ")
-    docs
+    val occ = docs
       .withColumn("w", split(col(textCol), " "))
       .filter(size(col("w")) >= n)
       .select((carry.map(col) :+ col("w") :+
         explode(expr(s"sequence(0, size(w) - $n)")).as("i")): _*)
       .select((carry.map(col) :+
         expr(s"md5(encode(concat_ws(' ', $grams), 'UTF-8'))").as("sh")): _*)
-      .distinct()
+    if (dedup) occ.distinct() else occ
   }
 
   /** Exact-dedup summary per group: total/distinct/removed counts and the
@@ -66,8 +71,13 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       nHash: Int = 12, bandRows: Int = 2, threshold: Double = 0.5,
       ngram: Int = 3): DataFrame = {
-    // scope-enrolled persist: unpersisted when the caller's CacheScope closes
-    val ex = CacheScope.persist(shingles(docs, textCol, Seq(idCol), ngram))
+    // scope-enrolled persist: unpersisted when the caller's CacheScope
+    // closes. dedup = false: BOTH consumers are multiset-insensitive —
+    // the signature takes min-of-mix per doc and the verify collects a
+    // SET — so the per-(doc, shingle) distinct() the r5 profile charged
+    // a full shuffle for is provably a no-op here and is skipped.
+    val ex = CacheScope.persist(
+      shingles(docs, textCol, Seq(idCol), ngram, dedup = false))
     // set-valued form for the Jaccard verify (only set sizes consumed)
     val shs = ex.groupBy(idCol).agg(collect_set(col("sh")).as("s"))
     // 31-bit integer from the first 8 hex chars of the shingle's md5
@@ -104,11 +114,36 @@ object Dedup {
     * output is Σ df(shingle)² — near-linear in the corpus — and
     * result-identical to the quadratic all-pairs-in-block form (a pair
     * above any positive threshold shares ≥ 1 shingle).
+    *
+    * `maxDf` is the hot-shingle guard that bounds Σ df² under a
+    * DEGENERATE corpus (one boilerplate shingle shared by 10⁶ docs in a
+    * block would otherwise emit 10¹² join rows — the structural cap the
+    * banded minhash path has and this path lacked): shingles whose
+    * document frequency inside their (block, shingle) key exceeds the
+    * cap are dropped from the INVERTED INDEX ONLY — per-doc set sizes
+    * `n` are counted first, so Jaccard denominators stay exact. The
+    * standard corpus-dedup trade, stated precisely: a surfaced pair's J
+    * is a lower bound (shared hotter-than-cap shingles aren't counted
+    * in `inter`), and a pair sharing ONLY hot shingles is not surfaced.
+    * With no shingle over the cap the result is bit-identical to the
+    * uncapped form. `None` (the default) disables the guard.
+    *
     * `docs` must already carry `blockCols`. Output: (doc_a, doc_b, jaccard). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], threshold: Double = 0.8, ngram: Int = 3): DataFrame = {
-    val ex = CacheScope.persist(shingles(docs, textCol, idCol +: blockCols, ngram)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(idCol))))
+      blockCols: Seq[String], threshold: Double = 0.8, ngram: Int = 3,
+      maxDf: Option[Long] = None): DataFrame = {
+    val base = shingles(docs, textCol, idCol +: blockCols, ngram)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(idCol)))
+    val capped = maxDf match {
+      case Some(cap) =>
+        require(cap >= 1, s"ngramJaccard needs maxDf >= 1, got $cap")
+        base
+          .withColumn("df", count(lit(1)).over(
+            Window.partitionBy(("sh" +: blockCols).map(col): _*)))
+          .filter(col("df") <= cap).drop("df")
+      case None => base
+    }
+    val ex = CacheScope.persist(capped)
     val joinCond = (Seq("sh") ++ blockCols)
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
@@ -143,6 +178,12 @@ object Dedup {
     // Corpus size for the bucket-width rule: pass it via `numDocs`
     // (Tables.rowCount — session-cached, metadata-level); the
     // `docs.count()` fallback replays whatever lineage `docs` carries.
+    // API INVARIANT: `numDocs` must be the row count OF THE EXACT FRAME
+    // PASSED as `docs`. Passing a raw-table count while handing in a
+    // filtered/derived frame silently mis-sizes the buckets (recall is
+    // unaffected — multi-probe is width-independent — but bucket
+    // population drifts off target). Same contract as
+    // embeddingNearDup.numVectors and Similarity.ivfTopK.numVectors.
     val bucketBits = autoBucketBits(numDocs.getOrElse(docs.count()), probeBits, targetBucketSize)
     val sh = simhashSignatures(docs, idCol, textCol)
     val base = expr(s"simhash div ${1L << (32 - bucketBits)}")
@@ -224,6 +265,9 @@ object Dedup {
     // letting within-cell candidate volume go O(n²/constant). Corpus
     // size comes in as `numVectors` (session-cached metadata statistic);
     // the count() fallback replays the input's lineage.
+    // API INVARIANT: `numVectors` must count the EXACT FRAME passed as
+    // `vectors` — a raw-table count over a filtered/derived frame
+    // silently mis-sizes the cells (see simhash.numDocs).
     val nCells = Similarity.autoNList(numVectors.getOrElse(vectors.count()), nList, targetCellSize)
     val cent = vectors
       .orderBy(hrand(col(idCol), seed), col(idCol))

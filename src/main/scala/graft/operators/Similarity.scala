@@ -126,7 +126,10 @@ object Similarity {
     * pass the corpus size via `numVectors` (e.g. Tables.rowCount, a
     * session-cached metadata-level statistic); the `vectors.count()`
     * fallback is correct but prices in whatever lineage `vectors`
-    * carries. Output: (query_id, rk, cand_id, cos). */
+    * carries. API INVARIANT: `numVectors` must be the row count of the
+    * EXACT FRAME passed as `vectors` — a raw-table count over a
+    * filtered/derived frame silently mis-sizes the cells.
+    * Output: (query_id, rk, cand_id, cos). */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 3, nList: Int = 16, nProbe: Int = 2,
       seed: Long = 2024L, dim: Int = 64, targetCellSize: Int = 256,

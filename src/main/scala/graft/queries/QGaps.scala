@@ -66,11 +66,19 @@ object QGaps {
     FROM g"""
   ))((s, d) => {
     val o = Tables.orders(s, d)
-    val g = o.groupBy("o_custkey")
-      .agg(countDistinct("o_orderpriority").as("np"))
-      .filter(col("np") >= 3).select("o_custkey")
-    val nOrders = o.join(g, "o_custkey").count()
-    g.agg(count(lit(1)).as("n_custs")).withColumn("n_orders", lit(nOrders))
+    // the gate table feeds both scalar aggregates — persist so the
+    // distinct-priority aggregation runs once; both one-row aggregates
+    // then combine in a broadcast cross join, keeping the query ONE DAG
+    // (the earlier eager .count() ran a separate job and embedded its
+    // result as a literal, scanning orders twice)
+    val g = graft.operators.CacheScope.persist(
+      o.groupBy("o_custkey")
+        .agg(countDistinct("o_orderpriority").as("np"))
+        .filter(col("np") >= 3).select("o_custkey"))
+    val nCusts = g.agg(count(lit(1)).as("n_custs"))
+    val nOrders = o.join(g, Seq("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_orders"))
+    nCusts.crossJoin(broadcast(nOrders))
   })
 
   // ----------------------------------------------------------- F8/C6

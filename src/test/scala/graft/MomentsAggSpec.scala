@@ -58,6 +58,82 @@ class MomentsAggSpec extends AnyFunSuite {
     }
   }
 
+  test("exact across extreme magnitudes (subnormals, tiny×huge mixes)") {
+    // the limb window claims exactness for EVERY finite double — pin it
+    // on values spanning ~600 binary orders of magnitude plus true
+    // subnormals, where any scaled-long or truncating scheme would fail
+    val vals = Seq(
+      Seq(4.9e-324, 1.0e8, -3.7e-200),   // min subnormal, near guard, tiny
+      Seq(-4.9e-324, 1.0e-300, 2.5e7),
+      Seq(1.23456789e-150, -9.9e7, 5.5e-9),
+      Seq(0.0, -0.0, 1.0e-320))          // zeros + subnormal
+    val rows = vals.map(v => (0, v))
+    val got = runAgg(rows, 2)
+    val (_, n, bad, s, m) = got.head
+    assert(n == vals.size && bad == 0)
+    for (i <- 0 until dims) {
+      val want = vals.map(v => new java.math.BigDecimal(v(i)))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+      assert(s(i) == want, s"first-order i=$i")
+    }
+    var idx = 0
+    for (i <- 0 until dims; j <- i until dims) {
+      val want = vals.map(v => new java.math.BigDecimal(v(i) * v(j)))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+      assert(m(idx) == want, s"second-order ($i,$j)")
+      idx += 1
+    }
+  }
+
+  test("fixed-point limb path is ≥5× faster per row than the decimal form") {
+    // the r5 implementation, verbatim: exact decimal accumulation —
+    // ~152 BigInteger adds + allocations per row at dims=16
+    val d16 = 16
+    final class DecBuf {
+      val s = Array.fill(d16)(java.math.BigDecimal.ZERO)
+      val m = Array.fill(d16 * (d16 + 1) / 2)(java.math.BigDecimal.ZERO)
+    }
+    def decimalReduce(b: DecBuf, v: Array[Double]): Unit = {
+      val vd = new Array[java.math.BigDecimal](d16)
+      var i = 0
+      while (i < d16) { vd(i) = new java.math.BigDecimal(v(i)); i += 1 }
+      var idx = 0
+      i = 0
+      while (i < d16) {
+        b.s(i) = b.s(i).add(vd(i))
+        var j = i
+        while (j < d16) {
+          b.m(idx) = b.m(idx).add(new java.math.BigDecimal(v(i) * v(j)))
+          j += 1; idx += 1
+        }
+        i += 1
+      }
+    }
+    val rnd = new scala.util.Random(5L)
+    val rows = Array.fill(20000)(Array.fill(d16)(rnd.nextGaussian() * 100))
+    val wrapped = rows.map(r => scala.collection.immutable.ArraySeq.unsafeWrapArray(r): Seq[Double])
+    val agg = new graft.functions.MomentsAgg(d16)
+    def timeLimb(): Double = {
+      val b = agg.zero
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < wrapped.length) { agg.reduce(b, wrapped(i)); i += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timeDec(): Double = {
+      val b = new DecBuf
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < rows.length) { decimalReduce(b, rows(i)); i += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeLimb(); timeDec() // JIT warm-up
+    val tL = (1 to 3).map(_ => timeLimb()).min
+    val tD = (1 to 3).map(_ => timeDec()).min
+    info(f"decimal ${tD * 1e9 / rows.length}%.0f ns/row, limb ${tL * 1e9 / rows.length}%.0f ns/row, ratio ${tD / tL}%.1f×")
+    assert(tD / tL >= 5.0, f"expected ≥5× per-row improvement, got ${tD / tL}%.1f×")
+  }
+
   test("a NaN / overflow row floods the group's moments and counts as bad") {
     val clean = Seq((0, Seq(1.0, 2.0, 3.0)), (0, Seq(4.0, 5.0, 6.0)))
     val poisoned = clean ++ Seq(
