@@ -248,10 +248,21 @@ object QKernels {
     * correlation corr(Xte·a, Yte·b) is shift-invariant, so it reduces
     * the fold's RAW moments: Σu = a's_x, Σu² = a'Mxx a, Σuv = a'Mxy b.
     * Ref: Matlab_part/perform_session_cca.m:270-400. */
-  val l7 = Q("l7_cca_cv", Some(Q.fixtureOracle("l7_cca_cv", "label, component")))((s, d) => {
+  val l7 = ccaCvQuery("l7_cca_cv", dims = 16, k = 3, nFolds = 5)
+
+  /** L7 at the REFERENCE's parameter scale — 10 canonical components /
+    * 10 CV folds (Matlab_part/oxford_single_session_pipeline_mdl.m:61-63;
+    * the engine's default l7 pins k=3/5 folds for fixture economy) over
+    * the first 20 embedding dims. Identical plan shape: the moment row
+    * per (label, fold) grows to 20·21/2 + 20 numbers and the per-group
+    * solve to 10×10 Cholesky blocks — still O(dims²) independent of
+    * group size, which is the point being proven. */
+  val l7ref = ccaCvQuery("l7_cca_cv_ref10", dims = 20, k = 10, nFolds = 10)
+
+  private def ccaCvQuery(name: String, dims: Int, k: Int, nFolds: Int): Q =
+    Q(name, Some(Q.fixtureOracle(name, "label, component")))((s, d) => {
     import s.implicits._
-    val dims = 16; val k = 3; val nFolds = 5
-    val xs = 0 until 8; val ys = 8 until 16
+    val xs = 0 until dims / 2; val ys = dims / 2 until dims
     labelFoldMoments(s, d, dims, nFolds)
       .groupByKey(_._1)
       .flatMapGroups { (label: Int, it: Iterator[(Int, Int, Long, Seq[Double], Seq[Double])]) =>
@@ -421,11 +432,15 @@ object QKernels {
   val l9 = Q("l9_sensitivity_sweep",
     Some(Q.fixtureOracle("l9_sensitivity_sweep", "label, rho_pct")))((s, d) => {
     import s.implicits._
-    val rhos = Array(0, 25, 50, 75)
+    // The reference's full grid ρ = 0:5:90 (19 points,
+    // Matlab_part/Oxford_glm_sensitivity.m:54-55) — on the
+    // sufficient-statistics plan the grid size is driver-free fan-out:
+    // every point is one more tiny solve off the same moment row.
+    val rhos = (0 to 90 by 5).toArray
     // SUFFICIENT-STATISTICS plan: the base fit, every ρ-removal refit
     // AND all 10 seeded Monte-Carlo refits per ρ are normal-equation
     // solves over sub-blocks of ONE 13×13 moment matrix per label —
-    // 45 OLS fits from a single aggregated row, no group materialized.
+    // ~200 OLS fits from a single aggregated row, no group materialized.
     labelMoments(s, d, 13).flatMap { case (label, n, sv, m) =>
       def fit(keepDims: Seq[Int]) = {
         val (xtx, xty, yty) = olsBlocks(n, sv, m, 13, 0, keepDims)
@@ -559,5 +574,5 @@ object QKernels {
       .repartition(1).sortWithinPartitions("label")
   })
 
-  val all: Seq[Q] = Seq(l6, l7, l8, l9, l10, l11, l12)
+  val all: Seq[Q] = Seq(l6, l7, l7ref, l8, l9, l10, l11, l12)
 }

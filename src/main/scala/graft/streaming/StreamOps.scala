@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming operators (SURVEY §7.2 M5): event-time windowed
   * aggregation under a watermark, and custom sessionization state via
@@ -61,10 +61,37 @@ object StreamOps {
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(key)
     spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    // The replay checkpoint is throwaway by construction (unique dir,
+    // deleted after the run — the same contract as Spark's temp
+    // checkpoint), so it goes on memory-backed storage when available:
+    // /tmp here is real disk, and the stream-stream join's state delta
+    // files were pure disk IO in a harness whose state never needs to
+    // survive the process. A live deployment points this at durable
+    // storage; the query is unchanged.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckptBase =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, s"graft_ckpt_$name")
     try {
-      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set(key, prior)
+      // Trigger.AvailableNow: process everything available, run the
+      // watermark-flush no-data batch, then self-terminate — the
+      // bounded-replay harness pays the minimum number of micro-batch
+      // schedule/commit cycles instead of the default trigger's
+      // poll-until-idle loop. Live deployments drop the trigger and
+      // keep the identical plan.
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    } finally {
+      spark.conf.set(key, prior)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(ckpt)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
     spark.table(name)
   }
 

@@ -34,7 +34,7 @@ class FixtureSpec extends AnyFunSuite {
   }
 
   test("the fixture-gated set is exactly the declared kernel queries") {
-    val expected = Set("l6_pca_cv", "l7_cca_cv", "l8_glm_stats",
+    val expected = Set("l6_pca_cv", "l7_cca_cv", "l7_cca_cv_ref10", "l8_glm_stats",
       "l9_sensitivity_sweep", "l10_principal_angles", "l11_participation",
       "l12_variance_decomposition", "l15_rastermap_order",
       // t1 is SQL-oracled except its exact-t p column, which rides the

@@ -92,6 +92,31 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("moments-path CCA holds at reference parameters (k=10 over 10+10 dims)") {
+    // the reference runs 10 canonical components (oxford_single_session
+    // _pipeline_mdl.m:61-63); prove the Cholesky/moments form agrees
+    // with the data-path QR at that parameter scale, not just the k=3
+    // fixture economy the default l7 uses
+    val rnd = new scala.util.Random(42L)
+    val n = 200
+    val lat = Array.fill(n, 10)(rnd.nextGaussian())
+    def side(shift: Int) = DenseMatrix.tabulate(n, 10) { (i, j) =>
+      lat(i)((j + shift) % 10) * (1.0 + 0.1 * j) + 0.3 * rnd.nextGaussian()
+    }
+    val a = side(0); val b = side(3)
+    val cc = LinAlg.cca(a, b, 10)
+    // scatter blocks from the raw data — what the moment aggregate feeds
+    val ac = LinAlg.centered(a, LinAlg.colMeans(a))
+    val bc = LinAlg.centered(b, LinAlg.colMeans(b))
+    val cm = LinAlg.ccaFromMoments(n, ac.t * ac, ac.t * bc, bc.t * bc, 10)
+    assert(cm.r.length == 10 && cc.r.length == 10)
+    (0 until 10).foreach { c =>
+      close(cm.r(c), cc.r(c), 1e-8)
+      (0 until 10).foreach { i => close(cm.a(i, c), cc.a(i, c), 1e-6) }
+    }
+    assert(cm.ridgeUsed == cc.ridgeUsed)
+  }
+
   test("CCA ridge path engages on rank-deficient input and stays finite") {
     // second X column duplicates the first → rank deficient
     val a = DenseMatrix.zeros[Double](12, 2)

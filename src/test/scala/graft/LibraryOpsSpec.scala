@@ -31,6 +31,36 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(!out.exists(p => p._1 == 4L || p._2 == 4L)) // blocked away
   }
 
+  test("Dedup.ngramJaccard maxDf caps hot-shingle candidate volume") {
+    import spark.implicits._
+    // degenerate corpus: 40 docs all sharing ONE boilerplate bigram
+    // ("hot hot") — the Σ df² blow-up case — plus a genuine near-dup
+    // pair linked through rare shingles
+    val boiler = (1L to 40L).map(i => (i, "x", s"hot hot u$i t$i"))
+    val nearDup = Seq(
+      (100L, "x", "alpha beta gamma delta"),
+      (101L, "x", "alpha beta gamma zeta"))
+    val d = (boiler ++ nearDup).toDF("id", "grp", "body")
+    def pairs(cap: Option[Long]) =
+      Dedup.ngramJaccard(d, "id", "body", blockCols = Seq("grp"),
+        threshold = 0.01, ngram = 2, maxDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    val capped = pairs(Some(10L))
+    // uncapped: every boilerplate pair meets through the hot shingle —
+    // O(n²) candidates AND O(n²) emitted pairs at a low threshold
+    assert(uncapped.size == 40 * 39 / 2 + 1, s"got ${uncapped.size}")
+    // capped: the df-40 shingle leaves the inverted index, candidate
+    // volume collapses, and the rare-shingle near-dup still surfaces
+    assert(capped == Set((100L, 101L)))
+    // no shingle above the cap ⇒ bit-identical to the uncapped form
+    val clean = nearDup.toDF("id", "grp", "body")
+    def cleanRun(cap: Option[Long]) =
+      Dedup.ngramJaccard(clean, "id", "body", Seq("grp"), 0.01, 2, cap)
+        .collect().map(_.toSeq).toSet
+    assert(cleanRun(Some(10L)) == cleanRun(None) && cleanRun(None).nonEmpty)
+  }
+
   test("Dedup.exactSummary counts duplicates per custom group column") {
     val d = docs(
       (1L, "a", "same text"), (2L, "a", "same text"),

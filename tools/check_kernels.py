@@ -248,9 +248,11 @@ def check(name, expected_rows, got_df, cols):
     # np.max, NOT nanmax: a one-sided NaN (engine NaN vs finite numpy, or
     # vice versa) must propagate and FAIL, not be skipped
     mx = np.max(diff) if diff.size else 0.0
-    status = "OK " if mx <= TOL else "FAIL"
-    print(f"[{status}] {name}: max|diff| = {mx:.3g} over {got.shape[0]} rows")
-    if mx > TOL:
+    # NOT `mx > TOL`: a NaN max (one-sided NaN) fails both comparisons
+    # and would print FAIL yet slip past the failure list
+    ok = mx <= TOL
+    print(f"[{'OK ' if ok else 'FAIL'}] {name}: max|diff| = {mx:.3g} over {got.shape[0]} rows")
+    if not ok:
         failures.append(f"{name}: max diff {mx}")
 
 
@@ -277,6 +279,21 @@ for lb, m in groups.items():
         rows.append({"r": r[c], "cv_r_mean": cv[:, c].mean(),
                      "cv_r_std": cv[:, c].std(ddof=1), "ridge_lambda": lam})
 check("l7_cca_cv", rows, load("l7_cca_cv").sort_values(["label", "component"]),
+      ["r", "cv_r_mean", "cv_r_std", "ridge_lambda"])
+
+# ------------------------------------------- l7 at reference parameters
+# 10 components / 10 folds over dims 0-9 vs 10-19 (the reference's
+# parameter scale; same math, bigger blocks)
+rows = []
+for lb, m in groups.items():
+    x, y = m[:, :10], m[:, 10:20]
+    a, b, r, lam = cca(x, y, 10)
+    cv = cca_cv(x, y, 10, 10)
+    for c in range(10):
+        rows.append({"r": r[c], "cv_r_mean": cv[:, c].mean(),
+                     "cv_r_std": cv[:, c].std(ddof=1), "ridge_lambda": lam})
+check("l7_cca_cv_ref10", rows,
+      load("l7_cca_cv_ref10").sort_values(["label", "component"]),
       ["r", "cv_r_mean", "cv_r_std", "ridge_lambda"])
 
 # ------------------------------------------------------------------ l8
@@ -306,9 +323,13 @@ for lb, m in groups.items():
     y, x = m[:, 0], m[:, 1:13]
     base = ols(x, y)[0]
     order = sorted(range(12), key=lambda j: -abs(base[j + 1]))
-    for rho in (0, 25, 50, 75):
+    for rho in range(0, 95, 5):
         n_drop = int(round(12 * rho / 100.0))
         keep = sorted(order[n_drop:])
+        if len(keep) < 2:  # engine/reference n_keep >= 2 guard: NaN row
+            rows.append({"n_kept": len(keep), "r2": float("nan"),
+                         "r2_mc_mean": float("nan"), "r2_mc_std": float("nan")})
+            continue
         r2 = max(ols(x[:, keep], y)[6], 0.0)
         mc = []
         for t_it in range(10):

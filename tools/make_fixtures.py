@@ -19,7 +19,8 @@ import sys, os, glob
 import duckdb
 
 KERNELS = [
-    "l6_pca_cv", "l7_cca_cv", "l8_glm_stats", "l9_sensitivity_sweep",
+    "l6_pca_cv", "l7_cca_cv", "l7_cca_cv_ref10", "l8_glm_stats",
+    "l9_sensitivity_sweep",
     "l10_principal_angles", "l11_participation",
     "l12_variance_decomposition", "l15_rastermap_order",
     # SQL-oracled except p_exact, which rides the fixture contract
