@@ -17,21 +17,27 @@ import org.apache.spark.sql.SparkSession
   * run brackets itself with a fixed CPU-bound canary job timed before
   * the first query and after the last. "canary_ratio" (end/start) near
   * 1.0 means a steady machine; either leg far off the historical band
-  * (~0.2 s at local[32]) or a ratio outside [0.67, 1.5] marks the
-  * recording suspect — re-run rather than trust it.
+  * (~0.07 s at local[32], idle) or a ratio outside [0.67, 1.5] marks
+  * the recording suspect — re-run rather than trust it.
   */
 object Bench {
 
-  /** Fixed CPU-bound probe: ~16M hash+sum across all cores, no IO, no
-    * shuffle width sensitivity. Median of 5 single shots. */
+  /** Fixed CPU-bound probe: ~134M hash+sum across all cores, no IO, no
+    * shuffle width sensitivity. Sized long (~0.3 s) so steady-state
+    * arithmetic dominates the JIT-sensitive per-task scheduling path —
+    * a short probe measured its own warm-up curve (start leg ~2× the
+    * end leg on an idle machine), which would read as load that wasn't
+    * there. Three discarded passes compile/JIT the probe, then the
+    * median of 3 single shots. */
   private def canarySec(spark: SparkSession): Double = {
-    val times = (1 to 5).map { _ =>
+    def shot(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0L, 1L << 24, 1L, 32)
+      spark.range(0L, 1L << 27, 1L, 32)
         .selectExpr("sum(hash(id)) AS s").count()
       (System.nanoTime() - t0) / 1e9
     }
-    median(times)
+    (1 to 3).foreach(_ => shot()) // warm-up, discarded
+    median((1 to 3).map(_ => shot()))
   }
 
   private def median(xs: Seq[Double]): Double = {
