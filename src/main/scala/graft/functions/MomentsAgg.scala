@@ -44,7 +44,7 @@ object MomentsAgg {
     * Decomposes x = ±mant·2^e (53-bit integer mantissa) and adds the
     * mantissa's ≤3 32-bit chunks, shifted to e − EBASE, into the signed
     * limb partial sums — ~10 long ops, no allocation, no rounding. */
-  @inline private[functions] def addVal(limbs: Array[Long], cellOff: Int, x: Double): Unit = {
+  @inline private[graft] def addVal(limbs: Array[Long], cellOff: Int, x: Double): Unit = {
     if (x == 0.0) return
     val bits = java.lang.Double.doubleToRawLongBits(x)
     val biased = ((bits >>> 52) & 0x7FFL).toInt
@@ -73,7 +73,7 @@ object MomentsAgg {
     * top limb signed). Each row adds < 2^33 in magnitude per limb, so a
     * normalize every 2^30 contributions keeps the signed partial sums
     * far from long overflow; at that cadence its cost is nil. */
-  private[functions] def normalize(limbs: Array[Long]): Unit = {
+  private[graft] def normalize(limbs: Array[Long]): Unit = {
     var base = 0
     while (base < limbs.length) {
       var k = 0
@@ -90,7 +90,7 @@ object MomentsAgg {
   }
 
   /** Exact BigDecimal value of one cell. */
-  private[functions] def cellValue(limbs: Array[Long], cellOff: Int): BigDecimal = {
+  private[graft] def cellValue(limbs: Array[Long], cellOff: Int): BigDecimal = {
     var acc = BigInteger.ZERO
     var k = NL - 1
     while (k >= 0) {

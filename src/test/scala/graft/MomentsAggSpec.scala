@@ -134,6 +134,31 @@ class MomentsAggSpec extends AnyFunSuite {
     assert(tD / tL >= 5.0, f"expected ≥5× per-row improvement, got ${tD / tL}%.1f×")
   }
 
+  test("carry-propagation (normalize) preserves exact values and canonicalizes limbs") {
+    // the slack-triggered normalize never fires below 2^30 rows, so the
+    // carry logic gets a direct unit pin: value before == value after,
+    // all non-top limbs land in [0, 2^32), and both equal a sequential
+    // BigDecimal reference — including a negative-total cell
+    import graft.functions.MomentsAgg
+    val rnd = new scala.util.Random(13L)
+    for (signBias <- Seq(0.9, -0.9)) {
+      val limbs = new Array[Long](MomentsAgg.NL)
+      val vals = Seq.fill(5000)(
+        (rnd.nextGaussian() + signBias) * math.pow(10.0, rnd.nextInt(12) - 6)) ++
+        Seq(4.9e-324, -1.7e8, 1.0e-320)
+      vals.foreach(v => MomentsAgg.addVal(limbs, 0, v))
+      val before = MomentsAgg.cellValue(limbs, 0)
+      MomentsAgg.normalize(limbs)
+      val after = MomentsAgg.cellValue(limbs, 0)
+      assert(before.compareTo(after) == 0, "normalize changed the cell value")
+      assert(limbs.dropRight(1).forall(l => l >= 0 && l < (1L << 32)),
+        "non-top limbs not canonical after normalize")
+      val want = vals.map(new java.math.BigDecimal(_))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      assert(before.compareTo(want) == 0, "exact sum mismatch vs decimal reference")
+    }
+  }
+
   test("a NaN / overflow row floods the group's moments and counts as bad") {
     val clean = Seq((0, Seq(1.0, 2.0, 3.0)), (0, Seq(4.0, 5.0, 6.0)))
     val poisoned = clean ++ Seq(
