@@ -7,17 +7,63 @@ import org.apache.spark.sql.expressions.Aggregator
 
 /** Buffer for [[MomentsAgg]]: counts + fixed-point limb accumulators
   * (see the companion object) for the first-order and packed
-  * upper-triangle second-order sums. Kryo-serialized between partial
-  * and final aggregation — plain long arrays, ~46 KB at dims = 16. */
-final class MomentsBuf(val dims: Int) extends Serializable {
+  * upper-triangle second-order sums.
+  *
+  * Serialization (partial → final aggregation shuffle) is SPARSE: the
+  * limb window spans the full double range so each cell is 38 limbs,
+  * but real data clusters within a few binades — typically ~4-6
+  * non-zero limbs per cell — so (varint index, value) pairs cut the
+  * shuffled buffer from ~46 KB dense to a few KB at dims = 16. At
+  * corpus scale the moment shuffle is #groups × #partitions of these
+  * buffers; their size is the entire cost of the window's generosity,
+  * so it is paid only for limbs actually touched. */
+final class MomentsBuf(var dims: Int) extends Serializable
+    with com.esotericsoftware.kryo.KryoSerializable {
   import MomentsAgg.NL
   var n: Long = 0L
   var bad: Long = 0L
   /** Un-normalized row contributions since the last carry-propagation —
     * bounds the limbs' drift from canonical form (see normalize). */
   var slack: Long = 0L
-  val s: Array[Long] = new Array[Long](dims * NL)
-  val m: Array[Long] = new Array[Long](dims * (dims + 1) / 2 * NL)
+  var s: Array[Long] = new Array[Long](dims * NL)
+  var m: Array[Long] = new Array[Long](dims * (dims + 1) / 2 * NL)
+
+  def this() = this(0) // Kryo instantiation
+
+  private def writeSparse(out: com.esotericsoftware.kryo.io.Output,
+      a: Array[Long]): Unit = {
+    var nz = 0
+    var i = 0
+    while (i < a.length) { if (a(i) != 0L) nz += 1; i += 1 }
+    out.writeInt(nz, true)
+    i = 0
+    while (i < a.length) {
+      if (a(i) != 0L) { out.writeInt(i, true); out.writeLong(a(i)) }
+      i += 1
+    }
+  }
+
+  private def readSparse(in: com.esotericsoftware.kryo.io.Input,
+      a: Array[Long]): Unit = {
+    var nz = in.readInt(true)
+    while (nz > 0) { a(in.readInt(true)) = in.readLong(); nz -= 1 }
+  }
+
+  override def write(kryo: com.esotericsoftware.kryo.Kryo,
+      out: com.esotericsoftware.kryo.io.Output): Unit = {
+    out.writeInt(dims, true)
+    out.writeLong(n); out.writeLong(bad); out.writeLong(slack)
+    writeSparse(out, s); writeSparse(out, m)
+  }
+
+  override def read(kryo: com.esotericsoftware.kryo.Kryo,
+      in: com.esotericsoftware.kryo.io.Input): Unit = {
+    dims = in.readInt(true)
+    n = in.readLong(); bad = in.readLong(); slack = in.readLong()
+    s = new Array[Long](dims * NL)
+    m = new Array[Long](dims * (dims + 1) / 2 * NL)
+    readSparse(in, s); readSparse(in, m)
+  }
 }
 
 /** Finished moments: row count, poison-row count, first-order sums,

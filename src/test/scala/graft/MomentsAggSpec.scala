@@ -134,6 +134,30 @@ class MomentsAggSpec extends AnyFunSuite {
     assert(tD / tL >= 5.0, f"expected ≥5× per-row improvement, got ${tD / tL}%.1f×")
   }
 
+  test("sparse buffer serialization round-trips exactly and beats dense size") {
+    import com.esotericsoftware.kryo.Kryo
+    import com.esotericsoftware.kryo.io.{Input, Output}
+    val dims16 = 16
+    val agg = new graft.functions.MomentsAgg(dims16)
+    val b = agg.zero
+    val rnd = new scala.util.Random(17L)
+    (1 to 1000).foreach(_ =>
+      agg.reduce(b, Seq.fill(dims16)(rnd.nextGaussian() * 50)))
+    b.bad = 3L
+    val kryo = new Kryo()
+    val out = new Output(1 << 22)
+    kryo.writeObject(out, b)
+    out.flush()
+    val bytes = out.toBytes
+    val b2 = kryo.readObject(new Input(bytes), classOf[graft.functions.MomentsBuf])
+    assert(b2.dims == b.dims && b2.n == b.n && b2.bad == b.bad && b2.slack == b.slack)
+    assert(b2.s.sameElements(b.s) && b2.m.sameElements(b.m))
+    val dense = (b.s.length + b.m.length) * 8
+    assert(bytes.length < dense / 4,
+      s"sparse encoding ${bytes.length} B should be ≪ dense $dense B")
+    info(f"sparse ${bytes.length} B vs dense $dense B (${dense.toDouble / bytes.length}%.1f×)")
+  }
+
   test("carry-propagation (normalize) preserves exact values and canonicalizes limbs") {
     // the slack-triggered normalize never fires below 2^30 rows, so the
     // carry logic gets a direct unit pin: value before == value after,
