@@ -65,20 +65,17 @@ object QGaps {
            (SELECT count(*) FROM orders o JOIN g ON o.o_custkey = g.o_custkey) AS n_orders
     FROM g"""
   ))((s, d) => {
-    val o = Tables.orders(s, d)
-    // the gate table feeds both scalar aggregates — persist so the
-    // distinct-priority aggregation runs once; both one-row aggregates
-    // then combine in a broadcast cross join, keeping the query ONE DAG
-    // (the earlier eager .count() ran a separate job and embedded its
-    // result as a literal, scanning orders twice)
-    val g = graft.operators.CacheScope.persist(
-      o.groupBy("o_custkey")
-        .agg(countDistinct("o_orderpriority").as("np"))
-        .filter(col("np") >= 3).select("o_custkey"))
-    val nCusts = g.agg(count(lit(1)).as("n_custs"))
-    val nOrders = o.join(g, Seq("o_custkey"), "left_semi")
-      .agg(count(lit(1)).as("n_orders"))
-    nCusts.crossJoin(broadcast(nOrders))
+    // ONE orders scan, no join: the oracle's "orders joining the gate"
+    // count is, per gate customer, that customer's own order count —
+    // so carrying count(*) through the gate aggregate and summing it
+    // over survivors is value-identical to the semi-join (and to the
+    // r5 form's eager .count(), which ran a separate job and embedded
+    // its result as a literal, scanning orders twice).
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(countDistinct("o_orderpriority").as("np"), count(lit(1)).as("cnt"))
+      .filter(col("np") >= 3)
+      .agg(count(lit(1)).as("n_custs"), sum("cnt").as("n_orders"))
   })
 
   // ----------------------------------------------------------- F8/C6

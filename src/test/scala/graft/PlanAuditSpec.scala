@@ -17,10 +17,9 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private lazy val spark = GraftSession.local(4)
 
-  test("nested-loop joins appear only in the twelve intentional dimension-bounded plans") {
+  test("nested-loop joins appear only in the eleven intentional dimension-bounded plans") {
     val intentional = Set(
       "a11_threshold_sweep",      // threshold-literal fan-out
-      "f7_min_groups_gate",       // 1-row × 1-row scalar-aggregate cross
       "l14_stability_sweep",      // sizes×iters literal fan-out
       "sim_ann_ivf",              // 16-row seeded centroid cross
       "dedup_embedding_cosine",   // 8-row seeded centroid cross
