@@ -54,5 +54,14 @@ object QStream {
     GROUP BY 1 ORDER BY 1"""
   ))((s, d) => StreamOps.intervalJoin(s, d))
 
-  val all: Seq[Q] = Seq(wm, sess, ij)
+  /** Horizon-bounded streaming dedup (dropDuplicatesWithinWatermark)
+    * vs the batch DISTINCT oracle — exact on bounded single-batch
+    * replay; state bounded by the watermark horizon in live runs. */
+  val dedup = Q("stream_dedup_watermark", Some("""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => StreamOps.streamingDedup(s, d))
+
+  val all: Seq[Q] = Seq(wm, sess, ij, dedup)
 }

@@ -155,6 +155,30 @@ object StreamOps {
       .orderBy("rel_bin")
   }
 
+  /** Streaming exact dedup — the streaming twin of the batch
+    * `Dedup.exactSummary` first-occurrence semantics: emit each
+    * (event_type, user_id) key once via `dropDuplicatesWithinWatermark`,
+    * so dedup state is ONE row per distinct key inside the 1-hour
+    * event-time horizon and is evicted as the watermark passes —
+    * bounded state in continuous operation (a plain dropDuplicates
+    * would grow state with corpus cardinality forever). Keys seen
+    * again beyond the horizon re-emit by design — the standard
+    * horizon-bounded contract of live dedup; on bounded replay the
+    * single-batch file source dedups exactly, which the DISTINCT
+    * oracle replays. NULL user_ids are excluded on both sides (a
+    * NULL is a dedup key value but not a COUNT DISTINCT member). */
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = eventsStream(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
+    runToMemory(spark, deduped, "graft_stream_dedup", OutputMode.Append())
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
+
   final case class Ev(user_id: Long, t: Long)
   final case class Session(user_id: Long, session_id: Long, session_start: Long,
       session_end: Long, n_events: Long)
