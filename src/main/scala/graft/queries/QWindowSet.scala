@@ -64,9 +64,14 @@ object QWindowSet {
   })
 
   // ---------------------------------------------------------------- W6
-  /** Seeded deterministic sampling: k=3 per group via the engine's
-    * arithmetic hash (replayable on any SQL engine, stable across
-    * partitionings — SURVEY §7.4.1).
+  /** Seeded deterministic STRATIFIED sampling: k=3 per group via the
+    * engine's arithmetic hash (replayable on any SQL engine, stable
+    * across partitionings — SURVEY §7.4.1). Selection runs through the
+    * bounded-state top-k aggregate (functions.TopKKeysAgg ranking by
+    * −hrand: O(k) state per stratum, map-side combine) rather than the
+    * row_number window the oracle replays — the window form sorts each
+    * stratum (size ∝ corpus) on one task. hrand < 2^31 is exact in a
+    * double, so the selected set is identical.
     * Ref: Matlab_part/perform_region_analysis.m:122-124 (seed 12345). */
   val w6 = Q("w6_seeded_sample", Some(s"""
     WITH h AS (
@@ -80,12 +85,13 @@ object QWindowSet {
     SELECT c_nationkey, c_custkey FROM r WHERE rn <= 3
     ORDER BY c_nationkey, c_custkey"""
   ))((s, d) => {
-    val h = Tables.customer(s, d)
-      .select(col("c_nationkey"), col("c_custkey"),
-        hrand(col("c_custkey"), 12345L).as("hr"))
-    val w = Window.partitionBy("c_nationkey").orderBy("hr", "c_custkey")
-    h.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-      .select("c_nationkey", "c_custkey")
+    val sample = udaf(new graft.functions.TopKKeysAgg(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.TopKRow])
+    Tables.customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(sample(-hrand(col("c_custkey"), 12345L).cast("double"),
+        col("c_custkey"), lit(0L)).as("ks"))
+      .select(col("c_nationkey"), explode(col("ks")).as("c_custkey"))
       .orderBy("c_nationkey", "c_custkey")
   })
 

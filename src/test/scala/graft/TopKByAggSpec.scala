@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{TopKByAgg, TopKRow}
+import graft.functions.{TopKByAgg, TopKKeysAgg, TopKRow}
 
 /** Contract tests for the bounded-state top-k aggregate that replaces
   * `row_number() OVER (...) <= k` windows on corpus-scaling partitions:
@@ -44,6 +44,27 @@ class TopKByAggSpec extends AnyFunSuite {
     for (k <- Seq(1, 3, 7)) {
       assert(topkDf(rows, k, 5) == windowTopK(rows, k), s"k=$k diverged")
     }
+  }
+
+  test("TopKKeysAgg sampling matches the windowed hrand selection exactly") {
+    import spark.implicits._
+    import graft.functions.Deterministic.hrand
+    val rows = (1L to 500L).map(id => ((id % 7).toInt, id))
+    val df = rows.toDF("g", "id").repartition(9)
+    // window formulation (what the oracle replays)
+    val w = Window.partitionBy("g").orderBy(col("hr"), col("id"))
+    val want = df.withColumn("hr", hrand(col("id"), 777L))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("g", "id").as[(Int, Long)].collect().toSet
+    // bounded-state formulation: rank by -hrand, keys out
+    val sample = udaf(new TopKKeysAgg(5),
+      org.apache.spark.sql.Encoders.product[TopKRow])
+    val got = df.groupBy("g")
+      .agg(sample(-hrand(col("id"), 777L).cast("double"), col("id"), lit(0L)).as("ks"))
+      .select(col("g"), explode(col("ks")).as("id"))
+      .as[(Int, Long)].collect().toSet
+    assert(got == want)
+    intercept[IllegalArgumentException](new TopKKeysAgg(0))
   }
 
   test("bit-identical across partition layouts; short groups return all rows") {
