@@ -53,15 +53,17 @@ object QWindowSet {
       FROM customer WHERE c_acctbal > 0)
     SELECT c_nationkey, c_custkey AS first_pos_cust, c_acctbal AS first_pos_bal
     FROM f WHERE rn = 1 ORDER BY c_nationkey"""
-  ))((s, d) => {
-    val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+  ))((s, d) =>
+    // first-in-key-order = argmin by the unique key: one hash aggregate
+    // with O(1) state per group (min + min_by, map-side combine) in
+    // place of the row_number window the oracle replays, which sorts
+    // each corpus-scaled partition on one task. c_custkey is unique, so
+    // min_by is deterministic and the pair is exactly the rn = 1 row.
     Tables.customer(s, d).filter(col("c_acctbal") > 0)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("c_nationkey"), col("c_custkey").as("first_pos_cust"),
-        col("c_acctbal").as("first_pos_bal"))
-      .orderBy("c_nationkey")
-  })
+      .groupBy("c_nationkey")
+      .agg(min("c_custkey").as("first_pos_cust"),
+        expr("min_by(c_acctbal, c_custkey)").as("first_pos_bal"))
+      .orderBy("c_nationkey"))
 
   // ---------------------------------------------------------------- W6
   /** Seeded deterministic STRATIFIED sampling: k=3 per group via the
