@@ -134,6 +134,25 @@ class MomentsAggSpec extends AnyFunSuite {
     assert(tD / tL >= 5.0, f"expected ≥5× per-row improvement, got ${tD / tL}%.1f×")
   }
 
+  test("limb accumulator is exact for arbitrary finite double bit patterns") {
+    // uniform random BIT PATTERNS, not uniform values: exponents sweep
+    // the full double range (subnormals included), the adversarial case
+    // for any fixed-point window. Magnitude capped at the second-moment
+    // guard bound (1e18 < 2^60, window top 2^136).
+    import graft.functions.MomentsAgg
+    val rnd = new scala.util.Random(99L)
+    (1 to 20).foreach { trial =>
+      val limbs = new Array[Long](MomentsAgg.NL)
+      val vals = Iterator.continually(java.lang.Double.longBitsToDouble(rnd.nextLong()))
+        .filter(d => !d.isNaN && !d.isInfinite && math.abs(d) < 1e18)
+        .take(300).toSeq
+      vals.foreach(v => MomentsAgg.addVal(limbs, 0, v))
+      val want = vals.map(new java.math.BigDecimal(_))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      assert(MomentsAgg.cellValue(limbs, 0).compareTo(want) == 0, s"trial $trial")
+    }
+  }
+
   test("sparse buffer serialization round-trips exactly and beats dense size") {
     import com.esotericsoftware.kryo.Kryo
     import com.esotericsoftware.kryo.io.{Input, Output}
