@@ -32,6 +32,12 @@ object GraftSession {
             "graft_lsh_bucket"),
           (children: Seq[Expression]) =>
             graft.functions.LshBucket(children(0), children(1))))
+        ext.injectFunction((
+          FunctionIdentifier("graft_top_cells"),
+          new ExpressionInfo(classOf[graft.functions.TopCells].getName,
+            "graft_top_cells"),
+          (children: Seq[Expression]) =>
+            graft.functions.TopCells(children(0), children(1), children(2))))
       }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")

@@ -37,6 +37,28 @@ import org.apache.spark.sql.types._
   * extension-point route, so `expr("graft_cosine(a, b)")` works in any
   * SQL/DataFrame context without a UDF.
   */
+object CosineSimilarity {
+  /** The interpreted kernel, shared verbatim with [[TopCells]] so the
+    * per-centroid cosines there are bit-identical to `graft_cosine` by
+    * construction (same left-to-right fold, same null/zero-norm
+    * contract). Returns null (boxed) per the expression's null rules. */
+  private[functions] def cosine(xa: ArrayData, xf: Boolean,
+      ya: ArrayData, yf: Boolean): java.lang.Double = {
+    val n = math.min(xa.numElements(), ya.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      if (xa.isNullAt(i) || ya.isNullAt(i)) return null
+      val x = if (xf) xa.getFloat(i).toDouble else xa.getDouble(i)
+      val y = if (yf) ya.getFloat(i).toDouble else ya.getDouble(i)
+      dot += x * y; nx += x * x; ny += y * y
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null // covers n == 0; Divide-by-zero → NULL
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+}
+
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -62,24 +84,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   // interpreted fallback).
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val xa = l.asInstanceOf[ArrayData]
-    val ya = r.asInstanceOf[ArrayData]
-    val xf = elemType(left) == FloatType
-    val yf = elemType(right) == FloatType
-    val n = math.min(xa.numElements(), ya.numElements())
-    var dot = 0.0; var nx = 0.0; var ny = 0.0
-    var i = 0
-    while (i < n) {
-      if (xa.isNullAt(i) || ya.isNullAt(i)) return null
-      val x = if (xf) xa.getFloat(i).toDouble else xa.getDouble(i)
-      val y = if (yf) ya.getFloat(i).toDouble else ya.getDouble(i)
-      dot += x * y; nx += x * x; ny += y * y
-      i += 1
-    }
-    if (nx == 0.0 || ny == 0.0) null // covers n == 0; Divide-by-zero → NULL
-    else dot / (math.sqrt(nx) * math.sqrt(ny))
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    CosineSimilarity.cosine(
+      l.asInstanceOf[ArrayData], elemType(left) == FloatType,
+      r.asInstanceOf[ArrayData], elemType(right) == FloatType)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val xacc = if (elemType(left) == FloatType) "getFloat" else "getDouble"

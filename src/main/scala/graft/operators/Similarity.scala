@@ -94,16 +94,27 @@ object Similarity {
   def centroidArray(cent: DataFrame): DataFrame =
     cent.agg(collect_list(struct(col("cent_id"), col("cv"))).as("cents"))
 
-  /** Per-row top-`nProbe` cells over the broadcast centroid array:
-    * `slice(array_sort(transform(...)))` ranks every centroid by
-    * (rounded cosine DESC, cent_id — NULL cosines last, exactly the
-    * `row_number` ordering the DuckDB oracles replay) INSIDE one
-    * expression, so the plan has no Window and no n×nCells shuffle —
-    * the rows that leave the operator are the nProbe survivors, not
-    * every (vector, centroid) pair. At the √n sizing rule a windowed
-    * assignment shuffles O(n^1.5) rows at corpus scale; this shuffles
-    * none. */
-  def topCells(vecCol: String, nProbe: Int): Column = {
+  /** Per-row top-`nProbe` cells over the broadcast centroid array —
+    * the native codegen-fallback expression `graft_top_cells`
+    * (functions.TopCells, injected via SparkSessionExtensions): ranks
+    * every centroid by (rounded cosine DESC, cent_id — NULL cosines
+    * last, exactly the `row_number` ordering the DuckDB oracles
+    * replay) INSIDE one expression, so the plan has no Window and no
+    * n×nCells shuffle — the rows that leave the operator are the
+    * nProbe survivors, not every (vector, centroid) pair. At the √n
+    * sizing rule a windowed assignment shuffles O(n^1.5) rows at
+    * corpus scale; this shuffles none — and the native eval runs the
+    * per-centroid loop compiled, where the [[topCellsSql]] HOF chain
+    * it replaced walked an interpreted Expression tree per
+    * (row, centroid): the inner loop that GROWS with corpus size
+    * under √n sizing. Bit-identical to the HOF form (spec-pinned). */
+  def topCells(vecCol: String, nProbe: Int): Column =
+    expr(s"graft_top_cells($vecCol, cents, $nProbe)")
+
+  /** The higher-order-function formulation of [[topCells]] — kept as
+    * the reference the native expression is bit-tested against
+    * (LibraryOpsSpec), portable to any engine with HOF support. */
+  def topCellsSql(vecCol: String, nProbe: Int): Column = {
     val cmp = """(l, r) -> CASE
       WHEN l.c IS NULL AND r.c IS NULL THEN
         CASE WHEN l.cent_id < r.cent_id THEN -1 WHEN l.cent_id > r.cent_id THEN 1 ELSE 0 END

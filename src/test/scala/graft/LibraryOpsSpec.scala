@@ -61,6 +61,33 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(cleanRun(Some(10L)) == cleanRun(None) && cleanRun(None).nonEmpty)
   }
 
+  test("graft_top_cells matches the HOF slice/sort/transform form bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val rnd = new scala.util.Random(7L)
+    val vecs: Seq[(Long, Array[Float])] = (1L to 60L).map { id =>
+      val v: Array[Float] =
+        if (id == 5L) null // null vector → every cosine NULL, ranked by id
+        else if (id == 6L) Array.fill(8)(0f) // zero norm → NULL cosine
+        else Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      (id, v)
+    }
+    val df = vecs.toDF("vec_id", "v")
+    // centroids include the null vector (null cv element) and the
+    // zero-norm vector — the NULL-cosine comparator branches
+    val cent = df.filter(col("vec_id") <= 10)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val withCents = df.crossJoin(broadcast(Similarity.centroidArray(cent)))
+    def run(c: org.apache.spark.sql.Column): Seq[String] =
+      withCents.select(col("vec_id"), c.as("tc"))
+        .orderBy("vec_id").toJSON.collect().toSeq
+    val native = run(Similarity.topCells("v", 3))
+    val hof = run(Similarity.topCellsSql("v", 3))
+    assert(native == hof)
+    // nProbe larger than the centroid count returns all, same order
+    assert(run(Similarity.topCells("v", 99)) == run(Similarity.topCellsSql("v", 99)))
+  }
+
   test("Dedup.exactSummary counts duplicates per custom group column") {
     val d = docs(
       (1L, "a", "same text"), (2L, "a", "same text"),
