@@ -188,6 +188,41 @@ object QCore {
       .orderBy("grp", "rn")
   })
 
+  // --------------------------------------------------------------- J10
+  /** AS-OF join (latest-preceding event): every click attributed to
+    * the newest purchase at-or-before it for the same user, rolled up
+    * into a lag-bucket distribution. The reference's trial alignment
+    * picks the nearest preceding trigger the same way
+    * (Matlab_part/segment_mdl_to_trials.m:84-110 nearest-onset logic);
+    * Spark has no native as-of join — `operators.AsOfJoin` runs the
+    * tagged-union single-shuffle plan, and DuckDB's native ASOF JOIN
+    * replays the exact inclusive latest-preceding contract. Purchases
+    * are pre-deduped per (user, t): an equal-time tie makes any
+    * engine's as-of selection arbitrary. */
+  val j10 = Q("j10_asof_attribution", Some(s"""
+    WITH e AS ($evSql),
+    trg AS (SELECT user_id, t, max(event_id) AS trig_id
+            FROM e WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1, 2),
+    ser AS (SELECT user_id, t, value FROM e WHERE event_type = 'click' AND user_id IS NOT NULL)
+    SELECT CAST(FLOOR((ser.t - trg.t) / 600.0) AS BIGINT) AS lag_bucket,
+           count(*) AS n, round(avg(ser.value), 4) AS avg_value
+    FROM ser ASOF JOIN trg ON ser.user_id = trg.user_id AND ser.t >= trg.t
+    GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val e = ev(s, d)
+    val trg = e.filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .groupBy("user_id", "t").agg(max("event_id").as("trig_id"))
+      .withColumn("trig_t", col("t"))
+    val ser = e.filter(col("event_type") === "click" && col("user_id").isNotNull)
+      .select("user_id", "t", "value")
+    graft.operators.AsOfJoin
+      .latestPreceding(ser, trg, Seq("user_id"), "t", "t", Seq("trig_id", "trig_t"))
+      .filter(col("trig_id").isNotNull) // inner as-of: drop unattributed clicks
+      .groupBy(floor((col("t") - col("trig_t")) / 600.0).cast("long").as("lag_bucket"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("lag_bucket")
+  })
+
   // -------------------------------------------------------- J4/J5/C1
   /** Canonical pair key with swap flag over a multi-way analytic join
     * (customer-nation × supplier-nation through orders+lineitem).
@@ -293,5 +328,5 @@ object QCore {
       .orderBy("region_c", "region_s")
   })
 
-  val all: Seq[Q] = Seq(s3Glob, f1, f3, f6, f10, j1, j2, j4, j6, j9)
+  val all: Seq[Q] = Seq(s3Glob, f1, f3, f6, f10, j1, j2, j4, j6, j9, j10)
 }

@@ -16,6 +16,27 @@ class OperatorSpec extends AnyFunSuite {
   private lazy val spark = GraftSession.local(4)
   import scala.jdk.CollectionConverters._
 
+  test("AsOfJoin.latestPreceding: inclusive ties, left-join nulls, consistent payload") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (1L, 4L, "c"), (2L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 100L, 1.5), (1L, 8L, 200L, 2.5), (2L, 9L, 300L, 3.5))
+      .toDF("k", "rt", "rid", "rv")
+    val out = graft.operators.AsOfJoin
+      .latestPreceding(left, right, Seq("k"), "t", "rt", Seq("rid", "rv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(out == Set(
+      (1L, 10L, "a", Some(200L), Some(2.5)), // latest preceding is t=8, not t=5
+      (1L, 5L, "b", Some(100L), Some(1.5)),  // inclusive: rightTime == leftTime
+      (1L, 4L, "c", None, None),             // nothing precedes → NULL payload
+      (2L, 7L, "d", None, None)))            // right row exists only later
+    // payload collision is a construction-time error
+    intercept[IllegalArgumentException](graft.operators.AsOfJoin
+      .latestPreceding(left.withColumnRenamed("tag", "rid"), right,
+        Seq("k"), "t", "rt", Seq("rid", "rv")))
+  }
+
   private def df(rows: Seq[(Long, Long)], c1: String, c2: String) = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField(c1, LongType), StructField(c2, LongType)))
