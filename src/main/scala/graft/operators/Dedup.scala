@@ -71,35 +71,38 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       nHash: Int = 12, bandRows: Int = 2, threshold: Double = 0.5,
       ngram: Int = 3): DataFrame = {
-    // scope-enrolled persist: unpersisted when the caller's CacheScope
-    // closes. dedup = false: BOTH consumers are multiset-insensitive —
-    // the signature takes min-of-mix per doc and the verify collects a
-    // SET — so the per-(doc, shingle) distinct() the r5 profile charged
-    // a full shuffle for is provably a no-op here and is skipped.
-    val ex = CacheScope.persist(
-      shingles(docs, textCol, Seq(idCol), ngram, dedup = false))
-    // set-valued form for the Jaccard verify (only set sizes consumed)
-    val shs = ex.groupBy(idCol).agg(collect_set(col("sh")).as("s"))
+    // dedup = false: BOTH consumers are multiset-insensitive — the
+    // signature takes min-of-mix per doc and the verify collects a SET —
+    // so the per-(doc, shingle) distinct() the r5 profile charged a full
+    // shuffle for is provably a no-op here and is skipped.
+    val ex = shingles(docs, textCol, Seq(idCol), ngram, dedup = false)
     // 31-bit integer from the first 8 hex chars of the shingle's md5
     val h1 = pmod(expr("conv(substring(sh, 1, 8), 16, 10)").cast("long"), lit(mixM))
     val mhCols = (0 until nHash).map(i =>
       min(pmod(col("h1") * lit(mixA(i)) + lit(mixB(i)), lit(mixM))).as(s"mh$i"))
-    val sig = ex.withColumn("h1", h1).groupBy(idCol).agg(mhCols.head, mhCols.tail: _*)
+    // ONE shuffle of the (doc, shingle) stream computes BOTH per-doc
+    // consumers — the shingle SET (Jaccard verify) and all nHash
+    // signature minima — where the r5 form aggregated them separately
+    // (two full shuffles of the stream plus a row-level persist of it).
+    // The persist moves to the per-doc frame: one narrow row per doc.
+    val perDoc = CacheScope.persist(
+      ex.withColumn("h1", h1).groupBy(idCol)
+        .agg(collect_set(col("sh")).as("s"), mhCols: _*))
     // bands via ONE explode — a per-band union would recompute the
     // shingle→signature pipeline once per band
     val bandStructs = (0 until nHash / bandRows).map { b =>
       val ks = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
       struct(lit(b).as("band"), concat_ws("_", ks: _*).as("bkey"))
     }
-    val bands = sig
+    val bands = perDoc
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.band") === col("b.band") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b")).distinct()
-    val sa = shs.select(col(idCol).as("doc_a"), col("s").as("s_a"))
-    val sb = shs.select(col(idCol).as("doc_b"), col("s").as("s_b"))
+    val sa = perDoc.select(col(idCol).as("doc_a"), col("s").as("s_a"))
+    val sb = perDoc.select(col(idCol).as("doc_b"), col("s").as("s_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("j",
         size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
