@@ -111,6 +111,90 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
   }
 
+  /** Connected components over an undirected edge list — the stage that
+    * turns near-dup PAIRS (minhash/simhash/cosine output) into canonical
+    * dedup CLUSTERS: every node is labeled with the smallest id reachable
+    * from it, so "keep min(cluster), drop the rest" is one filter away.
+    *
+    * Algorithm: alternating large-star / small-star (the MapReduce
+    * connected-components construction of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — each round is two
+    * equi-join + groupBy passes over the edge set, and the edge set
+    * converges to per-component stars centered at the minimum id in
+    * O(log² n) rounds REGARDLESS of component diameter. That bound is
+    * why this beats naive min-label propagation at corpus scale: a
+    * pathological near-dup CHAIN (doc₁≈doc₂≈…≈docₖ, common in crawl
+    * data with incremental edits) costs propagation O(k) rounds but
+    * this construction O(log² k).
+    *
+    * Each round's output is `localCheckpoint`ed: the logical plan of
+    * round i references round i−1 several times (symmetrization + the
+    * min join), so without truncation the plan tree grows exponentially
+    * in rounds and Catalyst analysis — not execution — becomes the
+    * bottleneck. Local (executor-block) checkpointing is the right
+    * local-mode tool; a long-lived cluster deployment would point
+    * `sparkContext.setCheckpointDir` at reliable storage and use
+    * `checkpoint()` for fault tolerance across the iteration.
+    *
+    * The loop stops at the FIXPOINT (round output == round input, an
+    * exact distributed check: equal counts + empty `except`), and
+    * throws after `maxIter` non-converged rounds rather than return a
+    * partial labeling — at the documented bound, non-convergence is a
+    * bug, not a data property. Self-loops, duplicate and reversed edges,
+    * and null endpoints are tolerated (dropped/normalized up front).
+    *
+    * Output: (node, comp) — one row per distinct endpoint in `edges`,
+    * comp = min id of the node's component. Nodes with no edge are not
+    * emitted (a doc in no near-dup pair is its own singleton cluster;
+    * emitting the whole corpus here would shuffle it for nothing). */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    require(maxIter >= 1, s"connectedComponents needs maxIter >= 1, got $maxIter")
+    def clean(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v")).distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // large-star: ∀u, connect every neighbor v > u to m = min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val mins = s.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      clean(s.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star: orient (hi → lo); ∀u, connect u and every lo-neighbor
+    // to m = min of them (all lo < u, so m = min(lo))
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      clean(oriented.join(mins, "u").select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v"))))
+    }
+    var cur = clean(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull))
+      .localCheckpoint(true)
+    var curCnt = cur.count()
+    var converged = curCnt == 0L
+    var round = 0
+    while (!converged && round < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextCnt = next.count()
+      // both sides are distinct sets: equality ⇔ same count ∧ empty except
+      converged = nextCnt == curCnt && next.except(cur).isEmpty
+      cur = next; curCnt = nextCnt; round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"(edge set still ${curCnt} rows) — raise maxIter")
+    // converged edge set = stars centered at each component's min id:
+    // comp(n) = min over the symmetrized neighborhood, floored by n itself
+    sym(cur).groupBy("u")
+      .agg(least(min(col("v")), col("u")).as("comp"))
+      .select(col("u").as("node"), col("comp"))
+  }
+
   /** Blocked n-gram Jaccard near-dup pairs via an inverted-index join:
     * candidates must share a shingle AND every `blockCols` value; shared
     * shingles are counted per pair and J = inter/(nA+nB−inter). The join

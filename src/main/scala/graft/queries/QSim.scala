@@ -56,7 +56,10 @@ object QSim {
     s"(strpos('0123456789abcdef', sh[$k]) - 1) * ${1L << (4 * (8 - k))}")
     .mkString(" + ") + s") % ${graft.operators.Dedup.mixM}"
 
-  val minhashLsh = Q("dedup_minhash_lsh", Some {
+  /** Shared CTE chain producing minhash near-dup pairs (`ver`: doc_a,
+    * doc_b, j) — the oracle body of `dedup_minhash_lsh`, reused verbatim
+    * as the edge source of `dedup_cluster_cc`. */
+  private val minhashPairsCte = {
     val mhCols = (0 until nHash).map(i =>
       s"min((h1 * ${graft.operators.Dedup.mixA(i)} + ${graft.operators.Dedup.mixB(i)}) " +
         s"% ${graft.operators.Dedup.mixM}) AS mh$i").mkString(", ")
@@ -64,8 +67,7 @@ object QSim {
       val ks = (0 until bandRows).map(r => s"mh${b * bandRows + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws('_', $ks) AS bkey FROM sig"
     }.mkString(" UNION ALL ")
-    s"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
     shs AS (SELECT doc_id, $shinglesSqlDuck AS s FROM w),
     ex AS (SELECT doc_id, unnest(s) AS sh FROM shs),
     hx AS (SELECT doc_id, $h1Duck AS h1 FROM ex),
@@ -75,12 +77,45 @@ object QSim {
              FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.band = b.band AND a.doc_id < b.doc_id),
     ver AS (SELECT c.doc_a, c.doc_b,
                    len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)) AS j
-            FROM cand c JOIN shs sa ON c.doc_a = sa.doc_id JOIN shs sb ON c.doc_b = sb.doc_id)
+            FROM cand c JOIN shs sa ON c.doc_a = sa.doc_id JOIN shs sb ON c.doc_b = sb.doc_id)"""
+  }
+
+  val minhashLsh = Q("dedup_minhash_lsh", Some(s"""
+    WITH $minhashPairsCte
     SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM ver WHERE j >= 0.5 ORDER BY 1, 2"""
-  })((s, d) =>
+  ))((s, d) =>
     Dedup.minhashLsh(Tables.documentsP(s, d), "doc_id", "text",
       nHash = nHash, bandRows = bandRows, threshold = 0.5)
       .orderBy("doc_a", "doc_b"))
+
+  // ------------------------------------------- dedup cluster assignment
+  /** Near-dup pairs → canonical clusters: minhash pairs (same parameters
+    * as `dedup_minhash_lsh`) fed through the alternating large/small-star
+    * connected components — operators.Dedup.connectedComponents — so
+    * each near-dup doc gets the min doc_id of its transitive cluster
+    * plus the cluster size. The oracle replays the same pair CTE and
+    * labels nodes with a recursive transitive closure (exact at oracle
+    * scale; the engine side is the O(log² n)-round construction that
+    * survives corpus scale). */
+  val clusterCc = Q("dedup_cluster_cc", Some(s"""
+    WITH RECURSIVE $minhashPairsCte,
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM ver WHERE j >= 0.5),
+    se AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(a, b) AS (SELECT a, b FROM se
+                    UNION
+                    SELECT r.a, s.b FROM reach r JOIN se s ON r.b = s.a),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+    SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS cluster_size
+    FROM comp ORDER BY doc_id"""
+  ))((s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Dedup.minhashLsh(Tables.documentsP(s, d), "doc_id", "text",
+      nHash = nHash, bandRows = bandRows, threshold = 0.5)
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("comp")))
+      .select(col("node").as("doc_id"), col("comp"), col("cluster_size"))
+      .orderBy("doc_id")
+  })
 
   // ------------------------------------------------------------ SimHash
   /** Weighted 32-bit SimHash — operators.Dedup.simhash (top-16-bit
@@ -288,5 +323,6 @@ object QSim {
   })
 
   val all: Seq[Q] =
-    Seq(exact, minhashLsh, simhash, ngramJaccard, embedNearDup, annTopk, annLsh, annIvf)
+    Seq(exact, minhashLsh, clusterCc, simhash, ngramJaccard, embedNearDup,
+      annTopk, annLsh, annIvf)
 }

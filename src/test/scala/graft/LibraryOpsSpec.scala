@@ -361,6 +361,45 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(salts > factor / 2, s"hot key only spread over $salts/$factor salts")
   }
 
+  test("Dedup.connectedComponents labels a long chain + separate clique + pair") {
+    import spark.implicits._
+    // chain 1-2-...-12 (diameter 11 — forces the multi-round log² path),
+    // with messy input: reversed orientations, duplicates, a self-loop
+    val chain = (1L until 12L).map(i => if (i % 2 == 0) (i + 1, i) else (i, i + 1))
+    val clique = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val pair = Seq((30L, 31L))
+    val edges = (chain ++ clique ++ pair ++ Seq((5L, 5L), (3L, 4L), (4L, 3L)))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(got(_) == 1L))
+    assert((20L to 22L).forall(got(_) == 20L))
+    assert(got(30L) == 30L && got(31L) == 30L)
+    assert(got.size == 17) // every endpoint labeled exactly once
+  }
+
+  test("Dedup.connectedComponents matches a union-find reference on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 400
+    val edges = Seq.fill(300)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    // plain-Scala union-find with min-id labels
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> find(x.toInt).toLong).toMap
+    // union-find roots here ARE the min ids: unions always attach max under min,
+    // and path roots only ever decrease
+    val got = Dedup.connectedComponents(edges.toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("dedup/similarity operators return empty (not crash) on empty input") {
     import spark.implicits._
     val noDocs = Seq.empty[(Long, String, String)].toDF("id", "grp", "body")
@@ -374,6 +413,8 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(Similarity.bruteTopK(noVecs, noVecs, "vid", "vec", k = 3, dim = 8).count() == 0)
     assert(Similarity.ivfTopK(noVecs, noVecs, "vid", "vec", k = 3,
       nList = 4, nProbe = 2, dim = 8).count() == 0)
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(noEdges, "a", "b").count() == 0)
   }
 
   test("TextOps.languageId honors a custom marker set and tie-break order") {
