@@ -67,6 +67,63 @@ object TextOps {
     scored.withColumn("predicted", pred).drop(langs.map(l => s"s_$l"): _*)
   }
 
+  /** BM25 relevance ranking of documents against a fixed query-term
+    * list: the standard corpus-curation scorer (rank a crawl against a
+    * quality/topic probe query; keep the head). Returns the global
+    * top-`topK` as (rank, idCol, score).
+    *
+    * Exact-by-construction across engines: term frequency is
+    * `size(w) − size(array_remove(w, term))` (native collection
+    * expressions, no interpreted lambda in the per-row path, and no
+    * replace-counting — the replace trick undercounts ADJACENT repeated
+    * tokens because matches share the separator space); corpus stats
+    * (N, df per term, avgdl) are one aggregate row broadcast back; the
+    * per-term score chain is assembled in fixed left-to-right term
+    * order (double addition is order-sensitive) and the oracle renders
+    * the SAME Scala double constants, so both engines evaluate an
+    * identical IEEE expression tree, rounded at 4 dp like the repo's
+    * other transcendental chains.
+    *
+    * Scale shape: one pass for stats, one for scores, and the global
+    * top-k is `orderBy(...).limit(k)` — Spark plans TakeOrderedAndProject
+    * (per-partition heaps + driver merge of k), never a single-task
+    * global sort; the rank column is a row_number over only the k
+    * surviving rows. */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25Rank needs at least one query term")
+    require(topK >= 1, s"bm25Rank needs topK >= 1, got $topK")
+    val base = docs
+      .withColumn("w", split(col(textCol), " "))
+      .select(col(idCol) +: size(col("w")).cast("double").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          (size(col("w")) - size(array_remove(col("w"), t)))
+            .cast("double").as(s"tf$i")
+        }: _*)
+    val statCols =
+      count(lit(1)).cast("double").as("n") +:
+        (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val withStats = base.crossJoin(broadcast(stats))
+    val termScores = terms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5)) + lit(1.0))
+      val tfPart = (col(s"tf$i") * lit(k1 + 1)) /
+        (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl"))))
+      idf * tfPart
+    }
+    val scored = withStats
+      .select(col(idCol), round(termScores.reduceLeft(_ + _), 4).as("score"))
+    val top = scored.orderBy(col("score").desc, col(idCol)).limit(topK)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col(idCol))).cast("long"))
+      .select(col("rank"), col(idCol), col("score"))
+  }
+
   /** Per-document shingle fingerprint: count + lexicographic min of the
     * word n-gram md5s (row-wise codegen'd hashing; non-distinct, so
     * `n_shingles` = tokens − n + 1). */

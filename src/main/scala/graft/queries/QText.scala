@@ -90,5 +90,40 @@ object QText {
     TextOps.fingerprint(Tables.documentsP(s, d), "doc_id", "text")
       .orderBy("doc_id"))
 
-  val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint)
+  // ------------------------------------------------------------- BM25
+  /** BM25 relevance ranking — operators.TextOps.bm25Rank — against a
+    * fixed probe query ("dup spark join": one rare term, df≈5%, two
+    * common ones — the idf spread that makes the ranking non-trivial).
+    * The oracle interpolates the SAME Scala doubles (k1, b and their
+    * derived constants) and mirrors the expression tree node for node,
+    * so both engines round an identical IEEE chain at 4 dp; ties in the
+    * rounded score break by doc_id on both sides. */
+  private val bmTerms = Seq("dup", "spark", "join")
+  private val bmK1 = 1.2
+  private val bmB = 0.75
+  private val bmTopK = 20
+
+  val bm25 = Q("text_bm25_rank", Some {
+    val tfCols = bmTerms.indices.map(i =>
+      s"len(list_filter(w, x -> x = '${bmTerms(i)}'))::DOUBLE AS tf$i").mkString(", ")
+    val dfCols = bmTerms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i").mkString(", ")
+    val scoreSum = bmTerms.indices.map(i =>
+      s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * " +
+        s"((tf$i * ${bmK1 + 1}) / (tf$i + $bmK1 * (${1 - bmB} + $bmB * (dl / avgdl))))")
+      .mkString(" + ")
+    s"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    t AS (SELECT doc_id, len(w)::DOUBLE AS dl, $tfCols FROM d),
+    g AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl, $dfCols FROM t),
+    s AS (SELECT doc_id, round($scoreSum, 4) AS score FROM t, g),
+    r AS (SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s)
+    SELECT rank, doc_id, score FROM r WHERE rank <= $bmTopK ORDER BY rank"""
+  })((s, d) =>
+    TextOps.bm25Rank(Tables.documentsP(s, d), "doc_id", "text",
+      terms = bmTerms, k1 = bmK1, b = bmB, topK = bmTopK)
+      .orderBy("rank"))
+
+  val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25)
 }

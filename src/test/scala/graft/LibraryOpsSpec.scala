@@ -427,6 +427,25 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(out(2L) == "second")
   }
 
+  test("TextOps.bm25Rank matches a hand-computed score and handles adjacent repeats") {
+    // 3 docs, term "x": tf via array counting must see BOTH adjacent
+    // repeats in doc 1 (the replace-trick failure case)
+    val d = docs(
+      (1L, "g", "x x y z"),      // tf=2, dl=4
+      (2L, "g", "x y y y"),      // tf=1, dl=4
+      (3L, "g", "y y z z"))      // tf=0, dl=4
+    val out = TextOps.bm25Rank(d, "id", "body", terms = Seq("x"),
+        k1 = 1.2, b = 0.75, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // N=3, df=2 (docs 1 and 2), avgdl=4, dl/avgdl=1 ⇒ denom = tf + 1.2
+    // idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6)
+    val idf = math.log((3.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0)
+    def score(tf: Double) =
+      math.rint(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * 1.0)) * 1e4) / 1e4
+    assert(out.toSeq == Seq(
+      (1L, 1L, score(2)), (2L, 2L, score(1)), (3L, 3L, 0.0)))
+  }
+
   test("TextOps.fingerprint with bigram shingles counts tokens-1") {
     val d = docs((7L, "g", "a b c d"))
     val r = TextOps.fingerprint(d, "id", "body", n = 2).collect()(0)
