@@ -136,12 +136,18 @@ object Dedup {
     * `sparkContext.setCheckpointDir` at reliable storage and use
     * `checkpoint()` for fault tolerance across the iteration.
     *
-    * The loop stops at the FIXPOINT (round output == round input, an
-    * exact distributed check: equal counts + empty `except`), and
-    * throws after `maxIter` non-converged rounds rather than return a
-    * partial labeling — at the documented bound, non-convergence is a
-    * bug, not a data property. Self-loops, duplicate and reversed edges,
-    * and null endpoints are tolerated (dropped/normalized up front).
+    * Termination: the algorithm's fixpoints are exactly the min-rooted
+    * STAR FORESTS, and star-forest-ness is testable in ONE aggregate
+    * job — orient every edge (hi → lo); stars ⇔ each hi occurs exactly
+    * once AND no node is both a hi and a lo — so the loop checks the
+    * edge set directly instead of running an extra confirm round plus
+    * per-round count/except jobs. Near-dup pair sets whose components
+    * are already disjoint pairs (the common dedup shape) pass the test
+    * immediately and run ZERO rounds. Throws after `maxIter`
+    * non-converged rounds rather than return a partial labeling — at
+    * the documented bound, non-convergence is a bug, not a data
+    * property. Self-loops, duplicate and reversed edges, and null
+    * endpoints are tolerated (dropped/normalized up front).
     *
     * Output: (node, comp) — one row per distinct endpoint in `edges`,
     * comp = min id of the node's component. Nodes with no edge are not
@@ -170,24 +176,33 @@ object Dedup {
       clean(oriented.join(mins, "u").select(col("v").as("u"), col("m").as("v"))
         .union(mins.select(col("u"), col("m").as("v"))))
     }
+    // min-rooted star forest ⇔ fixpoint of the round function: with
+    // edges oriented (hi → lo), every hi occurs exactly once and no
+    // node is both a hi and a lo. One aggregate job on the (small,
+    // pair-proportional) edge set per round.
+    def isStarForest(e: DataFrame): Boolean = {
+      val o = e.select(greatest(col("u"), col("v")).as("hi"),
+        least(col("u"), col("v")).as("lo"))
+      o.select(col("hi").as("n"), lit(1L).as("h"), lit(0L).as("l"))
+        .union(o.select(col("lo").as("n"), lit(0L).as("h"), lit(1L).as("l")))
+        .groupBy("n").agg(sum("h").as("nh"), sum("l").as("nl"))
+        .filter(col("nh") > 1 || (col("nh") > 0 && col("nl") > 0))
+        .isEmpty
+    }
     var cur = clean(
       edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
         .filter(col("u").isNotNull && col("v").isNotNull))
       .localCheckpoint(true)
-    var curCnt = cur.count()
-    var converged = curCnt == 0L
+    var converged = isStarForest(cur)
     var round = 0
     while (!converged && round < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      val nextCnt = next.count()
-      // both sides are distinct sets: equality ⇔ same count ∧ empty except
-      converged = nextCnt == curCnt && next.except(cur).isEmpty
-      cur = next; curCnt = nextCnt; round += 1
+      cur = smallStar(largeStar(cur)).localCheckpoint(true)
+      converged = isStarForest(cur)
+      round += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          s"(edge set still ${curCnt} rows) — raise maxIter")
+        s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
     // converged edge set = stars centered at each component's min id:
     // comp(n) = min over the symmetrized neighborhood, floored by n itself
     sym(cur).groupBy("u")

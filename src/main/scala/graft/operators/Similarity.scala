@@ -129,6 +129,61 @@ object Similarity {
       s"struct(round(graft_cosine($vecCol, ct.cv), 6) AS c, ct.cent_id AS cent_id)), $cmp), 1, $nProbe)")
   }
 
+  /** Seeded Lloyd k-means over an embedding column, a FIXED number of
+    * iterations (fixed = deterministic AND finitely SQL-replayable: the
+    * oracle unrolls each iteration as a CTE). The curation use is
+    * embedding-space corpus bucketing (topic clusters for
+    * cluster-balanced sampling), so cosine is the affinity, matching
+    * the IVF machinery this reuses.
+    *
+    * Per iteration: (1) assignment — each vector's nearest centroid via
+    * the shuffle-free [[topCells]] expression (top-1 cell against the
+    * broadcast centroid array: no Window, no n×k shuffle; ties break by
+    * (rounded cosine DESC, cent_id) exactly like the oracle's
+    * row_number); (2) update — new centroid = element-wise member mean,
+    * computed as an order-independent decimal sum
+    * ([[graft.functions.Deterministic.stableSum]], scale 9) over
+    * `posexplode`d components so the result is bit-stable under any
+    * partitioning and replayable by the oracle's DECIMAL sums. A cell
+    * that loses all members drops out (k shrinks), mirrored by the
+    * oracle's join semantics.
+    *
+    * Scale shape: each iteration is one broadcast-assignment pass plus
+    * one (cell, dim)-key aggregation — map-side combinable, shuffle
+    * volume k·dim rows — and the iteration count is a small constant,
+    * so the whole operator is `iters` linear passes; centroids stay
+    * driver-free (never collected).
+    *
+    * Output: final assignment (idCol, cell, cos) — cos is the rounded
+    * member→centroid cosine of the final assignment. */
+  def kmeans(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2, seed: Long = 7L, dim: Int = 64): DataFrame = {
+    import graft.functions.Deterministic.{hrand, stableSum}
+    require(k >= 1, s"kmeans needs k >= 1, got $k")
+    require(iters >= 1, s"kmeans needs iters >= 1, got $iters")
+    val v = vectors.select(col(idCol), col(vecCol).as("v"))
+    def assign(cent: DataFrame): DataFrame =
+      v.crossJoin(broadcast(centroidArray(cent)))
+        .select(col(idCol), col("v"),
+          expr("element_at(" + s"graft_top_cells(v, cents, 1)" + ", 1)").as("cc"))
+        .select(col(idCol), col("v"),
+          col("cc.cent_id").as("cell"), col("cc.c").as("c"))
+    def update(asg: DataFrame): DataFrame =
+      asg.select(col("cell").as("cent_id"), posexplode(col("v")))
+        .groupBy("cent_id", "pos")
+        .agg((stableSum(col("col").cast("double"), 9) / count(lit(1))).as("m"))
+        .groupBy("cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("cv"))
+    val cent0 = v
+      .orderBy(hrand(col(idCol), seed), col(idCol))
+      .limit(k)
+      .select(col(idCol).as("cent_id"), col("v").as("cv"))
+    val centFinal = (1 until iters).foldLeft(update(assign(cent0))) {
+      (cent, _) => update(assign(cent))
+    }
+    assign(centFinal).select(col(idCol), col("cell"), col("c").as("cos"))
+  }
+
   /** IVF-style top-k: a seeded coarse quantizer (centroid vectors
     * picked by the deterministic hash — single assignment pass, no
     * Lloyd iterations), inverted lists by nearest centroid, queries

@@ -124,6 +124,47 @@ object TextOps {
       .select(col("rank"), col(idCol), col("score"))
   }
 
+  /** Gopher-style quality gate: evaluates a battery of document-quality
+    * rules (token-count bounds, mean-word-length bounds, stopword
+    * presence, distinct-token ratio — the repetition signal) and labels
+    * every document keep/drop with the FIRST failing rule as the reason
+    * (rule order = severity order, deterministic). One row-wise pass,
+    * all native expressions; the repetitiousness signal uses
+    * `array_distinct` rather than any windowed self-count, so the rule
+    * battery stays embarrassingly parallel at corpus scale.
+    *
+    * Output: input columns + (n_tok, mean_wlen, n_stop, distinct_ratio,
+    * keep, drop_reason — NULL when kept). Thresholds are the classic
+    * published ranges scaled for the synthetic corpus; callers tune. */
+  def qualityFilter(docs: DataFrame, textCol: String,
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      minMeanWlen: Double = 2.0, maxMeanWlen: Double = 12.0,
+      minStopwords: Int = 1, minDistinctRatio: Double = 0.05,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")): DataFrame = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    val q = docs
+      .withColumn("toks", split(col(textCol), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("mean_wlen",
+        (length(col(textCol)) - col("n_tok") + lit(1)).cast("double") / col("n_tok"))
+      .withColumn("n_stop",
+        size(expr(s"filter(toks, w -> w IN ($stopList))")).cast("long"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tok"))
+      .drop("toks")
+    // first failing rule wins: evaluation order is the severity order
+    val reason =
+      when(col("n_tok") < minTokens, "too_short")
+        .when(col("n_tok") > maxTokens, "too_long")
+        .when(col("mean_wlen") < minMeanWlen, "words_too_short")
+        .when(col("mean_wlen") > maxMeanWlen, "words_too_long")
+        .when(col("n_stop") < minStopwords, "no_stopwords")
+        .when(col("distinct_ratio") < minDistinctRatio, "too_repetitive")
+        .otherwise(lit(null).cast("string"))
+    q.withColumn("drop_reason", reason)
+      .withColumn("keep", col("drop_reason").isNull)
+  }
+
   /** Per-document shingle fingerprint: count + lexicographic min of the
     * word n-gram md5s (row-wise codegen'd hashing; non-distinct, so
     * `n_shingles` = tokens − n + 1). */

@@ -322,7 +322,55 @@ object QSim {
       .orderBy("query_id", "rk")
   })
 
+  // ----------------------------------------------------------- k-means
+  /** Seeded Lloyd k-means, 2 fixed iterations — operators.Similarity
+    * .kmeans — reported as per-cell occupancy (count, min member, mean
+    * member→centroid cosine). The oracle unrolls both iterations as
+    * CTEs: assignment = row_number over the same (rounded cosine DESC,
+    * cent_id) order topCells ranks by; centroid update = the same
+    * DECIMAL(28,9) order-independent component means. Cells that lose
+    * all members drop out on both sides by join semantics. */
+  private val kmK = 8
+  private val kmSeed = 4242L
+  private val kmDim = 64
+
+  val kmeansCells = Q("sim_kmeans_cells", Some {
+    def assignCte(centCte: String, n: Int) = s"""
+    ac$n AS (SELECT e.vec_id, e.v, c.cent_id, round(${cosD("e.v", "c.cv")}, 6) AS c
+             FROM e CROSS JOIN $centCte c),
+    r$n AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+            FROM ac$n),
+    asg$n AS (SELECT vec_id, v, cent_id AS cell, c FROM r$n WHERE rn = 1)"""
+    def updateCte(n: Int) = s"""
+    u$n AS (SELECT cell AS cent_id, i, CAST(SUM(CAST(v[i] AS DECIMAL(28,9))) AS DOUBLE)
+                   / count(*) AS m
+            FROM asg$n, LATERAL unnest(generate_series(1, $kmDim)) AS t(i)
+            GROUP BY 1, 2),
+    c$n AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM u$n GROUP BY 1)"""
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+           ORDER BY ${graft.functions.Deterministic.hrandSql("vec_id", kmSeed)}, vec_id
+           LIMIT $kmK),
+    ${assignCte("c0", 1)},
+    ${updateCte(1)},
+    ${assignCte("c1", 2)},
+    ${updateCte(2)},
+    ${assignCte("c2", 3)}
+    SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec,
+           round(CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_cos
+    FROM asg3 GROUP BY 1 ORDER BY 1"""
+  })((s, d) => {
+    import graft.functions.Deterministic.stableSum
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    Similarity.kmeans(e, "vec_id", "v", k = kmK, iters = 2, seed = kmSeed, dim = kmDim)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"),
+        round(stableSum(col("cos"), 6) / count(lit(1)), 6).as("mean_cos"))
+      .orderBy("cell")
+  })
+
   val all: Seq[Q] =
     Seq(exact, minhashLsh, clusterCc, simhash, ngramJaccard, embedNearDup,
-      annTopk, annLsh, annIvf)
+      annTopk, annLsh, annIvf, kmeansCells)
 }

@@ -125,5 +125,47 @@ object QText {
       terms = bmTerms, k1 = bmK1, b = bmB, topK = bmTopK)
       .orderBy("rank"))
 
-  val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25)
+  // --------------------------------------------------- quality filter
+  /** Gopher-style keep/drop gate — operators.TextOps.qualityFilter —
+    * reported as a drop-reason summary (counts, token mass, first doc
+    * per outcome). Thresholds are tuned so the synthetic corpus
+    * exercises five outcome buckets (too_short / too_long /
+    * words_too_short / no_stopwords / too_repetitive) plus `kept`;
+    * first-failing-rule-wins makes the reason deterministic, and both
+    * sides evaluate the identical CASE order. */
+  val qualityGate = Q("text_quality_filter", Some("""
+    WITH q AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+               / len(string_split(text, ' ')) AS mean_wlen,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','a','and','of','to'))) AS n_stop,
+             len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' ')) AS distinct_ratio
+      FROM documents),
+    r AS (SELECT doc_id, n_tok,
+            CASE WHEN n_tok < 20 THEN 'too_short'
+                 WHEN n_tok > 90 THEN 'too_long'
+                 WHEN mean_wlen < 4.0 THEN 'words_too_short'
+                 WHEN mean_wlen > 12.0 THEN 'words_too_long'
+                 WHEN n_stop < 1 THEN 'no_stopwords'
+                 WHEN distinct_ratio < 0.3 THEN 'too_repetitive'
+            END AS drop_reason FROM q)
+    SELECT coalesce(drop_reason, 'kept') AS outcome,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc
+    FROM r GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    TextOps.qualityFilter(Tables.documentsP(s, d), "text",
+        minTokens = 20, maxTokens = 90, minMeanWlen = 4.0, maxMeanWlen = 12.0,
+        minStopwords = 1, minDistinctRatio = 0.3)
+      .groupBy(coalesce(col("drop_reason"), lit("kept")).as("outcome"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("outcome"))
+
+  val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25, qualityGate)
 }

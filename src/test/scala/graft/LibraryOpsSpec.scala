@@ -446,6 +446,41 @@ class LibraryOpsSpec extends AnyFunSuite {
       (1L, 1L, score(2)), (2L, 2L, score(1)), (3L, 3L, 0.0)))
   }
 
+  test("Similarity.kmeans separates two planted directions and is partition-invariant") {
+    import spark.implicits._
+    // two tight cones around orthogonal axes — any sane 2-means lands
+    // one cell per cone regardless of which members seed the centroids
+    val rows = (0L until 20L).map { i =>
+      val eps = 0.01f * (i % 5)
+      if (i % 2 == 0) (i, Array(1f, eps, 0f, 0f)) else (i, Array(eps, 1f, 0f, 0f))
+    }
+    def run(parts: Int) =
+      Similarity.kmeans(rows.toDF("vid", "vec").repartition(parts),
+          "vid", "vec", k = 2, iters = 2, seed = 99L, dim = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(4)
+    val evenCells = (0L until 20L by 2).map(got).toSet
+    val oddCells = (1L until 20L by 2).map(got).toSet
+    assert(evenCells.size == 1 && oddCells.size == 1 && evenCells != oddCells)
+    assert(run(1) == got) // partitioning must not change any label
+  }
+
+  test("TextOps.qualityFilter labels each rule and first-failing-rule wins") {
+    val d = docs(
+      (1L, "g", "the quick brown fox jumps over something today fine ok"), // kept (10 tok, min=5)
+      (2L, "g", "tiny doc"),                                   // too_short (also no stopwords: earlier rule wins)
+      (3L, "g", "a a a a a a a a a a"),                        // words_too_short? mean_wlen=1 < 2 — fires before repetition
+      (4L, "g", "alpha beta gamma delta epsilon zeta eta theta iota kappa")) // no_stopwords
+    val out = TextOps.qualityFilter(d, "body", minTokens = 5,
+        minDistinctRatio = 0.5)
+      .select("id", "keep", "drop_reason")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains("too_short"))
+    assert(out(3L).contains("words_too_short"))
+    assert(out(4L).contains("no_stopwords"))
+  }
+
   test("TextOps.fingerprint with bigram shingles counts tokens-1") {
     val d = docs((7L, "g", "a b c d"))
     val r = TextOps.fingerprint(d, "id", "body", n = 2).collect()(0)
