@@ -97,16 +97,23 @@ object QSim {
     * labels nodes with a recursive transitive closure (exact at oracle
     * scale; the engine side is the O(log² n)-round construction that
     * survives corpus scale). */
-  val clusterCc = Q("dedup_cluster_cc", Some(s"""
-    WITH RECURSIVE $minhashPairsCte,
+  /** CTE suffix labeling minhash near-dup docs with their transitive
+    * cluster (`compt`: doc_id, comp) — the oracle twin of
+    * `Dedup.connectedComponents` over the `ver` pairs; requires
+    * [[minhashPairsCte]] earlier in the same WITH RECURSIVE list. */
+  private val ccLabelsCte = """
     edges AS (SELECT doc_a AS a, doc_b AS b FROM ver WHERE j >= 0.5),
     se AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
     reach(a, b) AS (SELECT a, b FROM se
                     UNION
                     SELECT r.a, s.b FROM reach r JOIN se s ON r.b = s.a),
-    comp AS (SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+    compt AS (SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a)"""
+
+  val clusterCc = Q("dedup_cluster_cc", Some(s"""
+    WITH RECURSIVE $minhashPairsCte,
+    $ccLabelsCte
     SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS cluster_size
-    FROM comp ORDER BY doc_id"""
+    FROM compt ORDER BY doc_id"""
   ))((s, d) => {
     import org.apache.spark.sql.expressions.Window
     val pairs = Dedup.minhashLsh(Tables.documentsP(s, d), "doc_id", "text",
@@ -322,6 +329,81 @@ object QSim {
       .orderBy("query_id", "rk")
   })
 
+  // ------------------------------------------------- curation funnel
+  /** The end-to-end training-data curation pipeline as ONE query —
+    * quality gate → exact dedup (keep min doc per content hash) →
+    * near-dup removal (keep min doc of each minhash cluster among
+    * survivors) — reported as a per-stage funnel (docs, token mass).
+    * Every stage is the corresponding library operator
+    * (TextOps.qualityFilter, content-hash groupBy,
+    * Dedup.minhashLsh + connectedComponents); the oracle replays the
+    * shared pair + recursive-closure CTEs plus the same rule battery.
+    * Thresholds mirror `text_quality_filter`; cluster keep-min is
+    * computed among stage-2 survivors (a cluster whose min member was
+    * quality-dropped keeps its smallest surviving member). */
+  val funnel = Q("pipeline_curation_funnel", Some(s"""
+    WITH RECURSIVE $minhashPairsCte,
+    $ccLabelsCte,
+    qm AS (SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok,
+                  (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+                    / len(string_split(text, ' ')) AS mean_wlen,
+                  len(list_filter(string_split(text, ' '),
+                      w -> w IN ('the','a','and','of','to'))) AS n_stop,
+                  len(list_distinct(string_split(text, ' ')))::DOUBLE
+                    / len(string_split(text, ' ')) AS distinct_ratio
+           FROM documents),
+    s1 AS (SELECT doc_id, text, n_tok FROM qm
+           WHERE NOT (n_tok < 20 OR n_tok > 90 OR mean_wlen < 4.0
+                      OR mean_wlen > 12.0 OR n_stop < 1 OR distinct_ratio < 0.3)),
+    k2 AS (SELECT md5(text) AS th, min(doc_id) AS keep_id FROM s1 GROUP BY 1),
+    s2 AS (SELECT s1.doc_id, s1.n_tok FROM s1
+           JOIN k2 ON md5(s1.text) = k2.th AND s1.doc_id = k2.keep_id),
+    lbl AS (SELECT s2.doc_id, s2.n_tok, coalesce(c.comp, s2.doc_id) AS comp
+            FROM s2 LEFT JOIN compt c ON s2.doc_id = c.doc_id),
+    k3 AS (SELECT comp, min(doc_id) AS keep3 FROM lbl GROUP BY 1),
+    s3 AS (SELECT lbl.doc_id, lbl.n_tok FROM lbl
+           JOIN k3 ON lbl.comp = k3.comp AND lbl.doc_id = k3.keep3)
+    SELECT * FROM (
+      SELECT '0_raw' AS stage, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents
+      UNION ALL SELECT '1_quality', count(*), CAST(sum(n_tok) AS BIGINT) FROM s1
+      UNION ALL SELECT '2_exact_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM s2
+      UNION ALL SELECT '3_near_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM s3
+    ) ORDER BY stage"""
+  ))((s, d) => {
+    import org.apache.spark.sql.DataFrame
+    val docs = Tables.documentsP(s, d)
+    val q = graft.operators.TextOps.qualityFilter(docs, "text",
+      minTokens = 20, maxTokens = 90, minMeanWlen = 4.0, maxMeanWlen = 12.0,
+      minStopwords = 1, minDistinctRatio = 0.3)
+    val s1 = q.filter(col("keep")).select(col("doc_id"), col("text"), col("n_tok"))
+    val th = s1.withColumn("th", md5(encode(col("text"), "UTF-8")))
+    val k2 = th.groupBy("th").agg(min("doc_id").as("keep_id"))
+      .withColumnRenamed("th", "th2")
+    val s2 = th.join(k2, col("th") === col("th2") && col("doc_id") === col("keep_id"))
+      .select("doc_id", "n_tok")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      nHash = nHash, bandRows = bandRows, threshold = 0.5)
+    val lbl = s2.join(
+        Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+          .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    val k3 = lbl.groupBy("comp").agg(min("doc_id").as("keep3"))
+      .withColumnRenamed("comp", "comp2")
+    val s3 = lbl.join(k3, col("comp") === col("comp2") && col("doc_id") === col("keep3"))
+      .select("doc_id", "n_tok")
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("total_tokens"))
+    val raw = docs.select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+    stage("0_raw", raw)
+      .unionAll(stage("1_quality", s1.select("n_tok")))
+      .unionAll(stage("2_exact_dedup", s2.select("n_tok")))
+      .unionAll(stage("3_near_dedup", s3.select("n_tok")))
+      .orderBy("stage")
+  })
+
   // ----------------------------------------------------------- k-means
   /** Seeded Lloyd k-means, 2 fixed iterations — operators.Similarity
     * .kmeans — reported as per-cell occupancy (count, min member, mean
@@ -371,6 +453,6 @@ object QSim {
   })
 
   val all: Seq[Q] =
-    Seq(exact, minhashLsh, clusterCc, simhash, ngramJaccard, embedNearDup,
+    Seq(exact, minhashLsh, clusterCc, funnel, simhash, ngramJaccard, embedNearDup,
       annTopk, annLsh, annIvf, kmeansCells)
 }
