@@ -377,18 +377,25 @@ object QSim {
     val q = graft.operators.TextOps.qualityFilter(docs, "text",
       minTokens = 20, maxTokens = 90, minMeanWlen = 4.0, maxMeanWlen = 12.0,
       minStopwords = 1, minDistinctRatio = 0.3)
-    val s1 = q.filter(col("keep")).select(col("doc_id"), col("text"), col("n_tok"))
-    val th = s1.withColumn("th", md5(encode(col("text"), "UTF-8")))
+    // The four funnel branches union into ONE job, and each later stage
+    // builds on the earlier ones — without persists the quality scan
+    // and the dedup joins would be recomputed once per branch (measured
+    // 5.4 s vs 2.4 s at sf0.1). Both persisted frames are
+    // survivor-sized (narrow rows, ≤ corpus), scope-released.
+    val th = graft.operators.CacheScope.persist(
+      q.filter(col("keep"))
+        .select(col("doc_id"), col("n_tok"), md5(encode(col("text"), "UTF-8")).as("th")))
     val k2 = th.groupBy("th").agg(min("doc_id").as("keep_id"))
       .withColumnRenamed("th", "th2")
     val s2 = th.join(k2, col("th") === col("th2") && col("doc_id") === col("keep_id"))
       .select("doc_id", "n_tok")
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
       nHash = nHash, bandRows = bandRows, threshold = 0.5)
-    val lbl = s2.join(
-        Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-          .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    val lbl = graft.operators.CacheScope.persist(
+      s2.join(
+          Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+            .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("comp", coalesce(col("comp"), col("doc_id"))))
     val k3 = lbl.groupBy("comp").agg(min("doc_id").as("keep3"))
       .withColumnRenamed("comp", "comp2")
     val s3 = lbl.join(k3, col("comp") === col("comp2") && col("doc_id") === col("keep3"))
@@ -398,7 +405,7 @@ object QSim {
         .select(lit(name).as("stage"), col("n_docs"), col("total_tokens"))
     val raw = docs.select(size(split(col("text"), " ")).cast("long").as("n_tok"))
     stage("0_raw", raw)
-      .unionAll(stage("1_quality", s1.select("n_tok")))
+      .unionAll(stage("1_quality", th.select("n_tok")))
       .unionAll(stage("2_exact_dedup", s2.select("n_tok")))
       .unionAll(stage("3_near_dedup", s3.select("n_tok")))
       .orderBy("stage")
