@@ -154,7 +154,7 @@ object Dedup {
     * emitted (a doc in no near-dup pair is its own singleton cluster;
     * emitting the whole corpus here would shuffle it for nothing). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, localFinishEdges: Long = 1L << 22): DataFrame = {
     require(maxIter >= 1, s"connectedComponents needs maxIter >= 1, got $maxIter")
     def clean(e: DataFrame): DataFrame =
       e.filter(col("u") =!= col("v")).distinct()
@@ -189,14 +189,84 @@ object Dedup {
         .filter(col("nh") > 1 || (col("nh") > 0 && col("nl") > 0))
         .isEmpty
     }
+    // Local finish: once the (checkpointed) edge set is under
+    // `localFinishEdges`, ONE narrow task runs an index-compressed
+    // union-find over it — no hash map, no boxing: endpoints are
+    // sorted+deduped into an id array, parents are Int indices. This is
+    // the standard production hybrid (iterate the star rounds only
+    // while the graph is big; near-dup pair sets are pairs-proportional
+    // and usually tiny next to the corpus, often under the threshold at
+    // round 0), and it converts O(log² n) tiny scheduled jobs into one.
+    // The threshold bounds the task's working set (default 2²² edges ≈
+    // 64 MB of long pairs); integral node ids only — other types take
+    // the iterative path to its fixpoint.
+    val nodeType = edges.schema(srcCol).dataType
+    val integralNode = nodeType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    def localFinish(e: DataFrame): DataFrame = {
+      val sess = e.sparkSession
+      import sess.implicits._
+      val comps = e.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions { it =>
+          val es = it.toArray
+          val ids = {
+            val a = new Array[Long](es.length * 2)
+            var i = 0
+            while (i < es.length) { a(2 * i) = es(i)._1; a(2 * i + 1) = es(i)._2; i += 1 }
+            java.util.Arrays.sort(a)
+            var n = 0
+            i = 0
+            while (i < a.length) { if (n == 0 || a(n - 1) != a(i)) { a(n) = a(i); n += 1 }; i += 1 }
+            java.util.Arrays.copyOf(a, n)
+          }
+          val parent = Array.tabulate(ids.length)(identity)
+          val rank = new Array[Byte](ids.length)
+          def find(x: Int): Int = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          es.foreach { case (a, b) =>
+            val ra = find(java.util.Arrays.binarySearch(ids, a))
+            val rb = find(java.util.Arrays.binarySearch(ids, b))
+            if (ra != rb) {
+              if (rank(ra) < rank(rb)) parent(ra) = rb
+              else if (rank(rb) < rank(ra)) parent(rb) = ra
+              else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
+            }
+          }
+          // comp = min id per root; ids are sorted ascending, so the
+          // first index seen for a root IS its component minimum
+          val minId = new Array[Long](ids.length)
+          java.util.Arrays.fill(minId, Long.MaxValue)
+          var i = 0
+          while (i < ids.length) {
+            val r = find(i)
+            if (ids(i) < minId(r)) minId(r) = ids(i)
+            i += 1
+          }
+          ids.indices.iterator.map(i => (ids(i), minId(find(i))))
+        }
+      comps.toDF("node", "comp")
+        .select(col("node").cast(nodeType).as("node"),
+          col("comp").cast(nodeType).as("comp"))
+    }
     var cur = clean(
       edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
         .filter(col("u").isNotNull && col("v").isNotNull))
       .localCheckpoint(true)
+    if (integralNode && cur.count() <= localFinishEdges) return localFinish(cur)
     var converged = isStarForest(cur)
     var round = 0
     while (!converged && round < maxIter) {
       cur = smallStar(largeStar(cur)).localCheckpoint(true)
+      if (integralNode && cur.count() <= localFinishEdges) return localFinish(cur)
       converged = isStarForest(cur)
       round += 1
     }

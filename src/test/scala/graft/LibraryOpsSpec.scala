@@ -370,12 +370,16 @@ class LibraryOpsSpec extends AnyFunSuite {
     val pair = Seq((30L, 31L))
     val edges = (chain ++ clique ++ pair ++ Seq((5L, 5L), (3L, 4L), (4L, 3L)))
       .toDF("a", "b")
-    val got = Dedup.connectedComponents(edges, "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 12L).forall(got(_) == 1L))
-    assert((20L to 22L).forall(got(_) == 20L))
-    assert(got(30L) == 30L && got(31L) == 30L)
-    assert(got.size == 17) // every endpoint labeled exactly once
+    // both execution paths must agree: localFinishEdges = 0 forces the
+    // distributed star rounds; the default takes the one-task union-find
+    for (localCap <- Seq(0L, 1L << 22)) {
+      val got = Dedup.connectedComponents(edges, "a", "b", localFinishEdges = localCap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 12L).forall(got(_) == 1L))
+      assert((20L to 22L).forall(got(_) == 20L))
+      assert(got(30L) == 30L && got(31L) == 30L)
+      assert(got.size == 17) // every endpoint labeled exactly once
+    }
   }
 
   test("Dedup.connectedComponents matches a union-find reference on a seeded random graph") {
@@ -395,9 +399,12 @@ class LibraryOpsSpec extends AnyFunSuite {
       .map(x => x -> find(x.toInt).toLong).toMap
     // union-find roots here ARE the min ids: unions always attach max under min,
     // and path roots only ever decrease
-    val got = Dedup.connectedComponents(edges.toDF("s", "t"), "s", "t")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == want)
+    for (localCap <- Seq(0L, 1L << 22)) {
+      val got = Dedup.connectedComponents(edges.toDF("s", "t"), "s", "t",
+          localFinishEdges = localCap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    }
   }
 
   test("dedup/similarity operators return empty (not crash) on empty input") {
