@@ -30,9 +30,12 @@ object Deterministic {
   /** Uniform [0,1) deterministic in the key. */
   def hrand01(key: Column, seed: Long): Column = hrand(key, seed) / lit(M.toDouble)
 
-  /** SQL rendering of the same expression (DuckDB-compatible). */
+  /** SQL rendering of the same expression (DuckDB-compatible). The
+    * seed·12345 term is pre-multiplied: it is a constant, and emitting
+    * the product keeps engines that type bare literals as INT32 from
+    * overflowing on large seeds. */
   def hrandSql(key: String, seed: Long): String =
-    s"(((($key % 2147483648 + 2147483648) % 2147483648) * 1103515245 + $seed * 12345 + 104729) " +
+    s"(((($key % 2147483648 + 2147483648) % 2147483648) * 1103515245 + ${seed * 12345L} + 104729) " +
       "% 2147483648 + 2147483648) % 2147483648"
 
   /** Exact order-independent sum of a double expression: round each term

@@ -184,6 +184,51 @@ object Similarity {
     assign(centFinal).select(col(idCol), col("cell"), col("c").as("cos"))
   }
 
+  /** Int8 scalar quantization fidelity report — the compression step
+    * that makes a 100 TB embedding store tractable (float32 → int8 is
+    * the standard 4× memory/IO cut before ANN): per-DIMENSION symmetric
+    * quantization (scale_d = max|x_d| / 127 over the corpus, code =
+    * clamp(round(x/scale), ±127)), then per-vector reconstruction
+    * fidelity — MSE, max absolute error, and cosine(original,
+    * reconstruction), the number that decides whether ANN recall
+    * survives the compression.
+    *
+    * Plan shape: one posexplode pass → per-dimension max (dim-bounded
+    * aggregate, broadcast back) → row-wise quantize/reconstruct →
+    * per-vector aggregate (map-side combinable; sums go through
+    * [[graft.functions.Deterministic.stableSum]] at scale 12 so the
+    * per-vector doubles are accumulation-order-invariant and
+    * oracle-replayable). No shuffle wider than the corpus row count,
+    * no driver collection; the dim × scale table is the only broadcast.
+    *
+    * Output: (idCol, `carry`..., mse, max_abs_err, cos_recon). */
+  def scalarQuantError(vectors: DataFrame, idCol: String, vecCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    import graft.functions.Deterministic.stableSum
+    val keys = (idCol +: carry).map(col)
+    val ex = vectors
+      .select(keys :+ posexplode(col(vecCol).cast("array<double>")): _*)
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
+    val scales = ex.groupBy("d").agg((max(abs(col("x"))) / lit(127.0)).as("scale"))
+    val rec = ex.join(broadcast(scales), "d")
+      .withColumn("r",
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(least(greatest(round(col("x") / col("scale"), 0), lit(-127.0)),
+            lit(127.0)) * col("scale")))
+    rec.groupBy(keys: _*)
+      .agg(
+        (stableSum((col("x") - col("r")) * (col("x") - col("r")), 12) /
+          count(lit(1))).as("mse"),
+        max(abs(col("x") - col("r"))).as("max_abs_err"),
+        stableSum(col("x") * col("r"), 12).as("xr"),
+        stableSum(col("x") * col("x"), 12).as("xx"),
+        stableSum(col("r") * col("r"), 12).as("rr"))
+      .withColumn("cos_recon",
+        when(col("xx") === 0.0 || col("rr") === 0.0, lit(0.0))
+          .otherwise(col("xr") / (sqrt(col("xx")) * sqrt(col("rr")))))
+      .drop("xr", "xx", "rr")
+  }
+
   /** IVF-style top-k: a seeded coarse quantizer (centroid vectors
     * picked by the deterministic hash — single assignment pass, no
     * Lloyd iterations), inverted lists by nearest centroid, queries

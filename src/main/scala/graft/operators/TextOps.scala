@@ -165,6 +165,65 @@ object TextOps {
       .withColumn("keep", col("drop_reason").isNull)
   }
 
+  /** Benchmark decontamination: the training docs sharing at least one
+    * distinct word `ngram` with a held-out evaluation set — the standard
+    * pre-training hygiene pass (eval n-grams must not leak into the
+    * training corpus). Output: one row per CONTAMINATED train doc,
+    * (idCol, n_shared = distinct shared shingles).
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of docs)
+    * while train is the corpus, so the eval shingle set is deduped and
+    * BROADCAST — the corpus shingle stream passes through a broadcast
+    * hash join UN-deduplicated (no corpus-wide shuffle) and only the
+    * matching occurrences (rare by construction) reach the per-doc
+    * distinct count. Never an all-pairs or corpus-shuffling plan. */
+  def contamination(train: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, ngram: Int = 5): DataFrame = {
+    val evalSh = Dedup.shingles(evalSet, textCol, Seq.empty, ngram)
+    val trainSh = Dedup.shingles(train, textCol, Seq(idCol), ngram, dedup = false)
+    trainSh.join(broadcast(evalSh), "sh")
+      .groupBy(idCol)
+      .agg(countDistinct(col("sh")).as("n_shared"))
+  }
+
+  /** Gopher-style intra-document repetition signals over word n-grams:
+    * `top_bigram_frac` (occurrences of the most frequent bigram over all
+    * bigram occurrences — boilerplate headers/footers light this up) and
+    * `dup_trigram_frac` (fraction of trigram occurrences whose trigram
+    * appears more than once — templated spam lights this up). One row
+    * per document with ≥ 3 tokens (both signals defined), idCol +
+    * `carry` + the two fractions.
+    *
+    * Each signal is gram-explode → per-(doc, gram) count → per-doc
+    * ratio: two map-side-combinable aggregates keyed by document, no
+    * window, no self-join — embarrassingly parallel over the corpus.
+    * The two signals scan the input twice (trigram positions are a
+    * strict subset of bigram positions, but fusing them would persist
+    * the gram stream — corpus × tokens rows — which costs more than the
+    * second columnar scan it saves). */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keys = (idCol +: carry).map(col)
+    def gramRatios(n: Int) = {
+      val grams = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(", ")
+      docs
+        .withColumn("w", split(col(textCol), " "))
+        .filter(size(col("w")) >= 3) // one shared base for both signals
+        .select(keys :+ col("w") :+
+          explode(expr(s"sequence(0, size(w) - $n)")).as("i"): _*)
+        .select(keys :+ expr(s"concat_ws(' ', $grams)").as("g"): _*)
+        .groupBy(keys :+ col("g"): _*)
+        .agg(count(lit(1)).as("c"))
+        .groupBy(keys: _*)
+    }
+    val bi = gramRatios(2)
+      .agg((max("c").cast("double") / sum("c")).as("top_bigram_frac"))
+    val tri = gramRatios(3)
+      .agg((sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).cast("double") /
+        sum("c")).as("dup_trigram_frac"))
+    bi.join(tri, idCol +: carry)
+  }
+
   /** Per-document shingle fingerprint: count + lexicographic min of the
     * word n-gram md5s (row-wise codegen'd hashing; non-distinct, so
     * `n_shingles` = tokens − n + 1). */

@@ -459,7 +459,57 @@ object QSim {
       .orderBy("cell")
   })
 
+  // ------------------------------------------- int8 scalar quantization
+  /** Embedding-compression fidelity — operators.Similarity
+    * .scalarQuantError: per-dimension symmetric int8 quantization
+    * (scale_d = max|x_d|/127 over the corpus) and the reconstruction
+    * fidelity that decides whether ANN recall survives the 4× cut,
+    * rolled up per label. All per-vector sums ride the DECIMAL
+    * stable-sum (scale 12) so the doubles are accumulation-order
+    * invariant; the quantize chain (max, /127, round-half-up at 0 dp,
+    * clamp, multiply) evaluates the identical IEEE tree on both
+    * engines. */
+  val scalarQuant = Q("sim_scalar_quant", Some(s"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT vec_id, label, i - 1 AS d, v[i] AS x
+           FROM e, LATERAL unnest(generate_series(1, $kmDim)) AS t(i)),
+    sc AS (SELECT d, max(abs(x)) / 127.0 AS scale FROM ex GROUP BY 1),
+    r AS (SELECT vec_id, label, x,
+                 CASE WHEN scale = 0 THEN 0.0
+                      ELSE least(greatest(round(x / scale, 0), -127.0), 127.0) * scale
+                 END AS rec
+          FROM ex JOIN sc USING (d)),
+    p AS (SELECT vec_id, label,
+                 CAST(SUM(CAST((x - rec) * (x - rec) AS DECIMAL(28,12))) AS DOUBLE)
+                   / $kmDim AS mse,
+                 max(abs(x - rec)) AS mae,
+                 CAST(SUM(CAST(x * rec AS DECIMAL(28,12))) AS DOUBLE) AS xr,
+                 CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS xx,
+                 CAST(SUM(CAST(rec * rec AS DECIMAL(28,12))) AS DOUBLE) AS rr
+          FROM r GROUP BY 1, 2),
+    f AS (SELECT label, mse, mae,
+                 CASE WHEN xx = 0 OR rr = 0 THEN 0.0
+                      ELSE xr / (sqrt(xx) * sqrt(rr)) END AS cosr
+          FROM p)
+    SELECT label, count(*) AS n_vecs,
+           round(CAST(SUM(CAST(mse AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS avg_mse,
+           round(max(mae), 6) AS max_abs_err,
+           round(CAST(SUM(CAST(cosr AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS avg_cos
+    FROM f GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    import graft.functions.Deterministic.stableSum
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+    Similarity.scalarQuantError(e, "vec_id", "v", carry = Seq("label"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(stableSum(col("mse"), 12) / count(lit(1)), 9).as("avg_mse"),
+        round(max(col("max_abs_err")), 6).as("max_abs_err"),
+        round(stableSum(col("cos_recon"), 12) / count(lit(1)), 9).as("avg_cos"))
+      .orderBy("label")
+  })
+
   val all: Seq[Q] =
     Seq(exact, minhashLsh, clusterCc, funnel, simhash, ngramJaccard, embedNearDup,
-      annTopk, annLsh, annIvf, kmeansCells)
+      annTopk, annLsh, annIvf, kmeansCells, scalarQuant)
 }

@@ -167,5 +167,103 @@ object QText {
         min(col("doc_id")).as("first_doc"))
       .orderBy("outcome"))
 
-  val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25, qualityGate)
+  // ---------------------------------------------------- decontamination
+  /** Benchmark decontamination — operators.TextOps.contamination:
+    * `src0` plays the held-out eval set, every other source is training
+    * corpus; a train doc is contaminated when it shares ≥ 1 distinct
+    * word 5-gram with any eval doc. Reported per train source (doc
+    * counts, contaminated counts, shared-shingle mass, rate). The eval
+    * shingle set is broadcast; the corpus side never shuffles before
+    * the per-doc distinct count of (rare) hits. */
+  private val evalSource = "src0"
+  private val decontamNgram = 5
+
+  val decontaminate = Q("text_decontaminate", Some {
+    val gram = (1 to decontamNgram).map(k => s"w[i+${k - 1}]").mkString(", ")
+    s"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    esh AS (SELECT DISTINCT md5(concat_ws(' ', $gram)) AS sh
+            FROM w, LATERAL unnest(generate_series(1, len(w) - ${decontamNgram - 1})) AS t(i)
+            WHERE source = '$evalSource'),
+    tsh AS (SELECT doc_id, md5(concat_ws(' ', $gram)) AS sh
+            FROM w, LATERAL unnest(generate_series(1, len(w) - ${decontamNgram - 1})) AS t(i)
+            WHERE source <> '$evalSource'),
+    hits AS (SELECT doc_id, count(DISTINCT sh) AS n_shared
+             FROM tsh JOIN esh USING (sh) GROUP BY 1)
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(sum(coalesce(h.n_shared, 0)) AS BIGINT) AS shared_shingles,
+           round(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS contamination_rate
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.source <> '$evalSource'
+    GROUP BY 1 ORDER BY 1"""
+  }, headline = true)((s, d) => {
+    val docs = Tables.documentsP(s, d)
+    val train = docs.filter(col("source") =!= evalSource)
+    val flags = TextOps.contamination(train,
+      docs.filter(col("source") === evalSource), "doc_id", "text", decontamNgram)
+    train.join(flags, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_shared").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+        sum(coalesce(col("n_shared"), lit(0L))).as("shared_shingles"))
+      .withColumn("contamination_rate",
+        round(col("n_contaminated").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  })
+
+  // ------------------------------------------------- repetition signals
+  /** Intra-document repetition signals — operators.TextOps
+    * .repetitionSignals (Gopher-style boilerplate/spam detectors) —
+    * rolled up per source with flag counts at fixed thresholds. The
+    * per-doc fractions are exact small-integer ratios (identical IEEE
+    * division on both engines); the per-source means go through the
+    * DECIMAL stable-sum so accumulation order cannot perturb the 6-dp
+    * rounding. */
+  private val topBigramMax = 0.12
+  private val dupTrigramMax = 0.10
+
+  val repetition = Q("text_repetition_signals", Some(s"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+               FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    bi AS (SELECT doc_id, source, concat_ws(' ', w[i], w[i+1]) AS g
+           FROM w, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    bic AS (SELECT doc_id, source, g, count(*) AS c FROM bi GROUP BY 1, 2, 3),
+    bfrac AS (SELECT doc_id, source, max(c)::DOUBLE / sum(c) AS top_bigram_frac
+              FROM bic GROUP BY 1, 2),
+    tri AS (SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+            FROM w, LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)),
+    tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+    tfrac AS (SELECT doc_id,
+                     sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c) AS dup_trigram_frac
+              FROM tric GROUP BY 1),
+    j AS (SELECT b.source, b.top_bigram_frac, t.dup_trigram_frac
+          FROM bfrac b JOIN tfrac t USING (doc_id))
+    SELECT source, count(*) AS n_docs,
+           round(CAST(SUM(CAST(top_bigram_frac AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             AS avg_top_bigram_frac,
+           round(CAST(SUM(CAST(dup_trigram_frac AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             AS avg_dup_trigram_frac,
+           CAST(sum(CASE WHEN top_bigram_frac > $topBigramMax
+                         OR dup_trigram_frac > $dupTrigramMax THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+    FROM j GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    import graft.functions.Deterministic.stableSum
+    TextOps.repetitionSignals(Tables.documentsP(s, d), "doc_id", "text",
+        carry = Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(stableSum(col("top_bigram_frac")) / count(lit(1)), 6)
+          .as("avg_top_bigram_frac"),
+        round(stableSum(col("dup_trigram_frac")) / count(lit(1)), 6)
+          .as("avg_dup_trigram_frac"),
+        sum(when(col("top_bigram_frac") > topBigramMax ||
+          col("dup_trigram_frac") > dupTrigramMax, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy("source")
+  })
+
+  val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25, qualityGate,
+    decontaminate, repetition)
 }

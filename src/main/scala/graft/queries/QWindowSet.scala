@@ -160,6 +160,51 @@ object QWindowSet {
       .orderBy("grp", "fold")
   })
 
+  // ---------------------------------------------------------------- W9
+  /** Per-stratum Bernoulli mixture sampling — operators.Sampling
+    * .stratifiedSample: the training-data domain-mixing step ("web at
+    * 10%, books at 80%") keyed on the stable doc id, so the mixture is
+    * reproducible across runs/partitionings and exactly replayable by
+    * the oracle's CASE + hrand chain. Pure row-wise filter (no shuffle
+    * before the report aggregate); hrand < 2^31 is exact in a double,
+    * so the < comparison is bit-identical on both engines. */
+  private val mixSeed = 20240817L
+  private val mixRates = Map(
+    "src1" -> 0.9, "src2" -> 0.6, "src3" -> 0.3, "src4" -> 0.05)
+  private val mixDefault = 0.15
+
+  val w9 = Q("w9_stratified_mixture", Some {
+    val caseSql = "CASE source " +
+      mixRates.toSeq.sortBy(_._1).map { case (k, v) => s"WHEN '$k' THEN $v" }
+        .mkString(" ") + s" ELSE $mixDefault END"
+    s"""
+    WITH r AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+                      CAST($caseSql AS DOUBLE) AS sample_rate,
+                      (${hrandSql("doc_id", mixSeed)}) / 2147483648.0 AS coin
+               FROM documents)
+    SELECT source, sample_rate, count(*) AS n_docs,
+           CAST(sum(CASE WHEN coin < sample_rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN coin < sample_rate THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM r GROUP BY 1, 2 ORDER BY 1"""
+  })((s, d) => {
+    val docs = Tables.documentsP(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val kept = graft.operators.Sampling.stratifiedSample(
+        docs, "source", "doc_id", mixRates, mixDefault, mixSeed)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tok").as("kept_tokens"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"),
+        mixRates.toSeq.sortBy(_._1).foldLeft(lit(mixDefault)) {
+          case (acc, (k, v)) => when(col("source") === k, lit(v)).otherwise(acc)
+        }.as("sample_rate"),
+        col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  })
+
   // ------------------------------------------------- SO1/SO3/SO4/SO5
   /** Union ∪ intersect ∩ difference over key sets, tagged and stacked
     * (distinct semantics). Ref: cross_trial_type_cca_analysis.py:
@@ -193,5 +238,5 @@ object QWindowSet {
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       .orderBy("o_orderpriority"))
 
-  val all: Seq[Q] = Seq(w1, w5, w6, w7, w8, so1, so5)
+  val all: Seq[Q] = Seq(w1, w5, w6, w7, w8, w9, so1, so5)
 }

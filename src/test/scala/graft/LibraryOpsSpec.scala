@@ -424,6 +424,70 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(noEdges, "a", "b").count() == 0)
   }
 
+  test("TextOps.contamination flags only train docs sharing an eval n-gram") {
+    val evalSet = docs((900L, "e", "a b c d e f"))
+    val train = docs(
+      (1L, "t", "z z a b c d e z z"),   // shares "a b c d e" AND "b c d e f"? no — f absent ⇒ 1 shared
+      (2L, "t", "no overlap here at all six"),
+      (3L, "t", "x a b c d e f y"))     // shares both eval 5-grams
+    val got = TextOps.contamination(train, evalSet, "id", "body", ngram = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("TextOps.repetitionSignals computes hand-checked gram fractions") {
+    // "x y x y x": bigrams [x y, y x, x y, y x] → top 2/4 = 0.5
+    //              trigrams [x y x, y x y, x y x] → dup 2/3
+    val d = docs((1L, "g", "x y x y x"), (2L, "g", "a b c d"), (3L, "g", "a b"))
+    val got = TextOps.repetitionSignals(d, "id", "body", carry = Seq("grp"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // doc 3 (< 3 tokens) is excluded; doc 2 has no repeats at all
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got(0)._3 == 0.5 && got(0)._4 == 2.0 / 3.0)
+    assert(got(1)._3 == 1.0 / 3.0 && got(1)._4 == 0.0)
+    assert(got.forall(_._2 == "g"))
+  }
+
+  test("Sampling.stratifiedSample: rate-1 keeps all, rate-0 drops all, invariant to layout") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "A" else if (i % 3 == 1) "B" else "C"))
+      .toDF("k", "s")
+    val rates = Map("A" -> 1.0, "B" -> 0.0)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.stratifiedSample(df, "s", "k", rates, 0.4, seed = 99L)
+        .select("k").as[Long].collect().toSet
+    val got = run(d)
+    assert((3L to 300L by 3).forall(got.contains))         // A: rate 1.0
+    assert(!got.exists(k => k % 3 == 1))                   // B: rate 0.0
+    val cKept = got.count(k => k % 3 == 2)
+    assert(cKept > 10 && cKept < 90, s"default-rate stratum kept $cKept/100")
+    assert(run(d.repartition(7)) == got)                   // layout-invariant
+  }
+
+  test("Similarity.scalarQuantError bounds reconstruction error by half a scale step") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(2.0f, 0.5f, -1.0f)),
+      (2L, Array(-2.0f, 1.0f, 0.25f)),
+      (3L, Array(0.5f, -0.75f, 1.0f))).toDF("vid", "emb")
+    val out = Similarity.scalarQuantError(vecs, "vid", "emb")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 3)
+    // per-dim scale = amax/127: errors are bounded by scale/2 per element
+    val maxScale = 2.0 / 127.0
+    out.foreach { case (_, mse, mae, cosr) =>
+      assert(mae <= maxScale / 2 + 1e-12)
+      assert(mse <= maxScale * maxScale / 4 + 1e-12)
+      assert(cosr > 0.999 && cosr <= 1.0 + 1e-12)
+    }
+    // partition-layout invariance (stable sums): bit-identical outputs
+    val again = Similarity.scalarQuantError(vecs.repartition(5), "vid", "emb")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("TextOps.languageId honors a custom marker set and tie-break order") {
     val d = docs((1L, "?", "xx yy xx"), (2L, "?", "zz zz zz"))
     val out = TextOps.languageId(d, "body",
