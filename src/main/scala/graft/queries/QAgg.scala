@@ -323,5 +323,58 @@ object QAgg {
       .orderBy("region_c")
   })
 
-  val all: Seq[Q] = Seq(a1, a4, a7, a9, a11, a12, c1, c4, c5, c7, c8, json, p1)
+  // --------------------------------------------------- KMV sketch
+  /** K-minimum-values distinct-count sketch —
+    * functions.KMinDistinctAgg — cardinality estimation with O(k)
+    * state per group where count(DISTINCT) must shuffle every distinct
+    * value (the planning primitive for dedup/shuffle-width sizing at
+    * corpus scale). The 60-bit hash is the first 15 hex chars of the
+    * value's md5 (engine-portable); the estimator (k−1)/U(k) and the
+    * exact-when-under-k contract are downstream arithmetic replayed by
+    * the oracle's rank-over-distinct-hash window. The exact
+    * countDistinct rides along here as the fidelity report (at 100 TB
+    * you would ship only the sketch — the exact leg is the cost being
+    * avoided). */
+  private val kmvK = 128
+  private val kmvPow = 1L << 60 // 16^15
+
+  val kmv = Q("sketch_kmv_distinct", Some {
+    val h15 = "(" + (1 to 15).map(c =>
+      s"(strpos('0123456789abcdef', md5(l_partkey::VARCHAR)[$c]) - 1) * ${1L << (4 * (15 - c))}")
+      .mkString(" + ") + ")"
+    s"""
+    WITH hx AS (SELECT DISTINCT l_returnflag AS g, $h15 AS h FROM lineitem),
+    r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hx),
+    s AS (SELECT g, max(h) AS hk, count(*) AS m FROM r WHERE rn <= $kmvK GROUP BY 1),
+    x AS (SELECT l_returnflag AS g, count(DISTINCT l_partkey) AS n_exact
+          FROM lineitem GROUP BY 1),
+    e AS (SELECT s.g, x.n_exact,
+                 CASE WHEN s.m < $kmvK THEN s.m::DOUBLE
+                      ELSE ($kmvK - 1) / (s.hk::DOUBLE / $kmvPow) END AS est
+          FROM s JOIN x USING (g))
+    SELECT g AS l_returnflag, n_exact,
+           CAST(round(est, 0) AS BIGINT) AS n_est,
+           round(abs(CAST(round(est, 0) AS BIGINT) - n_exact)::DOUBLE / n_exact, 6) AS rel_err
+    FROM e ORDER BY 1"""
+  })((s, d) => {
+    val kmvAgg = udaf(new graft.functions.KMinDistinctAgg(kmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val h = conv(substring(md5(encode(col("l_partkey").cast("string"), "UTF-8")), 1, 15),
+      16, 10).cast("long")
+    val est = when(size(col("ks")) < kmvK, size(col("ks")).cast("double"))
+      .otherwise(lit(kmvK - 1) /
+        (element_at(col("ks"), kmvK).cast("double") / lit(kmvPow.toDouble)))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey"), h.as("h"))
+      .groupBy("l_returnflag")
+      .agg(kmvAgg(col("h")).as("ks"),
+        countDistinct(col("l_partkey")).as("n_exact"))
+      .withColumn("n_est", round(est, 0).cast("long"))
+      .select(col("l_returnflag"), col("n_exact"), col("n_est"),
+        round(abs(col("n_est") - col("n_exact")).cast("double") / col("n_exact"), 6)
+          .as("rel_err"))
+      .orderBy("l_returnflag")
+  })
+
+  val all: Seq[Q] = Seq(a1, a4, a7, a9, a11, a12, c1, c4, c5, c7, c8, json, p1, kmv)
 }

@@ -488,6 +488,22 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("KMinDistinctAgg keeps the k smallest distinct hashes, invariant to layout") {
+    import spark.implicits._
+    val kmv = udaf(new graft.functions.KMinDistinctAgg(4),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // values with planned duplicates; k-min of the DISTINCT set
+    val d = Seq(9L, 3L, 7L, 3L, 1L, 9L, 5L, 1L, 8L).toDF("h")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.agg(kmv(col("h")).as("ks")).select("ks").as[Seq[Long]].head()
+    assert(run(d) == Seq(1L, 3L, 5L, 7L))
+    assert(run(d.repartition(5)) == Seq(1L, 3L, 5L, 7L))
+    // fewer than k distinct values: the sketch IS the exact set
+    assert(run(Seq(2L, 2L, 6L).toDF("h")) == Seq(2L, 6L))
+    // k < 1 fails at construction, not inside an executor
+    intercept[IllegalArgumentException](new graft.functions.KMinDistinctAgg(0))
+  }
+
   test("TextOps.languageId honors a custom marker set and tie-break order") {
     val d = docs((1L, "?", "xx yy xx"), (2L, "?", "zz zz zz"))
     val out = TextOps.languageId(d, "body",
