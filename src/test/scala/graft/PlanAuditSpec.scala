@@ -54,6 +54,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"skewed segmentation lost its salted join:\n$plan")
   }
 
+  test("curation operators keep their broadcast / shuffle-free shapes") {
+    def plan(name: String): String = Q.registry.find(_.name == name).get
+      .build(spark, s"${Q.testdataRoot}/sf0.001")
+      .queryExecution.executedPlan.toString
+    // decontamination: the eval shingle set must BROADCAST to the
+    // corpus stream — a sort-merge join here would shuffle the corpus
+    val dec = plan("text_decontaminate")
+    assert(dec.contains("BroadcastHashJoin"),
+      s"text_decontaminate lost its broadcast eval join:\n$dec")
+    // stratified mixture: a pure row-wise filter — no join at all, and
+    // the only exchanges belong to the report aggregation
+    val mix = plan("w9_stratified_mixture")
+    assert(!mix.contains("Join") || mix.contains("BroadcastHashJoin"),
+      s"w9_stratified_mixture plans a non-broadcast join:\n$mix")
+    // scalar quantization: the dim-scale table must broadcast
+    val sq = plan("sim_scalar_quant")
+    assert(sq.contains("BroadcastHashJoin"),
+      s"sim_scalar_quant lost its broadcast scale join:\n$sq")
+  }
+
   test("filters and projections reach the parquet scans of the core filter queries") {
     for (name <- Seq("f1_equality_filter", "j1_event_window_segment")) {
       val plan = Q.registry.find(_.name == name).get
