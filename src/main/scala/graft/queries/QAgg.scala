@@ -376,5 +376,89 @@ object QAgg {
       .orderBy("l_returnflag")
   })
 
-  val all: Seq[Q] = Seq(a1, a4, a7, a9, a11, a12, c1, c4, c5, c7, c8, json, p1, kmv)
+  // ------------------------------------------- KMV set-overlap sketch
+  /** Cross-corpus overlap estimation from KMV sketches — the planning
+    * form of "how much does source A overlap source B" (dedup /
+    * decontamination sizing) without shuffling either side's distinct
+    * set: three O(k)-state sketches (A, B, A∪B) over the 60-bit word
+    * BIGRAM hash (the unigram vocabulary of the synthetic corpus is
+    * ~31 tokens — trivially shared; bigrams give a k-exceeding,
+    * partially-overlapping universe), then pure array arithmetic. For x in the union sketch K,
+    * x ∈ A ⟺ x ∈ sketch(A) (K's elements are ≤ kth-min(A∪B) ≤
+    * kth-min(A)), so ρ = |K ∩ sk(A) ∩ sk(B)| / |K∩| estimates the
+    * Jaccard and ρ·n̂(A∪B) the intersection size; when the union has
+    * fewer than k distinct hashes every sketch is its full set and the
+    * "estimates" are exact. Exact legs ride along as the fidelity
+    * report. */
+  private val ovA = "src1"
+  private val ovB = "src2"
+
+  val kmvOverlap = Q("sketch_kmv_overlap", Some {
+    val h15 = "(" + (1 to 15).map(c =>
+      s"(strpos('0123456789abcdef', sh[$c]) - 1) * ${1L << (4 * (15 - c))}")
+      .mkString(" + ") + ")"
+    def estSql(tbl: String) =
+      s"""CASE WHEN (SELECT count(*) FROM $tbl) < $kmvK
+              THEN (SELECT count(*) FROM $tbl)::DOUBLE
+              ELSE ($kmvK - 1) / ((SELECT max(h) FROM $tbl)::DOUBLE / $kmvPow) END"""
+    s"""
+    WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents
+               WHERE source IN ('$ovA', '$ovB') AND len(string_split(text, ' ')) >= 2),
+    sg AS (SELECT source, md5(concat_ws(' ', w[i], w[i+1])) AS sh
+           FROM w, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    t AS (SELECT DISTINCT source, $h15 AS h FROM sg),
+    ha AS (SELECT h FROM t WHERE source = '$ovA'),
+    hb AS (SELECT h FROM t WHERE source = '$ovB'),
+    hu AS (SELECT DISTINCT h FROM t),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT $kmvK),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT $kmvK),
+    ku AS (SELECT h FROM hu ORDER BY h LIMIT $kmvK),
+    est AS (SELECT ${estSql("ka")} AS ea, ${estSql("kb")} AS eb, ${estSql("ku")} AS eu,
+                   (SELECT count(*) FROM ku JOIN ka USING (h) JOIN kb USING (h)) AS m,
+                   (SELECT count(*) FROM ku) AS keff,
+                   (SELECT count(*) FROM ha JOIN hb USING (h)) AS exact_intersect,
+                   (SELECT count(*) FROM hu) AS exact_union)
+    SELECT '$ovA' AS source_a, '$ovB' AS source_b,
+           CAST(round(ea, 0) AS BIGINT) AS est_a,
+           CAST(round(eb, 0) AS BIGINT) AS est_b,
+           CAST(round(eu, 0) AS BIGINT) AS est_union,
+           CAST(round(m::DOUBLE / keff * eu, 0) AS BIGINT) AS est_intersect,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(exact_intersect AS BIGINT) AS exact_intersect
+    FROM est"""
+  })((s, d) => {
+    val kmvAgg = udaf(new graft.functions.KMinDistinctAgg(kmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val toks = graft.operators.Dedup.shingles(
+        Tables.documentsP(s, d).filter(col("source").isin(ovA, ovB)),
+        "text", Seq("source"), n = 2, dedup = false)
+      .select(col("source"),
+        conv(substring(col("sh"), 1, 15), 16, 10).cast("long").as("h"))
+    val dist = toks.distinct() // (source, h): both sketch + exact legs share it
+    def est(ks: org.apache.spark.sql.Column) =
+      when(size(ks) < kmvK, size(ks).cast("double"))
+        .otherwise(lit(kmvK - 1) /
+          (element_at(ks, kmvK).cast("double") / lit(kmvPow.toDouble)))
+    val skA = dist.filter(col("source") === ovA).agg(kmvAgg(col("h")).as("ka"))
+    val skB = dist.filter(col("source") === ovB).agg(kmvAgg(col("h")).as("kb"))
+    val skU = dist.select("h").distinct().agg(kmvAgg(col("h")).as("ku"))
+    val exact = dist.groupBy("h").agg(count(lit(1)).as("ns"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("ns") === 2, 1L).otherwise(0L)).as("exact_intersect"))
+    skU.crossJoin(broadcast(skA)).crossJoin(broadcast(skB))
+      .crossJoin(broadcast(exact))
+      .withColumn("m",
+        size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb"))))
+      .withColumn("keff", size(col("ku")))
+      .select(lit(ovA).as("source_a"), lit(ovB).as("source_b"),
+        round(est(col("ka")), 0).cast("long").as("est_a"),
+        round(est(col("kb")), 0).cast("long").as("est_b"),
+        round(est(col("ku")), 0).cast("long").as("est_union"),
+        round(col("m").cast("double") / col("keff") * est(col("ku")), 0)
+          .cast("long").as("est_intersect"),
+        col("exact_union"), col("exact_intersect"))
+  })
+
+  val all: Seq[Q] = Seq(a1, a4, a7, a9, a11, a12, c1, c4, c5, c7, c8, json, p1,
+    kmv, kmvOverlap)
 }

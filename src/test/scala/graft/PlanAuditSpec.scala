@@ -17,7 +17,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private lazy val spark = GraftSession.local(4)
 
-  test("nested-loop joins appear only in the thirteen intentional dimension-bounded plans") {
+  test("nested-loop joins appear only in the fourteen intentional dimension-bounded plans") {
     val intentional = Set(
       "a11_threshold_sweep",      // threshold-literal fan-out
       "l14_stability_sweep",      // sizes×iters literal fan-out
@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "l10_principal_angles",     // ≤ label-count subspace pairs
       "sim_cosine_topk",          // brute-force baseline, 8 broadcast queries
       "text_bm25_rank",           // 1-row corpus-stats broadcast cross
-      "sim_kmeans_cells")         // 1-row centroid-array broadcast cross (per iteration)
+      "sim_kmeans_cells",         // 1-row centroid-array broadcast cross (per iteration)
+      "sketch_kmv_overlap")       // three 1-row sketch crosses
     val offenders = Q.registry
       .filterNot(_.name.startsWith("stream_"))
       .flatMap { q =>
