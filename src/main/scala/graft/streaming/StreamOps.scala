@@ -167,17 +167,20 @@ object StreamOps {
     * single-batch file source dedups exactly, which the DISTINCT
     * oracle replays. NULL user_ids are excluded on both sides (a
     * NULL is a dedup key value but not a COUNT DISTINCT member). */
-  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val deduped = eventsStream(spark, sfDir)
-      .filter(col("user_id").isNotNull)
-      .select(col("event_type"), col("user_id"), col("ts"))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_type", "user_id")
-    runToMemory(spark, deduped, "graft_stream_dedup", OutputMode.Append())
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, dedupPlan(eventsStream(spark, sfDir)),
+        "graft_stream_dedup", OutputMode.Append())
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"))
       .orderBy("event_type")
-  }
+
+  /** The streaming side of [[streamingDedup]] — composition point for
+    * the multi-batch delivery tests. */
+  def dedupPlan(ev: DataFrame): DataFrame =
+    ev.filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
 
   final case class Ev(user_id: Long, t: Long)
   final case class Session(user_id: Long, session_id: Long, session_start: Long,
@@ -193,10 +196,18 @@ object StreamOps {
     * max n per key), so the result is identical whether the source
     * delivers one batch or many (second file, maxFilesPerTrigger, live
     * source) — no duplicate/overlapping session rows can survive. */
-  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeCompact(
+      runToMemory(spark, sessionizePlan(spark, eventsStream(spark, sfDir)),
+        "graft_stream_sess", OutputMode.Append()))
+
+  /** The streaming side of [[sessionize]] — exposed as a composition
+    * point so the multi-batch contract (one batch vs file-at-a-time
+    * delivery) is testable against any source. */
+  def sessionizePlan(spark: SparkSession, ev: DataFrame): DataFrame = {
     import spark.implicits._
     val gap = 1800L
-    val evs = eventsStream(spark, sfDir)
+    val evs = ev
       .select(col("user_id").cast("long").as("user_id"),
         (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("t"))
       .as[Ev]
@@ -226,13 +237,18 @@ object StreamOps {
           state.update(Array(start, end, n, sid))
           sessions.reverseIterator
       }
-    runToMemory(spark, sessions.toDF(), "graft_stream_sess", OutputMode.Append())
-      // change-log compaction: snapshots per (user, session) are monotone,
-      // so last-writer-wins is exactly min/max/max
+    sessions.toDF()
+  }
+
+  /** Change-log compaction for [[sessionizePlan]] output: snapshots per
+    * (user, session) are monotone (start fixed, end/n grow), so
+    * last-writer-wins is exactly min/max/max — the result is identical
+    * whether the source delivered one micro-batch or many. */
+  def sessionizeCompact(raw: DataFrame): DataFrame =
+    raw
       .groupBy("user_id", "session_id")
       .agg(min("session_start").as("session_start"),
         max("session_end").as("session_end"),
         max("n_events").as("n_events"))
       .orderBy("user_id", "session_id")
-  }
 }
