@@ -224,6 +224,54 @@ object TextOps {
     bi.join(tri, idCol +: carry)
   }
 
+  /** Robust length-outlier gate per group: exact lower median and MAD
+    * (median absolute deviation) of the whitespace token count, then
+    * every document with |len − median| > `c`·MAD flagged. The robust
+    * pair is the curation-grade outlier detector (mean/stddev move with
+    * the outliers they are supposed to catch; median/MAD do not).
+    *
+    * Both order statistics are computed on the f10 distinct-value
+    * HISTOGRAM form: group → (value, count) → running sum over
+    * DISTINCT values, so the rank windows run over the value domain
+    * (token lengths — bounded) rather than corpus rows, and everything
+    * is exact integer arithmetic end-to-end (no interpolated quantile,
+    * no doubles) — deterministic at any scale and replayable by a
+    * rank-over-rows oracle. The two tiny (group, statistic) tables are
+    * broadcast back; the corpus is scanned, never sorted.
+    *
+    * Output per group: n_docs, median_tok, mad_tok, n_outliers. */
+  def robustLengthOutliers(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, c: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(c >= 1, s"robustLengthOutliers needs c >= 1, got $c")
+    val l = docs.select(col(idCol), col(groupCol),
+      size(split(col(textCol), " ")).cast("long").as("nt"))
+    // lower median of `v` per group, histogram form (value at row-rank
+    // ceil(n/2) — rank windows over distinct values, not corpus rows)
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val hist = df.groupBy(groupCol, v).agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(groupCol).orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(groupCol)
+      hist
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(wTot))
+        .withColumn("k", ceil(lit(0.5) * col("n")).cast("long"))
+        .filter(col("cum") - col("c") < col("k") && col("k") <= col("cum"))
+        .select(col(groupCol), col(v).as(out))
+    }
+    val med = lowerMedian(l, "nt", "med")
+    val dev = l.join(broadcast(med), groupCol)
+      .withColumn("dv", abs(col("nt") - col("med")))
+    val mad = lowerMedian(dev, "dv", "mad")
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        max("med").as("median_tok"),
+        max("mad").as("mad_tok"),
+        sum(when(col("dv") > lit(c) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Per-document shingle fingerprint: count + lexicographic min of the
     * word n-gram md5s (row-wise codegen'd hashing; non-distinct, so
     * `n_shingles` = tokens − n + 1). */

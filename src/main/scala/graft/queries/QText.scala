@@ -264,6 +264,35 @@ object QText {
       .orderBy("source")
   })
 
+  // ------------------------------------------------ robust outliers
+  /** Median/MAD length-outlier gate — operators.TextOps
+    * .robustLengthOutliers: exact lower median and MAD of the token
+    * count per source (f10 histogram form — rank windows over the
+    * bounded value domain, all integer arithmetic), docs beyond
+    * 3×MAD flagged. The oracle replays it with plain rank-over-rows
+    * windows; both sides agree exactly because nothing is
+    * interpolated. */
+  val lengthOutliers = Q("text_length_outliers", Some("""
+    WITH l AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nt FROM documents),
+    r1 AS (SELECT source, nt, row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM l),
+    med AS (SELECT source, nt AS med FROM r1 WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+    d AS (SELECT l.doc_id, l.source, l.nt, m.med, abs(l.nt - m.med) AS dv
+          FROM l JOIN med m USING (source)),
+    r2 AS (SELECT source, dv, row_number() OVER (PARTITION BY source ORDER BY dv, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM d),
+    mad AS (SELECT source, dv AS mad FROM r2 WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+    SELECT d.source, count(*) AS n_docs,
+           max(d.med) AS median_tok, max(mad.mad) AS mad_tok,
+           CAST(sum(CASE WHEN d.dv > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (source)
+    GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    TextOps.robustLengthOutliers(Tables.documentsP(s, d), "source", "doc_id", "text")
+      .orderBy("source"))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25, qualityGate,
-    decontaminate, repetition)
+    decontaminate, repetition, lengthOutliers)
 }

@@ -488,6 +488,18 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("TextOps.robustLengthOutliers computes hand-checked median/MAD and flags") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // lengths 10,10,12,14,100 → median 12; dv 2,2,0,2,88 → MAD 2;
+    // outliers: dv > 3·2 ⇒ only the 100-token doc
+    val d = docs(
+      (1L, "g", words(10)), (2L, "g", words(10)), (3L, "g", words(12)),
+      (4L, "g", words(14)), (5L, "g", words(100)))
+    val got = TextOps.robustLengthOutliers(d, "grp", "id", "body")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("g", 5L, 12L, 2L, 1L)))
+  }
+
   test("KMinDistinctAgg keeps the k smallest distinct hashes, invariant to layout") {
     import spark.implicits._
     val kmv = udaf(new graft.functions.KMinDistinctAgg(4),
