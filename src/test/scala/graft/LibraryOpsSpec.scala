@@ -422,6 +422,12 @@ class LibraryOpsSpec extends AnyFunSuite {
       nList = 4, nProbe = 2, dim = 8).count() == 0)
     val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(noEdges, "a", "b").count() == 0)
+    assert(TextOps.contamination(noDocs, noDocs, "id", "body").count() == 0)
+    assert(TextOps.repetitionSignals(noDocs, "id", "body").count() == 0)
+    assert(TextOps.robustLengthOutliers(noDocs, "grp", "id", "body").count() == 0)
+    assert(graft.operators.Sampling.stratifiedSample(
+      noDocs, "grp", "id", Map("x" -> 0.5), 0.1, 7L).count() == 0)
+    assert(Similarity.scalarQuantError(noVecs, "vid", "vec").count() == 0)
   }
 
   test("TextOps.contamination flags only train docs sharing an eval n-gram") {
