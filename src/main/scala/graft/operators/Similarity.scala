@@ -229,6 +229,63 @@ object Similarity {
       .drop("xr", "xx", "rr")
   }
 
+  /** Product-quantization fidelity — the codebook compression step of
+    * large-scale ANN (dim-d float vectors → m sub-space code ids, a
+    * d·4/m·log₂k compression; 64-dim float32 → 8 bytes here): the
+    * vector is split into `m` contiguous sub-vectors, each quantized to
+    * its nearest (by cosine, matching the engine's IVF affinity) of
+    * `kCodes` codewords, and fidelity is the cosine between the
+    * original vector and its codeword concatenation. Codebooks are
+    * SEEDED picks (the ivfTopK quantizer design — deterministic, no
+    * Lloyd iterations, finitely SQL-replayable).
+    *
+    * Plan shape: one explode to (vector, subspace) rows; per-subspace
+    * assignment through the shuffle-free [[topCells]] expression
+    * against the broadcast (m × kCodes) codebook — no Window, no
+    * n×k shuffle, ties broken (rounded cosine DESC, cent_id) exactly
+    * like the oracle's row_number; codeword lookup is a broadcast
+    * equi-join; the per-vector dot sums ride DECIMAL stable sums so
+    * the fidelity doubles are accumulation-order invariant.
+    *
+    * Output: (idCol, `carry`..., cos_pq). */
+  def pqCosError(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int = 64, m: Int = 8, kCodes: Int = 16, seed: Long = 77L,
+      carry: Seq[String] = Nil): DataFrame = {
+    import graft.functions.Deterministic.{hrand, stableSum}
+    require(m >= 1 && dim % m == 0, s"pqCosError needs m | dim, got dim=$dim m=$m")
+    require(kCodes >= 1, s"pqCosError needs kCodes >= 1, got $kCodes")
+    val sub = dim / m
+    val keys = (idCol +: carry).map(col)
+    val v = vectors.select(keys :+ col(vecCol).cast("array<double>").as("v"): _*)
+    val seeds = vectors
+      .orderBy(hrand(col(idCol), seed), col(idCol)).limit(kCodes)
+      .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cv0"))
+    val codebook = seeds.select(explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), col("cent_id"),
+          slice(col("cv0"), j * sub + 1, sub).as("cv"))): _*)).as("e"))
+      .select(col("e.j").as("j"), col("e.cent_id").as("cent_id"), col("e.cv").as("cv"))
+    val cents = codebook.groupBy("j")
+      .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cents"))
+    val exSub = v.select(keys :+ explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), slice(col("v"), j * sub + 1, sub).as("vj"))): _*)).as("e"): _*)
+      .select(keys :+ col("e.j").as("j") :+ col("e.vj").as("vj"): _*)
+    val asg = exSub.join(broadcast(cents), "j")
+      .withColumn("cc", expr("element_at(graft_top_cells(vj, cents, 1), 1)"))
+      .select(keys :+ col("j") :+ col("vj") :+ col("cc.cent_id").as("cent_id"): _*)
+    val rec = asg.join(broadcast(codebook), Seq("j", "cent_id"))
+      .withColumn("xr", expr(dotExpr("vj", "cv", sub)))
+      .withColumn("xx", expr(dotExpr("vj", "vj", sub)))
+      .withColumn("rr", expr(dotExpr("cv", "cv", sub)))
+    rec.groupBy(keys: _*)
+      .agg(stableSum(col("xr"), 12).as("sxr"),
+        stableSum(col("xx"), 12).as("sxx"),
+        stableSum(col("rr"), 12).as("srr"))
+      .withColumn("cos_pq",
+        when(col("sxx") === 0.0 || col("srr") === 0.0, lit(0.0))
+          .otherwise(col("sxr") / (sqrt(col("sxx")) * sqrt(col("srr")))))
+      .drop("sxr", "sxx", "srr")
+  }
+
   /** IVF-style top-k: a seeded coarse quantizer (centroid vectors
     * picked by the deterministic hash — single assignment pass, no
     * Lloyd iterations), inverted lists by nearest centroid, queries

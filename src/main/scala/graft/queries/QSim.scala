@@ -509,7 +509,70 @@ object QSim {
       .orderBy("label")
   })
 
+  // ------------------------------------------- product quantization
+  /** PQ compression fidelity — operators.Similarity.pqCosError: 64-dim
+    * vectors → 8 sub-spaces × 16 seeded codewords (float32 256 B → 8 B
+    * codes), reported per label as the cosine between each vector and
+    * its codeword concatenation. The oracle replays the seeded
+    * codebook, the per-subspace (rounded cosine DESC, cent_id)
+    * assignment and the decimal-stable dot sums with offset-indexed
+    * arithmetic on the full arrays (equal to the engine's slices). */
+  private val pqM = 8
+  private val pqSub = kmDim / pqM
+  private val pqK = 16
+  private val pqSeed = 77L
+
+  val pqError = Q("sim_pq_error", Some {
+    def dotOff(x: String, y: String, j: String = "t.j") =
+      "(0" + (1 to pqSub).map(i =>
+        s" + ($x[$j * $pqSub + $i] * $y[$j * $pqSub + $i])").mkString + ")"
+    def cosOff(x: String, y: String) =
+      s"${dotOff(x, y)} / (sqrt(${dotOff(x, x)}) * sqrt(${dotOff(y, y)}))"
+    s"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+             ORDER BY ${graft.functions.Deterministic.hrandSql("vec_id", pqSeed)}, vec_id
+             LIMIT $pqK),
+    ac AS (SELECT e.vec_id, e.label, t.j, cent.cent_id,
+                  round(${cosOff("e.v", "cent.cv")}, 6) AS c
+           FROM e CROSS JOIN cent, LATERAL unnest(generate_series(0, ${pqM - 1})) AS t(j)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY c DESC, cent_id) AS rn
+          FROM ac),
+    a1 AS (SELECT vec_id, label, j, cent_id FROM r WHERE rn = 1),
+    d AS (SELECT a1.vec_id, a1.label,
+                 ${dotOff("e.v", "cent.cv", "a1.j")} AS xr,
+                 ${dotOff("e.v", "e.v", "a1.j")} AS xx,
+                 ${dotOff("cent.cv", "cent.cv", "a1.j")} AS rr
+          FROM a1
+          JOIN e ON a1.vec_id = e.vec_id
+          JOIN cent ON a1.cent_id = cent.cent_id),
+    p AS (SELECT vec_id, label,
+                 CAST(SUM(CAST(xr AS DECIMAL(28,12))) AS DOUBLE) AS sxr,
+                 CAST(SUM(CAST(xx AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(rr AS DECIMAL(28,12))) AS DOUBLE) AS srr
+          FROM d GROUP BY 1, 2),
+    f AS (SELECT label,
+                 CASE WHEN sxx = 0 OR srr = 0 THEN 0.0
+                      ELSE sxr / (sqrt(sxx) * sqrt(srr)) END AS cosr
+          FROM p)
+    SELECT label, count(*) AS n_vecs,
+           round(CAST(SUM(CAST(cosr AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS avg_pq_cos,
+           round(min(cosr), 9) AS min_pq_cos
+    FROM f GROUP BY 1 ORDER BY 1"""
+  })((s, d) => {
+    import graft.functions.Deterministic.stableSum
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+    Similarity.pqCosError(e, "vec_id", "v", dim = kmDim, m = pqM,
+        kCodes = pqK, seed = pqSeed, carry = Seq("label"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(stableSum(col("cos_pq"), 12) / count(lit(1)), 9).as("avg_pq_cos"),
+        round(min(col("cos_pq")), 9).as("min_pq_cos"))
+      .orderBy("label")
+  })
+
   val all: Seq[Q] =
     Seq(exact, minhashLsh, clusterCc, funnel, simhash, ngramJaccard, embedNearDup,
-      annTopk, annLsh, annIvf, kmeansCells, scalarQuant)
+      annTopk, annLsh, annIvf, kmeansCells, scalarQuant, pqError)
 }

@@ -506,6 +506,30 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("g", 5L, 12L, 2L, 1L)))
   }
 
+  test("Similarity.pqCosError: all-codeword corpus reconstructs perfectly; layout-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 6L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vid", "emb")
+    // kCodes >= n: every vector IS a codeword, each subspace's best
+    // code is its own subvector (cosine 1), so reconstruction is exact
+    val perfect = Similarity.pqCosError(vecs, "vid", "emb",
+        dim = 16, m = 4, kCodes = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(perfect.size == 6 && perfect.values.forall(c => math.abs(c - 1.0) < 1e-12),
+      s"got $perfect")
+    // fewer codes: every fidelity is a valid cosine (the two codeword
+    // sources still hit 1 exactly; the rest land below), and the result
+    // is bit-identical under any partitioning
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqCosError(df, "vid", "emb", dim = 16, m = 4, kCodes = 2)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = run(vecs)
+    assert(got.values.forall(c => c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12))
+    assert(got.values.count(_ < 0.999999) >= 3, s"quantization suspiciously lossless: $got")
+    assert(run(vecs.repartition(5)) == got)
+  }
+
   test("KMinDistinctAgg keeps the k smallest distinct hashes, invariant to layout") {
     import spark.implicits._
     val kmv = udaf(new graft.functions.KMinDistinctAgg(4),
