@@ -434,7 +434,13 @@ object QAgg {
         "text", Seq("source"), n = 2, dedup = false)
       .select(col("source"),
         conv(substring(col("sh"), 1, 15), 16, 10).cast("long").as("h"))
-    val dist = toks.distinct() // (source, h): both sketch + exact legs share it
+    // (source, h) distinct: four plan subtrees consume it (three
+    // sketches + the exact legs), so it is scope-persisted — Catalyst
+    // does not CSE across aggregation branches. A sketch-only
+    // production form would skip BOTH the distinct and this persist
+    // (the aggregator dedups internally in O(k) state); the distinct
+    // exists here because the exact fidelity legs need it anyway.
+    val dist = graft.operators.CacheScope.persist(toks.distinct())
     def est(ks: org.apache.spark.sql.Column) =
       when(size(ks) < kmvK, size(ks).cast("double"))
         .otherwise(lit(kmvK - 1) /
