@@ -23,7 +23,12 @@ import org.apache.spark.sql.expressions.Aggregator
   * so duplicate rows, partitioning and merge order cannot perturb it —
   * and the caller feeds an engine-portable hash (md5-derived integer),
   * so any SQL engine reproduces the sketch with a rank-over-distinct
-  * query. No floating point anywhere in the aggregation. */
+  * query. No floating point anywhere in the aggregation.
+  *
+  * API INVARIANT: the hash column must be NON-NULL — a typed Long
+  * aggregator decodes SQL NULL as 0, which would silently enter the
+  * sketch as a real (and minimal) hash value. Filter nulls upstream,
+  * as `sketch_kmv_distinct` does by hashing a non-null key. */
 class KMinDistinctAgg(k: Int) extends Aggregator[Long, ArrayBuffer[Long], Seq[Long]] {
 
   require(k >= 1, s"KMV sketch needs k >= 1, got $k")

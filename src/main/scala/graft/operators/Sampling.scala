@@ -21,7 +21,12 @@ object Sampling {
     * `defaultRate`). Pure row-wise filter — no shuffle, no sort, no
     * per-stratum pass; the rate lookup is a literal CASE chain over the
     * (small, fixed) strata map, evaluated in sorted-key order so the
-    * plan is deterministic. Adds `sample_rate` to surviving rows. */
+    * plan is deterministic. Adds `sample_rate` to surviving rows.
+    *
+    * NULL semantics, stated: a NULL stratum falls through every CASE
+    * arm to `defaultRate` (SQL null-equality is never true); a NULL
+    * sampling key hashes to NULL, the `<` predicate is NULL, and the
+    * row is DROPPED — key nullability is the caller's contract. */
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
       rates: Map[String, Double], defaultRate: Double, seed: Long): DataFrame = {
     (defaultRate +: rates.values.toSeq).foreach(r =>

@@ -201,6 +201,10 @@ object Similarity {
     * oracle-replayable). No shuffle wider than the corpus row count,
     * no driver collection; the dim × scale table is the only broadcast.
     *
+    * `carry` columns must be constant per id (they join the groupBy
+    * key); a varying carry silently splits a vector's aggregate. Same
+    * contract for [[pqCosError]].
+    *
     * Output: (idCol, `carry`..., mse, max_abs_err, cos_recon). */
   def scalarQuantError(vectors: DataFrame, idCol: String, vecCol: String,
       carry: Seq[String] = Nil): DataFrame = {
