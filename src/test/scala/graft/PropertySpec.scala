@@ -53,6 +53,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KMinDistinctAgg equals sorted(distinct).take(k) for random inputs/partitionings (10 seeded cases)") {
+    import spark.implicits._
+    for (caseSeed <- 1 to 10) {
+      val rnd = new scala.util.Random(7000L + caseSeed)
+      val k = 1 + rnd.nextInt(20)
+      val n = 1 + rnd.nextInt(400)
+      val universe = 1 + rnd.nextInt(60) // small universe ⇒ many duplicates
+      val xs = Seq.fill(n)(rnd.nextInt(universe).toLong - universe / 2)
+      val want = xs.distinct.sorted.take(k)
+      val kmv = udaf(new graft.functions.KMinDistinctAgg(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val got = xs.toDF("h").repartition(1 + rnd.nextInt(7))
+        .agg(kmv(col("h")).as("ks")).select("ks").as[Seq[Long]].head()
+      assert(got == want, s"case $caseSeed (k=$k n=$n universe=$universe)")
+    }
+  }
+
   test("embeddingNearDup is invariant to input partitioning and row order") {
     // The IVF centroid pick is a seeded hrand orderBy-limit and every
     // downstream stage is keyed — nothing may depend on how (or in what
