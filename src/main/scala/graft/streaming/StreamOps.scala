@@ -126,8 +126,20 @@ object StreamOps {
     * PSTH-style roll-up runs downstream of the sink (stream → sink →
     * batch aggregate), keeping the streaming stage single-stateful.
     */
-  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = eventsStream(spark, sfDir)
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, intervalJoinPlan(eventsStream(spark, sfDir)),
+        "graft_stream_ij", OutputMode.Append())
+      .groupBy(floor(col("rel_off") / lit(60.0)).cast("long").as("rel_bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"),
+        countDistinct(col("trig_id")).as("n_trials"))
+      .orderBy("rel_bin")
+
+  /** The streaming side of [[intervalJoin]] (pre-sink) — composition
+    * point for the multi-batch delivery tests: both sides' watermarked
+    * join state must persist across micro-batches until the watermark
+    * passes a row's reachable window. */
+  def intervalJoinPlan(ev: DataFrame): DataFrame = {
     def secs(c: org.apache.spark.sql.Column) =
       (unix_micros(c) / lit(1000000L)).cast("long")
     val trg = ev.filter(col("event_type") === "purchase")
@@ -147,12 +159,7 @@ object StreamOps {
         col("obs_t") <= col("trig_t") + 300)
       .select(col("trig_id"), (col("obs_t") - col("trig_t")).as("rel_off"),
         col("value"))
-    runToMemory(spark, joined, "graft_stream_ij", OutputMode.Append())
-      .groupBy(floor(col("rel_off") / lit(60.0)).cast("long").as("rel_bin"))
-      .agg(count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("avg_value"),
-        countDistinct(col("trig_id")).as("n_trials"))
-      .orderBy("rel_bin")
+    joined
   }
 
   /** Streaming exact dedup — the streaming twin of the batch

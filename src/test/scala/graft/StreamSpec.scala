@@ -78,6 +78,46 @@ class StreamSpec extends AnyFunSuite {
     assert(single == expected, s"single-batch sessionize diverged: $single")
   }
 
+  test("stream-stream interval join carries both sides' state across batches") {
+    import spark.implicits._
+    // purchases in batch 0, their in-window clicks in batch 1 (and one
+    // click BEFORE its trigger arrives, exercising the other buffer
+    // direction) — every pairing requires state to survive the split
+    def rows(b: Seq[(Long, Long, String, Long, Double)]) = b.toDF(
+        "event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(t * 1000000)").as("ts"), col("value"))
+    val dir = Files.createTempDirectory("graft_streamspec_ij")
+    val b0 = Seq(
+      (100L, 1L, "purchase", t0, 0.0),
+      (101L, 2L, "click", t0 + 50, 2.0))     // click before user 2's purchase
+    val b1 = Seq(
+      (102L, 1L, "click", t0 + 120, 1.0),    // in [τ−600, τ+300] of purchase 100
+      (103L, 2L, "purchase", t0 + 200, 0.0), // joins the earlier click 101
+      (104L, 1L, "click", t0 + 5000, 9.0))   // out of window: no match
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      val f = dir.resolve(s"b$i.parquet")
+      rows(b).coalesce(1).write.mode("overwrite").parquet(f.toString)
+      Files.walk(f).forEach(p => p.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(dir.resolve("b0.parquet").toString).schema
+    def run(opts: Map[String, String], name: String) = {
+      val ev = opts.foldLeft(spark.readStream.schema(schema)) {
+        case (r, (k, v)) => r.option(k, v)
+      }.parquet(dir.toString + "/*")
+      StreamOps.runToMemory(spark, StreamOps.intervalJoinPlan(ev),
+          name, OutputMode.Append())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val multi = run(Map("maxFilesPerTrigger" -> "1"), "t_ij_multi")
+    val single = run(Map.empty, "t_ij_single")
+    val expected = Set(
+      (100L, 120L, 1.0),   // trig 100 ← click at +120 (state: trigger waited)
+      (103L, -150L, 2.0))  // trig 103 ← click at −150 (state: click waited)
+    assert(multi == expected, s"multi-batch interval join diverged: $multi")
+    assert(single == expected, s"single-batch interval join diverged: $single")
+  }
+
   test("watermarked dedup suppresses in-horizon duplicates arriving in a later batch") {
     def run(ev: DataFrame, name: String) =
       StreamOps.runToMemory(spark, StreamOps.dedupPlan(ev), name, OutputMode.Append())
