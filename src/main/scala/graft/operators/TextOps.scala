@@ -246,10 +246,9 @@ object TextOps {
     require(c >= 1, s"robustLengthOutliers needs c >= 1, got $c")
     val l = docs.select(col(idCol), col(groupCol),
       size(split(col(textCol), " ")).cast("long").as("nt"))
-    // lower median of `v` per group, histogram form (value at row-rank
-    // ceil(n/2) — rank windows over distinct values, not corpus rows)
-    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
-      val hist = df.groupBy(groupCol, v).agg(count(lit(1)).as("c"))
+    // lower median over a (group, value, count) histogram: the value at
+    // row-rank ceil(n/2) — rank windows over distinct values, not rows
+    def histMedian(hist: DataFrame, v: String, out: String): DataFrame = {
       val wCum = Window.partitionBy(groupCol).orderBy(v)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wTot = Window.partitionBy(groupCol)
@@ -260,16 +259,25 @@ object TextOps {
         .filter(col("cum") - col("c") < col("k") && col("k") <= col("cum"))
         .select(col(groupCol), col(v).as(out))
     }
-    val med = lowerMedian(l, "nt", "med")
-    val dev = l.join(broadcast(med), groupCol)
-      .withColumn("dv", abs(col("nt") - col("med")))
-    val mad = lowerMedian(dev, "dv", "mad")
-    dev.join(broadcast(mad), groupCol)
+    val med = histMedian(
+      l.groupBy(groupCol, "nt").agg(count(lit(1)).as("c")), "nt", "med")
+    // the deviation HISTOGRAM carries everything downstream: the MAD is
+    // its median, and the outlier count is a sum of its cells — so the
+    // corpus is scanned exactly twice (length histogram, deviation
+    // histogram) and the final aggregate runs on the tiny histogram,
+    // never a third corpus pass. `med` is constant per group, so
+    // keeping it in the histogram key adds no rows.
+    val devHist = l.join(broadcast(med), groupCol)
+      .select(col(groupCol), col("med"), abs(col("nt") - col("med")).as("dv"))
+      .groupBy(groupCol, "med", "dv").agg(count(lit(1)).as("c"))
+    val mad = histMedian(devHist, "dv", "mad")
+    devHist.join(broadcast(mad), groupCol)
       .groupBy(groupCol)
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(sum("c").as("n_docs"),
         max("med").as("median_tok"),
         max("mad").as("mad_tok"),
-        sum(when(col("dv") > lit(c) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+        sum(when(col("dv") > lit(c) * col("mad"), col("c")).otherwise(lit(0L)))
+          .as("n_outliers"))
   }
 
   /** Per-document shingle fingerprint: count + lexicographic min of the
