@@ -38,6 +38,12 @@ object GraftSession {
             "graft_top_cells"),
           (children: Seq[Expression]) =>
             graft.functions.TopCells(children(0), children(1), children(2))))
+        ext.injectFunction((
+          FunctionIdentifier("graft_minhash_sig"),
+          new ExpressionInfo(classOf[graft.functions.MinhashSig].getName,
+            "graft_minhash_sig"),
+          (children: Seq[Expression]) =>
+            graft.functions.MinhashSig(children(0), children(1), children(2))))
       }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")

@@ -71,23 +71,22 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       nHash: Int = 12, bandRows: Int = 2, threshold: Double = 0.5,
       ngram: Int = 3): DataFrame = {
-    // dedup = false: BOTH consumers are multiset-insensitive — the
-    // signature takes min-of-mix per doc and the verify collects a SET —
-    // so the per-(doc, shingle) distinct() the r5 profile charged a full
-    // shuffle for is provably a no-op here and is skipped.
-    val ex = shingles(docs, textCol, Seq(idCol), ngram, dedup = false)
-    // 31-bit integer from the first 8 hex chars of the shingle's md5
-    val h1 = pmod(expr("conv(substring(sh, 1, 8), 16, 10)").cast("long"), lit(mixM))
-    val mhCols = (0 until nHash).map(i =>
-      min(pmod(col("h1") * lit(mixA(i)) + lit(mixB(i)), lit(mixM))).as(s"mh$i"))
-    // ONE shuffle of the (doc, shingle) stream computes BOTH per-doc
-    // consumers — the shingle SET (Jaccard verify) and all nHash
-    // signature minima — where the r5 form aggregated them separately
-    // (two full shuffles of the stream plus a row-level persist of it).
-    // The persist moves to the per-doc frame: one narrow row per doc.
+    // The whole shingle→md5→mix→min stage is per-document, so it runs
+    // as ONE row-local native expression (functions.MinhashSig) — the
+    // r5/r6 explode + groupBy formulations paid a corpus-wide shuffle
+    // of the (doc, shingle) stream just to reassemble rows that were
+    // row-local all along; now ZERO shuffles happen before band
+    // bucketing. Bit-identical to that formulation (spec-pinned) and
+    // to the DuckDB oracle's chain. The persist covers the three
+    // consumers of the narrow per-doc frame (bands + both verify
+    // sides).
     val perDoc = CacheScope.persist(
-      ex.withColumn("h1", h1).groupBy(idCol)
-        .agg(collect_set(col("sh")).as("s"), mhCols: _*))
+      docs.select(col(idCol),
+          expr(s"graft_minhash_sig($textCol, $ngram, $nHash)").as("ms"))
+        .filter(col("ms").isNotNull) // < ngram tokens: no shingles
+        .select(col(idCol) +: col("ms.shs").as("s") +:
+          (0 until nHash).map(i =>
+            element_at(col("ms.sig"), i + 1).as(s"mh$i")): _*))
     // bands via ONE explode — a per-band union would recompute the
     // shingle→signature pipeline once per band
     val bandStructs = (0 until nHash / bandRows).map { b =>

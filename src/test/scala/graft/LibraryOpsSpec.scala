@@ -530,6 +530,38 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(run(vecs.repartition(5)) == got)
   }
 
+  test("graft_minhash_sig is bit-identical to the explode+groupBy formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Seq("aa", "bb", "cc", "dd", "", "é∂") // incl. empty + multibyte
+    val texts = (1L to 40L).map { i =>
+      i -> Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } :+ (99L -> "x  y   z") // consecutive spaces ⇒ empty tokens
+    val d = texts.toDF("id", "body")
+    for ((n, k) <- Seq((3, 12), (2, 5), (1, 1))) {
+      // reference: the old plan-level formulation
+      val ex = Dedup.shingles(d, "body", Seq("id"), n, dedup = false)
+      val h1 = pmod(expr("conv(substring(sh, 1, 8), 16, 10)").cast("long"),
+        lit(Dedup.mixM))
+      val mhCols = (0 until k).map(i =>
+        min(pmod(col("h1") * lit(Dedup.mixA(i)) + lit(Dedup.mixB(i)),
+          lit(Dedup.mixM))).as(s"mh$i"))
+      val want = ex.withColumn("h1", h1).groupBy("id")
+        .agg(collect_set(col("sh")).as("s"), mhCols: _*)
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[String](1).sorted,
+          (0 until k).map(i => r.getLong(2 + i)))).sortBy(_._1).toSeq
+      val got = d.select(col("id"),
+          expr(s"graft_minhash_sig(body, $n, $k)").as("ms"))
+        .filter(col("ms").isNotNull)
+        .select(col("id"), col("ms.shs"), col("ms.sig"))
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[String](1).sorted,
+          r.getSeq[Long](2))).sortBy(_._1).toSeq
+      assert(got == want, s"(ngram=$n nHash=$k)")
+    }
+  }
+
   test("KMinDistinctAgg keeps the k smallest distinct hashes, invariant to layout") {
     import spark.implicits._
     val kmv = udaf(new graft.functions.KMinDistinctAgg(4),
