@@ -281,19 +281,19 @@ object TextOps {
   }
 
   /** Per-document shingle fingerprint: count + lexicographic min of the
-    * word n-gram md5s (row-wise codegen'd hashing; non-distinct, so
-    * `n_shingles` = tokens − n + 1). */
+    * word n-gram md5s (non-distinct count, so `n_shingles` = tokens −
+    * n + 1). Both values are per-document, so this is a pure
+    * PROJECTION: the occurrence count is token arithmetic and the min
+    * md5 rides the row-local native minhash expression (the overall
+    * min equals the distinct-set min) — no explode, no groupBy
+    * shuffle. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
-    val grams = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(", ")
+      n: Int = 3): DataFrame =
     docs
-      .withColumn("w", split(col(textCol), " "))
-      .filter(size(col("w")) >= n)
-      .select(col(idCol), col("w"),
-        explode(expr(s"sequence(0, size(w) - $n)")).as("i"))
       .select(col(idCol),
-        expr(s"md5(encode(concat_ws(' ', $grams), 'UTF-8'))").as("h"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_shingles"), min("h").as("fingerprint"))
-  }
+        (size(split(col(textCol), " ")) - n + 1).cast("long").as("n_shingles"),
+        expr(s"graft_minhash_sig($textCol, $n, 1)").as("ms"))
+      .filter(col("ms").isNotNull)
+      .select(col(idCol), col("n_shingles"),
+        array_min(col("ms.shs")).as("fingerprint"))
 }
