@@ -44,6 +44,12 @@ object GraftSession {
             "graft_minhash_sig"),
           (children: Seq[Expression]) =>
             graft.functions.MinhashSig(children(0), children(1), children(2))))
+        ext.injectFunction((
+          FunctionIdentifier("graft_simhash"),
+          new ExpressionInfo(classOf[graft.functions.SimhashSig].getName,
+            "graft_simhash"),
+          (children: Seq[Expression]) =>
+            graft.functions.SimhashSig(children(0))))
       }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")

@@ -386,27 +386,17 @@ object Dedup {
   /** The signature stage of [[simhash]] alone: (idCol, simhash). Public
     * so recall tests can brute-force all-pairs hamming on the exact
     * signatures the bucketed operator sees. */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // ONE shuffle, not two: the weighted bit-sum over DISTINCT tokens
-    // (±count per token, the textbook formulation the DuckDB oracle
-    // replays) equals the unweighted ±1 sum over raw token OCCURRENCES
-    // — integer-exact — so the per-(doc, token) count aggregate the
-    // first version ran is a redundant full shuffle wave. Bit b of the
-    // md5's big-endian leading 32 bits (digit b/4, weight 8>>(b%4)) is
-    // exactly `(v >> (31-b)) & 1` — one integer parse + shifts per
-    // occurrence instead of a 32×(locate+substring) string battery.
-    val th = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
-      .withColumn("v",
-        expr("conv(substring(md5(encode(t, 'UTF-8')), 1, 8), 16, 10)").cast("long"))
-    val bitSums = (0 until 32).map { b =>
-      sum(expr(s"CASE WHEN (v >> ${31 - b}) & 1 = 1 THEN 1 ELSE -1 END")).as(s"b$b")
-    }
-    val bits = th.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-    bits.select(col(idCol),
-      (0 until 32).map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _).as("simhash"))
-  }
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // ZERO shuffles, not one: the signature (±1 bit-sums over token
+    // occurrences — integer-equal to the textbook ±count-per-distinct-
+    // token form the DuckDB oracle replays) is a per-document value,
+    // so it runs as one row-local native expression
+    // (functions.SimhashSig) instead of the explode + 32-aggregate
+    // groupBy that shuffled the whole token stream to reassemble
+    // row-local values. Bit-identical to that formulation
+    // (spec-pinned); the bucket join downstream is now the operator's
+    // first shuffle.
+    docs.select(col(idCol), expr(s"graft_simhash($textCol)").as("simhash"))
 
   /** Embedding-cosine near-dup with IVF-cell blocking: a seeded coarse
     * quantizer (same `hrand`-picked centroids as Similarity.ivfTopK;

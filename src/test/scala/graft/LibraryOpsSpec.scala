@@ -530,6 +530,31 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(run(vecs.repartition(5)) == got)
   }
 
+  test("graft_simhash is bit-identical to the explode+groupBy formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Seq("aa", "bb", "cc", "dd", "", "é∂", "zz")
+    val texts = (1L to 40L).map { i =>
+      i -> Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } :+ (98L -> "") :+ (99L -> "x  y   z") // empty doc + consecutive spaces
+    val d = texts.toDF("id", "body")
+    // reference: the old plan-level formulation
+    val th = d.select(col("id"), explode(split(col("body"), " ")).as("t"))
+      .withColumn("v",
+        expr("conv(substring(md5(encode(t, 'UTF-8')), 1, 8), 16, 10)").cast("long"))
+    val bitSums = (0 until 32).map { b =>
+      sum(expr(s"CASE WHEN (v >> ${31 - b}) & 1 = 1 THEN 1 ELSE -1 END")).as(s"b$b")
+    }
+    val want = th.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 32).map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.simhashSignatures(d, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("graft_minhash_sig is bit-identical to the explode+groupBy formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
