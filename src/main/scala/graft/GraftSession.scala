@@ -50,6 +50,12 @@ object GraftSession {
             "graft_simhash"),
           (children: Seq[Expression]) =>
             graft.functions.SimhashSig(children(0))))
+        ext.injectFunction((
+          FunctionIdentifier("graft_repetition"),
+          new ExpressionInfo(classOf[graft.functions.RepetitionSignals].getName,
+            "graft_repetition"),
+          (children: Seq[Expression]) =>
+            graft.functions.RepetitionSignals(children(0))))
       }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")

@@ -194,34 +194,21 @@ object TextOps {
     * per document with ≥ 3 tokens (both signals defined), idCol +
     * `carry` + the two fractions.
     *
-    * Each signal is gram-explode → per-(doc, gram) count → per-doc
-    * ratio: two map-side-combinable aggregates keyed by document, no
-    * window, no self-join — embarrassingly parallel over the corpus.
-    * The two signals scan the input twice (trigram positions are a
-    * strict subset of bigram positions, but fusing them would persist
-    * the gram stream — corpus × tokens rows — which costs more than the
-    * second columnar scan it saves). */
+    * Both signals run in ONE row-local native expression
+    * (functions.RepetitionSignals, `graft_repetition`): the fractions
+    * are per-document values, so the earlier two-scan gram-explode +
+    * gram-keyed groupBy + join formulation paid two corpus shuffles to
+    * reassemble row-local ratios. One scan, zero shuffles before
+    * whatever aggregate the caller runs; bit-identical ratios
+    * (spec-pinned). */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
       carry: Seq[String] = Nil): DataFrame = {
     val keys = (idCol +: carry).map(col)
-    def gramRatios(n: Int) = {
-      val grams = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(", ")
-      docs
-        .withColumn("w", split(col(textCol), " "))
-        .filter(size(col("w")) >= 3) // one shared base for both signals
-        .select(keys :+ col("w") :+
-          explode(expr(s"sequence(0, size(w) - $n)")).as("i"): _*)
-        .select(keys :+ expr(s"concat_ws(' ', $grams)").as("g"): _*)
-        .groupBy(keys :+ col("g"): _*)
-        .agg(count(lit(1)).as("c"))
-        .groupBy(keys: _*)
-    }
-    val bi = gramRatios(2)
-      .agg((max("c").cast("double") / sum("c")).as("top_bigram_frac"))
-    val tri = gramRatios(3)
-      .agg((sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).cast("double") /
-        sum("c")).as("dup_trigram_frac"))
-    bi.join(tri, idCol +: carry)
+    docs
+      .select(keys :+ expr(s"graft_repetition($textCol)").as("r"): _*)
+      .filter(col("r").isNotNull) // < 3 tokens: either signal undefined
+      .select(keys :+ col("r.top_bigram_frac").as("top_bigram_frac") :+
+        col("r.dup_trigram_frac").as("dup_trigram_frac"): _*)
   }
 
   /** Robust length-outlier gate per group: exact lower median and MAD
