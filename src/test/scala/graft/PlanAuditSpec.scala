@@ -73,6 +73,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val sq = plan("sim_scalar_quant")
     assert(sq.contains("BroadcastHashJoin"),
       s"sim_scalar_quant lost its broadcast scale join:\n$sq")
+    // the per-document stages must stay ROW-LOCAL native expressions —
+    // a silent regression to the explode+groupBy formulations would
+    // reintroduce a corpus-wide shuffle before candidate generation
+    val mh = plan("dedup_minhash_lsh")
+    assert(mh.contains("graft_minhash_sig") && !mh.contains("collect_set"),
+      s"dedup_minhash_lsh lost its row-local signature stage:\n$mh")
+    val sh = plan("dedup_simhash")
+    assert(sh.contains("graft_simhash"),
+      s"dedup_simhash lost its row-local signature stage:\n$sh")
+    val rep = plan("text_repetition_signals")
+    assert(rep.contains("graft_repetition"),
+      s"text_repetition_signals lost its row-local stage:\n$rep")
   }
 
   test("filters and projections reach the parquet scans of the core filter queries") {
