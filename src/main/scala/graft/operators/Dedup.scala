@@ -397,6 +397,9 @@ object Dedup {
     // (spec-pinned); the bucket join downstream is now the operator's
     // first shuffle.
     docs.select(col(idCol), expr(s"graft_simhash($textCol)").as("simhash"))
+      // NULL text → NULL signature; the explode form simply emitted no
+      // rows for such docs, so the filter preserves that contract
+      .filter(col("simhash").isNotNull)
 
   /** Embedding-cosine near-dup with IVF-cell blocking: a seeded coarse
     * quantizer (same `hrand`-picked centroids as Similarity.ivfTopK;
