@@ -211,6 +211,26 @@ object TextOps {
         col("r.dup_trigram_frac").as("dup_trigram_frac"): _*)
   }
 
+  /** Per-group vocabulary statistics: distinct token count, total
+    * token occurrences, hapax legomena (tokens occurring exactly once)
+    * and the type-token ratio — the standard corpus-composition report
+    * (vocabulary growth / lexical diversity per source or language).
+    *
+    * Unlike the row-local signals, vocabulary is a CROSS-document
+    * property, so the (group, token) count shuffle is inherent — but
+    * it is one map-side-combinable aggregate of the token stream, and
+    * the per-group roll-up runs on the (bounded) vocabulary table, not
+    * on occurrences. */
+  def vocabStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("t"))
+      .groupBy(groupCol, "t").agg(count(lit(1)).as("c"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("vocab"),
+        sum("c").as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        round(count(lit(1)).cast("double") / sum("c"), 6).as("type_token_ratio"))
+
   /** Robust length-outlier gate per group: exact lower median and MAD
     * (median absolute deviation) of the whitespace token count, then
     * every document with |len − median| > `c`·MAD flagged. The robust

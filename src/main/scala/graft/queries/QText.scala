@@ -293,6 +293,25 @@ object QText {
     TextOps.robustLengthOutliers(Tables.documentsP(s, d), "source", "doc_id", "text")
       .orderBy("source"))
 
+  // ------------------------------------------------------ vocabulary
+  /** Corpus-composition report — operators.TextOps.vocabStats:
+    * vocabulary size, token mass, hapax count and type-token ratio per
+    * source. All-integer until the final exact division. */
+  val vocab = Q("text_vocab_stats", Some("""
+    WITH tc AS (SELECT source, tok, count(*) AS c
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY 1, 2)
+    SELECT source,
+           count(*) AS vocab,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           round(count(*)::DOUBLE / sum(c), 6) AS type_token_ratio
+    FROM tc GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    TextOps.vocabStats(Tables.documentsP(s, d), "source", "text")
+      .orderBy("source"))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25, qualityGate,
-    decontaminate, repetition, lengthOutliers)
+    decontaminate, repetition, lengthOutliers, vocab)
 }

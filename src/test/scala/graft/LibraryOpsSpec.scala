@@ -494,6 +494,15 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("TextOps.vocabStats computes hand-checked vocabulary statistics") {
+    // group g: tokens [a a b c] ⇒ vocab 3, total 4, hapax {b, c} = 2
+    val d = docs((1L, "g", "a a b"), (2L, "g", "c"), (3L, "h", "z z"))
+    val got = TextOps.vocabStats(d, "grp", "body")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(got == Seq(("g", 3L, 4L, 2L, 0.75), ("h", 1L, 2L, 0L, 0.5)))
+  }
+
   test("TextOps.robustLengthOutliers computes hand-checked median/MAD and flags") {
     def words(n: Int) = Seq.fill(n)("w").mkString(" ")
     // lengths 10,10,12,14,100 → median 12; dv 2,2,0,2,88 → MAD 2;
