@@ -64,13 +64,35 @@ object Dedup {
   def mixA(i: Int): Long = 1103515245L + 2L * i * 7919L // odd
   def mixB(i: Int): Long = 104729L + 12345L * i
 
+  /** Default for [[minhashLsh]]'s `maxBucket`: a band bucket of 4096
+    * docs caps the bucket's candidate output at ~8.4M pairs — one
+    * shuffle partition of work — while sitting orders of magnitude above
+    * any honest bucket population (bands are 62-bit keys; collisions
+    * beyond Jaccard similarity are ~0). */
+  val defaultMaxBandBucket = 4096L
+
   /** MinHash + LSH banding near-dup pairs: shingle → one md5 → 31-bit
     * integer → `nHash` affine-mix minhashes → `nHash/bandRows` bands →
     * band-bucket equi-join → exact Jaccard verify ≥ `threshold`.
-    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b. */
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    *
+    * `maxBucket` is the degenerate-corpus guard (analog of
+    * [[ngramJaccard]]'s `maxDf`): a (band, bkey) bucket holding more
+    * than `maxBucket` docs is dropped from candidate generation
+    * entirely. Without it, 10⁶ boilerplate near-identical docs collapse
+    * into ONE bucket and the self-join emits ~5·10¹¹ candidate pairs —
+    * the one O(n²) path the banded design otherwise prevents. The
+    * recall trade, stated precisely: docs whose EVERY band bucket is
+    * over-cap surface no pairs from this operator — but identical docs
+    * are caught upstream by exact dedup (cheaper and exact), and a doc
+    * flood large enough to blow the cap is precisely the boilerplate
+    * exact dedup removes. With no bucket over the cap the result is
+    * bit-identical to the uncapped form (the committed corpora never
+    * exceed it; the DuckDB oracle replays the same guard). */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       nHash: Int = 12, bandRows: Int = 2, threshold: Double = 0.5,
-      ngram: Int = 3): DataFrame = {
+      ngram: Int = 3, maxBucket: Long = defaultMaxBandBucket): DataFrame = {
+    require(maxBucket >= 2, s"minhashLsh needs maxBucket >= 2, got $maxBucket")
     // The whole shingle→md5→mix→min stage is per-document, so it runs
     // as ONE row-local native expression (functions.MinhashSig) — the
     // r5/r6 explode + groupBy formulations paid a corpus-wide shuffle
@@ -93,9 +115,15 @@ object Dedup {
       val ks = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
       struct(lit(b).as("band"), concat_ws("_", ks: _*).as("bkey"))
     }
+    // Population guard BEFORE the self-join: the count window shuffles
+    // on the same (band, bkey) key the join needs anyway, and an
+    // over-cap bucket is dropped while still one partition of rows —
+    // never expanded into its quadratic candidate set.
     val bands = perDoc
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .withColumn("bc", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .filter(col("bc") <= maxBucket).drop("bc")
     val cand = bands.as("a").join(bands.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.band") === col("b.band") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

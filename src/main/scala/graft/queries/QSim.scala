@@ -73,8 +73,11 @@ object QSim {
     hx AS (SELECT doc_id, $h1Duck AS h1 FROM ex),
     sig AS (SELECT doc_id, $mhCols FROM hx GROUP BY 1),
     bands AS ($bandSel),
+    bandsc AS (SELECT doc_id, band, bkey FROM (
+               SELECT doc_id, band, bkey, count(*) OVER (PARTITION BY band, bkey) AS bc FROM bands)
+               WHERE bc <= ${graft.operators.Dedup.defaultMaxBandBucket}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.band = b.band AND a.doc_id < b.doc_id),
+             FROM bandsc a JOIN bandsc b ON a.bkey = b.bkey AND a.band = b.band AND a.doc_id < b.doc_id),
     ver AS (SELECT c.doc_a, c.doc_b,
                    len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)) AS j
             FROM cand c JOIN shs sa ON c.doc_a = sa.doc_id JOIN shs sb ON c.doc_b = sb.doc_id)"""

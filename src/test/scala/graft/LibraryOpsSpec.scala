@@ -407,6 +407,30 @@ class LibraryOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Dedup.minhashLsh maxBucket drops degenerate band buckets whole") {
+    import spark.implicits._
+    // 200 identical boilerplate docs — identical minhash signatures, so
+    // every band funnels them into ONE bucket: the degenerate shape that
+    // would emit ~n²/2 candidate pairs per bucket uncapped
+    val flood = (1L to 200L).map(i =>
+      (i, "x", "click here to win a free prize now today"))
+    // plus a genuine near-dup pair (11/13 shared trigrams) whose band
+    // buckets stay far below any cap
+    val pair = Seq(
+      (900L, "x", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"),
+      (901L, "x", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu xi"))
+    val d = (flood ++ pair).toDF("id", "grp", "body")
+    def run(cap: Long) =
+      Dedup.minhashLsh(d, "id", "body", threshold = 0.1, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capped: the flooded buckets are dropped whole — no quadratic
+    // candidate set — while the small-bucket near-dup still surfaces
+    assert(run(50L) == Set((900L, 901L)))
+    // a cap above every bucket population is bit-identical to the
+    // uncapped semantics: all 200·199/2 flood pairs plus the real one
+    assert(run(100000L).size == 200 * 199 / 2 + 1)
+  }
+
   test("dedup/similarity operators return empty (not crash) on empty input") {
     import spark.implicits._
     val noDocs = Seq.empty[(Long, String, String)].toDF("id", "grp", "body")
