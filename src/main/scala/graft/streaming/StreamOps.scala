@@ -189,7 +189,7 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_type", "user_id")
 
-  final case class Ev(user_id: Long, t: Long)
+  final case class Ev(user_id: Long, t: Long, ts: java.sql.Timestamp)
   final case class Session(user_id: Long, session_id: Long, session_start: Long,
       session_end: Long, n_events: Long)
 
@@ -202,7 +202,20 @@ object StreamOps {
     * sink; the read-back compacts last-writer-wins (min start / max end /
     * max n per key), so the result is identical whether the source
     * delivers one batch or many (second file, maxFilesPerTrigger, live
-    * source) — no duplicate/overlapping session rows can survive. */
+    * source) — no duplicate/overlapping session rows can survive.
+    *
+    * State is watermark-bounded (`EventTimeTimeout`): a user's state row
+    * is EVICTED once the 1-hour watermark passes their open session's
+    * gap horizon (session_end + 30 min) — the session can no longer be
+    * extended (any event that would extend it is below the watermark and
+    * dropped as late), and its final snapshot was already emitted by the
+    * batch that last touched it, so the timeout callback emits nothing.
+    * In continuous operation state is therefore proportional to users
+    * ACTIVE inside the horizon, not to all users ever seen. A user
+    * returning after eviction re-sessionizes with session_ids restarting
+    * at 0 — which is why the change-log compaction keys on
+    * (user, session_id, session_start): starts are unique per real
+    * session, so a recycled id can never merge two sessions. */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame =
     sessionizeCompact(
       runToMemory(spark, sessionizePlan(spark, eventsStream(spark, sfDir)),
@@ -214,48 +227,73 @@ object StreamOps {
   def sessionizePlan(spark: SparkSession, ev: DataFrame): DataFrame = {
     import spark.implicits._
     val gap = 1800L
+    // The event-time column rides along into the grouped Dataset: the
+    // EventTimeTimeout clock is the watermark on `ts`, and the operator
+    // also drops late rows (ts below watermark) — exactly the rows that
+    // could try to extend an already-evicted session.
     val evs = ev
       .select(col("user_id").cast("long").as("user_id"),
-        (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("t"))
+        (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("t"),
+        col("ts"))
+      .withWatermark("ts", "1 hour")
       .as[Ev]
     val sessions = evs
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Array[Long], Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[Ev], state: GroupState[Array[Long]]) =>
-          // carry (session_start, session_end, n, next_session_id) across batches
-          val prior = state.getOption
-          val ts = it.map(_.t).toArray.sorted
-          var sessions = List.empty[Session]
-          var sid = prior.map(_(3)).getOrElse(0L)
-          var start = prior.map(_(0)).getOrElse(-1L)
-          var end = prior.map(_(1)).getOrElse(-1L)
-          var n = prior.map(_(2)).getOrElse(0L)
-          ts.foreach { t =>
-            if (start < 0) { start = t; end = t; n = 1 }
-            else if (t - end > gap) {
-              sessions ::= Session(uid, sid, start, end, n)
-              sid += 1; start = t; end = t; n = 1
-            } else { end = t; n += 1 }
+          if (state.hasTimedOut) {
+            // Watermark passed the open session's gap horizon: no event
+            // can extend it anymore (it would be late-dropped), and its
+            // final snapshot was emitted by the batch that last touched
+            // it — evict the state row, emit nothing.
+            state.remove()
+            Iterator.empty
+          } else {
+            // carry (session_start, session_end, n, next_session_id) across batches
+            val prior = state.getOption
+            val ts = it.map(_.t).toArray.sorted
+            var sessions = List.empty[Session]
+            var sid = prior.map(_(3)).getOrElse(0L)
+            var start = prior.map(_(0)).getOrElse(-1L)
+            var end = prior.map(_(1)).getOrElse(-1L)
+            var n = prior.map(_(2)).getOrElse(0L)
+            ts.foreach { t =>
+              if (start < 0) { start = t; end = t; n = 1 }
+              else if (t - end > gap) {
+                sessions ::= Session(uid, sid, start, end, n)
+                sid += 1; start = t; end = t; n = 1
+              } else { end = t; n += 1 }
+            }
+            // emit the open session's snapshot too: the change-log row the
+            // sink compacts (and, on bounded replay, the final answer)
+            if (start >= 0) sessions ::= Session(uid, sid, start, end, n)
+            state.update(Array(start, end, n, sid))
+            // evict once the watermark passes end + gap — this batch's
+            // events are ≥ the current watermark, so the horizon is
+            // always strictly ahead of it (setTimeoutTimestamp requires
+            // that). Eviction is correctness-neutral: any event that
+            // would have extended the session is below the watermark by
+            // then and late-dropped regardless of state.
+            state.setTimeoutTimestamp((end + gap) * 1000L)
+            sessions.reverseIterator
           }
-          // emit the open session's snapshot too: the change-log row the
-          // sink compacts (and, on bounded replay, the final answer)
-          if (start >= 0) sessions ::= Session(uid, sid, start, end, n)
-          state.update(Array(start, end, n, sid))
-          sessions.reverseIterator
       }
     sessions.toDF()
   }
 
   /** Change-log compaction for [[sessionizePlan]] output: snapshots per
     * (user, session) are monotone (start fixed, end/n grow), so
-    * last-writer-wins is exactly min/max/max — the result is identical
-    * whether the source delivered one micro-batch or many. */
+    * last-writer-wins is exactly max/max — the result is identical
+    * whether the source delivered one micro-batch or many.
+    * `session_start` joins the key (it is fixed per real session):
+    * a user who re-sessionizes after state eviction recycles session
+    * ids from 0, and keying on the start keeps those physically
+    * distinct sessions from merging. */
   def sessionizeCompact(raw: DataFrame): DataFrame =
     raw
-      .groupBy("user_id", "session_id")
-      .agg(min("session_start").as("session_start"),
-        max("session_end").as("session_end"),
+      .groupBy("user_id", "session_id", "session_start")
+      .agg(max("session_end").as("session_end"),
         max("n_events").as("n_events"))
-      .orderBy("user_id", "session_id")
+      .orderBy("user_id", "session_id", "session_start")
 }

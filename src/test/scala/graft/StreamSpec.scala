@@ -78,6 +78,34 @@ class StreamSpec extends AnyFunSuite {
     assert(single == expected, s"single-batch sessionize diverged: $single")
   }
 
+  test("sessionize evicts state past the watermark horizon (timed-out user re-sessionizes)") {
+    // b0 opens user 1's session (ends t0+600; gap horizon t0+2400).
+    // b1/b2 are user-2-only batches far in the future: b1's max ts
+    // drives the watermark past user 1's horizon, and during b2 —
+    // a batch where user 1 has NO data — the EventTimeTimeout fires
+    // and REMOVES user 1's state (under NoTimeout it lived forever).
+    // b3 then delivers a fresh user-1 event: with the state gone it
+    // re-sessionizes from session_id 0; were the state still there,
+    // the gap path would have numbered it session_id 1.
+    val far = t0 + 100000L // ≈ 27.8 h later
+    val b0 = Seq((1L, t0, "click"), (1L, t0 + 600, "click"))
+    val b1 = Seq((2L, far, "click"))
+    val b2 = Seq((2L, far + 10, "click"))
+    val b3 = Seq((1L, far + 500, "click"))
+    val got = StreamOps.sessionizeCompact(
+      StreamOps.runToMemory(spark,
+        StreamOps.sessionizePlan(spark,
+          fileAtATimeStream("sess_evict", Seq(b0, b1, b2, b3))),
+        "t_sess_evict", OutputMode.Append()))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val expected = Seq(
+      (1L, 0L, t0, t0 + 600, 2L),           // original session, final snapshot from b0
+      (1L, 0L, far + 500, far + 500, 1L),   // re-sessionized at id 0 ⇒ state was evicted
+      (2L, 0L, far, far + 10, 2L))
+    assert(got == expected, s"eviction contract diverged: $got")
+  }
+
   test("stream-stream interval join carries both sides' state across batches") {
     import spark.implicits._
     // purchases in batch 0, their in-window clicks in batch 1 (and one
