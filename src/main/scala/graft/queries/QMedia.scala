@@ -10,85 +10,170 @@ import graft.Tables
   * UDF boundary: one iterator pass per partition, no per-row lambda
   * dispatch, no driver collect).
   *
-  * The decode step itself is a clearly-marked DETERMINISTIC STUB
-  * (real image/audio codecs aren't in this container): it derives
-  * "features" from the payload bytes. Everything around it — binary
+  * Codecs: the image path (decode / resize-pool) and the audio path
+  * (WAV) both run REAL binary-format parsers written here — no codec
+  * library is in the container, but an uncompressed 24-bit BMP and a
+  * RIFF/WAVE PCM file are fully specified public formats, so ingest
+  * synthesizes VALID files from the document bytes and decode genuinely
+  * parses headers, walks padded pixel strides / chunk lists, and
+  * recovers the raster/samples. Only the frame-sampling query still
+  * treats the payload as a raw byte raster (a codec-less stand-in for
+  * video frame extraction). Everything around the parsers — binary
   * schema, metadata struct, partition-batched iteration, downstream
-  * relational aggregation — is real and oracle-checked: the testdata
-  * text is ASCII, so byte arithmetic on the payload is replayable in
+  * relational aggregation — is oracle-checked: the testdata text is
+  * single-byte, so the decoded pixel/sample arithmetic is replayable in
   * DuckDB as codepoint arithmetic on the source string.
   */
 object QMedia {
 
-  /** Typed media row: payload + metadata, as a 100 TB table would carry
-    * (payload partition-pruned via the metadata-only projection). */
-  final case class MediaRow(doc_id: Long, format: String, n_bytes: Long, payload: Array[Byte])
-  final case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
-      first_byte: Long, checksum: Long, brightness: Double)
+  /** Typed media row: payload + minimal metadata, as a 100 TB table
+    * would carry (payload partition-pruned via metadata projections). */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class BmpFeatures(doc_id: Long, width: Long, n_bytes: Long,
+      n_px: Long, px_sum: Long, checksum: Long, first_px: Long)
 
-  // ------------------------------------------------------ decode stub
-  /** STUB decode: in production this calls the codec on `payload`
-    * (JPEG/PNG/PCM...). Here: deterministic byte statistics standing in
-    * for decoded-image features. Batched: one pass per partition. */
-  private def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
-    rows.map { r =>
-      var sum = 0L
-      var i = 0
-      while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
-      MediaFeatures(
-        r.doc_id, r.format, r.n_bytes,
-        first_byte = if (r.payload.nonEmpty) (r.payload(0) & 0xff).toLong else -1L,
-        checksum = sum % 65521L, // Adler-style mod
-        brightness = if (r.payload.isEmpty) 0.0 else sum.toDouble / r.payload.length)
+  // ------------------------------------------------- REAL codec: BMP
+  /** Build a VALID uncompressed 24-bit BMP: 14-byte file header +
+    * 40-byte BITMAPINFOHEADER + BOTTOM-UP pixel rows, each padded to a
+    * 4-byte stride. Grayscale input: pixel (r, c) ← gray(r*width + c)
+    * (row-major, top-down) stored as B=G=R; trailing bytes beyond
+    * height*width are not encoded. Widths whose 3-byte rows aren't a
+    * multiple of 4 get 1-3 pad bytes per row, so a decoder must walk
+    * the real stride — a fixed-offset reader produces garbage. */
+  private[graft] def bmpBytes(width: Int, gray: Array[Byte]): Array[Byte] = {
+    val h = gray.length / width
+    val stride = (3 * width + 3) / 4 * 4
+    val size = 14 + 40 + h * stride
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(size)
+    bb.putShort(0); bb.putShort(0) // reserved
+    bb.putInt(54)                  // pixel-array offset
+    bb.putInt(40)                  // BITMAPINFOHEADER size
+    bb.putInt(width); bb.putInt(h) // positive height ⇒ bottom-up rows
+    bb.putShort(1)                 // planes
+    bb.putShort(24)                // bits per pixel
+    bb.putInt(0)                   // BI_RGB: uncompressed
+    bb.putInt(h * stride)          // image size
+    bb.putInt(2835); bb.putInt(2835) // 72 dpi
+    bb.putInt(0); bb.putInt(0)     // palette sizes (none at 24 bpp)
+    var r = h - 1
+    while (r >= 0) {
+      var c = 0
+      while (c < width) {
+        val v = gray(r * width + c)
+        bb.put(v).put(v).put(v) // B, G, R
+        c += 1
+      }
+      var p = 3 * width
+      while (p < stride) { bb.put(0: Byte); p += 1 }
+      r -= 1
     }
-
-  /** Media "ingest": documents re-cast as binary payload + metadata —
-    * the schema a real multimodal table would have. */
-  private def media(s: org.apache.spark.sql.SparkSession, d: String) = {
-    import s.implicits._
-    // Empty payloads are dropped at ingest (mirrored by length(text) > 0
-    // in every oracle): ascii('')/integer-div semantics diverge between
-    // engines on empty strings, and a zero-byte media payload is
-    // undecodable anyway.
-    Tables.documents(s, d)
-      .filter(length(col("text")) > 0)
-      .select(
-        col("doc_id"),
-        // deterministic fake format from the id — metadata column
-        element_at(array(lit("jpeg"), lit("png"), lit("webp")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
-        length(col("text")).cast("long").as("n_bytes"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
+    bb.array()
   }
 
-  /** Decode + feature extraction + per-format aggregation. The payload
-    * never reaches the driver; the stub runs inside mapPartitions and
-    * only small features shuffle. */
+  /** REAL BMP decode — no codec library, but a genuine parser: verifies
+    * the BM magic and declared file size, reads the pixel-array offset
+    * from the file header (not assumed), enforces the supported layout
+    * (40-byte info header, 1 plane, 24 bpp, BI_RGB, bottom-up), then
+    * walks the padded row strides BOTTOM-UP to rebuild the top-down
+    * raster, checking B=G=R per pixel. Returns (width, height, gray). */
+  private[graft] def decodeBmpGray(docId: Long, payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, s"doc $docId: not a BMP")
+    require(bb.getInt == payload.length, s"doc $docId: truncated BMP")
+    bb.getShort; bb.getShort // reserved
+    val pixOff = bb.getInt
+    require(bb.getInt == 40, s"doc $docId: unsupported DIB header")
+    val w = bb.getInt
+    val h = bb.getInt
+    require(w > 0 && h > 0, s"doc $docId: unsupported BMP geometry ${w}x$h")
+    require(bb.getShort == 1, s"doc $docId: planes != 1")
+    require(bb.getShort == 24, s"doc $docId: not 24 bpp")
+    require(bb.getInt == 0, s"doc $docId: compressed BMP unsupported")
+    val stride = (3 * w + 3) / 4 * 4
+    require(pixOff >= 54 && pixOff + h.toLong * stride <= payload.length,
+      s"doc $docId: pixel array out of bounds")
+    val gray = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) {
+      val rowOff = pixOff + (h - 1 - r) * stride // bottom-up storage
+      var c = 0
+      while (c < w) {
+        val b = payload(rowOff + 3 * c) & 0xff
+        val g = payload(rowOff + 3 * c + 1) & 0xff
+        val rd = payload(rowOff + 3 * c + 2) & 0xff
+        require(b == g && g == rd, s"doc $docId: non-gray pixel at ($r, $c)")
+        gray(r * w + c) = b.toByte
+        c += 1
+      }
+      r += 1
+    }
+    (w, h, gray)
+  }
+
+  /** Media "ingest": each document becomes a VALID BMP image — width
+    * keyed by doc_id (25..31, covering every stride-padding residue
+    * including zero), raster = the text bytes. Byte/char contract as in
+    * [[wav]]: pixels are UTF-8 BYTES while the oracle walks CHARACTERS,
+    * so the pipeline restricts — on BOTH sides — to docs where the two
+    * coincide, and docs shorter than their width (no full pixel row)
+    * are out of scope on both sides. */
+  private def bmpMedia(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text")) &&
+        length(col("text")) >= lit(25) + pmod(col("doc_id"), lit(7)))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        MediaRow(id, bmpBytes(25 + (id % 7).toInt, raw))
+      })
+  }
+
+  /** Decode + feature extraction + per-width aggregation. The payload
+    * never reaches the driver; the parser runs inside mapPartitions and
+    * only small features shuffle. The grouping key itself (width) comes
+    * from the DECODED header, and total_bytes/total_px come from the
+    * parsed geometry — the oracle recomputes all of them independently
+    * from the source text, so a header or stride-walk bug hash-fails. */
   val decode = Q("mm_decode_features", Some("""
-    WITH f AS (
-      SELECT doc_id,
-             CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-             length(text) AS n_bytes,
-             ascii(substr(text, 1, 1)) AS first_byte,
-             list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 65521 AS checksum,
-             list_sum(list_transform(string_split(text, ''), c -> ascii(c)))::DOUBLE / length(text) AS brightness
-      FROM documents WHERE length(text) > 0)
-    SELECT format, count(*) AS n_media, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-           round(avg(brightness), 6) AS avg_brightness,
-           CAST(min(checksum) AS BIGINT) AS min_checksum,
-           CAST(max(first_byte) AS BIGINT) AS max_first_byte
+    WITH m AS (
+      SELECT doc_id, 25 + doc_id % 7 AS w,
+             length(text) // (25 + doc_id % 7) AS h, text
+      FROM documents
+      WHERE strlen(text) = length(text) AND length(text) >= 25 + doc_id % 7),
+    f AS (
+      SELECT w, 54 + h * ((3 * w + 3) // 4 * 4) AS n_bytes, w * h AS n_px,
+             list_sum(list_transform(string_split(substr(text, 1, w * h), ''), c -> ascii(c))) AS px_sum,
+             ascii(substr(text, 1, 1)) AS first_px
+      FROM m)
+    SELECT w AS width, count(*) AS n_media, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(n_px) AS BIGINT) AS total_px,
+           round(CAST(sum(px_sum) AS DOUBLE) / sum(n_px), 6) AS avg_px,
+           CAST(min(px_sum % 65521) AS BIGINT) AS min_checksum,
+           CAST(max(first_px) AS BIGINT) AS max_first_px
     FROM f GROUP BY 1 ORDER BY 1"""
   ))((s, d) => {
     import s.implicits._
-    media(s, d)
-      .mapPartitions(decodeStub)
+    bmpMedia(s, d)
+      .mapPartitions(_.map { r =>
+        val (w, h, gray) = decodeBmpGray(r.doc_id, r.payload)
+        var sum = 0L
+        var i = 0
+        while (i < gray.length) { sum += gray(i) & 0xff; i += 1 }
+        BmpFeatures(r.doc_id, w.toLong, r.payload.length.toLong, w.toLong * h,
+          sum, sum % 65521L, (gray(0) & 0xff).toLong)
+      })
       .toDF()
-      .groupBy("format")
+      .groupBy("width")
       .agg(count(lit(1)).as("n_media"), sum("n_bytes").as("total_bytes"),
-        round(avg("brightness"), 6).as("avg_brightness"),
-        min("checksum").as("min_checksum"), max("first_byte").as("max_first_byte"))
-      .orderBy("format")
+        sum("n_px").as("total_px"),
+        round(sum("px_sum").cast("double") / sum("n_px"), 6).as("avg_px"),
+        min("checksum").as("min_checksum"), max("first_px").as("max_first_px"))
+      .orderBy("width")
   })
 
   // ---------------------------------------------------- frame sampling
@@ -124,63 +209,65 @@ object QMedia {
       .orderBy("bucket"))
 
   // --------------------------------------------------------- resize
-  final case class ResizeStats(doc_id: Long, format: String, n_px: Long, px_sum: Long)
+  final case class ResizeStats(doc_id: Long, width: Long, n_px: Long, px_sum: Long)
 
-  /** STUB resize: payload viewed as an H×32 byte raster (H = bytes/32,
-    * truncated), 2×2 average-pooled to (H/2)×16 with integer (floor)
-    * pixel averaging — exact in both engines. In production the pool
-    * body is the codec's resample; the Spark-side shape (binary in,
-    * per-partition batch, only small stats shuffle) is the real part. */
-  private def resizeStub(rows: Iterator[MediaRow]): Iterator[ResizeStats] =
+  /** Resize-pool on REAL decoded pixels: the BMP parser rebuilds the
+    * top-down H×W raster (stride walk + bottom-up flip), then a 2×2
+    * average pool produces the (H/2)×(W/2) thumbnail with integer
+    * (floor) pixel averaging — exact in both engines. In production the
+    * pool body is the codec's resample; here both the decode AND the
+    * pool are genuine, and only small stats shuffle. */
+  private def poolBmp(rows: Iterator[MediaRow]): Iterator[ResizeStats] =
     rows.map { r =>
-      val h = r.payload.length / 32
+      val (w, h, gray) = decodeBmpGray(r.doc_id, r.payload)
       var s = 0L
       var n = 0L
       var rr = 0
       while (rr < h / 2) {
         var cc = 0
-        while (cc < 16) {
-          val p = rr * 2 * 32 + cc * 2
-          val px = ((r.payload(p) & 0xff) + (r.payload(p + 1) & 0xff) +
-            (r.payload(p + 32) & 0xff) + (r.payload(p + 33) & 0xff)) / 4
+        while (cc < w / 2) {
+          val p = rr * 2 * w + cc * 2
+          val px = ((gray(p) & 0xff) + (gray(p + 1) & 0xff) +
+            (gray(p + w) & 0xff) + (gray(p + w + 1) & 0xff)) / 4
           s += px; n += 1
           cc += 1
         }
         rr += 1
       }
-      ResizeStats(r.doc_id, r.format, n, s)
+      ResizeStats(r.doc_id, w.toLong, n, s)
     }
 
   val resize = Q("mm_resize_pool", Some("""
-    WITH d AS (SELECT doc_id,
-                      CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-                      text, length(text) // 32 AS h
-               FROM documents WHERE length(text) > 0),
-    px AS (SELECT doc_id, format,
-                  (ascii(substr(text, r * 2 * 32 + c * 2 + 1, 1))
-                   + ascii(substr(text, r * 2 * 32 + c * 2 + 2, 1))
-                   + ascii(substr(text, r * 2 * 32 + c * 2 + 33, 1))
-                   + ascii(substr(text, r * 2 * 32 + c * 2 + 34, 1))) // 4 AS v
-           FROM d,
+    WITH m AS (
+      SELECT doc_id, 25 + doc_id % 7 AS w,
+             length(text) // (25 + doc_id % 7) AS h, text
+      FROM documents
+      WHERE strlen(text) = length(text) AND length(text) >= 25 + doc_id % 7),
+    px AS (SELECT doc_id, w,
+                  (ascii(substr(text, r * 2 * w + c * 2 + 1, 1))
+                   + ascii(substr(text, r * 2 * w + c * 2 + 2, 1))
+                   + ascii(substr(text, (r * 2 + 1) * w + c * 2 + 1, 1))
+                   + ascii(substr(text, (r * 2 + 1) * w + c * 2 + 2, 1))) // 4 AS v
+           FROM m,
                 LATERAL unnest(generate_series(0, h // 2 - 1)) AS tr(r),
-                LATERAL unnest(generate_series(0, 15)) AS tc(c)
+                LATERAL unnest(generate_series(0, w // 2 - 1)) AS tc(c)
            WHERE h >= 2),
-    agg AS (SELECT doc_id, format, count(*) AS n_px, sum(v) AS px_sum FROM px GROUP BY 1, 2)
-    SELECT a.format, count(*) AS n_media, CAST(sum(a.n_px) AS BIGINT) AS total_px,
+    agg AS (SELECT doc_id, w, count(*) AS n_px, sum(v) AS px_sum FROM px GROUP BY 1, 2)
+    SELECT a.w AS width, count(*) AS n_media, CAST(sum(a.n_px) AS BIGINT) AS total_px,
            CAST(sum(a.px_sum) AS BIGINT) AS px_total,
            round(sum(a.px_sum)::DOUBLE / sum(a.n_px), 6) AS avg_px
     FROM agg a GROUP BY 1 ORDER BY 1"""
   ))((s, d) => {
     import s.implicits._
-    media(s, d)
-      .mapPartitions(resizeStub)
+    bmpMedia(s, d)
+      .mapPartitions(poolBmp)
       .toDF()
       .filter(col("n_px") > 0)
-      .groupBy("format")
+      .groupBy("width")
       .agg(count(lit(1)).as("n_media"), sum("n_px").as("total_px"),
         sum("px_sum").as("px_total"),
         round(sum("px_sum").cast("double") / sum("n_px"), 6).as("avg_px"))
-      .orderBy("format")
+      .orderBy("width")
   })
 
   // ------------------------------------------------- REAL codec: WAV

@@ -431,6 +431,33 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(run(100000L).size == 200 * 199 / 2 + 1)
   }
 
+  test("BMP synth/decode round-trips the raster across every stride residue") {
+    // widths 25..31 cover all 4-byte-stride paddings (0..3 pad bytes);
+    // per-index pixel values make any bottom-up/offset mistake visible
+    for (w <- 25 to 31) {
+      val gray = Array.tabulate(w * 3 + 5)(i => ((i * 37 + 11) % 251).toByte)
+      val bmp = graft.queries.QMedia.bmpBytes(w, gray)
+      val stride = (3 * w + 3) / 4 * 4
+      assert(bmp.length == 54 + 3 * stride, s"w=$w: wrong file size")
+      assert(stride % 4 == 0 && stride >= 3 * w)
+      val (dw, dh, out) = graft.queries.QMedia.decodeBmpGray(7L, bmp)
+      assert(dw == w && dh == 3, s"w=$w: header geometry $dw x $dh")
+      // trailing bytes beyond h*w are not encoded; the decoded raster
+      // must equal the first 3 full rows in original top-down order
+      assert(out.toSeq == gray.take(w * 3).toSeq, s"w=$w: raster mismatch")
+    }
+    // corrupted inputs fail loudly, not silently
+    val good = graft.queries.QMedia.bmpBytes(26, Array.tabulate(52)(_.toByte))
+    val notBmp = good.clone(); notBmp(0) = 'X'.toByte
+    assertThrows[IllegalArgumentException] {
+      graft.queries.QMedia.decodeBmpGray(1L, notBmp)
+    }
+    val truncated = java.util.Arrays.copyOf(good, good.length - 4)
+    assertThrows[IllegalArgumentException] {
+      graft.queries.QMedia.decodeBmpGray(2L, truncated)
+    }
+  }
+
   test("dedup/similarity operators return empty (not crash) on empty input") {
     import spark.implicits._
     val noDocs = Seq.empty[(Long, String, String)].toDF("id", "grp", "body")
