@@ -72,7 +72,7 @@ object Bench {
     // JVM/codegen warm-up on the smallest sf so per-query numbers
     // measure the plan, not first-call compilation.
     try graft.operators.CacheScope.withScope { SparkEntry.entry(spark).count() }
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
 
     // Optional comma-separated name filter for single-query profiling.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -87,9 +87,11 @@ object Bench {
     // isolates machine load, which is what it is for. The pass also
     // absorbs each query's first-run compilation, so the timed reps
     // measure plans from rep 1.
+    // NonFatal only: a query failure here is absorbed (the timed reps
+    // will report it), but OOM/interrupts must not be silently eaten.
     selected.foreach { case (_, fn) =>
       try graft.operators.CacheScope.withScope { fn(spark, sfDir).count() }
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     val canaryStart = canarySec(spark)
     val results = selected.map { case (name, fn) =>
@@ -102,7 +104,7 @@ object Bench {
         // regression was exactly this pressure).
         val ok = try { graft.operators.CacheScope.withScope {
           fn(spark, sfDir).count() }; true }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }

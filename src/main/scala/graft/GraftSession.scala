@@ -18,44 +18,72 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session built here.
   */
 object GraftSession {
+  /** Arity gate for the injected builders: a wrong-arity SQL call gets
+    * the standard WRONG_NUM_ARGS AnalysisException (naming function and
+    * counts) instead of a builder IndexOutOfBoundsException. */
+  private def arity(name: String, expected: Int,
+      children: Seq[Expression]): Seq[Expression] = {
+    if (children.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    children
+  }
+
   def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder =
     b.withExtensions { ext =>
         ext.injectFunction((
           FunctionIdentifier("graft_cosine"),
           new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName,
             "graft_cosine"),
-          (children: Seq[Expression]) =>
-            graft.functions.CosineSimilarity(children(0), children(1))))
+          (children: Seq[Expression]) => {
+            val Seq(a, b) = arity("graft_cosine", 2, children)
+            graft.functions.CosineSimilarity(a, b)
+          }))
         ext.injectFunction((
           FunctionIdentifier("graft_lsh_bucket"),
           new ExpressionInfo(classOf[graft.functions.LshBucket].getName,
             "graft_lsh_bucket"),
-          (children: Seq[Expression]) =>
-            graft.functions.LshBucket(children(0), children(1))))
+          (children: Seq[Expression]) => {
+            val Seq(a, b) = arity("graft_lsh_bucket", 2, children)
+            graft.functions.LshBucket(a, b)
+          }))
         ext.injectFunction((
           FunctionIdentifier("graft_top_cells"),
           new ExpressionInfo(classOf[graft.functions.TopCells].getName,
             "graft_top_cells"),
-          (children: Seq[Expression]) =>
-            graft.functions.TopCells(children(0), children(1), children(2))))
+          (children: Seq[Expression]) => {
+            val Seq(a, b, c) = arity("graft_top_cells", 3, children)
+            graft.functions.TopCells(a, b, c)
+          }))
         ext.injectFunction((
           FunctionIdentifier("graft_minhash_sig"),
           new ExpressionInfo(classOf[graft.functions.MinhashSig].getName,
             "graft_minhash_sig"),
-          (children: Seq[Expression]) =>
-            graft.functions.MinhashSig(children(0), children(1), children(2))))
+          (children: Seq[Expression]) => {
+            val Seq(a, b, c) = arity("graft_minhash_sig", 3, children)
+            graft.functions.MinhashSig(a, b, c)
+          }))
         ext.injectFunction((
           FunctionIdentifier("graft_simhash"),
           new ExpressionInfo(classOf[graft.functions.SimhashSig].getName,
             "graft_simhash"),
-          (children: Seq[Expression]) =>
-            graft.functions.SimhashSig(children(0))))
+          (children: Seq[Expression]) => {
+            val Seq(a) = arity("graft_simhash", 1, children)
+            graft.functions.SimhashSig(a)
+          }))
         ext.injectFunction((
           FunctionIdentifier("graft_repetition"),
           new ExpressionInfo(classOf[graft.functions.RepetitionSignals].getName,
             "graft_repetition"),
-          (children: Seq[Expression]) =>
-            graft.functions.RepetitionSignals(children(0))))
+          (children: Seq[Expression]) => {
+            val Seq(a) = arity("graft_repetition", 1, children)
+            graft.functions.RepetitionSignals(a)
+          }))
       }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")

@@ -218,15 +218,19 @@ object Dedup {
     }
     // Local finish: once the (checkpointed) edge set is under
     // `localFinishEdges`, ONE narrow task runs an index-compressed
-    // union-find over it — no hash map, no boxing: endpoints are
-    // sorted+deduped into an id array, parents are Int indices. This is
-    // the standard production hybrid (iterate the star rounds only
-    // while the graph is big; near-dup pair sets are pairs-proportional
-    // and usually tiny next to the corpus, often under the threshold at
-    // round 0), and it converts O(log² n) tiny scheduled jobs into one.
-    // The threshold bounds the task's working set (default 2²² edges ≈
-    // 64 MB of long pairs); integral node ids only — other types take
-    // the iterative path to its fixpoint.
+    // union-find over it — no hash map, no boxed retention: endpoints
+    // are read into two primitive long arrays, sorted+deduped into an
+    // id array, parents are Int indices. This is the standard
+    // production hybrid (iterate the star rounds only while the graph
+    // is big; near-dup pair sets are pairs-proportional and usually
+    // tiny next to the corpus, often under the threshold at round 0),
+    // and it converts O(log² n) tiny scheduled jobs into one. The
+    // threshold bounds the task's working set: at the default 2²²
+    // edges the endpoint arrays are 2×32 MB, the sort/dedup scratch
+    // another 64 MB, and ids/parent/rank/minId ≤ 84 MB — ~250 MB
+    // on-heap in the single task, sized for a default executor.
+    // Integral node ids only — other types take the iterative path to
+    // its fixpoint.
     val nodeType = edges.schema(srcCol).dataType
     val integralNode = nodeType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
@@ -239,11 +243,17 @@ object Dedup {
       val comps = e.select(col("u").cast("long"), col("v").cast("long"))
         .as[(Long, Long)].coalesce(1)
         .mapPartitions { it =>
-          val es = it.toArray
+          // retain the edges as two primitive long arrays — the encoder
+          // hands out tuples, but none survive the pass
+          val ub = new scala.collection.mutable.ArrayBuilder.ofLong
+          val vb = new scala.collection.mutable.ArrayBuilder.ofLong
+          it.foreach { e => ub += e._1; vb += e._2 }
+          val us = ub.result()
+          val vs = vb.result()
           val ids = {
-            val a = new Array[Long](es.length * 2)
+            val a = new Array[Long](us.length * 2)
             var i = 0
-            while (i < es.length) { a(2 * i) = es(i)._1; a(2 * i + 1) = es(i)._2; i += 1 }
+            while (i < us.length) { a(2 * i) = us(i); a(2 * i + 1) = vs(i); i += 1 }
             java.util.Arrays.sort(a)
             var n = 0
             i = 0
@@ -259,14 +269,16 @@ object Dedup {
             while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
             r
           }
-          es.foreach { case (a, b) =>
-            val ra = find(java.util.Arrays.binarySearch(ids, a))
-            val rb = find(java.util.Arrays.binarySearch(ids, b))
+          var ei = 0
+          while (ei < us.length) {
+            val ra = find(java.util.Arrays.binarySearch(ids, us(ei)))
+            val rb = find(java.util.Arrays.binarySearch(ids, vs(ei)))
             if (ra != rb) {
               if (rank(ra) < rank(rb)) parent(ra) = rb
               else if (rank(rb) < rank(ra)) parent(rb) = ra
               else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
             }
+            ei += 1
           }
           // comp = min id per root; ids are sorted ascending, so the
           // first index seen for a root IS its component minimum

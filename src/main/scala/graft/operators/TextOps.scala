@@ -251,8 +251,14 @@ object TextOps {
       textCol: String, c: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(c >= 1, s"robustLengthOutliers needs c >= 1, got $c")
-    val l = docs.select(col(idCol), col(groupCol),
-      size(split(col(textCol), " ")).cast("long").as("nt"))
+    // NULL text ⇒ NULL token count; dropped up front — a NULL entering
+    // the histogram would sit at a different end of the rank window in
+    // Spark (NULLS FIRST default) than in a NULLS-LAST oracle, silently
+    // shifting the median. A null-text doc has no length to gate on.
+    val l = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        size(split(col(textCol), " ")).cast("long").as("nt"))
     // lower median over a (group, value, count) histogram: the value at
     // row-rank ceil(n/2) — rank windows over distinct values, not rows
     def histMedian(hist: DataFrame, v: String, out: String): DataFrame = {

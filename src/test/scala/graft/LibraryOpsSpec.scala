@@ -431,6 +431,18 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(run(100000L).size == 200 * 199 / 2 + 1)
   }
 
+  test("injected graft_* functions reject wrong arity with a clean AnalysisException") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_simhash()").collect()
+    }
+    assert(e.getMessage.contains("graft_simhash") && e.getMessage.contains("1"),
+      s"unexpected message: ${e.getMessage}")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cosine(array(1.0))").collect()
+    }
+    assert(e2.getMessage.contains("graft_cosine") && e2.getMessage.contains("2"))
+  }
+
   test("BMP synth/decode round-trips the raster across every stride residue") {
     // widths 25..31 cover all 4-byte-stride paddings (0..3 pad bytes);
     // per-index pixel values make any bottom-up/offset mistake visible
