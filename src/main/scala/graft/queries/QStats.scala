@@ -230,6 +230,75 @@ object QStats {
         round(col("w.z"), 4).as("z"))
   })
 
+  // ------------------------------------------- T2 (exact small-n leg)
+  /** Exact two-sided Wilcoxon p — the scipy exact-mode convention the
+    * reference hits for its n≥5 guard (mode='auto' switches to the
+    * exact distribution when n ≤ 25 and no ties,
+    * ref: cross_trial_type_cca_analysis_within_session.py:677-680):
+    * per-region groups of per-nation paired diffs (n ≈ 5 per group —
+    * deep in exact territory). The p is the subset-sum DP over the
+    * null distribution of W⁺ (WilcoxonSignedRank.exactTwoSidedP); the
+    * oracle replays the SAME DP as 25 unrolled list-convolution CTEs
+    * (the kmeans finite-unroll discipline). Counts are exact integers
+    * and the divisor is 2ⁿ, so the p is one dyadic rational on both
+    * engines. Groups with |diff| ties or n > 25 emit NaN on both sides
+    * (the z leg of t2 covers them). */
+  private val wMax = 25 * 26 / 2 // 325: max rank sum at the scipy exact cutoff
+
+  val t2c = Q("t2_wilcoxon_exact", Some {
+    val steps = (1 to 25).map { r =>
+      s"c$r AS (SELECT rk, n, w_plus, wint, ok, [c[w+1] + CASE WHEN $r <= n AND w >= $r " +
+        s"THEN c[w-$r+1] ELSE CAST(0 AS BIGINT) END for w in generate_series(0, $wMax)] AS c FROM c${r - 1})"
+    }.mkString(",\n    ")
+    s"""
+    WITH p AS (
+      SELECT n.n_regionkey AS rk, c.c_nationkey AS g,
+        SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS x,
+        SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2),
+    dd AS (SELECT rk, g, x - y AS diff, abs(x - y) AS ad FROM p WHERE x - y <> 0),
+    r AS (SELECT rk, diff,
+            rank() OVER (PARTITION BY rk ORDER BY ad) AS rnk,
+            count(*) OVER (PARTITION BY rk, ad) AS tc
+          FROM dd),
+    st AS (SELECT rk, count(*) AS n,
+             round(SUM(CASE WHEN diff > 0 THEN rnk + (tc - 1) / 2.0 ELSE 0 END), 2) AS w_plus,
+             CAST(SUM(CASE WHEN diff > 0 THEN rnk ELSE 0 END) AS INT) AS wint,
+             (max(tc) = 1 AND count(*) <= 25) AS ok
+           FROM r GROUP BY 1),
+    c0 AS (SELECT rk, n, w_plus, wint, ok,
+             [CASE WHEN w = 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+              for w in generate_series(0, $wMax)] AS c
+           FROM st),
+    $steps
+    SELECT rk AS region_key, n AS n_eff, w_plus,
+      CASE WHEN ok THEN round(least(1.0,
+             2.0 * (least(list_sum(c[1:wint+1]), list_sum(c[wint+1:${wMax + 1}]))::DOUBLE
+               / pow(2.0, n))), 6)
+           ELSE 'nan'::DOUBLE END AS p_exact
+    FROM c25 ORDER BY 1"""
+  })((s, d) => {
+    val wsr = udaf(graft.functions.WilcoxonSignedRank,
+      org.apache.spark.sql.Encoders.scalaDouble)
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_regionkey").as("region_key"), col("c_nationkey").as("g"))
+      .agg(sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("x"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("y"))
+      .select(col("region_key"), (col("x") - col("y")).cast("double").as("diff"))
+      .filter(col("diff") =!= 0)
+      .groupBy("region_key")
+      .agg(wsr(col("diff")).as("w"))
+      .select(col("region_key"), col("w.n_eff").as("n_eff"),
+        round(col("w.w_plus"), 2).as("w_plus"),
+        round(col("w.p_exact"), 6).as("p_exact"))
+      .orderBy("region_key")
+  })
+
   // ------------------------------------------------------------ T4/T5
   /** Paired t-test + Cohen's d on the same paired diffs.
     * Ref: cross_trial_type_cca_analysis_within_session.py:683-690. */
@@ -388,5 +457,5 @@ object QStats {
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
       .orderBy("window_start", "event_type"))
 
-  val all: Seq[Q] = Seq(l3, l4, l5, t1, t2, t2b, t4, t6, t7, l13, st1)
+  val all: Seq[Q] = Seq(l3, l4, l5, t1, t2, t2b, t2c, t4, t6, t7, l13, st1)
 }

@@ -138,6 +138,23 @@ class KernelSpec extends AnyFunSuite {
     LinAlg.principalAngles(e1, e2).foreach(t => close(t, math.Pi / 2, 1e-9))
   }
 
+  test("exact Wilcoxon two-sided p against hand-computed distribution values") {
+    import graft.functions.WilcoxonSignedRank.exactTwoSidedP
+    // n=5: subset-sum counts over {1..5} are
+    // [1,1,1,2,2,3,3,3,3,3,3,2,2,1,1,1] / 32
+    assert(exactTwoSidedP(5, 15) == 2.0 / 32)   // all-positive extreme
+    assert(exactTwoSidedP(5, 0) == 2.0 / 32)    // all-negative extreme
+    assert(exactTwoSidedP(5, 10) == 20.0 / 32)  // P(<=10)=25/32, P(>=10)=10/32
+    assert(exactTwoSidedP(5, 8) == 1.0)         // center: 2*16/32 capped at 1
+    // n=6 all-positive: scipy wilcoxon([1,2,3,4,5,6]) -> 0.03125
+    assert(exactTwoSidedP(6, 21) == 0.03125)
+    // symmetry of the null distribution
+    for (n <- 1 to 25; w <- Seq(0, n * (n + 1) / 4, n * (n + 1) / 2))
+      assert(exactTwoSidedP(n, w) == exactTwoSidedP(n, n * (n + 1) / 2 - w))
+    assertThrows[IllegalArgumentException](exactTwoSidedP(26, 0))
+    assertThrows[IllegalArgumentException](exactTwoSidedP(5, 16))
+  }
+
   test("t distribution against published table constants") {
     close(SF.tInv(0.975, 10), 2.228138852, 1e-6)
     close(SF.tInv(0.975, 5), 2.570581836, 1e-6)

@@ -398,6 +398,55 @@ rows = [{"p_exact": round(t_two_sided_p(t, n - 2), 6)}
         for t, n in zip(t1["t_stat"], t1["n"])]
 check("t1_pearson_corr", rows, t1, ["p_exact"])
 
+# ------------------------------------------------- t2_wilcoxon_exact
+# Independent replay of the scipy exact-mode convention: per-region
+# paired diffs recomputed straight from the raw parquet, the W+ null
+# distribution built by numpy polynomial convolution (a DIFFERENT
+# construction than the engine's in-place subset-sum DP), and
+# p = min(1, 2*min(P(W<=w), P(W>=w))).
+pairs = con.execute(f"""
+    SELECT n.n_regionkey AS rk,
+      SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        - SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS diff
+    FROM read_parquet('{sf_dir}/customer.parquet') c
+    JOIN read_parquet('{sf_dir}/orders.parquet') o ON o.o_custkey = c.c_custkey
+    JOIN read_parquet('{sf_dir}/nation.parquet') n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_regionkey, c.c_nationkey""").df()
+rows = []
+for rk in sorted(pairs["rk"].unique()):
+    d = pairs[pairs["rk"] == rk]["diff"].to_numpy(dtype=np.float64)
+    d = d[d != 0]
+    if d.size == 0:
+        continue
+    ad = np.abs(d)
+    order = np.argsort(ad, kind="stable")
+    ranks = np.empty(d.size)
+    i = 0
+    ties = False
+    while i < d.size:
+        j = i
+        while j + 1 < d.size and ad[order[j + 1]] == ad[order[i]]:
+            j += 1
+        ties = ties or j > i
+        ranks[order[i:j + 1]] = (i + j + 2) / 2.0
+        i = j + 1
+    w_plus = ranks[d > 0].sum()
+    if ties or d.size > 25:
+        p = float("nan")
+    else:
+        dist = np.array([1], dtype=np.int64)  # counts over achievable W+
+        for r in range(1, d.size + 1):
+            shifted = np.concatenate([np.zeros(r, dtype=np.int64), dist])
+            dist = np.concatenate([dist, np.zeros(r, dtype=np.int64)]) + shifted
+        w = int(round(w_plus))
+        pl = dist[:w + 1].sum() / 2.0 ** d.size
+        pg = dist[w:].sum() / 2.0 ** d.size
+        p = round(min(1.0, 2.0 * min(pl, pg)), 6)
+    rows.append({"n_eff": d.size, "w_plus": round(w_plus, 2), "p_exact": p})
+check("t2_wilcoxon_exact", rows,
+      load("t2_wilcoxon_exact").sort_values("region_key"),
+      ["n_eff", "w_plus", "p_exact"])
+
 if failures:
     print("\nFAILED:\n  " + "\n  ".join(failures))
     sys.exit(1)
