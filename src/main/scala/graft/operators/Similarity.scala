@@ -239,44 +239,69 @@ object Similarity {
     * vector is split into `m` contiguous sub-vectors, each quantized to
     * its nearest (by cosine, matching the engine's IVF affinity) of
     * `kCodes` codewords, and fidelity is the cosine between the
-    * original vector and its codeword concatenation. Codebooks are
-    * SEEDED picks (the ivfTopK quantizer design — deterministic, no
-    * Lloyd iterations, finitely SQL-replayable).
+    * original vector and its codeword concatenation.
     *
-    * Plan shape: one explode to (vector, subspace) rows; per-subspace
-    * assignment through the shuffle-free [[topCells]] expression
-    * against the broadcast (m × kCodes) codebook — no Window, no
-    * n×k shuffle, ties broken (rounded cosine DESC, cent_id) exactly
-    * like the oracle's row_number; codeword lookup is a broadcast
-    * equi-join; the per-vector dot sums ride DECIMAL stable sums so
-    * the fidelity doubles are accumulation-order invariant.
+    * Codebooks are TRAINED: seeded picks (the ivfTopK quantizer
+    * design) refined by `iters` Lloyd iterations per subspace — the
+    * same assign/update passes as [[kmeans]], run for all m subspaces
+    * in one job per pass (assignment keyed by subspace against the
+    * broadcast codebook; update = per-(subspace, codeword, dim)
+    * decimal-stable mean). Iterations are a small fixed constant, so
+    * the oracle replays them as finitely unrolled CTEs exactly like
+    * the kmeans oracle; `iters = 0` reproduces the raw seeded
+    * codebook. Codewords that lose all members drop out by join
+    * semantics on both sides.
+    *
+    * Plan shape: one explode to (vector, subspace) rows (persisted —
+    * each Lloyd pass and the final reconstruction rescan it);
+    * per-subspace assignment through the shuffle-free [[topCells]]
+    * expression against the broadcast (m × kCodes) codebook — no
+    * Window, no n×k shuffle, ties broken (rounded cosine DESC,
+    * cent_id) exactly like the oracle's row_number; each update
+    * shuffles only m·kCodes·subDim mean cells; codeword lookup is a
+    * broadcast equi-join; the per-vector dot sums ride DECIMAL stable
+    * sums so the fidelity doubles are accumulation-order invariant.
     *
     * Output: (idCol, `carry`..., cos_pq). */
   def pqCosError(vectors: DataFrame, idCol: String, vecCol: String,
       dim: Int = 64, m: Int = 8, kCodes: Int = 16, seed: Long = 77L,
-      carry: Seq[String] = Nil): DataFrame = {
+      iters: Int = 2, carry: Seq[String] = Nil): DataFrame = {
     import graft.functions.Deterministic.{hrand, stableSum}
     require(m >= 1 && dim % m == 0, s"pqCosError needs m | dim, got dim=$dim m=$m")
     require(kCodes >= 1, s"pqCosError needs kCodes >= 1, got $kCodes")
+    require(iters >= 0, s"pqCosError needs iters >= 0, got $iters")
     val sub = dim / m
     val keys = (idCol +: carry).map(col)
     val v = vectors.select(keys :+ col(vecCol).cast("array<double>").as("v"): _*)
     val seeds = vectors
       .orderBy(hrand(col(idCol), seed), col(idCol)).limit(kCodes)
       .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cv0"))
-    val codebook = seeds.select(explode(array((0 until m).map(j =>
+    val codebook0 = seeds.select(explode(array((0 until m).map(j =>
         struct(lit(j).as("j"), col("cent_id"),
           slice(col("cv0"), j * sub + 1, sub).as("cv"))): _*)).as("e"))
       .select(col("e.j").as("j"), col("e.cent_id").as("cent_id"), col("e.cv").as("cv"))
-    val cents = codebook.groupBy("j")
-      .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cents"))
-    val exSub = v.select(keys :+ explode(array((0 until m).map(j =>
-        struct(lit(j).as("j"), slice(col("v"), j * sub + 1, sub).as("vj"))): _*)).as("e"): _*)
-      .select(keys :+ col("e.j").as("j") :+ col("e.vj").as("vj"): _*)
-    val asg = exSub.join(broadcast(cents), "j")
-      .withColumn("cc", expr("element_at(graft_top_cells(vj, cents, 1), 1)"))
-      .select(keys :+ col("j") :+ col("vj") :+ col("cc.cent_id").as("cent_id"): _*)
-    val rec = asg.join(broadcast(codebook), Seq("j", "cent_id"))
+    val exSub = CacheScope.persist(
+      v.select(keys :+ explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), slice(col("v"), j * sub + 1, sub).as("vj"))): _*)).as("e"): _*)
+        .select(keys :+ col("e.j").as("j") :+ col("e.vj").as("vj"): _*))
+    def assign(cb: DataFrame): DataFrame = {
+      val cents = cb.groupBy("j")
+        .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cents"))
+      exSub.join(broadcast(cents), "j")
+        .withColumn("cc", expr("element_at(graft_top_cells(vj, cents, 1), 1)"))
+        .select(keys :+ col("j") :+ col("vj") :+ col("cc.cent_id").as("cent_id"): _*)
+    }
+    // Lloyd update, all subspaces at once: per-(subspace, codeword,
+    // dim) decimal-stable mean — the kmeans update keyed by j as well
+    def update(asg: DataFrame): DataFrame =
+      asg.select(col("j"), col("cent_id"), posexplode(col("vj")))
+        .groupBy("j", "cent_id", "pos")
+        .agg((stableSum(col("col"), 9) / count(lit(1))).as("mn"))
+        .groupBy("j", "cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), x -> x.mn)").as("cv"))
+    val trained = (0 until iters).foldLeft(codebook0) { (cb, _) => update(assign(cb)) }
+    val asg = assign(trained)
+    val rec = asg.join(broadcast(trained), Seq("j", "cent_id"))
       .withColumn("xr", expr(dotExpr("vj", "cv", sub)))
       .withColumn("xx", expr(dotExpr("vj", "vj", sub)))
       .withColumn("rr", expr(dotExpr("cv", "cv", sub)))

@@ -514,41 +514,60 @@ object QSim {
 
   // ------------------------------------------- product quantization
   /** PQ compression fidelity — operators.Similarity.pqCosError: 64-dim
-    * vectors → 8 sub-spaces × 16 seeded codewords (float32 256 B → 8 B
-    * codes), reported per label as the cosine between each vector and
-    * its codeword concatenation. The oracle replays the seeded
-    * codebook, the per-subspace (rounded cosine DESC, cent_id)
-    * assignment and the decimal-stable dot sums with offset-indexed
-    * arithmetic on the full arrays (equal to the engine's slices). */
+    * vectors → 8 sub-spaces × 16 codewords (float32 256 B → 8 B codes),
+    * codebooks TRAINED by 2 Lloyd iterations from the seeded picks
+    * (the kmeans assign/update passes, per subspace), reported per
+    * label as the cosine between each vector and its codeword
+    * concatenation. The oracle replays the seeded codebook, both
+    * unrolled training iterations (per-subspace assignment by rounded
+    * cosine DESC/cent_id, DECIMAL(28,9) component means — the kmeans
+    * oracle discipline), the final assignment, and the decimal-stable
+    * dot sums, all on sliced sub-vector lists (equal to the engine's
+    * slices). */
   private val pqM = 8
   private val pqSub = kmDim / pqM
   private val pqK = 16
   private val pqSeed = 77L
+  private val pqIters = 2
 
   val pqError = Q("sim_pq_error", Some {
-    def dotOff(x: String, y: String, j: String = "t.j") =
-      "(0" + (1 to pqSub).map(i =>
-        s" + ($x[$j * $pqSub + $i] * $y[$j * $pqSub + $i])").mkString + ")"
-    def cosOff(x: String, y: String) =
-      s"${dotOff(x, y)} / (sqrt(${dotOff(x, x)}) * sqrt(${dotOff(y, y)}))"
+    // per-subspace slice of the full vector: elements j·sub+1 .. (j+1)·sub
+    def dotS(x: String, y: String) =
+      "(0" + (1 to pqSub).map(i => s" + ($x[$i] * $y[$i])").mkString + ")"
+    def cosS(x: String, y: String) =
+      s"${dotS(x, y)} / (sqrt(${dotS(x, x)}) * sqrt(${dotS(y, y)}))"
+    def assignCte(cbCte: String, n: Int) = s"""
+    ac$n AS (SELECT ex.vec_id, ex.label, ex.j, ex.vj, cb.cent_id,
+                    round(${cosS("ex.vj", "cb.cv")}, 6) AS c
+             FROM ex JOIN $cbCte cb USING (j)),
+    r$n AS (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY c DESC, cent_id) AS rn
+            FROM ac$n),
+    asg$n AS (SELECT vec_id, label, j, vj, cent_id FROM r$n WHERE rn = 1)"""
+    def updateCte(n: Int) = s"""
+    u$n AS (SELECT j, cent_id, i, CAST(SUM(CAST(vj[i] AS DECIMAL(28,9))) AS DOUBLE)
+                   / count(*) AS mn
+            FROM asg$n, LATERAL unnest(generate_series(1, $pqSub)) AS t(i)
+            GROUP BY 1, 2, 3),
+    cb$n AS (SELECT j, cent_id, list(mn ORDER BY i) AS cv FROM u$n GROUP BY 1, 2)"""
     s"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+    cent AS (SELECT vec_id AS cent_id, v AS cv0 FROM e
              ORDER BY ${graft.functions.Deterministic.hrandSql("vec_id", pqSeed)}, vec_id
              LIMIT $pqK),
-    ac AS (SELECT e.vec_id, e.label, t.j, cent.cent_id,
-                  round(${cosOff("e.v", "cent.cv")}, 6) AS c
-           FROM e CROSS JOIN cent, LATERAL unnest(generate_series(0, ${pqM - 1})) AS t(j)),
-    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY c DESC, cent_id) AS rn
-          FROM ac),
-    a1 AS (SELECT vec_id, label, j, cent_id FROM r WHERE rn = 1),
-    d AS (SELECT a1.vec_id, a1.label,
-                 ${dotOff("e.v", "cent.cv", "a1.j")} AS xr,
-                 ${dotOff("e.v", "e.v", "a1.j")} AS xx,
-                 ${dotOff("cent.cv", "cent.cv", "a1.j")} AS rr
-          FROM a1
-          JOIN e ON a1.vec_id = e.vec_id
-          JOIN cent ON a1.cent_id = cent.cent_id),
+    cb0 AS (SELECT t.j, cent_id, cv0[t.j * $pqSub + 1 : (t.j + 1) * $pqSub] AS cv
+            FROM cent, LATERAL unnest(generate_series(0, ${pqM - 1})) AS t(j)),
+    ex AS (SELECT vec_id, label, t.j, v[t.j * $pqSub + 1 : (t.j + 1) * $pqSub] AS vj
+           FROM e, LATERAL unnest(generate_series(0, ${pqM - 1})) AS t(j)),
+    ${assignCte("cb0", 1)},
+    ${updateCte(1)},
+    ${assignCte("cb1", 2)},
+    ${updateCte(2)},
+    ${assignCte("cb2", 3)},
+    d AS (SELECT a.vec_id, a.label,
+                 ${dotS("a.vj", "cb.cv")} AS xr,
+                 ${dotS("a.vj", "a.vj")} AS xx,
+                 ${dotS("cb.cv", "cb.cv")} AS rr
+          FROM asg3 a JOIN cb2 cb USING (j, cent_id)),
     p AS (SELECT vec_id, label,
                  CAST(SUM(CAST(xr AS DECIMAL(28,12))) AS DOUBLE) AS sxr,
                  CAST(SUM(CAST(xx AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
@@ -567,7 +586,7 @@ object QSim {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
     Similarity.pqCosError(e, "vec_id", "v", dim = kmDim, m = pqM,
-        kCodes = pqK, seed = pqSeed, carry = Seq("label"))
+        kCodes = pqK, seed = pqSeed, iters = pqIters, carry = Seq("label"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         round(stableSum(col("cos_pq"), 12) / count(lit(1)), 9).as("avg_pq_cos"),
