@@ -154,14 +154,18 @@ object Dedup {
     * data with incremental edits) costs propagation O(k) rounds but
     * this construction O(log² k).
     *
-    * Each round's output is `localCheckpoint`ed: the logical plan of
-    * round i references round i−1 several times (symmetrization + the
-    * min join), so without truncation the plan tree grows exponentially
-    * in rounds and Catalyst analysis — not execution — becomes the
-    * bottleneck. Local (executor-block) checkpointing is the right
-    * local-mode tool; a long-lived cluster deployment would point
-    * `sparkContext.setCheckpointDir` at reliable storage and use
-    * `checkpoint()` for fault tolerance across the iteration.
+    * Each round's output is CHECKPOINTED: the logical plan of round i
+    * references round i−1 several times (symmetrization + the min
+    * join), so without truncation the plan tree grows exponentially in
+    * rounds and Catalyst analysis — not execution — becomes the
+    * bottleneck. The default is `localCheckpoint` (executor-block
+    * storage — right for local mode and short-lived jobs); pass
+    * `checkpointDir` to switch every round to RELIABLE `checkpoint()`
+    * against that directory (set as the context's checkpoint dir if
+    * none is set yet) — the cluster deployment mode, where a lost
+    * executor must not kill a multi-round run over a 100 TB-derived
+    * edge set. Results are identical either way; only fault tolerance
+    * and checkpoint IO differ.
     *
     * Termination: the algorithm's fixpoints are exactly the min-rooted
     * STAR FORESTS, and star-forest-ness is testable in ONE aggregate
@@ -181,8 +185,16 @@ object Dedup {
     * emitted (a doc in no near-dup pair is its own singleton cluster;
     * emitting the whole corpus here would shuffle it for nothing). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25, localFinishEdges: Long = 1L << 22): DataFrame = {
+      maxIter: Int = 25, localFinishEdges: Long = 1L << 22,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"connectedComponents needs maxIter >= 1, got $maxIter")
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = edges.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(true)
+    }
     def clean(e: DataFrame): DataFrame =
       e.filter(col("u") =!= col("v")).distinct()
     def sym(e: DataFrame): DataFrame =
@@ -299,12 +311,12 @@ object Dedup {
     var cur = clean(
       edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
         .filter(col("u").isNotNull && col("v").isNotNull))
-      .localCheckpoint(true)
+      .transform(ckpt)
     if (integralNode && cur.count() <= localFinishEdges) return localFinish(cur)
     var converged = isStarForest(cur)
     var round = 0
     while (!converged && round < maxIter) {
-      cur = smallStar(largeStar(cur)).localCheckpoint(true)
+      cur = ckpt(smallStar(largeStar(cur)))
       if (integralNode && cur.count() <= localFinishEdges) return localFinish(cur)
       converged = isStarForest(cur)
       round += 1

@@ -405,6 +405,23 @@ class LibraryOpsSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want)
     }
+    // reliable-checkpoint mode (cluster fault-tolerance knob): same
+    // labeling through the iterative path with checkpoint files on disk
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    try {
+      val gotReliable = Dedup.connectedComponents(edges.toDF("s", "t"), "s", "t",
+          localFinishEdges = 0L, checkpointDir = Some(ckDir.toString))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotReliable == want)
+      assert(java.nio.file.Files.list(ckDir).count() > 0,
+        "reliable checkpoint mode wrote nothing to the checkpoint dir")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(ckDir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 
   test("Dedup.minhashLsh maxBucket drops degenerate band buckets whole") {
