@@ -17,12 +17,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Schema probes already taken, keyed by path: the batch footer read
+    * behind `spark.read.parquet(...).schema` costs a listing + footer
+    * parse per call, and every bench rep of every stream query pays it
+    * for the SAME immutable file otherwise. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** File-source readStream over the events table (schema taken from a
-    * batch probe — file streams require a declared schema). Normalizes
-    * the ns-long `ts` to a µs timestamp exactly like Tables.events. */
+    * batch probe — file streams require a declared schema; cached per
+    * path). Normalizes the ns-long `ts` to a µs timestamp exactly like
+    * Tables.events. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
     // the file-stream source requires a DIRECTORY of files (its basePath
     // and discovery model); the table is a single file, so expose it
     // through a per-sf temp directory containing one symlink.

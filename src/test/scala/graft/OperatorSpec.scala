@@ -116,10 +116,14 @@ class OperatorSpec extends AnyFunSuite {
       List(0.0, 5.0).foldLeft(WilcoxonSignedRank.zero)(WilcoxonSignedRank.reduce))
     assert(c.n_eff == 1 && c.w_plus == 1.0)
     assert(WilcoxonSignedRank.finish(Nil).z.isNaN)
-    // merge order cannot change the statistic
+    // merge order cannot change the statistic (p_exact compared
+    // NaN-aware: this group has tied |d|, so the exact leg is NaN on
+    // both sides and case-class == would see NaN != NaN)
     val l = List(3.0, -1.0); val r = List(2.0, -2.0, 4.0)
-    assert(WilcoxonSignedRank.finish(WilcoxonSignedRank.merge(l, r)) ==
-      WilcoxonSignedRank.finish(WilcoxonSignedRank.merge(r, l)))
+    val m1 = WilcoxonSignedRank.finish(WilcoxonSignedRank.merge(l, r))
+    val m2 = WilcoxonSignedRank.finish(WilcoxonSignedRank.merge(r, l))
+    assert((m1.n_eff, m1.w_plus, m1.z) == (m2.n_eff, m2.w_plus, m2.z))
+    assert(m1.p_exact.isNaN && m2.p_exact.isNaN)
   }
 
   test("stableSum is invariant to row order and partitioning") {
