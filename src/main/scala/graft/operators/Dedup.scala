@@ -401,7 +401,7 @@ object Dedup {
 
   /** Weighted 32-bit SimHash near-dup pairs: bit source = first 8 hex
     * chars of each token's md5, weight = token multiplicity; candidates
-    * share a MULTI-PROBED bucket of the signature's top 16 bits and
+    * share a MULTI-PROBED bucket of the signature's top bits and
     * pass `hamming ≤ maxHamming`.
     *
     * Multi-probe: every doc emits its bucket plus ALL single-bit flips
@@ -410,28 +410,28 @@ object Dedup {
     * pair within Hamming 2 of the bucket — the recall hole of the plain
     * top-bits join (a near-dup pair whose 2 differing bits both landed
     * in the bucket was invisible) — and stays complete at ANY bucket
-    * width. The bucket width is data-driven per [[autoBucketBits]]:
-    * `probeBits` is the floor, and a growing corpus widens the bucket
-    * (halving expected bucket population per extra bit) at a probe
-    * fan-out of only bucketBits+1. Output: (doc_a, doc_b, hamming). */
+    * width, which also makes the OUTPUT width-invariant (every
+    * hamming ≤ 2 pair surfaces at every width; wider candidates are
+    * filtered by the verify). The width is therefore chosen from the
+    * OBSERVED bucket populations ([[observedBucketWidth]], in-plan, no
+    * driver collect): the candidate join's volume is Σ population², and
+    * an expected-population rule (n / 2^bits) under-sizes it badly on
+    * signature-CONCENTRATED corpora — same-distribution documents
+    * cluster in signature space, and a replicated near-dup corpus at
+    * 10× the rows measured 100× the join (the r7 sf1 scale curve)
+    * under the old expected rule, against ~linear after this one.
+    * Output: (doc_a, doc_b, hamming). */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 2, probeBits: Int = 16,
-      targetBucketSize: Int = 256, numDocs: Option[Long] = None): DataFrame = {
-    // Corpus size for the bucket-width rule: pass it via `numDocs`
-    // (Tables.rowCount — session-cached, metadata-level); the
-    // `docs.count()` fallback replays whatever lineage `docs` carries.
-    // API INVARIANT: `numDocs` must be the row count OF THE EXACT FRAME
-    // PASSED as `docs`. Passing a raw-table count while handing in a
-    // filtered/derived frame silently mis-sizes the buckets (recall is
-    // unaffected — multi-probe is width-independent — but bucket
-    // population drifts off target). Same contract as
-    // embeddingNearDup.numVectors and Similarity.ivfTopK.numVectors.
-    val bucketBits = autoBucketBits(numDocs.getOrElse(docs.count()), probeBits, targetBucketSize)
-    val sh = simhashSignatures(docs, idCol, textCol)
-    val base = expr(s"simhash div ${1L << (32 - bucketBits)}")
-    val probes = base +: (0 until bucketBits).map(k => base.bitwiseXOR(lit(1L << k)))
-    val pr = CacheScope.persist(sh.select(col(idCol), col("simhash"),
-      explode(array(probes: _*)).as("bucket")))
+      targetBucketSize: Int = 256): DataFrame = {
+    val sh = CacheScope.persist(simhashSignatures(docs, idCol, textCol))
+    val pr = CacheScope.persist(
+      sh.crossJoin(broadcast(observedBucketWidth(sh, probeBits, targetBucketSize)))
+        .withColumn("base", expr("simhash div CAST(pow(2, 32 - bw) AS BIGINT)"))
+        .select(col(idCol), col("simhash"),
+          explode(expr("concat(array(base), " +
+            "transform(sequence(0, bw - 1), k -> base ^ CAST(pow(2, k) AS BIGINT)))"))
+            .as("bucket")))
     pr.as("a").join(pr.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
@@ -440,18 +440,34 @@ object Dedup {
       .distinct() // a pair can meet in several probed buckets
   }
 
-  /** Bucket width for [[simhash]] (SCALE.md §ANN): enough of the
-    * signature's top bits that the EXPECTED BUCKET POPULATION stays
-    * near `targetBucketSize` — `log2(n / targetBucketSize)` bits —
-    * with the caller's `probeBits` as the floor and 28 as the cap
-    * (the 32-bit signature needs ≥ a few residual bits to make the
-    * in-bucket hamming verify meaningful). Single-bit multi-probe is
-    * Hamming-2-complete at any width, so widening costs only linear
-    * probe fan-out (bucketBits+1), never recall. */
-  def autoBucketBits(n: Long, floor: Int, targetBucketSize: Int = 256): Int = {
-    val needed = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt
-    math.min(28, math.max(floor, needed))
+  /** Bucket width for [[simhash]] from OBSERVED signature concentration
+    * — a 1-row frame (`bw`) computed in-plan (broadcast back, never
+    * collected): build the 28-bit-prefix population histogram (one
+    * aggregate over the signatures; coarser-width populations are sums
+    * of finer ones), derive max bucket population at every candidate
+    * width, and pick the NARROWEST width in [`floor`, 28] whose max
+    * population is ≤ `targetBucketSize` — 28 (the widest prefix that
+    * leaves the hamming verify meaningful residual bits) if none
+    * qualifies. Widening is free for recall (single-bit multi-probe is
+    * Hamming-2-complete at any width) and costs only probe fan-out
+    * bw+1, while the candidate join it guards is QUADRATIC in bucket
+    * population — the asymmetry that makes observed-max the right
+    * statistic. `sigs` must carry a `simhash` column. */
+  def observedBucketWidth(sigs: DataFrame, floor: Int,
+      targetBucketSize: Int = 256): DataFrame = {
+    require(floor >= 1 && floor <= 28,
+      s"observedBucketWidth needs 1 <= floor <= 28, got $floor")
+    require(targetBucketSize >= 1,
+      s"observedBucketWidth needs targetBucketSize >= 1, got $targetBucketSize")
+    sigs
+      .groupBy(expr("simhash div 16").as("b28")) // 2^(32-28) = 16
+      .agg(count(lit(1)).as("pop"))
+      .select(explode(expr(s"sequence($floor, 28)")).as("w"), col("b28"), col("pop"))
+      .groupBy(col("w"), expr("b28 div CAST(pow(2, 28 - w) AS BIGINT)").as("bkt"))
+      .agg(sum("pop").as("bpop"))
+      .groupBy("w").agg(max("bpop").as("maxpop"))
+      .agg(coalesce(min(when(col("maxpop") <= targetBucketSize, col("w"))), lit(28))
+        .cast("int").as("bw"))
   }
 
   /** The signature stage of [[simhash]] alone: (idCol, simhash). Public

@@ -128,8 +128,15 @@ object QSim {
   })
 
   // ------------------------------------------------------------ SimHash
-  /** Weighted 32-bit SimHash — operators.Dedup.simhash (top-16-bit
-    * bucket with two-sided single-bit multi-probe, Hamming ≤ 2). */
+  /** Weighted 32-bit SimHash — operators.Dedup.simhash (observed-
+    * population bucket width with two-sided single-bit multi-probe,
+    * Hamming ≤ 2). The oracle replays the width rule exactly: 28-bit
+    * population histogram → max population per candidate width →
+    * narrowest width in [16, 28] with max ≤ 256, else 28 — then probes
+    * at that width. (The FINAL rows are width-invariant — multi-probe
+    * is Hamming-2-complete at any width and the verify filters the
+    * rest — so the mirrored rule pins candidate semantics, not the
+    * output.) */
   private def simhashDuck = {
     val bitSum = (0 until 32).map { b =>
       s"sum(CASE WHEN (strpos('0123456789abcdef', h[${b / 4 + 1}]) - 1) // ${Seq(8, 4, 2, 1)(b % 4)} % 2 = 1 THEN cnt ELSE -cnt END) AS b$b"
@@ -143,20 +150,25 @@ object QSim {
     sh AS (SELECT doc_id, $hashVal AS simhash FROM bits)"""
   }
 
-  private val probeListDuck = ("simhash // 65536" +:
-    (0 until 16).map(k => s"xor(simhash // 65536, ${1L << k})")).mkString(", ")
-
   val simhash = Q("dedup_simhash", Some(s"""
     ${simhashDuck},
-    pr AS (SELECT doc_id, simhash, unnest([$probeListDuck]) AS bucket FROM sh),
+    h28 AS (SELECT simhash // 16 AS b28, count(*) AS pop FROM sh GROUP BY 1),
+    wx AS (SELECT t.w AS w, b28 // CAST(pow(2, 28 - t.w) AS BIGINT) AS bkt, sum(pop) AS bpop
+           FROM h28, LATERAL unnest(generate_series(16, 28)) AS t(w) GROUP BY 1, 2),
+    wm AS (SELECT w, max(bpop) AS maxpop FROM wx GROUP BY 1),
+    wsel AS (SELECT coalesce(min(CASE WHEN maxpop <= 256 THEN w END), 28) AS bw FROM wm),
+    pr AS (SELECT doc_id, simhash,
+                  unnest([simhash // CAST(pow(2, 32 - bw) AS BIGINT)] ||
+                         [xor(simhash // CAST(pow(2, 32 - bw) AS BIGINT), CAST(pow(2, k) AS BIGINT))
+                          for k in generate_series(0, bw - 1)]) AS bucket
+           FROM sh, wsel),
     p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  bit_count(xor(a.simhash, b.simhash)) AS hamming
           FROM pr a JOIN pr b
             ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 2 ORDER BY 1, 2"""
   ))((s, d) =>
-    Dedup.simhash(Tables.documents(s, d), "doc_id", "text", maxHamming = 2,
-      numDocs = Some(Tables.rowCount(s, d, "documents")))
+    Dedup.simhash(Tables.documents(s, d), "doc_id", "text", maxHamming = 2)
       .orderBy("doc_a", "doc_b"))
 
   // ------------------------------------------------ blocked n-gram Jaccard

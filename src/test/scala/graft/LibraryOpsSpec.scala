@@ -179,9 +179,23 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(Similarity.autoNList(2000, 8) == 8)            // bench scale: floor wins
     assert(Similarity.autoNList(1L << 20, 8) == 64)       // 1M vectors, target 256
     assert(Similarity.autoNList(1L << 30, 8) == 2048)     // 1G vectors: still broadcastable
-    assert(Dedup.autoBucketBits(5000, 16) == 16)          // bench scale: floor wins
-    assert(Dedup.autoBucketBits(1L << 26, 16) == 18)      // 67M docs, target 256
-    assert(Dedup.autoBucketBits(Long.MaxValue, 16) == 28) // capped at 28 of 32 bits
+    // simhash bucket width from OBSERVED populations (not expected
+    // n/2^bits — signature concentration broke that rule 100x at sf1):
+    // synthetic signatures place 600 docs in ONE 16-bit bucket but
+    // spread across low bits, so the rule must widen past the floor
+    // exactly until the max population fits the target
+    locally {
+      import spark.implicits._
+      def width(sigs: Seq[Long], target: Int): Int =
+        Dedup.observedBucketWidth(sigs.toDF("simhash"), floor = 16, target)
+          .collect().head.getInt(0)
+      val spread = (0 until 600).map(i => (7L << 16) | i.toLong) // one hot 16-bit bucket
+      assert(width(spread, 256) > 16, "hot bucket must widen past the floor")
+      assert(width(spread, 1024) == 16)      // fits the target: floor wins
+      val flood = Seq.fill(600)(42L << 16)   // IDENTICAL signatures: no width helps
+      assert(width(flood, 256) == 28)        // capped at 28 of 32 bits
+      assert(width(Nil, 256) == 28) // empty: no width qualifies, cap
+    }
     // End-to-end: same planted-near-dup harness as above, at 1x and 10x.
     val dim = 8
     def rng(seed: Long): Iterator[Double] = Iterator.iterate(seed * 2862933555777941757L + 3037000493L)(

@@ -17,8 +17,9 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private lazy val spark = GraftSession.local(4)
 
-  test("nested-loop joins appear only in the fourteen intentional dimension-bounded plans") {
+  test("nested-loop joins appear only in the fifteen intentional dimension-bounded plans") {
     val intentional = Set(
+      "dedup_simhash",            // 1-row observed-bucket-width broadcast cross
       "a11_threshold_sweep",      // threshold-literal fan-out
       "l14_stability_sweep",      // sizes×iters literal fan-out
       "sim_ann_ivf",              // 16-row seeded centroid cross
@@ -79,6 +80,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val mh = plan("dedup_minhash_lsh")
     assert(mh.contains("graft_minhash_sig") && !mh.contains("collect_set"),
       s"dedup_minhash_lsh lost its row-local signature stage:\n$mh")
+    // the band-bucket population guard must stay an ANTI-join (bucket
+    // drop), not a count window (full sort of the bands stream) or a
+    // missing guard (unbounded degenerate buckets)
+    assert(mh.contains("LeftAnti"),
+      s"dedup_minhash_lsh lost its band-bucket anti-join guard:\n$mh")
+    assert(!mh.contains("Window"),
+      s"dedup_minhash_lsh regressed to a window-based bucket guard:\n$mh")
     val sh = plan("dedup_simhash")
     assert(sh.contains("graft_simhash"),
       s"dedup_simhash lost its row-local signature stage:\n$sh")
