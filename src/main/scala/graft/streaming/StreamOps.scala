@@ -53,6 +53,23 @@ object StreamOps {
     * table. Stops any prior run of the same name (re-entrant for the
     * Verify/Bench drivers).
     *
+    * `watermarkFlush` controls whether the replay runs the trailing
+    * NO-DATA micro-batch that advances the watermark past the last
+    * event. Append-mode AGGREGATIONS need it — their final windows are
+    * emitted only when the watermark passes the window end, which for
+    * bounded input happens exactly in that flush batch. Operators whose
+    * visible output is emitted in the data batch itself — the inner
+    * stream-stream join (matches emit on arrival), watermark dedup
+    * (first occurrence emits on arrival), sessionization (every batch
+    * emits snapshots; the timeout path emits nothing) — get NOTHING
+    * from the flush batch except state eviction, and the replay
+    * discards that state moments later. Measured at sf0.1 the flush
+    * batch costs as much as the data batch (the eviction sweep walks
+    * every state row), so those operators pass `watermarkFlush = false`
+    * and run the single-data-batch trigger instead. Live deployments
+    * use the default trigger and the identical plan either way —
+    * eviction there is a per-batch increment, not a final sweep.
+    *
     * State partitioning: every micro-batch commits one state-store delta
     * file per partition per stateful operator, so the state width is a
     * deployment knob separate from the batch shuffle width — on bounded
@@ -63,8 +80,9 @@ object StreamOps {
     * engine default. Results are partitioning-invariant (keyed state).
     * StreamExecution clones the session at start(), making the scoped
     * override race-free. */
+  @scala.annotation.nowarn("cat=deprecation") // Trigger.Once: see scaladoc
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode, watermarkFlush: Boolean = true): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(key)
@@ -86,11 +104,16 @@ object StreamOps {
       // watermark-flush no-data batch, then self-terminate — the
       // bounded-replay harness pays the minimum number of micro-batch
       // schedule/commit cycles instead of the default trigger's
-      // poll-until-idle loop. Live deployments drop the trigger and
-      // keep the identical plan.
+      // poll-until-idle loop. Trigger.Once (deprecated for LIVE use
+      // because one huge catch-up batch can overwhelm an executor, a
+      // non-issue for a bounded replay that IS one batch) additionally
+      // skips the flush batch — taken when the operator's output
+      // doesn't need it (see scaladoc). Live deployments drop the
+      // trigger and keep the identical plan.
+      val trigger = if (watermarkFlush) Trigger.AvailableNow() else Trigger.Once()
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
         .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow()).start()
+        .trigger(trigger).start()
       try q.awaitTermination() finally q.stop()
     } finally {
       spark.conf.set(key, prior)
@@ -136,7 +159,7 @@ object StreamOps {
     */
   def intervalJoin(spark: SparkSession, sfDir: String): DataFrame =
     runToMemory(spark, intervalJoinPlan(eventsStream(spark, sfDir)),
-        "graft_stream_ij", OutputMode.Append())
+        "graft_stream_ij", OutputMode.Append(), watermarkFlush = false)
       .groupBy(floor(col("rel_off") / lit(60.0)).cast("long").as("rel_bin"))
       .agg(count(lit(1)).as("n"),
         round(avg(col("value")), 4).as("avg_value"),
@@ -184,7 +207,7 @@ object StreamOps {
     * NULL is a dedup key value but not a COUNT DISTINCT member). */
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame =
     runToMemory(spark, dedupPlan(eventsStream(spark, sfDir)),
-        "graft_stream_dedup", OutputMode.Append())
+        "graft_stream_dedup", OutputMode.Append(), watermarkFlush = false)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"))
       .orderBy("event_type")
@@ -227,7 +250,7 @@ object StreamOps {
   def sessionize(spark: SparkSession, sfDir: String): DataFrame =
     sessionizeCompact(
       runToMemory(spark, sessionizePlan(spark, eventsStream(spark, sfDir)),
-        "graft_stream_sess", OutputMode.Append()))
+        "graft_stream_sess", OutputMode.Append(), watermarkFlush = false))
 
   /** The streaming side of [[sessionize]] — exposed as a composition
     * point so the multi-batch contract (one batch vs file-at-a-time
