@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Deterministic
+
+/** Sequence packing for LM training-data construction: lay the corpus
+  * out as one deterministic token stream and cut it into fixed-length
+  * training sequences ("concat-and-chunk"), reporting for every
+  * document the global token offset where it starts and the range of
+  * sequences it lands in. This is the step that turns a curated corpus
+  * into the actual `seq_len`-token examples a trainer consumes, and
+  * the packing layout (which documents share a sequence, which cross a
+  * boundary) is a first-class artifact — attention-masking and dedup
+  * audits both read it.
+  *
+  * Scale design — the naive formulation is a running total over ONE
+  * global document order, i.e. a corpus-wide unpartitioned window (one
+  * task sorts 100 TB). Here the global order is instead DEFINED as
+  * (bucket, id): each doc hashes to one of `numBuckets` buckets via the
+  * partition-invariant [[Deterministic.hrand]], the running total runs
+  * WITHIN each bucket (a partitioned window — every bucket sorts its
+  * shard in parallel), and bucket-level token totals (numBuckets rows)
+  * roll into prefix offsets on a single tiny task. tok_start =
+  * bucket_offset + within_bucket_prefix reproduces exactly the cumsum
+  * of the (bucket, id) global order — two parallel passes, no global
+  * sort. `numBuckets` is the parallelism knob: ~10× the cluster's task
+  * slots keeps every sort shard small; the hash spreads the corpus
+  * uniformly, so shard skew is bounded by doc-length skew alone.
+  *
+  * The hash-bucketed order doubles as the SHUFFLE of standard packing
+  * practice (documents are shuffled before packing so a sequence mixes
+  * unrelated docs rather than adjacent crawl pages); keying it on the
+  * stable id makes the layout reproducible across runs, cluster sizes
+  * and partitionings, and exactly replayable by a SQL oracle.
+  */
+object Packing {
+
+  /** Per-document packing layout. Output columns: `idCol`, `n_tok`
+    * (copied through), `pack_bucket`, `tok_start` (global offset of the
+    * doc's first token), `seq_first` / `seq_last` (0-based ids of the
+    * fixed-length sequences the doc touches; a doc spanning a boundary
+    * has seq_last > seq_first).
+    *
+    * `nTok` must be a non-null non-negative token count; a zero-length
+    * doc occupies no tokens and reports seq_last = seq_first (the
+    * sequence its offset falls in). Rows with a NULL count are the
+    * caller's contract to filter (a NULL would poison every offset
+    * after it in the bucket).
+    */
+  def packSequences(docs: DataFrame, idCol: String, nTok: Column,
+      seqLen: Long, numBuckets: Int = 64, seed: Long = 0L): DataFrame = {
+    require(seqLen >= 1, s"packSequences needs seqLen >= 1, got $seqLen")
+    require(numBuckets >= 1, s"packSequences needs numBuckets >= 1, got $numBuckets")
+    // hrand < 2^31 and numBuckets is an Int, so the product is exact in
+    // BIGINT and `div` is plain integer arithmetic — bit-identical in
+    // any engine (no double rounding anywhere in the layout math, which
+    // also keeps 100 TB-scale token offsets exact).
+    val base = docs.select(col(idCol), nTok.cast("long").as("n_tok"),
+        Deterministic.hrand(col(idCol), seed).as("hr"))
+      .withColumn("pack_bucket", expr(s"(hr * $numBuckets) div ${Deterministic.M}"))
+      .drop("hr")
+    // Within-bucket exclusive prefix: parallel across buckets.
+    val w = Window.partitionBy("pack_bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = base.withColumn("ws", coalesce(sum("n_tok").over(w), lit(0L)))
+    // Bucket totals -> exclusive prefix offsets: numBuckets rows, one
+    // tiny task; broadcast back onto the stream.
+    val wb = Window.orderBy("pack_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("pack_bucket")
+      .agg(sum("n_tok").as("bt"))
+      .withColumn("boff", coalesce(sum("bt").over(wb), lit(0L)))
+      .select("pack_bucket", "boff")
+    within.join(broadcast(offsets), "pack_bucket")
+      .withColumn("tok_start", col("boff") + col("ws"))
+      .withColumn("seq_first", expr(s"tok_start div $seqLen"))
+      .withColumn("seq_last",
+        expr(s"(tok_start + greatest(n_tok, 1L) - 1) div $seqLen"))
+      .select(col(idCol), col("n_tok"), col("pack_bucket"), col("tok_start"),
+        col("seq_first"), col("seq_last"))
+  }
+}

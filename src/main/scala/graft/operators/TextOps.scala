@@ -165,6 +165,36 @@ object TextOps {
       .withColumn("keep", col("drop_reason").isNull)
   }
 
+  /** Named-regex flagging battery: one `n_<name>` match-count column
+    * per pattern plus a `flagged` bit — the mechanism behind the two
+    * standard curation passes that are regex sweeps over every
+    * document: PII detection (emails, phone numbers, IP addresses,
+    * URLs) and ban-list term filtering (the C4-style "bad words"
+    * gate). The pattern set is caller data, not code: production runs
+    * plug in their PII/ban-list battery, the registry query pins a
+    * fixed battery for the oracle.
+    *
+    * One row-local pass, no shuffle — `regexp_count` per pattern over
+    * the text column, embarrassingly parallel at corpus scale. Pattern
+    * hygiene is the caller's contract: patterns must be valid in BOTH
+    * Java regex and the oracle engine's dialect (RE2) for gate parity,
+    * which in practice means the common subset (no backrefs, no
+    * lookbehind). A NULL text yields NULL counts and flagged = NULL
+    * (unknown), mirroring SQL three-valued logic.
+    *
+    * Output: input columns + n_<name> per pattern (declaration order)
+    * + `flagged` (any count > 0). */
+  def patternFlags(docs: DataFrame, textCol: String,
+      patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "patternFlags needs at least one pattern")
+    val counted = patterns.foldLeft(docs) { case (df, (name, pat)) =>
+      df.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
+    val any = patterns.map { case (name, _) => col(s"n_$name") > 0 }
+      .reduce(_ || _)
+    counted.withColumn("flagged", any)
+  }
+
   /** Benchmark decontamination: the training docs sharing at least one
     * distinct word `ngram` with a held-out evaluation set — the standard
     * pre-training hygiene pass (eval n-grams must not leak into the

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Deterministic._
+
+/** Training-corpus construction operators beyond filtering/dedup: the
+  * sequence-packing layout a trainer consumes, the regex flagging
+  * battery (PII / ban-list sweeps), and hash-sample quantile sketches —
+  * the "turn a curated corpus into training artifacts and audits" end
+  * of the LLM-data-pipeline family.
+  */
+object QCuration {
+
+  // ------------------------------------------------------- Packing
+  /** Concat-and-chunk sequence packing (operators.Packing): every doc's
+    * global token offset and the fixed-length training sequences it
+    * lands in, under the deterministic hash-bucketed document order.
+    * The oracle replays the same layout as ONE global cumsum over
+    * (bucket, id) — bucket_offset + within_bucket_prefix is exactly
+    * that cumsum, which is the identity the two-parallel-passes design
+    * rests on. All-integer arithmetic end to end: the hash, the `div`s
+    * and the running sums are exact in BIGINT on both engines. */
+  private val packSeqLen = 512L
+  private val packBuckets = 8
+  private val packSeed = 90210L
+
+  val pack = Q("pack_sequences", Some(s"""
+    WITH d AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             (${hrandSql("doc_id", packSeed)}) * $packBuckets // 2147483648 AS pack_bucket
+      FROM documents WHERE text IS NOT NULL),
+    c AS (
+      SELECT doc_id, n_tok, pack_bucket,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY pack_bucket, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+      FROM d)
+    SELECT doc_id, n_tok, pack_bucket, tok_start,
+           CAST(tok_start // $packSeqLen AS BIGINT) AS seq_first,
+           CAST((tok_start + GREATEST(n_tok, 1) - 1) // $packSeqLen AS BIGINT) AS seq_last
+    FROM c ORDER BY doc_id"""
+  ))((s, d) => {
+    val docs = Tables.documentsP(s, d).filter(col("text").isNotNull)
+    graft.operators.Packing.packSequences(
+        docs, "doc_id", size(split(col("text"), " ")),
+        seqLen = packSeqLen, numBuckets = packBuckets, seed = packSeed)
+      .orderBy("doc_id")
+  })
+
+  // ------------------------------------------------- Pattern flags
+  /** Regex flagging battery (operators.TextOps.patternFlags) rolled up
+    * per source: the PII/ban-list sweep as a corpus audit report. The
+    * battery pins one PII-shaped pattern (emails — structurally zero on
+    * this corpus, proving the mechanism without manufactured hits) and
+    * two term patterns with real populations. Patterns live in the
+    * Java∩RE2 regex subset so both engines count identically. */
+  private val flagPatterns = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "banned_term" -> "\\bslow\\b",
+    "brand_term" -> "\\bspark\\b")
+
+  val flags = Q("text_pattern_flags", Some("""
+    WITH f AS (
+      SELECT source,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text, '\bslow\b')) AS BIGINT) AS n_banned_term,
+        CAST(len(regexp_extract_all(text, '\bspark\b')) AS BIGINT) AS n_brand_term
+      FROM documents WHERE text IS NOT NULL)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_email > 0 OR n_banned_term > 0 OR n_brand_term > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(n_email) AS BIGINT) AS total_email,
+           CAST(sum(n_banned_term) AS BIGINT) AS total_banned_term,
+           CAST(sum(n_brand_term) AS BIGINT) AS total_brand_term
+    FROM f GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    graft.operators.TextOps.patternFlags(
+        Tables.documentsP(s, d).filter(col("text").isNotNull), "text", flagPatterns)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("flagged").cast("long")).as("n_flagged"),
+        sum("n_email").as("total_email"),
+        sum("n_banned_term").as("total_banned_term"),
+        sum("n_brand_term").as("total_brand_term"))
+      .orderBy("source"))
+
+  // --------------------------------------------- Quantile sketch
+  /** Distribution sketch by bottom-k hash sample: per group, the k rows
+    * with the smallest deterministic hash are a uniform random sample
+    * (order-invariant and mergeable — the same property KMV uses for
+    * distinct counts), and the sample's order statistics estimate the
+    * group's quantiles with O(1/√k) error. Bounded state: the sample
+    * is selected by the O(k)-state TopKKeysAgg (never a corpus-wide
+    * sort), measures are fetched by an equi-join on the sampled keys,
+    * and the final sort_array touches k values per group. The estimate
+    * is DETERMINISTIC (hash sample + fixed index convention), so the
+    * oracle replays it exactly — est_p* are sketch outputs, not exact
+    * percentiles; the exact-percentile operator is f10's histogram. */
+  private val qsK = 256
+  private val qsSeed = 4242L
+
+  val qsketch = Q("sketch_quantile_sample", Some(s"""
+    WITH h AS (
+      SELECT o_orderpriority AS pri, o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS m,
+             ${hrandSql("o_orderkey", qsSeed)} AS hr
+      FROM orders),
+    r AS (
+      SELECT pri, m,
+             row_number() OVER (PARTITION BY pri ORDER BY hr, o_orderkey) AS rn
+      FROM h),
+    s AS (
+      SELECT pri, list_sort(list(m)) AS sm FROM r WHERE rn <= $qsK GROUP BY pri),
+    c AS (
+      SELECT o_orderpriority AS pri, count(*) AS n_rows FROM orders GROUP BY 1)
+    SELECT c.pri AS o_orderpriority, c.n_rows,
+           CAST(len(sm) AS BIGINT) AS n_sample,
+           sm[GREATEST(1, CAST(ceil(0.50 * len(sm)) AS BIGINT))] AS est_p50,
+           sm[GREATEST(1, CAST(ceil(0.90 * len(sm)) AS BIGINT))] AS est_p90,
+           sm[GREATEST(1, CAST(ceil(0.99 * len(sm)) AS BIGINT))] AS est_p99
+    FROM c JOIN s ON c.pri = s.pri ORDER BY 1"""
+  ))((s, d) => {
+    val orders = Tables.orders(s, d)
+    val sample = udaf(new graft.functions.TopKKeysAgg(qsK),
+      org.apache.spark.sql.Encoders.product[graft.functions.TopKRow])
+    // bottom-k by hash == top-k by negated hash; hrand < 2^31 is exact
+    // in a double, so the ranking matches the oracle's (hr, key) ASC.
+    val keys = orders.groupBy(col("o_orderpriority").as("pri"))
+      .agg(sample(-hrand(col("o_orderkey"), qsSeed).cast("double"),
+        col("o_orderkey"), lit(0L)).as("ks"))
+      .select(col("pri"), explode(col("ks")).as("o_orderkey"))
+    val meas = keys.join(
+        orders.select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("m")),
+        Seq("pri", "o_orderkey"))
+      .groupBy("pri").agg(sort_array(collect_list(col("m"))).as("sm"))
+    def est(p: Double) = element_at(col("sm"),
+      greatest(lit(1L), ceil(lit(p) * size(col("sm")))).cast("int"))
+    orders.groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n_rows"))
+      .join(meas, "pri")
+      .select(col("pri").as("o_orderpriority"), col("n_rows"),
+        size(col("sm")).cast("long").as("n_sample"),
+        est(0.50).as("est_p50"), est(0.90).as("est_p90"), est(0.99).as("est_p99"))
+      .orderBy("o_orderpriority")
+  })
+
+  val all: Seq[Q] = Seq(pack, flags, qsketch)
+}

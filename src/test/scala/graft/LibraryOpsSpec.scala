@@ -775,4 +775,62 @@ class LibraryOpsSpec extends AnyFunSuite {
     val r = TextOps.fingerprint(d, "id", "body", n = 2).collect()(0)
     assert(r.getLong(1) == 3) // 4 tokens -> 3 bigrams
   }
+
+  test("TextOps.patternFlags counts per pattern and NULL text stays NULL") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail me at a.b@example.com or c@d.org now"),
+      (2L, "no sensitive content here"),
+      (3L, null: String)).toDF("id", "body")
+    val out = TextOps.patternFlags(d, "body", Seq(
+        "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "now_term" -> "\\bnow\\b"))
+      .select("id", "n_email", "n_now_term", "flagged")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(1L) == (Some(2L), Some(1L), Some(true)))
+    assert(out(2L) == (Some(0L), Some(0L), Some(false)))
+    assert(out(3L) == (None, None, None)) // three-valued logic rides through
+  }
+
+  test("Packing.packSequences reproduces the (bucket, id) global cumsum") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // 30 docs with token counts 1..30; layout must equal the serial
+    // cumsum over the hash-bucketed order regardless of partitioning.
+    val rows = (1L to 30L).map(i => (i, ("w " * i.toInt).trim))
+    val d = rows.toDF("id", "body").repartition(7)
+    val out = Packing.packSequences(d, "id", size(split(col("body"), " ")),
+        seqLen = 10L, numBuckets = 3, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val byId = out.map(t => t._1 -> t).toMap
+    // serial reference layout
+    val m = 2147483648L
+    def hrand(k: Long) = (((k % m + m) % m) * 1103515245L + 11L * 12345L + 104729L) % m
+    def bkt(k: Long) = hrand(k) * 3 / m
+    var off = 0L
+    for ((id, body) <- rows.sortBy { case (id, _) => (bkt(id), id) }) {
+      val n = body.split(" ").length.toLong
+      val (_, nTok, b, start, sf, sl) = byId(id)
+      assert(nTok == n && b == bkt(id) && start == off,
+        s"doc $id: got ($nTok,$b,$start) want ($n,${bkt(id)},$off)")
+      assert(sf == start / 10 && sl == (start + n - 1) / 10)
+      off += n
+    }
+    // boundary-crossing docs exist in this layout (counts up to 30 > 10)
+    assert(out.exists(t => t._6 > t._5))
+  }
+
+  test("Packing.packSequences: zero-length doc occupies no tokens") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val d = Seq((1L, 4L), (2L, 0L), (3L, 5L)).toDF("id", "n")
+    val out = Packing.packSequences(d, "id", col("n"),
+        seqLen = 100L, numBuckets = 1, seed = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(2L)._1 == 4L)            // starts right after doc 1
+    assert(out(2L)._2 == out(2L)._3)    // seq_last == seq_first
+    assert(out(3L)._1 == 4L)            // doc 2 consumed nothing
+  }
 }
