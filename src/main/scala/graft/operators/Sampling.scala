@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Deterministic
 
@@ -36,5 +36,50 @@ object Sampling {
     }
     df.withColumn("sample_rate", rate)
       .filter(Deterministic.hrand01(col(keyCol), seed) < col("sample_rate"))
+  }
+
+  /** Temperature-based mixture rates — the step that COMPUTES the rates
+    * [[stratifiedSample]] consumes, instead of taking them as given:
+    * domain weights w_d ∝ T_d^τ over per-domain token totals T_d
+    * (τ = 1 reproduces natural proportions, τ → 0 flattens toward
+    * uniform — the standard published re-balancing for multilingual /
+    * multi-domain pre-training mixtures), then per-domain Bernoulli
+    * rates that spend a token `budget` according to those weights,
+    * clipped at 1 (a domain too small for its share is taken whole —
+    * the remainder is NOT redistributed; iterate on the budget if
+    * spend-exactness matters).
+    *
+    * Shape: one aggregate to domain totals (domain-count rows), all
+    * mixture math on that tiny frame. Determinism: T_d^τ is rounded to
+    * 6 dp and the normalizer is its DECIMAL sum, so every double in
+    * the output derives from identical operands in any engine —
+    * accumulation order never reaches a float.
+    *
+    * Output: (strataCol, n_tokens, weight, rate, expected_tokens). */
+  def temperatureRates(df: DataFrame, strataCol: String, nTok: Column,
+      temperature: Double, budgetFrac: Double): DataFrame = {
+    require(temperature > 0.0 && temperature <= 1.0,
+      s"temperature in (0,1], got $temperature")
+    require(budgetFrac > 0.0 && budgetFrac <= 1.0,
+      s"budgetFrac in (0,1], got $budgetFrac")
+    val totals = df.groupBy(strataCol).agg(sum(nTok.cast("long")).as("n_tokens"))
+    // the cross-domain aggregates ride along via an unpartitioned
+    // window over the DOMAIN-COUNT frame (tiny by construction)
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    totals
+      .withColumn("pw", round(pow(col("n_tokens").cast("double"), temperature), 6))
+      .withColumn("norm",
+        sum(col("pw").cast(org.apache.spark.sql.types.DecimalType(28, 6))).over(w)
+          .cast("double"))
+      .withColumn("total", sum("n_tokens").over(w))
+      .withColumn("weight", col("pw") / col("norm"))
+      .withColumn("rate",
+        least(lit(1.0), lit(budgetFrac) * col("total") * col("weight") / col("n_tokens")))
+      .withColumn("expected_tokens",
+        round(col("rate") * col("n_tokens")).cast("long"))
+      .select(col(strataCol), col("n_tokens"),
+        round(col("weight"), 6).as("weight"), round(col("rate"), 6).as("rate"),
+        col("expected_tokens"))
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Deterministic
 
 /** Reusable text-analysis operators for corpus curation: token
   * counting, heuristic quality scoring, marker-based language ID and
@@ -163,6 +164,44 @@ object TextOps {
         .otherwise(lit(null).cast("string"))
     q.withColumn("drop_reason", reason)
       .withColumn("keep", col("drop_reason").isNull)
+  }
+
+  /** Unigram language-model surprisal per document — the CCNet-style
+    * LM quality score, with the corpus itself as the model: build the
+    * unigram distribution p(w) = count(w)/N over all docs, then score
+    * each doc by its mean token negative log-probability. Low scores =
+    * stereotypical text, high scores = rare-token-heavy text; both
+    * tails are the standard curation cut.
+    *
+    * Scale shape: the model build is ONE token-keyed aggregate
+    * (map-side combine reduces each partition to its distinct tokens
+    * before the shuffle — the classic vocab-build job), and scoring
+    * joins the exploded token stream to the vocab on the token key —
+    * an equi-join that lets Catalyst broadcast a small vocabulary or
+    * shuffle a 100 TB one, then re-groups by doc. Nothing corpus-sized
+    * ever converges on fewer keys than (token) or (doc).
+    *
+    * Determinism: p(w) is a ratio of exact integers, each token's
+    * −ln p is rounded to 6 dp, and the per-doc mean divides their
+    * DECIMAL sum — accumulation order never reaches a float, so the
+    * score is bit-stable across partitionings and engines.
+    *
+    * Output: (idCol, carry..., n_tok, logprob_score), one row per doc
+    * with non-NULL text. */
+  def unigramLogprob(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keys = (idCol +: carry).map(col)
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(keys :+ explode(split(col(textCol), " ")).as("tok"): _*)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val n = toks.select(count(lit(1)).as("n_total"))
+    toks.join(vocab, "tok").crossJoin(broadcast(n))
+      .withColumn("nll",
+        round(-log(col("cnt").cast("double") / col("n_total")), 6))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_tok"),
+        (Deterministic.stableSum(col("nll"), 6) / count(lit(1))).as("logprob_score"))
+      .withColumn("logprob_score", round(col("logprob_score"), 6))
   }
 
   /** Named-regex flagging battery: one `n_<name>` match-count column

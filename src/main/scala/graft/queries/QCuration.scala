@@ -145,5 +145,65 @@ object QCuration {
       .orderBy("o_orderpriority")
   })
 
-  val all: Seq[Q] = Seq(pack, flags, qsketch)
+  // -------------------------------------------- Temperature mixture
+  /** Temperature-based mixture construction (operators.Sampling
+    * .temperatureRates): computes the per-domain sampling rates that
+    * w9's stratified sampler consumes — w_d ∝ T_d^0.7 domain weights
+    * over token totals, a 30% token budget spent by weight, rates
+    * clipped at 1. All cross-domain math runs on the domain-count
+    * frame; the rounded-pow → DECIMAL-normalizer chain makes every
+    * output double derive from identical operands on both engines. */
+  private val mixTau = 0.7
+  private val mixBudget = 0.3
+
+  val mixrates = Q("mix_temperature_rates", Some(s"""
+    WITH t AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL GROUP BY 1),
+    p AS (
+      SELECT source, n_tokens,
+             round(pow(CAST(n_tokens AS DOUBLE), $mixTau), 6) AS pw
+      FROM t),
+    n AS (
+      SELECT CAST(SUM(CAST(pw AS DECIMAL(28,6))) AS DOUBLE) AS norm,
+             CAST(SUM(n_tokens) AS BIGINT) AS total
+      FROM p)
+    SELECT source, n_tokens,
+           round(pw / norm, 6) AS weight,
+           round(LEAST(1.0, $mixBudget * total * (pw / norm) / n_tokens), 6) AS rate,
+           CAST(round(LEAST(1.0, $mixBudget * total * (pw / norm) / n_tokens) * n_tokens)
+                AS BIGINT) AS expected_tokens
+    FROM p, n ORDER BY source"""
+  ))((s, d) =>
+    graft.operators.Sampling.temperatureRates(
+        Tables.documentsP(s, d).filter(col("text").isNotNull),
+        "source", size(split(col("text"), " ")),
+        temperature = mixTau, budgetFrac = mixBudget)
+      .orderBy("source"))
+
+  // ------------------------------------------------ Unigram surprisal
+  /** Unigram-LM surprisal scoring (operators.TextOps.unigramLogprob):
+    * the corpus is its own language model; each doc's score is the
+    * mean −ln p(token). The vocab build and the scoring join are both
+    * token-keyed equi-shuffles; the per-doc mean rides the rounded
+    * DECIMAL sum, so scores are bit-stable across partitionings. */
+  val unigram = Q("text_unigram_logprob", Some("""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+    v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_total FROM toks),
+    s AS (
+      SELECT doc_id, round(-ln(CAST(cnt AS DOUBLE) / n_total), 6) AS nll
+      FROM toks JOIN v USING (tok) CROSS JOIN n)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           round(CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             AS logprob_score
+    FROM s GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    graft.operators.TextOps.unigramLogprob(
+        Tables.documentsP(s, d), "doc_id", "text")
+      .orderBy("doc_id"))
+
+  val all: Seq[Q] = Seq(pack, flags, qsketch, mixrates, unigram)
 }

@@ -822,6 +822,36 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(out.exists(t => t._6 > t._5))
   }
 
+  test("Sampling.temperatureRates: tau=1 is natural proportions; lower tau flattens") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = Seq(("a", 300L), ("b", 100L)).toDF("dom", "nt")
+    val nat = Sampling.temperatureRates(d, "dom", col("nt"),
+        temperature = 1.0, budgetFrac = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(nat("a") == (0.75, 0.5) && nat("b") == (0.25, 0.5)) // exact at tau=1
+    val flat = Sampling.temperatureRates(d, "dom", col("nt"),
+        temperature = 0.5, budgetFrac = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(flat("a")._1 < 0.75 && flat("a")._1 > 0.5)  // flattened toward uniform
+    assert(flat("b")._2 > nat("b")._2)                 // small domain upweighted
+    val clip = Sampling.temperatureRates(d, "dom", col("nt"),
+        temperature = 0.1, budgetFrac = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(clip("b") == 1.0)                           // rate clips at 1
+  }
+
+  test("TextOps.unigramLogprob matches the hand-computed corpus model") {
+    import spark.implicits._
+    val d = Seq((1L, "a a"), (2L, "a b"), (3L, null: String)).toDF("id", "body")
+    val out = TextOps.unigramLogprob(d, "id", "body")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // tokens: a x3, b x1, N=4; -ln(.75)->0.287682, -ln(.25)->1.386294
+    assert(out(1L) == (2L, 0.287682))
+    assert(out(2L) == (2L, (0.287682 + 1.386294) / 2)) // = 0.836988 exactly at 6dp
+    assert(!out.contains(3L)) // NULL text is excluded, not scored
+  }
+
   test("Packing.packSequences: zero-length doc occupies no tokens") {
     import spark.implicits._
     import graft.operators.Packing

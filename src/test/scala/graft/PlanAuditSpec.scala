@@ -33,7 +33,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_cosine_topk",          // brute-force baseline, 8 broadcast queries
       "text_bm25_rank",           // 1-row corpus-stats broadcast cross
       "sim_kmeans_cells",         // 1-row centroid-array broadcast cross (per iteration)
-      "sketch_kmv_overlap")       // three 1-row sketch crosses
+      "sketch_kmv_overlap",       // three 1-row sketch crosses
+      "text_unigram_logprob")     // 1-row corpus-total broadcast cross
     val offenders = Q.registry
       .filterNot(_.name.startsWith("stream_"))
       .flatMap { q =>
