@@ -63,5 +63,27 @@ object QStream {
     GROUP BY 1 ORDER BY 1"""
   ))((s, d) => StreamOps.streamingDedup(s, d))
 
-  val all: Seq[Q] = Seq(wm, sess, ij, dedup)
+  /** LEFT-OUTER stream-stream interval join: the response-count
+    * distribution over purchase triggers INCLUDING the zero bucket —
+    * the null-padded rows only the watermark can emit. The oracle
+    * replays the batch LEFT JOIN under the same closed-window guard
+    * the streaming roll-up applies (see StreamOps.intervalJoinOuter). */
+  val ijo = Q("stream_interval_join_outer", Some("""
+    WITH e AS (SELECT *, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t FROM events),
+    m AS (SELECT LEAST(
+            (SELECT max(t) FROM e WHERE event_type = 'purchase'),
+            (SELECT max(t) FROM e WHERE event_type = 'click')) AS mx),
+    trg AS (SELECT event_id AS trig_id, user_id, t AS trig_t FROM e
+            WHERE event_type = 'purchase'),
+    ser AS (SELECT user_id, t AS obs_t FROM e WHERE event_type = 'click'),
+    closed AS (SELECT trig_id, user_id, trig_t FROM trg, m
+               WHERE trig_t + 301 <= mx - 3602),
+    j AS (SELECT c.trig_id, CAST(count(s.obs_t) AS BIGINT) AS n_obs
+          FROM closed c LEFT JOIN ser s ON s.user_id = c.user_id
+            AND s.obs_t >= c.trig_t - 600 AND s.obs_t <= c.trig_t + 300
+          GROUP BY 1)
+    SELECT n_obs, count(*) AS n_trigs FROM j GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => StreamOps.intervalJoinOuter(s, d))
+
+  val all: Seq[Q] = Seq(wm, sess, ij, dedup, ijo)
 }

@@ -193,6 +193,69 @@ object StreamOps {
     joined
   }
 
+  /** LEFT-OUTER stream-stream interval join: every purchase trigger,
+    * WITH its click observations when they exist and as a NULL-padded
+    * row once the watermark proves none can arrive — the streaming
+    * semantic the inner join cannot express (a "no response within the
+    * window" attribution row requires the watermark to CLOSE the
+    * window first). Unmatched triggers emit in the watermark-advance
+    * batch, so this replay keeps the flush batch the inner join skips.
+    *
+    * Bounded-replay determinism: triggers whose join window is still
+    * OPEN at end of stream never get their null row — exactly as live
+    * operation would hold them — so the post-sink roll-up keeps only
+    * triggers whose window closed strictly inside the final watermark,
+    * and the oracle applies the identical closed-window filter to the
+    * batch LEFT JOIN. The final watermark base is the MIN of the two
+    * sides' per-column maxima (each withWatermark node tracks its own
+    * column; the query watermark is their minimum), i.e.
+    * least(max purchase ts, max click ts), NOT the overall max event
+    * time — with a 2 s guard swallowing the ms-truncation of Spark's
+    * watermark arithmetic vs the oracle's whole-second offsets.
+    *
+    * Output: (n_obs, n_trigs) — the distribution of per-trigger
+    * response counts including the zero bucket. */
+  def intervalJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val res = runToMemory(spark, intervalJoinOuterPlan(eventsStream(spark, sfDir)),
+      "graft_stream_ijo", OutputMode.Append())
+    val mx = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy("event_type")
+      .agg(max((unix_micros(col("ts")) / lit(1000000L)).cast("long")).as("m"))
+      .agg(min(col("m")).as("mx"))
+    res.crossJoin(broadcast(mx))
+      .filter(col("trig_t") + 301 <= col("mx") - 3602)
+      .groupBy("trig_id")
+      .agg(sum(when(col("obs_t").isNotNull, 1L).otherwise(0L)).as("n_obs"))
+      .groupBy("n_obs").agg(count(lit(1)).as("n_trigs"))
+      .orderBy("n_obs")
+  }
+
+  /** The streaming side of [[intervalJoinOuter]] (pre-sink): the same
+    * watermarked time-range condition as [[intervalJoinPlan]], joined
+    * left-outer from the trigger side. */
+  def intervalJoinOuterPlan(ev: DataFrame): DataFrame = {
+    def secs(c: org.apache.spark.sql.Column) =
+      (unix_micros(c) / lit(1000000L)).cast("long")
+    val trg = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("trig_id"), col("user_id").as("t_user"),
+        col("ts").as("trig_ts"))
+      .withColumn("trig_t", secs(col("trig_ts")))
+      .withWatermark("trig_ts", "1 hour")
+    val ser = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("s_user"), col("ts").as("obs_ts"))
+      .withColumn("obs_t", secs(col("obs_ts")))
+      .withWatermark("obs_ts", "1 hour")
+    trg.join(ser,
+      col("s_user") === col("t_user") &&
+        col("obs_ts") >= col("trig_ts") - expr("INTERVAL 601 SECONDS") &&
+        col("obs_ts") <= col("trig_ts") + expr("INTERVAL 301 SECONDS") &&
+        col("obs_t") >= col("trig_t") - 600 &&
+        col("obs_t") <= col("trig_t") + 300,
+      "left_outer")
+      .select(col("trig_id"), col("trig_t"), col("obs_t"))
+  }
+
   /** Streaming exact dedup — the streaming twin of the batch
     * `Dedup.exactSummary` first-occurrence semantics: emit each
     * (event_type, user_id) key once via `dropDuplicatesWithinWatermark`,

@@ -160,4 +160,42 @@ class StreamSpec extends AnyFunSuite {
     assert(multi == Map("click" -> 2L, "buy" -> 1L), s"got $multi")
     assert(single == multi)
   }
+
+  test("outer interval join: null row emits only once the watermark closes the window") {
+    import spark.implicits._
+    def rows(b: Seq[(Long, Long, String, Long)]) = b.toDF(
+        "event_id", "user_id", "event_type", "t")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(t * 1000000)").as("ts"))
+    val dir = Files.createTempDirectory("graft_streamspec_ijo")
+    val far = t0 + 10000L
+    val b0 = Seq(
+      (100L, 1L, "purchase", t0),        // matched by click 101 — emits in-batch
+      (101L, 1L, "click", t0 + 100),
+      (102L, 2L, "purchase", t0 + 50))   // never matched — needs the watermark
+    val b1 = Seq(                        // far future: advances BOTH sides' maxima
+      (110L, 8L, "purchase", far),       // (the query watermark is their MIN), so
+      (111L, 9L, "click", far + 10))     // 102's window closes; 110 stays open
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      val f = dir.resolve(s"b$i.parquet")
+      rows(b).coalesce(1).write.mode("overwrite").parquet(f.toString)
+      Files.walk(f).forEach(p => p.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(dir.resolve("b0.parquet").toString).schema
+    def run(opts: Map[String, String], name: String) = {
+      val ev = opts.foldLeft(spark.readStream.schema(schema)) {
+        case (r, (k, v)) => r.option(k, v)
+      }.parquet(dir.toString + "/*")
+      StreamOps.runToMemory(spark, StreamOps.intervalJoinOuterPlan(ev),
+          name, OutputMode.Append())
+        .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSet
+    }
+    val multi = run(Map("maxFilesPerTrigger" -> "1"), "t_ijo_multi")
+    val single = run(Map.empty, "t_ijo_single")
+    val expected = Set(
+      (100L, Some(t0 + 100)),  // matched — emitted on arrival
+      (102L, None))            // null-padded by the watermark batch; 110 withheld
+    assert(multi == expected, s"multi-batch outer join diverged: $multi")
+    assert(single == expected, s"single-batch outer join diverged: $single")
+  }
 }
