@@ -5,14 +5,20 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated name prefixes — dev-loop filter
+    // (the driver always passes exactly 2 args → full run)
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-verify"),
       cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       // CacheScope: operator-internal persists are unpersisted after the
       // write action completes — no cache accumulation across 86 queries.
       try graft.operators.CacheScope.withScope {

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.operators.{Dedup, Incremental, Layout, Sessionize, Sketches}
+
+/** Scale-infrastructure operators: the constructions that keep a
+  * 100 TB pipeline affordable — batch sessionization (one-shuffle
+  * gaps-and-islands), count–min frequency sketching (constant-size
+  * shuffle), Z-order write layout (file-skipping bounding boxes),
+  * rolling event-time range windows (burst detection), and
+  * incremental snapshot+delta aggregate maintenance (merge instead of
+  * recompute).
+  */
+object QScale {
+
+  // ------------------------------------------- batch sessionization
+  /** Gaps-and-islands sessionization of the event log (30-min gap) —
+    * operators.Sessionize, the batch twin of stream_sessionize_state:
+    * same session labels, plus the DECIMAL-stable per-session value
+    * roll-up. ONE shuffle on user_id (both windows and the final
+    * aggregation share the clustering). */
+  val sessBatch = Q("sess_batch_islands", Some("""
+    WITH e AS (SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t, value FROM events),
+    o AS (SELECT user_id, t, value,
+                 CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+    g AS (SELECT user_id, t, value,
+                 CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+          FROM o)
+    SELECT user_id, session_id, min(t) AS session_start, max(t) AS session_end,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
+  ))((s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("long").as("t"), col("value"))
+    Sessionize.summarize(e, "user_id", "t", gapSeconds = 1800L,
+        extraAggs = Seq(
+          sum(col("value").cast(DecimalType(28, 6))).cast("double").as("sum_value")))
+      .orderBy("user_id", "session_id")
+  })
+
+  // ------------------------------------------------ count-min sketch
+  /** Token-frequency estimation by count–min sketch
+    * (operators.Sketches): depth 4 × width 16 counters over the corpus
+    * token stream, probed with the 20 most frequent tokens. The tiny
+    * width is deliberate — the ~31-token vocabulary collides in 16
+    * buckets, so the report shows real over-counts and the min-over-
+    * rows recovery, not a trivially exact table. The sketch build's
+    * shuffle is ≤ depth·width cells per task regardless of corpus
+    * size — the 100 TB story. Estimates are deterministic (counter
+    * sums are merge-order-independent), so the oracle replays them
+    * exactly. */
+  private val cmsDepth = 4
+  private val cmsWidth = 16
+  private val cmsProbes = 20
+
+  val cms = Q("sketch_cms_tokens", Some {
+    val h8 = "(" + (1 to 8).map(k =>
+      s"(strpos('0123456789abcdef', md5(tok)[$k]) - 1) * ${1L << (4 * (8 - k))}")
+      .mkString(" + ") + s") % ${Dedup.mixM}"
+    def bucketSql(r: Int) =
+      s"((h1 * ${Dedup.mixA(r)} + ${Dedup.mixB(r)}) % ${Dedup.mixM}) % $cmsWidth"
+    val cmsCte = (0 until cmsDepth).map(r =>
+      s"SELECT $r AS cms_row, ${bucketSql(r)} AS cms_bucket, count(*) AS cnt " +
+        "FROM hx GROUP BY 2").mkString(" UNION ALL ")
+    val probeCells = (0 until cmsDepth).map(r =>
+      s"SELECT tok, n_exact, $r AS cms_row, ${bucketSql(r)} AS cms_bucket FROM ph")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents WHERE text IS NOT NULL),
+    hx AS (SELECT tok, $h8 AS h1 FROM toks),
+    cms AS ($cmsCte),
+    exact AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY 1),
+    probes AS (SELECT tok, n_exact FROM exact
+               QUALIFY row_number() OVER (ORDER BY n_exact DESC, tok) <= $cmsProbes),
+    ph AS (SELECT tok, n_exact, $h8 AS h1 FROM probes),
+    pc AS ($probeCells),
+    est AS (SELECT p.tok, p.n_exact, min(c.cnt) AS n_est
+            FROM pc p JOIN cms c ON p.cms_row = c.cms_row AND p.cms_bucket = c.cms_bucket
+            GROUP BY 1, 2)
+    SELECT tok, n_exact, n_est, n_est - n_exact AS overcount
+    FROM est ORDER BY tok"""
+  })((s, d) => {
+    val toks = Tables.documentsP(s, d).filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = Sketches.countMin(toks, "tok", cmsDepth, cmsWidth)
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    // vocab-sized frame: the global rank window runs over ~31 rows
+    val probes = exact
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n_exact").desc, col("tok"))))
+      .filter(col("rk") <= cmsProbes).drop("rk")
+    Sketches.estimate(sketch, probes, "tok", cmsDepth, cmsWidth)
+      .select(col("tok"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy("tok")
+  })
+
+  // --------------------------------------------------- z-order layout
+  /** Z-order write-layout diagnostic (operators.Layout): Morton key
+    * over (user bucket, hour-of-stream bucket), keyspace split into 16
+    * file-sized z-ranges, each chunk's row count + (x, y) bounding box
+    * reported. Tight boxes are what turn parquet min/max footers into
+    * file skipping on BOTH filter dimensions at 100 TB. Pure integer
+    * arithmetic — identical on both engines. */
+  private val zBits = 8
+  private val zChunks = 16
+
+  val zorder = Q("layout_zorder_box", Some(s"""
+    WITH e AS (SELECT user_id % 256 AS x,
+                      ((epoch_us(ts) // 1000000) // 3600) % 256 AS y
+               FROM events),
+    z AS (SELECT x, y, ${Layout.zorder2Sql("x", "y", zBits)} AS zkey FROM e)
+    SELECT zkey // ${(1L << (2 * zBits)) / zChunks} AS chunk, count(*) AS n,
+           min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+    FROM z GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val e = Tables.events(s, d).selectExpr(
+      "user_id % 256 AS x",
+      "(cast(ts AS long) div 3600) % 256 AS y")
+    Layout.zorderBoxes(e, col("x"), col("y"), zBits, zChunks)
+      .orderBy("chunk")
+  })
+
+  // ------------------------------------------- rolling range window
+  /** Per-user burst detection: event-time rolling 1-hour window
+    * (RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) over the event
+    * log, rolled up to each user's peak 1-hour rate and peak 1-hour
+    * DECIMAL-stable value sum. The range frame is tie-safe (all rows
+    * at the same timestamp share a frame) and the window shares the
+    * user_id clustering with the final roll-up — one shuffle. */
+  val rolling = Q("w10_rolling_range", Some("""
+    WITH e AS (SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t, value FROM events),
+    r AS (SELECT user_id, t,
+                 count(*) OVER w AS n_1h,
+                 SUM(CAST(value AS DECIMAL(28,6))) OVER w AS s_1h
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t
+                              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+    SELECT user_id, count(*) AS n_events,
+           max(n_1h) AS peak_1h_n,
+           CAST(max(s_1h) AS DOUBLE) AS peak_1h_sum
+    FROM r GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("long").as("t"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("t").rangeBetween(-3600L, 0L)
+    e.withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("s_1h", sum(col("value").cast(DecimalType(28, 6))).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("n_1h")).as("peak_1h_n"),
+        max(col("s_1h")).cast("double").as("peak_1h_sum"))
+      .orderBy("user_id")
+  })
+
+  // ------------------------------------------- incremental merge
+  /** Incremental aggregate maintenance (operators.Incremental): the
+    * event log split into a "snapshot" half and a "delta" half
+    * (event_id parity), each reduced to per-(user, type) partials
+    * (count + DECIMAL sum), then merged with the full-outer coalesce
+    * merge. The oracle computes the DIRECT one-pass aggregate — the
+    * hash match IS the proof that merge == recompute exactly (decimal
+    * sufficient statistics are associative), which is the contract
+    * that lets a 100 TB pipeline aggregate only the day's delta. */
+  val incMerge = Q("inc_merge_rollup", Some("""
+    SELECT event_type, count(DISTINCT user_id) AS n_keys, count(*) AS total_n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      col("event_id"), col("value").cast(DecimalType(28, 6)).as("v"))
+    def partials(f: org.apache.spark.sql.DataFrame) =
+      f.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val snap = partials(e.filter(col("event_id") % 2 === 0))
+    val delta = partials(e.filter(col("event_id") % 2 === 1))
+    Incremental.mergeAggregates(snap, delta, Seq("user_id", "event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).as("total_n"),
+        sum(col("s")).cast("double").as("total_value"))
+      .orderBy("event_type")
+  })
+
+  val all: Seq[Q] = Seq(sessBatch, cms, zorder, rolling, incMerge)
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Incremental, Layout, Sessionize, Sketches}
+
+/** Unit coverage for the scale-infrastructure operators (QScale
+  * registry family): sessionization boundaries, count-min guarantees,
+  * Morton-key bit layout, incremental-merge == recompute.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+
+  test("Sessionize.label splits on gap, keeps ties together, is 0-based per key") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 1000L), (1L, 1000L), (1L, 2000L),  // ties + in-gap step
+      (1L, 4001L),                            // 2001s silence -> new session
+      (2L, 50L)                               // second key restarts at 0
+    ).toDF("k", "t")
+    val out = Sessionize.label(e, "k", "t", gapSeconds = 2000L)
+      .select("k", "t", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1000L, 0L), (1L, 2000L, 0L), (1L, 4001L, 1L), (2L, 50L, 0L)))
+  }
+
+  test("Sessionize.summarize aggregates per session") {
+    import spark.implicits._
+    val e = Seq((1L, 10L, 2.0), (1L, 20L, 3.0), (1L, 5000L, 5.0)).toDF("k", "t", "v")
+    val rows = Sessionize.summarize(e, "k", "t", 1800L,
+        Seq(sum("v").as("sv"))).orderBy("session_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("session_start") == 10L)
+    assert(rows(0).getAs[Long]("session_end") == 20L)
+    assert(rows(0).getAs[Long]("n_events") == 2L)
+    assert(rows(0).getAs[Double]("sv") == 5.0)
+  }
+
+  test("Sketches.countMin never under-estimates and is exact at ample width") {
+    import spark.implicits._
+    val items = (1 to 200).map(i => s"k${i % 13}").toDF("key")
+    val exact = items.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (width <- Seq(4, 1024)) {
+      val cms = Sketches.countMin(items, "key", depth = 4, width = width)
+      val probes = items.distinct()
+      val est = Sketches.estimate(cms, probes, "key", 4, width).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (k, n) =>
+        assert(est(k) >= n, s"width=$width under-estimated $k")
+      }
+      if (width == 1024) assert(est == exact) // no collisions at 13 keys / 1024 buckets
+    }
+  }
+
+  test("Layout.zorder2 interleaves bits (x=3,y=5 -> 39) and SQL form agrees") {
+    import spark.implicits._
+    val df = Seq((3L, 5L), (0L, 0L), (7L, 7L), (255L, 0L)).toDF("x", "y")
+    val got = df.select(Layout.zorder2(col("x"), col("y"), 8).as("z"),
+        expr(Layout.zorder2Sql("x", "y", 8).replace("//", "div")).as("zsql"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall(p => p._1 == p._2))
+    assert(got(0)._1 == 39L)   // x=011 y=101 -> 100111
+    assert(got(1)._1 == 0L)
+    assert(got(2)._1 == 63L)   // full low 6 bits
+    assert(got(3)._1 == 0x5555L) // x bits land on even positions
+  }
+
+  test("Layout.zorderBoxes chunks tile the keyspace with bounded boxes") {
+    import spark.implicits._
+    val pts = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val boxes = Layout.zorderBoxes(pts.toDF("x", "y"), col("x"), col("y"),
+        bits = 6, chunks = 4).collect()
+    assert(boxes.length == 4)
+    assert(boxes.map(_.getAs[Long]("n")).sum == 64L * 64L)
+    // 4 chunks of a 6-bit Morton square are exactly its 32x32 quadrants
+    boxes.foreach { b =>
+      assert(b.getAs[Long]("x_max") - b.getAs[Long]("x_min") == 31L)
+      assert(b.getAs[Long]("y_max") - b.getAs[Long]("y_min") == 31L)
+    }
+  }
+
+  test("Incremental.mergeAggregates == direct recompute, incl. one-sided keys") {
+    import spark.implicits._
+    val rows = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (3L, 9L), (4L, 1L))
+      .toDF("k", "v")
+    def partials(f: org.apache.spark.sql.DataFrame) =
+      f.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    // split leaves k=2 snapshot-only and k=4 delta-only
+    val merged = Incremental.mergeAggregates(
+      partials(rows.filter(col("v") % 2 === 0)),
+      partials(rows.filter(col("v") % 2 === 1)),
+      Seq("k"))
+    val direct = partials(rows)
+    assert(merged.orderBy("k").collect().toSeq ==
+      direct.orderBy("k").collect().toSeq)
+  }
+
+  test("Incremental.mergeAggregates rejects schema mismatch") {
+    import spark.implicits._
+    val a = Seq((1L, 2L)).toDF("k", "n")
+    val b = Seq((1L, 2L)).toDF("k", "m")
+    assertThrows[IllegalArgumentException] {
+      Incremental.mergeAggregates(a, b, Seq("k"))
+    }
+  }
+}
