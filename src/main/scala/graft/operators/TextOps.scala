@@ -378,4 +378,14 @@ object TextOps {
       .filter(col("ms").isNotNull)
       .select(col(idCol), col("n_shingles"),
         array_min(col("ms.shs")).as("fingerprint"))
+
+  /** Canonical text normalization — the pre-dedup cleanup pass: lower-
+    * case, collapse whitespace runs to single spaces, trim. Row-local
+    * projection (adds `norm_text`); run it BEFORE exact/near dedup so
+    * cosmetic variants (case, spacing) collapse into one canonical
+    * form. The regex stays in the Java∩RE2 subset so external engines
+    * replay it byte-for-byte on ASCII corpora. */
+  def normalize(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("norm_text",
+      trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
 }

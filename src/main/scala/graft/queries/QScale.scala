@@ -189,5 +189,32 @@ object QScale {
       .orderBy("event_type")
   })
 
-  val all: Seq[Q] = Seq(sessBatch, cms, zorder, rolling, incMerge)
+  // --------------------------------------------- key-skew diagnostic
+  /** Key-skew planning report (operators.Diagnostics.keySkew) over
+    * three join/aggregation keyspaces: the statistics that decide
+    * whether a shuffle needs salting (operators.SkewJoin) or AQE skew
+    * splitting, and how wide to make it — computed as O(distinct-keys)
+    * aggregations, never a straggler discovered mid-job. */
+  private def skewSql(tbl: String, key: String, label: String) = s"""
+    SELECT '$label' AS keyspace, count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt,
+           round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS avg_cnt,
+           round(max(cnt) * CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS skew_ratio,
+           round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_share
+    FROM (SELECT $key, count(*) AS cnt FROM $tbl GROUP BY 1)"""
+
+  val keySkew = Q("diag_key_skew", Some(
+    Seq(skewSql("events", "user_id", "events.user_id"),
+      skewSql("lineitem", "l_partkey", "lineitem.l_partkey"),
+      skewSql("orders", "o_custkey", "orders.o_custkey"))
+      .mkString("", " UNION ALL ", " ORDER BY keyspace")
+  ))((s, d) =>
+    Seq(
+      graft.operators.Diagnostics.keySkew(Tables.events(s, d), "user_id", "events.user_id"),
+      graft.operators.Diagnostics.keySkew(Tables.lineitem(s, d), "l_partkey", "lineitem.l_partkey"),
+      graft.operators.Diagnostics.keySkew(Tables.orders(s, d), "o_custkey", "orders.o_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy("keyspace"))
+
+  val all: Seq[Q] = Seq(sessBatch, cms, zorder, rolling, incMerge, keySkew)
 }

@@ -312,6 +312,33 @@ object QText {
     TextOps.vocabStats(Tables.documentsP(s, d), "source", "text")
       .orderBy("source"))
 
+  // -------------------------------------------------- normalization
+  /** Canonical text normalization (operators.TextOps.normalize) as a
+    * per-source audit: how many docs change under lowercase+whitespace
+    * canonicalization, and how many additional exact-dup collapses the
+    * normalization buys (distinct raw vs distinct normalized) — the
+    * standard pre-dedup cleanup decision report. Row-local projection
+    * + one aggregation. */
+  val normalizeAudit = Q("text_normalize", Some("""
+    WITH n AS (SELECT source, text,
+                      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+               FROM documents WHERE text IS NOT NULL)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN nt <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           count(DISTINCT text) AS n_distinct_raw,
+           count(DISTINCT nt) AS n_distinct_norm,
+           count(DISTINCT text) - count(DISTINCT nt) AS dedup_gain
+    FROM n GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    TextOps.normalize(Tables.documentsP(s, d).filter(col("text").isNotNull), "text")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("norm_text") =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+        countDistinct(col("text")).as("n_distinct_raw"),
+        countDistinct(col("norm_text")).as("n_distinct_norm"))
+      .withColumn("dedup_gain", col("n_distinct_raw") - col("n_distinct_norm"))
+      .orderBy("source"))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25, qualityGate,
-    decontaminate, repetition, lengthOutliers, vocab)
+    decontaminate, repetition, lengthOutliers, vocab, normalizeAudit)
 }

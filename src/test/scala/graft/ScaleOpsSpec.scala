@@ -97,6 +97,27 @@ class ScaleOpsSpec extends AnyFunSuite {
       direct.orderBy("k").collect().toSeq)
   }
 
+  test("Diagnostics.keySkew reports uniform vs skewed keyspaces") {
+    import spark.implicits._
+    val uniform = (1 to 100).map(i => i % 10).toDF("k")
+    val skewed = ((1 to 91).map(_ => 0) ++ (1 to 9)).toDF("k")
+    val u = operators.Diagnostics.keySkew(uniform, "k", "u").collect()(0)
+    assert(u.getAs[Long]("n_keys") == 10L && u.getAs[Double]("skew_ratio") == 1.0)
+    val s = operators.Diagnostics.keySkew(skewed, "k", "s").collect()(0)
+    assert(s.getAs[Long]("max_cnt") == 91L)
+    assert(s.getAs[Double]("top_share") == 0.91)
+    assert(s.getAs[Double]("skew_ratio") == 9.1) // 91 / (100/10 keys)
+  }
+
+  test("TextOps.normalize canonicalizes case and whitespace") {
+    import spark.implicits._
+    val d = Seq("  Hello   WORLD ", "already clean", "tabs\t\tand\nnewlines")
+      .toDF("text")
+    val out = operators.TextOps.normalize(d, "text")
+      .select("norm_text").collect().map(_.getString(0)).toSet
+    assert(out == Set("hello world", "already clean", "tabs and newlines"))
+  }
+
   test("Incremental.mergeAggregates rejects schema mismatch") {
     import spark.implicits._
     val a = Seq((1L, 2L)).toDF("k", "n")
