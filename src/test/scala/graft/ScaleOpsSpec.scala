@@ -126,4 +126,26 @@ class ScaleOpsSpec extends AnyFunSuite {
       Incremental.mergeAggregates(a, b, Seq("k"))
     }
   }
+
+  test("scale operators return empty (not crash) on empty input") {
+    import spark.implicits._
+    val noEvents = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
+    val noKeys = Seq.empty[(String, Long)].toDF("key", "x")
+    assert(Sessionize.label(noEvents, "k", "t", 1800L).count() == 0)
+    assert(Sessionize.summarize(noEvents, "k", "t", 1800L).count() == 0)
+    assert(Sketches.countMin(noKeys, "key", 4, 16).count() == 0)
+    assert(Sketches.estimate(
+      Sketches.countMin(noKeys, "key", 4, 16), noKeys, "key", 4, 16).count() == 0)
+    assert(Layout.zorderBoxes(noEvents.selectExpr("k AS x", "t AS y"),
+      col("x"), col("y"), 8, 16).count() == 0)
+    assert(Incremental.mergeAggregates(
+      noKeys.groupBy("key").agg(count(lit(1)).as("n")),
+      noKeys.groupBy("key").agg(count(lit(1)).as("n")),
+      Seq("key")).count() == 0)
+    // keySkew on an empty frame: one row of zero counts with NULL-free
+    // label, not a crash (n_rows 0 makes the ratios NULL — acceptable
+    // for a diagnostic, asserted so the contract is pinned)
+    val diag = operators.Diagnostics.keySkew(noKeys, "key", "empty").collect()
+    assert(diag.length == 1 && diag(0).getAs[Long]("n_keys") == 0L)
+  }
 }
