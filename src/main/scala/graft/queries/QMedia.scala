@@ -300,42 +300,50 @@ object QMedia {
     bb.array()
   }
 
-  /** REAL WAV decode — no codec library, but a genuine parser: verifies
+  /** REAL WAV parse — no codec library, but a genuine parser: verifies
     * the RIFF/WAVE magics, walks the chunk list (skipping unknown chunks
     * by their declared size), reads the fmt block (PCM, mono, 8-bit
-    * enforced) and extracts the `data` PCM samples. Amplitude features
-    * use the 8-bit PCM convention (unsigned, bias 128). Batched per
+    * enforced) and extracts the `data` PCM samples. Shared by the
+    * clip-level (decodeWav) and frame-level (frameEnergies) feature
+    * extractors. */
+  private def parseWav(docId: Long, payload: Array[Byte]): (Int, Array[Byte]) = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"doc $docId: not a RIFF file")
+    val riffLen = bb.getInt
+    require(riffLen == payload.length - 8, s"doc $docId: truncated RIFF")
+    require(fourcc() == "WAVE", s"doc $docId: not WAVE")
+    var rate = -1
+    var samples: Array[Byte] = null
+    while (samples == null || rate < 0) {
+      val id = fourcc()
+      val len = bb.getInt
+      id match {
+        case "fmt " =>
+          val fmt = bb.getShort; val ch = bb.getShort
+          rate = bb.getInt; bb.getInt; bb.getShort
+          val bits = bb.getShort
+          require(fmt == 1 && ch == 1 && bits == 8,
+            s"doc $docId: unsupported WAV layout fmt=$fmt ch=$ch bits=$bits")
+          bb.position(bb.position() + len - 16)
+        case "data" =>
+          samples = new Array[Byte](len); bb.get(samples)
+        case _ => // unknown chunk: skip by declared size (+pad to even)
+          bb.position(bb.position() + len + (len & 1))
+      }
+    }
+    (rate, samples)
+  }
+
+  /** Clip-level amplitude features off the parsed PCM. Amplitude uses
+    * the 8-bit PCM convention (unsigned, bias 128). Batched per
     * partition like the stub paths. */
   private def decodeWav(rows: Iterator[WavRow]): Iterator[WavFeatures] =
     rows.map { r =>
-      val bb = java.nio.ByteBuffer.wrap(r.payload)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      def fourcc(): String = {
-        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
-      }
-      require(fourcc() == "RIFF", s"doc ${r.doc_id}: not a RIFF file")
-      val riffLen = bb.getInt
-      require(riffLen == r.payload.length - 8, s"doc ${r.doc_id}: truncated RIFF")
-      require(fourcc() == "WAVE", s"doc ${r.doc_id}: not WAVE")
-      var rate = -1
-      var samples: Array[Byte] = null
-      while (samples == null || rate < 0) {
-        val id = fourcc()
-        val len = bb.getInt
-        id match {
-          case "fmt " =>
-            val fmt = bb.getShort; val ch = bb.getShort
-            rate = bb.getInt; bb.getInt; bb.getShort
-            val bits = bb.getShort
-            require(fmt == 1 && ch == 1 && bits == 8,
-              s"doc ${r.doc_id}: unsupported WAV layout fmt=$fmt ch=$ch bits=$bits")
-            bb.position(bb.position() + len - 16)
-          case "data" =>
-            samples = new Array[Byte](len); bb.get(samples)
-          case _ => // unknown chunk: skip by declared size (+pad to even)
-            bb.position(bb.position() + len + (len & 1))
-        }
-      }
+      val (rate, samples) = parseWav(r.doc_id, r.payload)
       var s = 0L; var sq = 0L; var pk = 0L
       var i = 0
       while (i < samples.length) {
@@ -402,5 +410,90 @@ object QMedia {
       .orderBy("sample_rate")
   })
 
-  val all: Seq[Q] = Seq(decode, frames, resize, wav)
+  // --------------------------------- REAL codec: WAV frame features
+  final case class WavFrameFeatures(doc_id: Long, sample_rate: Long,
+      n_frames: Long, peak_energy: Long, peak_frame: Long, n_active: Long)
+
+  private val wavFrameLen = 64
+  private val wavActiveMeanSq = 2000L
+
+  /** Frame-level energy extraction off the parsed PCM: fixed
+    * 64-sample frames, per-frame integer energy Σa², the clip's peak
+    * frame (first index on ties — deterministic), and the count of
+    * "active" frames (mean-square ≥ 2000 — the voice-activity-style
+    * gate, kept integer as e ≥ 2000·frame_len). */
+  private def frameEnergies(rows: Iterator[WavRow]): Iterator[WavFrameFeatures] =
+    rows.map { r =>
+      val (rate, samples) = parseWav(r.doc_id, r.payload)
+      val nFrames = (samples.length + wavFrameLen - 1) / wavFrameLen
+      var peakE = -1L; var peakF = -1L; var active = 0L
+      var f = 0
+      while (f < nFrames) {
+        val start = f * wavFrameLen
+        val end = math.min(start + wavFrameLen, samples.length)
+        var e = 0L; var i = start
+        while (i < end) {
+          val a = (samples(i) & 0xff) - 128L
+          e += a * a; i += 1
+        }
+        if (e > peakE) { peakE = e; peakF = f }
+        if (e >= wavActiveMeanSq * (end - start)) active += 1
+        f += 1
+      }
+      WavFrameFeatures(r.doc_id, rate.toLong, nFrames.toLong, peakE, peakF, active)
+    }
+
+  /** Audio feature extraction (frame energy / activity detection) over
+    * the REAL WAV path: same synth-ingest + genuine chunk-walking
+    * parser as mm_wav_decode, but the decoder emits per-frame features
+    * reduced to clip statistics, rolled up per sample rate. Everything
+    * is exact integer arithmetic off the PCM bytes, so the oracle
+    * re-derives identical values from the document characters (same
+    * byte/char contract as mm_wav_decode). */
+  val wavFrames = Q("mm_wav_frame_energy", Some(s"""
+    WITH f AS (SELECT doc_id, 8000 * (1 + doc_id % 3) AS sample_rate,
+                      string_split(text, '') AS cs
+               FROM documents WHERE length(text) > 0 AND strlen(text) = length(text)),
+    fr AS (SELECT doc_id, sample_rate, i,
+                  list_slice(cs, (i - 1) * $wavFrameLen + 1, i * $wavFrameLen) AS fcs
+           FROM f, LATERAL unnest(generate_series(1,
+                  CAST(ceil(len(cs) / $wavFrameLen.0) AS BIGINT))) t(i)),
+    fe AS (SELECT doc_id, sample_rate, i, len(fcs) AS fn,
+                  list_sum(list_transform(fcs, c -> (ascii(c) - 128) * (ascii(c) - 128))) AS e
+           FROM fr),
+    mx AS (SELECT doc_id, max(e) AS me FROM fe GROUP BY 1),
+    pd AS (SELECT fe.doc_id, mx.me, any_value(fe.sample_rate) AS sample_rate,
+                  count(*) AS n_frames,
+                  min(CASE WHEN fe.e = mx.me THEN fe.i - 1 END) AS peak_frame,
+                  CAST(sum(CASE WHEN fe.e >= $wavActiveMeanSq * fe.fn THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+           FROM fe JOIN mx USING (doc_id) GROUP BY 1, 2)
+    SELECT sample_rate, count(*) AS n_clips,
+           CAST(sum(n_frames) AS BIGINT) AS total_frames,
+           CAST(sum(n_active) AS BIGINT) AS total_active,
+           round(CAST(sum(n_active) AS DOUBLE) / sum(n_frames), 6) AS active_frac,
+           CAST(max(me) AS BIGINT) AS max_peak_energy,
+           round(CAST(sum(peak_frame) AS DOUBLE) / count(*), 6) AS avg_peak_frame
+    FROM pd GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    import s.implicits._
+    val ingest = Tables.documents(s, d)
+      .filter(length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        WavRow(id, wavBytes(8000 * (1 + (id % 3)).toInt, raw))
+      })
+    ingest.mapPartitions(frameEnergies).toDF()
+      .groupBy("sample_rate")
+      .agg(count(lit(1)).as("n_clips"),
+        sum("n_frames").as("total_frames"),
+        sum("n_active").as("total_active"),
+        round(sum("n_active").cast("double") / sum("n_frames"), 6).as("active_frac"),
+        max("peak_energy").as("max_peak_energy"),
+        round(sum("peak_frame").cast("double") / count(lit(1)), 6).as("avg_peak_frame"))
+      .orderBy("sample_rate")
+  })
+
+  val all: Seq[Q] = Seq(decode, frames, resize, wav, wavFrames)
 }
