@@ -28,4 +28,28 @@ object Diagnostics {
         round(col("max_cnt") * col("n_keys").cast("double") / col("n_rows"), 6)
           .as("skew_ratio"),
         round(col("max_cnt").cast("double") / col("n_rows"), 6).as("top_share"))
+
+  /** Per-group Shannon entropy of a categorical column (nats), plus
+    * the effective category count e^H — the corpus-diversity audit
+    * (e.g. language mix per source). Each category's −p·ln p term is
+    * rounded then DECIMAL-summed, so the entropy is bit-stable across
+    * partitionings and replayable by external engines. Two keyed
+    * aggregations — shuffle is O(groups·categories). */
+  def categoryEntropy(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    // internal aliases are __-prefixed so user column names can't collide
+    val counts = df.groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("__cc"))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum(col("__cc")).as("__n"), count(lit(1)).as("n_cats"))
+    val p = col("__cc").cast("double") / col("__n")
+    counts.join(totals, groupCol)
+      .select(col(groupCol), col("__n").as("n"), col("n_cats"),
+        round(-p * log(p), 6).as("term"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n_rows"), max(col("n_cats")).as("n_cats"),
+        sum(col("term").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double").as("entropy"))
+      .withColumn("eff_cats", round(exp(col("entropy")), 6))
+  }
 }

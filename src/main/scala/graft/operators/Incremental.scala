@@ -37,4 +37,21 @@ object Incremental {
         coalesce(col(s"__s_$c"), lit(0)) + coalesce(col(s"__d_$c"), lit(0)))
     }.select((keys ++ measures).map(col): _*)
   }
+
+  /** Snapshot-diff (CDC audit): classify every key as `added` /
+    * `changed` / `unchanged` between an old snapshot (the rows
+    * matching `oldPred`) and the current full frame. Because the old
+    * snapshot is a predicate over the same frame, the diff is ONE
+    * conditional-aggregation pass — per key, the old row count rides a
+    * `count_if`, no self-join and no second scan. (A physically
+    * separate old snapshot reduces to this shape after a unionByName
+    * with a snapshot tag.) */
+  def snapshotDiff(df: DataFrame, keyCols: Seq[String],
+      oldPred: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(when(oldPred, 1)).as("n_old"), count(lit(1)).as("n_new"))
+      .withColumn("status",
+        when(col("n_old") === 0, "added")
+          .when(col("n_old") === col("n_new"), "unchanged")
+          .otherwise("changed"))
 }

@@ -216,5 +216,69 @@ object QScale {
       .reduce(_ unionByName _)
       .orderBy("keyspace"))
 
-  val all: Seq[Q] = Seq(sessBatch, cms, zorder, rolling, incMerge, keySkew)
+  // --------------------------------------------- snapshot diff (CDC)
+  /** Snapshot-diff audit (operators.Incremental.snapshotDiff) keyed by
+    * (user, day): classify every user-day activity cell as added /
+    * changed / unchanged between the first-half snapshot (events up to
+    * the timeline midpoint) and the full log — the daily "what moved
+    * since yesterday" CDC report. Day cells before the cut come out
+    * unchanged, the cut day changed, later days added — all three
+    * paths live (the cut sits at 37% of the timeline, off any day
+    * boundary). ONE conditional-aggregation pass over the log (the
+    * old snapshot is a predicate, not a second scan); the cut is
+    * a 1-row scalar bound broadcast like f3/l5. */
+  val snapDiff = Q("inc_snapshot_diff", Some("""
+    WITH e AS (SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t FROM events),
+    b AS (SELECT min(t) + (max(t) - min(t)) * 37 // 100 AS cut FROM e),
+    k AS (SELECT user_id, t // 86400 AS day,
+                 CAST(sum(CASE WHEN t <= b.cut THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                 count(*) AS n_new
+          FROM e, b GROUP BY 1, 2),
+    s AS (SELECT n_old, n_new,
+                 CASE WHEN n_old = 0 THEN 'added'
+                      WHEN n_old = n_new THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM k)
+    SELECT status, count(*) AS n_cells,
+           CAST(sum(n_new - n_old) AS BIGINT) AS delta_rows
+    FROM s GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val e = Tables.events(s, d)
+      .selectExpr("user_id", "cast(ts AS long) AS t",
+        "cast(ts AS long) div 86400 AS day")
+    val cut = e.agg(expr("min(t) + (max(t) - min(t)) * 37 div 100").as("cut"))
+    val diff = graft.operators.Incremental.snapshotDiff(
+      e.crossJoin(broadcast(cut)), Seq("user_id", "day"),
+      col("t") <= col("cut"))
+    diff.groupBy("status")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n_new") - col("n_old")).as("delta_rows"))
+      .orderBy("status")
+  })
+
+  // ------------------------------------------- categorical entropy
+  /** Corpus-diversity audit (operators.Diagnostics.categoryEntropy):
+    * per-source Shannon entropy of the language mix, with e^H as the
+    * effective language count — the balance metric a mixture builder
+    * (mix_temperature_rates, w9) monitors. Rounded-term DECIMAL sum
+    * keeps the entropy bit-stable on both engines. */
+  val entropy = Q("diag_source_entropy", Some("""
+    WITH c AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+    t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_cats FROM c GROUP BY 1),
+    e AS (SELECT c.source, t.n, t.n_cats,
+                 round(-(CAST(c.c AS DOUBLE) / t.n) * ln(CAST(c.c AS DOUBLE) / t.n), 6) AS term
+          FROM c JOIN t USING (source))
+    SELECT source, max(n) AS n_rows, max(n_cats) AS n_cats,
+           CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE) AS entropy,
+           round(exp(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE)), 6) AS eff_cats
+    FROM e GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    graft.operators.Diagnostics.categoryEntropy(
+        Tables.documents(s, d), "source", "lang")
+      .select(col("source"), col("n_rows"), col("n_cats"),
+        col("entropy"), col("eff_cats"))
+      .orderBy("source"))
+
+  val all: Seq[Q] = Seq(sessBatch, cms, zorder, rolling, incMerge, keySkew,
+    snapDiff, entropy)
 }

@@ -34,7 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_bm25_rank",           // 1-row corpus-stats broadcast cross
       "sim_kmeans_cells",         // 1-row centroid-array broadcast cross (per iteration)
       "sketch_kmv_overlap",       // three 1-row sketch crosses
-      "text_unigram_logprob")     // 1-row corpus-total broadcast cross
+      "text_unigram_logprob",     // 1-row corpus-total broadcast cross
+      "inc_snapshot_diff")        // 1-row timeline-cut scalar bound
     val offenders = Q.registry
       .filterNot(_.name.startsWith("stream_"))
       .flatMap { q =>

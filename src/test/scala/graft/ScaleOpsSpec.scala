@@ -127,6 +127,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Incremental.snapshotDiff classifies added/changed/unchanged") {
+    import spark.implicits._
+    // key 1: both halves (changed); key 2: old only (unchanged);
+    // key 3: new only (added)
+    val rows = Seq((1L, 10L), (1L, 90L), (2L, 20L), (3L, 95L)).toDF("k", "t")
+    val got = Incremental.snapshotDiff(rows, Seq("k"), col("t") <= 50L)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(got == Map(1L -> "changed", 2L -> "unchanged", 3L -> "added"))
+  }
+
+  test("Diagnostics.categoryEntropy: uniform mix hits ln(k), single category 0") {
+    import spark.implicits._
+    val d = (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++ Seq.fill(10)("c"))
+      .map(("g1", _)) ++ Seq.fill(5)(("g2", "only"))
+    val out = operators.Diagnostics.categoryEntropy(d.toDF("g", "c"), "g", "c")
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Double]("entropy"), r.getAs[Double]("eff_cats"))).toMap
+    assert(math.abs(out("g1")._1 - math.log(3)) < 1e-5)
+    assert(math.abs(out("g1")._2 - 3.0) < 1e-4)
+    assert(out("g2") == ((0.0, 1.0)))
+  }
+
   test("scale operators return empty (not crash) on empty input") {
     import spark.implicits._
     val noEvents = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
