@@ -52,7 +52,10 @@ object Sketches {
   /** Estimate each probe key's frequency from a built sketch: the probe
     * frame gains `n_est = min over rows of the probed cells`. The join
     * is probes×depth against depth·width cells — broadcast-sized on
-    * the sketch side by construction. */
+    * the sketch side by construction. LEFT join + coalesce(0): a cell
+    * no key hashed into is absent from the counter table but counts as
+    * zero, so a never-seen probe key correctly estimates 0 instead of
+    * minimizing over only its collided cells. */
   def estimate(cms: DataFrame, probes: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame = {
     val h1 = baseHash(col(keyCol))
@@ -63,8 +66,8 @@ object Sketches {
       .select(probes.columns.map(col) :+ col("cell.cms_row").as("cms_row")
         :+ col("cell.cms_bucket").as("cms_bucket"): _*)
     probed
-      .join(broadcast(cms), Seq("cms_row", "cms_bucket"))
+      .join(broadcast(cms), Seq("cms_row", "cms_bucket"), "left")
       .groupBy(probes.columns.map(col): _*)
-      .agg(min(col("cnt")).as("n_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
 }

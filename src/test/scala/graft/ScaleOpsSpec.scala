@@ -52,6 +52,11 @@ class ScaleOpsSpec extends AnyFunSuite {
       }
       if (width == 1024) assert(est == exact) // no collisions at 13 keys / 1024 buckets
     }
+    // a never-seen probe key estimates 0 (empty cells count as zero)
+    val unseen = Seq.tabulate(1)(_ => "never-seen").toDF("key")
+    val cms = Sketches.countMin(items, "key", depth = 4, width = 1024)
+    val e0 = Sketches.estimate(cms, unseen, "key", 4, 1024).collect()(0)
+    assert(e0.getAs[Long]("n_est") == 0L)
   }
 
   test("Layout.zorder2 interleaves bits (x=3,y=5 -> 39) and SQL form agrees") {
