@@ -388,4 +388,29 @@ object TextOps {
   def normalize(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("norm_text",
       trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+
+  /** Out-of-vocabulary rate under a top-`vocabSize` frequency vocab —
+    * the tokenizer-budget planning report: what fraction of each
+    * group's token mass a truncated vocabulary fails to cover. The
+    * vocab build is one token-keyed count (map-side combined) ranked
+    * on a vocab-sized frame (cnt desc, token asc — deterministic
+    * ties); the scoring pass LEFT-joins the BROADCAST vocab, so the
+    * corpus stream is scanned once and never shuffled by token. */
+  def oovRate(docs: DataFrame, groupCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("__tok"))
+    val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__cnt").desc, col("__tok"))))
+      .filter(col("__rk") <= vocabSize)
+      .select(col("__tok"), lit(1L).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
 }

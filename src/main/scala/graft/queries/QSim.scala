@@ -606,7 +606,63 @@ object QSim {
       .orderBy("label")
   })
 
+  // ------------------------------------------------ ANN recall report
+  /** ANN quality evaluation: recall@3 of the IVF index against the
+    * brute-force exact top-3 on the same probe set — the acceptance
+    * test every approximate index needs before it replaces the exact
+    * scan at corpus scale. Composes the two oracle-proven operators
+    * (`Similarity.bruteTopK` / `ivfTopK`, identical parameters to
+    * sim_cosine_topk / sim_ann_ivf) and counts per-query overlap; both
+    * sides are deterministic, so the recall numbers are too. */
+  val annRecall = Q("sim_ann_recall", Some(s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bsc AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, round($cosDuck, 6) AS c
+            FROM e a JOIN e b ON a.vec_id < 8 AND a.vec_id <> b.vec_id),
+    b3 AS (SELECT query_id, cand_id FROM (
+             SELECT query_id, cand_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, cand_id) AS rk
+             FROM bsc) WHERE rk <= 3),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+             ORDER BY ${graft.functions.Deterministic.hrandSql("vec_id", ivfSeed)}, vec_id
+             LIMIT $nList),
+    ac AS (SELECT e.vec_id, cent.cent_id, round(${cosD("e.v", "cent.cv")}, 6) AS c
+           FROM e CROSS JOIN cent),
+    asg AS (SELECT vec_id, cent_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+            FROM ac),
+    a1 AS (SELECT vec_id AS cand_id, cent_id FROM asg WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cent_id FROM asg WHERE rn <= $nProbe AND vec_id < 8),
+    cand AS (SELECT p.query_id, a.cand_id FROM probes p
+             JOIN a1 a ON p.cent_id = a.cent_id AND a.cand_id <> p.query_id),
+    isc AS (SELECT c.query_id, c.cand_id, round(${cosD("q.v", "x.v")}, 6) AS cs
+            FROM cand c JOIN e q ON c.query_id = q.vec_id
+                        JOIN e x ON c.cand_id = x.vec_id),
+    i3 AS (SELECT query_id, cand_id FROM (
+             SELECT query_id, cand_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cand_id) AS rk
+             FROM isc) WHERE rk <= 3)
+    SELECT b.query_id, count(i.cand_id) AS n_hit,
+           round(count(i.cand_id) / 3.0, 6) AS recall_at_3
+    FROM b3 b LEFT JOIN i3 i ON b.query_id = i.query_id AND b.cand_id = i.cand_id
+    GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "v", k = 3)
+      .select(col("query_id"), col("cand_id"))
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "v",
+        k = 3, nList = nList, nProbe = nProbe, seed = ivfSeed,
+        numVectors = Some(Tables.rowCount(s, d, "embeddings")))
+      .select(col("query_id").as("iq"), col("cand_id").as("ic"))
+    brute.join(ivf,
+        brute("query_id") === ivf("iq") && brute("cand_id") === ivf("ic"), "left")
+      .groupBy("query_id")
+      .agg(count(col("ic")).as("n_hit"))
+      .withColumn("recall_at_3", round(col("n_hit") / lit(3.0), 6))
+      .orderBy("query_id")
+  })
+
   val all: Seq[Q] =
     Seq(exact, minhashLsh, clusterCc, funnel, simhash, ngramJaccard, embedNearDup,
-      annTopk, annLsh, annIvf, kmeansCells, scalarQuant, pqError)
+      annTopk, annLsh, annIvf, annRecall, kmeansCells, scalarQuant, pqError)
 }

@@ -339,6 +339,30 @@ object QText {
       .withColumn("dedup_gain", col("n_distinct_raw") - col("n_distinct_norm"))
       .orderBy("source"))
 
+  // ------------------------------------------------------ OOV rate
+  /** Tokenizer-budget planning (operators.TextOps.oovRate): per-source
+    * out-of-vocabulary token fraction under a top-16 frequency vocab
+    * (16 of the corpus's ~31 tokens, so truncation is visible). Vocab
+    * ranked (count desc, token asc) on the vocab-sized frame; scoring
+    * is a broadcast LEFT join — the corpus is never shuffled by
+    * token. */
+  private val oovV = 16
+
+  val oov = Q("text_oov_rate", Some(s"""
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                  FROM documents WHERE text IS NOT NULL),
+    v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+    top AS (SELECT tok FROM v
+            QUALIFY row_number() OVER (ORDER BY cnt DESC, tok) <= $oovV)
+    SELECT source, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN top.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN top.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS oov_rate
+    FROM toks LEFT JOIN top ON toks.tok = top.tok
+    GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    TextOps.oovRate(Tables.documentsP(s, d), "source", "text", oovV)
+      .orderBy("source"))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25, qualityGate,
-    decontaminate, repetition, lengthOutliers, vocab, normalizeAudit)
+    decontaminate, repetition, lengthOutliers, vocab, normalizeAudit, oov)
 }

@@ -114,6 +114,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(s.getAs[Double]("skew_ratio") == 9.1) // 91 / (100/10 keys)
   }
 
+  test("TextOps.oovRate counts tokens outside the top-V vocab") {
+    import spark.implicits._
+    // corpus: 'a' x4, 'b' x2, 'c' x1 -> top-2 vocab = {a, b}; c is OOV
+    val d = Seq(("g", "a a b c"), ("g", "a a b")).toDF("grp", "body")
+    val r = operators.TextOps.oovRate(d, "grp", "body", vocabSize = 2)
+      .collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 7L)
+    assert(r.getAs[Long]("n_oov") == 1L)
+    assert(r.getAs[Double]("oov_rate") == math.rint(1.0 / 7 * 1e6) / 1e6)
+    // full-size vocab -> zero OOV
+    val full = operators.TextOps.oovRate(d, "grp", "body", vocabSize = 3)
+      .collect()(0)
+    assert(full.getAs[Long]("n_oov") == 0L)
+  }
+
   test("TextOps.normalize canonicalizes case and whitespace") {
     import spark.implicits._
     val d = Seq("  Hello   WORLD ", "already clean", "tabs\t\tand\nnewlines")
