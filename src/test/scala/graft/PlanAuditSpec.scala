@@ -17,7 +17,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private lazy val spark = GraftSession.local(4)
 
-  test("nested-loop joins appear only in the fifteen intentional dimension-bounded plans") {
+  test("nested-loop joins appear only in the intentional dimension-bounded plans") {
     val intentional = Set(
       "dedup_simhash",            // 1-row observed-bucket-width broadcast cross
       "a11_threshold_sweep",      // threshold-literal fan-out
@@ -35,7 +35,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_kmeans_cells",         // 1-row centroid-array broadcast cross (per iteration)
       "sketch_kmv_overlap",       // three 1-row sketch crosses
       "text_unigram_logprob",     // 1-row corpus-total broadcast cross
-      "inc_snapshot_diff")        // 1-row timeline-cut scalar bound
+      "inc_snapshot_diff",        // 1-row timeline-cut scalar bound
+      "sim_ann_recall")           // composes sim_cosine_topk + sim_ann_ivf bounds
     val offenders = Q.registry
       .filterNot(_.name.startsWith("stream_"))
       .flatMap { q =>
