@@ -49,6 +49,52 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Affine mix of a NON-NEGATIVE integer key into [0, m): the
+    * integer-key twin of [[bucket]] (no md5 parse when the key is
+    * already a bounded integer — e.g. an order/doc id). The key is
+    * reduced mod 2³¹ first so the multiply stays < 2⁶² (same
+    * engine-portability guard as `Deterministic.hrand`). */
+  def intBucket(key: Column, row: Int, m: Long): Column =
+    (key % Dedup.mixM * Dedup.mixA(row) + Dedup.mixB(row)) % Dedup.mixM % m
+
+  /** SQL rendering of [[intBucket]] — `m` is a SQL expression so the
+    * oracle can size the filter from the same metadata-level count the
+    * engine uses (scalar subquery), not a baked-in literal. */
+  def intBucketSql(key: String, row: Int, m: String): String =
+    s"((($key % ${Dedup.mixM}) * ${Dedup.mixA(row)} + ${Dedup.mixB(row)}) % ${Dedup.mixM}) % ($m)"
+
+  /** Bloom filter as a relational bit set: the DISTINCT positions
+    * (`bloom_bit`) set by `numHashes` affine mixes of every build-side
+    * key. Row count ≤ min(numHashes·|keys|, numBits) — a runtime
+    * filter is only worth building from a selective (dimension-sized)
+    * side, so the set broadcasts by construction. `numBits` should be
+    * sized from metadata-level counts (c·|build| for c ≈ 8–16 bits
+    * per key) so the filter does not saturate as the build side grows.
+    */
+  def bloomBits(keys: DataFrame, keyCol: String, numBits: Long,
+      numHashes: Int): DataFrame = {
+    val positions = array((0 until numHashes).map(r =>
+      intBucket(col(keyCol), r, numBits)): _*)
+    keys.select(explode(positions).as("bloom_bit")).distinct()
+  }
+
+  /** Runtime-filter prune — the engine-level analog of Spark's own
+    * row-level runtime filtering: keep fact rows whose key COULD be in
+    * the build set, i.e. all `numHashes` positions present in `bits`.
+    * One broadcast LEFT SEMI join per hash row, so the fact side is
+    * never shuffled and never row-amplified; no false negatives are
+    * possible, and the hash-collision false positives this over-keeps
+    * are exactly what the downstream real join removes (audited by
+    * `sketch_bloom_prune`). At 100 TB this is the difference between
+    * shuffling the full fact table into a join and shuffling only the
+    * ~selectivity fraction that can match. */
+  def bloomPrune(facts: DataFrame, keyCol: String, bits: DataFrame,
+      numBits: Long, numHashes: Int): DataFrame =
+    (0 until numHashes).foldLeft(facts) { (f, r) =>
+      f.join(broadcast(bits),
+        intBucket(f(keyCol), r, numBits) === bits("bloom_bit"), "left_semi")
+    }
+
   /** Estimate each probe key's frequency from a built sketch: the probe
     * frame gains `n_est = min over rows of the probed cells`. The join
     * is probes×depth against depth·width cells — broadcast-sized on

@@ -279,6 +279,81 @@ object QScale {
         col("entropy"), col("eff_cats"))
       .orderBy("source"))
 
+  // --------------------------------------------- bloom runtime filter
+  private val bloomHashes = 3
+  /** Bits per ALL orders rows (the filter keeps ~20%, so this is
+    * ~10 bits per build key at every scale — never saturates). */
+  private val bloomBitsPerOrder = 2L
+
+  /** Bloom runtime-filter audit (operators.Sketches.bloomBits/
+    * bloomPrune): build a bit-set from the selective side of the
+    * classic fact-prune join (high-value orders), flag every lineitem
+    * row with its exact-match and bloom-pass status in ONE broadcast-
+    * join pass (the fact side is never shuffled), and report the
+    * numbers that decide whether the runtime filter pays for itself
+    * at 100 TB: rows kept vs true matches (false positives) and the
+    * false-positive rate among true negatives. The bit array is sized
+    * from the same metadata-level row count the engine reads
+    * (2·|orders| bits ≈ 10 bits/key at ~20% selectivity), so the
+    * report stays meaningful at any scale. No false negatives are
+    * possible by construction — the query proves it with an
+    * `n_missed` column that must be 0. */
+  val bloom = Q("sketch_bloom_prune", Some {
+    val m = "SELECT 2 * count(*) FROM orders"
+    def pos(r: Int) = Sketches.intBucketSql("k", r, s"($m)")
+    def bpos(r: Int) = Sketches.intBucketSql("bk", r, s"($m)")
+    s"""
+    WITH bkeys AS (SELECT DISTINCT o_orderkey AS bk FROM orders
+                   WHERE o_totalprice > 400000),
+    bits AS (SELECT DISTINCT bloom_bit FROM (
+      ${(0 until bloomHashes).map(r =>
+        s"SELECT ${bpos(r)} AS bloom_bit FROM bkeys").mkString(" UNION ALL ")})),
+    fl AS (SELECT l_orderkey AS k,
+             CASE WHEN l_orderkey IN (SELECT bk FROM bkeys) THEN 1 ELSE 0 END AS is_match,
+             CASE WHEN ${(0 until bloomHashes).map(r =>
+               s"${pos(r)} IN (SELECT bloom_bit FROM bits)").mkString(" AND ")}
+                  THEN 1 ELSE 0 END AS is_pass
+           FROM lineitem)
+    SELECT (SELECT count(*) FROM bkeys) AS n_build_keys,
+           (SELECT count(*) FROM bits) AS n_bits_set,
+           count(*) AS n_fact,
+           CAST(sum(is_pass) AS BIGINT) AS n_pass,
+           CAST(sum(is_match) AS BIGINT) AS n_match,
+           CAST(sum(is_pass) - sum(is_match) AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN is_match = 1 AND is_pass = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+           round(CAST(sum(is_pass) - sum(is_match) AS DOUBLE)
+                 / (count(*) - sum(is_match)), 6) AS fp_rate
+    FROM fl"""
+  })((s, d) => {
+    val m = bloomBitsPerOrder * Tables.rowCount(s, d, "orders")
+    val keys = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("bk")).distinct()
+    val bits = Sketches.bloomBits(keys, "bk", m, bloomHashes)
+    val li = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+    val withMatch = li.join(broadcast(keys), li("k") === keys("bk"), "left")
+    val flagged = (0 until bloomHashes).foldLeft(withMatch) { (f, r) =>
+      val b = bits.select(col("bloom_bit").as(s"bit_$r"))
+      f.join(broadcast(b),
+        Sketches.intBucket(col("k"), r, m) === col(s"bit_$r"), "left")
+    }
+    val passFlag = (0 until bloomHashes)
+      .map(r => col(s"bit_$r").isNotNull).reduce(_ && _)
+    val counts = flagged.agg(
+      count(lit(1)).as("n_fact"),
+      sum(when(passFlag, 1L).otherwise(0L)).as("n_pass"),
+      count(col("bk")).as("n_match"),
+      sum(when(col("bk").isNotNull && !passFlag, 1L).otherwise(0L)).as("n_missed"))
+    val dims = keys.agg(count(lit(1)).as("n_build_keys"))
+      .crossJoin(bits.agg(count(lit(1)).as("n_bits_set")))
+    broadcast(dims).crossJoin(counts)
+      .select(col("n_build_keys"), col("n_bits_set"), col("n_fact"),
+        col("n_pass"), col("n_match"),
+        (col("n_pass") - col("n_match")).as("n_false_pos"),
+        col("n_missed"),
+        round((col("n_pass") - col("n_match")).cast("double")
+          / (col("n_fact") - col("n_match")), 6).as("fp_rate"))
+  })
+
   val all: Seq[Q] = Seq(sessBatch, cms, zorder, rolling, incMerge, keySkew,
-    snapDiff, entropy)
+    snapDiff, entropy, bloom)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Incremental, Layout, Sessionize, Sketches}
+import graft.operators.{Dedup, Incremental, Layout, Sessionize, Sketches}
 
 /** Unit coverage for the scale-infrastructure operators (QScale
   * registry family): sessionization boundaries, count-min guarantees,
@@ -57,6 +57,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     val cms = Sketches.countMin(items, "key", depth = 4, width = 1024)
     val e0 = Sketches.estimate(cms, unseen, "key", 4, 1024).collect()(0)
     assert(e0.getAs[Long]("n_est") == 0L)
+  }
+
+  test("Sketches.bloomPrune keeps every true match and only collision extras") {
+    import spark.implicits._
+    val members = Set(5L, 17L, 99L)
+    val keys = members.toSeq.toDF("bk")
+    val facts = (0L until 200L).toDF("k")
+    val m = 64L
+    val bits = Sketches.bloomBits(keys, "bk", m, numHashes = 3)
+    val kept = Sketches.bloomPrune(facts, "k", bits, m, numHashes = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(members.subsetOf(kept), "bloom filter produced a false negative")
+    // the kept set is exactly the all-positions-present definition
+    val bitSet = bits.collect().map(_.getLong(0)).toSet
+    def pos(k: Long, r: Int) =
+      (k % Dedup.mixM * Dedup.mixA(r) + Dedup.mixB(r)) % Dedup.mixM % m
+    val expected = (0L until 200L)
+      .filter(k => (0 until 3).forall(r => bitSet(pos(k, r)))).toSet
+    assert(kept == expected)
+    assert(kept.size < 200, "64-bit array should still prune most non-members")
+    // at ample width the filter is exact on this corpus (deterministic)
+    val wide = 1L << 20
+    val wideBits = Sketches.bloomBits(keys, "bk", wide, numHashes = 3)
+    val keptWide = Sketches.bloomPrune(facts, "k", wideBits, wide, numHashes = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptWide == members)
   }
 
   test("Layout.zorder2 interleaves bits (x=3,y=5 -> 39) and SQL form agrees") {
