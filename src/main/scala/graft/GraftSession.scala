@@ -96,6 +96,11 @@ object GraftSession {
       // Spark 4 otherwise rejects; read as raw nanos and normalize in
       // Tables.events (DuckDB truncates ns→µs the same way).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // µs timestamps with isAdjustedToUTC=false would otherwise load as
+      // TIMESTAMP_NTZ (unusable with unix_micros); with the session tz
+      // pinned to UTC above, reading them as TIMESTAMP keeps the stored
+      // value = epoch-micros, exactly how DuckDB hashes the same column.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.ui.enabled", "false")
 

@@ -34,6 +34,12 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Sessions without GraftSession's inferTimestampNTZ=false read µs
+        // parquet as NTZ; the cast is value-preserving under the UTC
+        // session tz and restores unix_micros compatibility.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -45,6 +45,9 @@ object StreamOps {
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // see Tables.events: value-preserving under the UTC session tz
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
