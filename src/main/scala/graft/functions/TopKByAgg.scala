@@ -79,3 +79,14 @@ class TopKKeysAgg(k: Int) extends TopKBaseAgg[Seq[Long]](k) {
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
+
+/** Top-k FULL ROWS (v, k1, k2) in rank order — for selections whose
+  * downstream math needs both the ranked value and the row's payload
+  * (e.g. priority sampling: the (k+1)-th priority is the estimator
+  * threshold, k1 is the sampled id, k2 carries the weight). Same O(k)
+  * bounded state as the other finishers. */
+class TopKRowsAgg(k: Int) extends TopKBaseAgg[Seq[TopKRow]](k) {
+  override def finish(b: ArrayBuffer[TopKRow]): Seq[TopKRow] = b.toSeq
+  override def outputEncoder: Encoder[Seq[TopKRow]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKRow]]()
+}

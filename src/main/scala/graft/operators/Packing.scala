@@ -81,4 +81,44 @@ object Packing {
       .select(col(idCol), col("n_tok"), col("pack_bucket"), col("tok_start"),
         col("seq_first"), col("seq_last"))
   }
+
+  /** Sliding-window chunking with overlap — the OTHER standard corpus
+    * layout (long-context chunking, retrieval indexing, eval-window
+    * construction): each document yields windows of up to `size` tokens
+    * starting every `stride` tokens (`stride < size` ⇒ consecutive
+    * chunks overlap by `size − stride`). Row-local explode — no
+    * shuffle, no state; chunk counts per doc are ⌈n_tok / stride⌉, so
+    * output volume is bounded by `1/stride` of the token stream.
+    *
+    * Chunk starts run 0, stride, 2·stride, … up to the FIRST window
+    * that reaches the document's end (1 + ⌈max(0, n−size)/stride⌉
+    * chunks) — every token is covered and no chunk is fully contained
+    * in its predecessor (a doc of exactly `size` tokens yields ONE
+    * chunk, not a redundant sub-window).
+    *
+    * Output: every input column (pass-through — project before calling
+    * if the frame carries wide payloads like the raw text) plus
+    * `n_tok`, `chunk_idx`, `chunk_start`, `chunk_len` with
+    * `chunk_len = min(size, n_tok − chunk_start)` (the trailing chunk
+    * is short, never dropped). Docs with `n_tok < 1` produce no
+    * chunks; NULL counts are the caller's contract to filter. */
+  def slidingChunks(docs: DataFrame, nTok: Column,
+      size: Int, stride: Int): DataFrame = {
+    require(size >= 1, s"slidingChunks needs size >= 1, got $size")
+    require(stride >= 1 && stride <= size,
+      s"slidingChunks needs 1 <= stride <= size, got stride=$stride size=$size")
+    val base = docs.withColumn("n_tok", nTok.cast("long"))
+      .filter(col("n_tok") >= 1)
+    // last start = ⌈(n−size)/stride⌉·stride, clamped at 0; integer-exact
+    // on both engines (the clamp swallows the truncate-vs-floor
+    // difference on the negative n < size operand).
+    val lastStart = expr(
+      s"greatest(0L, (n_tok - $size + $stride - 1) div $stride) * $stride")
+    base
+      .select(base.columns.map(col) :+
+        posexplode(sequence(lit(0L), lastStart, lit(stride.toLong)))
+          .as(Seq("chunk_idx", "chunk_start")): _*)
+      .withColumn("chunk_len",
+        least(lit(size.toLong), col("n_tok") - col("chunk_start")))
+  }
 }

@@ -38,6 +38,62 @@ object Sampling {
       .filter(Deterministic.hrand01(col(keyCol), seed) < col("sample_rate"))
   }
 
+  /** Weighted sampling WITHOUT replacement by priority sampling
+    * (Duffield, Lund & Thorup, JACM 2007): each row gets priority
+    * `p = w · 2³¹ / (hrand(key) + 1)` — a deterministic stand-in for
+    * `w / uniform(0,1]` — and the k highest-priority rows per stratum
+    * are the sample. Heavier rows surface with probability ∝ their
+    * weight, and the (k+1)-th priority τ makes the sample a subset-sum
+    * sketch: `Σ_sample max(w, τ)` is an unbiased estimate of the
+    * stratum's total weight, so the sample doubles as a per-stratum
+    * weight-total estimator (the property the output exposes).
+    *
+    * Scale shape: ONE hash aggregate with the O(k)-state
+    * [[graft.functions.TopKRowsAgg]] — no per-stratum sort, no window
+    * over corpus-sized groups; map-side combine reduces each task to
+    * ≤ k+1 rows per stratum before the shuffle. Determinism: hrand+1
+    * and w are integers exact in doubles, `w·2³¹` < 2⁵³ for any
+    * realistic weight, and IEEE division is correctly rounded — both
+    * engines rank identical priorities (ties broken by key ASC).
+    *
+    * Output: one row per sampled row — (strata, rk, key, weight,
+    * priority, tau, n_rows, total_weight, est_total), with the
+    * group-level columns repeated on each sample row. `weightCol` must
+    * be a positive integer column; NULL keys/weights are the caller's
+    * contract (NULL priority ranks last). */
+  def prioritySample(df: DataFrame, strataCol: String, keyCol: String,
+      weightCol: String, k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"priority sampling needs k >= 1, got $k")
+    import org.apache.spark.sql.types.DecimalType
+    val topAgg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKRowsAgg(k + 1),
+      org.apache.spark.sql.Encoders.product[graft.functions.TopKRow])
+    val pri = col(weightCol).cast("double") * lit(Deterministic.M.toDouble) /
+      (Deterministic.hrand(col(keyCol), seed) + lit(1L))
+    val grouped = df
+      .groupBy(col(strataCol))
+      .agg(topAgg(pri, col(keyCol), col(weightCol).cast("long")).as("top"),
+        count(lit(1)).as("n_rows"),
+        sum(col(weightCol).cast("long")).as("total_weight"))
+      // τ = (k+1)-th priority; a stratum smaller than k+1 is sampled
+      // whole and τ = 0 makes the estimator exact (max(w, 0) = w).
+      .withColumn("tau_raw",
+        when(size(col("top")) === k + 1,
+          element_at(col("top"), k + 1).getField("v")).otherwise(lit(0.0)))
+    val sample = grouped
+      .select(col(strataCol), col("n_rows"), col("total_weight"), col("tau_raw"),
+        posexplode(col("top")).as(Seq("idx", "r")))
+      .filter(col("idx") < k)
+    val est = sample.groupBy(strataCol).agg(
+      sum(round(greatest(col("r.k2").cast("double"), col("tau_raw")), 6)
+        .cast(DecimalType(28, 6))).cast("double").as("est_raw"))
+    sample.join(est, strataCol)
+      .select(col(strataCol), (col("idx") + 1).cast("long").as("rk"),
+        col("r.k1").as("sample_key"), col("r.k2").as("weight"),
+        round(col("r.v"), 6).as("priority"), round(col("tau_raw"), 6).as("tau"),
+        col("n_rows"), col("total_weight"), round(col("est_raw"), 6).as("est_total"))
+  }
+
   /** Temperature-based mixture rates — the step that COMPUTES the rates
     * [[stratifiedSample]] consumes, instead of taking them as given:
     * domain weights w_d ∝ T_d^τ over per-domain token totals T_d

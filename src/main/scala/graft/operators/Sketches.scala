@@ -95,6 +95,47 @@ object Sketches {
         intBucket(f(keyCol), r, numBits) === bits("bloom_bit"), "left_semi")
     }
 
+  /** [[countMin]] over a NON-NEGATIVE integer key column: the affine
+    * [[intBucket]] mixes replace the md5 parse (cheaper, and exactly
+    * SQL-replayable via [[intBucketSql]]). Same one-aggregation build,
+    * same O(tasks · depth · width) shuffle bound. */
+  def countMinInt(items: DataFrame, keyCol: String, depth: Int,
+      width: Int): DataFrame = {
+    val cells = array((0 until depth).map(r =>
+      struct(lit(r).as("cms_row"),
+        intBucket(col(keyCol), r, width).as("cms_bucket"))): _*)
+    items
+      .select(explode(cells).as("cell"))
+      .groupBy(col("cell.cms_row").as("cms_row"),
+        col("cell.cms_bucket").as("cms_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Join-size estimate from two count–min sketches (built with the
+    * SAME depth/width/hash family): the equi-join cardinality
+    * |A ⋈ B on key| = Σ_k f_A(k)·f_B(k) is estimated as
+    * `min over rows of Σ_bucket cntA·cntB` — the AMS/CMS inner-product
+    * estimator (always ≥ the true size; collision inflation ≤ N_A·N_B /
+    * width per row, driven to the true value as width passes the
+    * distinct-key count). Passing the same sketch twice estimates a
+    * self-join size (F₂) — the classic skew statistic. The whole
+    * estimate touches only `depth·width` cells — THE way to size a
+    * 100 TB join (shuffle width, skew strategy, broadcast viability)
+    * without scanning either input a second time. Returns one row:
+    * `n_est`. A sketch row with NO overlapping buckets has inner
+    * product 0 — it simply produces no join rows — so fewer than
+    * `depth` surviving rows means the true estimate is 0 (also covers
+    * an empty input side). */
+  def joinSizeEstimate(cmsA: DataFrame, cmsB: DataFrame, depth: Int): DataFrame = {
+    val b = cmsB.select(col("cms_row"), col("cms_bucket"), col("cnt").as("cnt_b"))
+    cmsA.join(b, Seq("cms_row", "cms_bucket"))
+      .groupBy("cms_row")
+      .agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("mn"), count(lit(1)).as("nr"))
+      .select(when(col("nr") < depth, lit(0L)).otherwise(col("mn"))
+        .cast("long").as("n_est"))
+  }
+
   /** Estimate each probe key's frequency from a built sketch: the probe
     * frame gains `n_est = min over rows of the probed cells`. The join
     * is probes×depth against depth·width cells — broadcast-sized on

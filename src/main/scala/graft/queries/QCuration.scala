@@ -47,6 +47,109 @@ object QCuration {
       .orderBy("doc_id")
   })
 
+  // ------------------------------------------- Sliding-window chunks
+  /** Sliding-window chunking with overlap (operators.Packing
+    * .slidingChunks): the long-context / retrieval-indexing layout —
+    * windows of ≤ 64 tokens every 48 tokens, trailing short chunk
+    * kept — rolled up per source into the chunk-count, token-
+    * duplication-factor (overlap overhead a storage planner budgets
+    * for) and tail-chunk audit. Row-local explode, no shuffle before
+    * the roll-up; all-integer until the final rounded ratio. */
+  private val chunkSize = 64
+  private val chunkStride = 48
+
+  val chunks = Q("pack_sliding_chunks", Some(s"""
+    WITH d AS (SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+               FROM documents WHERE text IS NOT NULL),
+    c AS (SELECT doc_id, source, n_tok,
+                 unnest(generate_series(0,
+                   GREATEST(0, (n_tok - $chunkSize + $chunkStride - 1) // $chunkStride)
+                     * $chunkStride, $chunkStride)) AS chunk_start
+          FROM d),
+    l AS (SELECT source, doc_id, n_tok, chunk_start,
+                 LEAST($chunkSize, n_tok - chunk_start) AS chunk_len
+          FROM c)
+    SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+           CAST(sum(chunk_len) AS BIGINT) AS chunk_tokens,
+           CAST(sum(CASE WHEN chunk_start = 0 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS corpus_tokens,
+           round(CAST(sum(chunk_len) AS DOUBLE)
+                 / sum(CASE WHEN chunk_start = 0 THEN n_tok ELSE 0 END), 6)
+             AS dup_factor,
+           CAST(sum(CASE WHEN chunk_len < $chunkSize THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tail_chunks
+    FROM l GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val docs = Tables.documentsP(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    graft.operators.Packing
+      .slidingChunks(docs, col("nt"), chunkSize, chunkStride)
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("chunk_tokens"),
+        sum(when(col("chunk_start") === 0, col("n_tok")).otherwise(0L))
+          .as("corpus_tokens"),
+        round(sum(col("chunk_len")).cast("double")
+          / sum(when(col("chunk_start") === 0, col("n_tok")).otherwise(0L)), 6)
+          .as("dup_factor"),
+        sum(when(col("chunk_len") < chunkSize, 1L).otherwise(0L))
+          .as("n_tail_chunks"))
+      .orderBy("source")
+  })
+
+  // ---------------------------------------------- Priority sampling
+  /** Weighted sampling without replacement by PRIORITY SAMPLING
+    * (operators.Sampling.prioritySample; Duffield–Lund–Thorup 2007):
+    * per source, the 4 highest-priority docs under p = n_tok·2³¹ /
+    * (hrand+1) — heavier docs surface ∝ weight — plus the (k+1)-th
+    * priority threshold τ and the Σ max(w, τ) estimate of the
+    * source's total token mass, the subset-sum property that makes a
+    * tiny sample double as a weight-total estimator. O(k) aggregator
+    * state, no per-source sort; every double derives from exact
+    * integer operands (ranking ties impossible off-lattice). */
+  private val priK = 4
+  private val priSeed = 20250813L
+
+  val prisample = Q("samp_priority_weighted", Some(s"""
+    WITH d AS (SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 ${hrandSql("doc_id", priSeed)} AS hr
+               FROM documents WHERE text IS NOT NULL),
+    p AS (SELECT source, doc_id, n_tok,
+                 CAST(n_tok AS DOUBLE) * 2147483648 / (hr + 1) AS pri
+          FROM d),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY pri DESC, doc_id) AS rk
+          FROM p),
+    g AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                 max(CASE WHEN rk = ${priK + 1} THEN pri END) AS tau_raw
+          FROM r GROUP BY 1),
+    e AS (SELECT r.source,
+                 CAST(SUM(CAST(round(GREATEST(CAST(r.n_tok AS DOUBLE),
+                                              COALESCE(g.tau_raw, 0)), 6)
+                          AS DECIMAL(28,6))) AS DOUBLE) AS est_raw
+          FROM r JOIN g USING (source) WHERE rk <= $priK GROUP BY 1)
+    SELECT r.source, r.rk, r.doc_id, r.n_tok, round(r.pri, 6) AS priority,
+           round(COALESCE(g.tau_raw, 0), 6) AS tau, g.n_docs, g.total_tokens,
+           round(e.est_raw, 6) AS est_total
+    FROM r JOIN g USING (source) JOIN e USING (source)
+    WHERE r.rk <= $priK ORDER BY r.source, r.rk"""
+  ))((s, d) =>
+    graft.operators.Sampling.prioritySample(
+        Tables.documentsP(s, d).filter(col("text").isNotNull)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).as("n_tok")),
+        "source", "doc_id", "n_tok", k = priK, seed = priSeed)
+      .select(col("source"), col("rk"), col("sample_key").as("doc_id"),
+        col("weight").as("n_tok"), col("priority"), col("tau"),
+        col("n_rows").as("n_docs"), col("total_weight").as("total_tokens"),
+        col("est_total"))
+      .orderBy("source", "rk"))
+
   // ------------------------------------------------- Pattern flags
   /** Regex flagging battery (operators.TextOps.patternFlags) rolled up
     * per source: the PII/ban-list sweep as a corpus audit report. The
@@ -205,5 +308,6 @@ object QCuration {
         Tables.documentsP(s, d), "doc_id", "text")
       .orderBy("doc_id"))
 
-  val all: Seq[Q] = Seq(pack, flags, qsketch, mixrates, unigram)
+  val all: Seq[Q] = Seq(pack, chunks, prisample, flags, qsketch, mixrates,
+    unigram)
 }

@@ -354,6 +354,77 @@ object QScale {
           / (col("n_fact") - col("n_match")), 6).as("fp_rate"))
   })
 
+  // ------------------------------------------ CMS join-size estimate
+  /** Join-cardinality estimation from count–min sketches
+    * (operators.Sketches.countMinInt/joinSizeEstimate): |A ⋈ B| =
+    * Σ_k f_A(k)·f_B(k) estimated as the min-over-rows sketch inner
+    * product (AMS/CMS), for the classic planning pair — the
+    * events.user_id ⋈ orders.o_custkey fan-out join and the
+    * events.user_id SELF-join size (F₂, the skew statistic). The
+    * estimate touches depth·width counter cells instead of either
+    * input — at 100 TB this prices a join (shuffle width, skew
+    * strategy, broadcast viability) without a second scan. The audit
+    * reports est vs exact: the deliberately narrow width=512 leaves
+    * the cross-join leg visibly collision-inflated (est ≥ exact,
+    * over_ratio ≈ 3) while the self-join leg, whose 150 distinct keys
+    * sit far under the width, comes out exact — both regimes of the
+    * estimator on one report. */
+  private val jsDepth = 4
+  private val jsWidth = 512
+
+  val joinSize = Q("diag_join_size_cms", Some {
+    def cmsSql(src: String, key: String) = (0 until jsDepth).map(r =>
+      s"SELECT $r AS cms_row, ${Sketches.intBucketSql(key, r, jsWidth.toString)} AS cms_bucket, " +
+        s"count(*) AS cnt FROM $src GROUP BY 2").mkString(" UNION ALL ")
+    s"""
+    WITH ca AS (${cmsSql("events", "user_id")}),
+    cb AS (${cmsSql("orders", "o_custkey")}),
+    jx AS (SELECT ca.cms_row, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ip
+           FROM ca JOIN cb ON ca.cms_row = cb.cms_row AND ca.cms_bucket = cb.cms_bucket
+           GROUP BY 1),
+    js AS (SELECT a.cms_row, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS ip
+           FROM ca a JOIN ca b ON a.cms_row = b.cms_row AND a.cms_bucket = b.cms_bucket
+           GROUP BY 1),
+    ex AS (SELECT count(*) AS exact FROM events e JOIN orders o ON e.user_id = o.o_custkey),
+    es AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact
+           FROM (SELECT count(*) AS cnt FROM events GROUP BY user_id))
+    SELECT 'events_user_x_orders_cust' AS metric, ex.exact,
+           CASE WHEN (SELECT count(*) FROM jx) < $jsDepth THEN 0
+                ELSE (SELECT min(ip) FROM jx) END AS n_est,
+           round(CAST(CASE WHEN (SELECT count(*) FROM jx) < $jsDepth THEN 0
+                           ELSE (SELECT min(ip) FROM jx) END AS DOUBLE)
+                 / ex.exact, 6) AS over_ratio
+    FROM ex
+    UNION ALL
+    SELECT 'self_events_user' AS metric, es.exact,
+           CASE WHEN (SELECT count(*) FROM js) < $jsDepth THEN 0
+                ELSE (SELECT min(ip) FROM js) END AS n_est,
+           round(CAST(CASE WHEN (SELECT count(*) FROM js) < $jsDepth THEN 0
+                           ELSE (SELECT min(ip) FROM js) END AS DOUBLE)
+                 / es.exact, 6) AS over_ratio
+    FROM es
+    ORDER BY metric"""
+  })((s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"))
+    val od = Tables.orders(s, d).select(col("o_custkey"))
+    val ca = Sketches.countMinInt(ev, "user_id", jsDepth, jsWidth)
+    val cb = Sketches.countMinInt(od, "o_custkey", jsDepth, jsWidth)
+    val estCross = Sketches.joinSizeEstimate(ca, cb, jsDepth)
+    val estSelf = Sketches.joinSizeEstimate(ca, ca, jsDepth)
+    val exactCross = ev.join(od, ev("user_id") === od("o_custkey"))
+      .agg(count(lit(1)).as("exact"))
+    val exactSelf = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt") * col("cnt")).cast("long").as("exact"))
+    def leg(name: String, exact: org.apache.spark.sql.DataFrame,
+        est: org.apache.spark.sql.DataFrame) =
+      exact.crossJoin(est)
+        .select(lit(name).as("metric"), col("exact"), col("n_est"),
+          round(col("n_est").cast("double") / col("exact"), 6).as("over_ratio"))
+    leg("events_user_x_orders_cust", exactCross, estCross)
+      .unionByName(leg("self_events_user", exactSelf, estSelf))
+      .orderBy("metric")
+  })
+
   val all: Seq[Q] = Seq(sessBatch, cms, zorder, rolling, incMerge, keySkew,
-    snapDiff, entropy, bloom)
+    snapDiff, entropy, bloom, joinSize)
 }

@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_unigram_logprob",     // 1-row corpus-total broadcast cross
       "inc_snapshot_diff",        // 1-row timeline-cut scalar bound
       "sim_ann_recall",           // composes sim_cosine_topk + sim_ann_ivf bounds
-      "sketch_bloom_prune")       // two 1-row report-dimension crosses
+      "sketch_bloom_prune",       // two 1-row report-dimension crosses
+      "diag_join_size_cms")       // 1-row est × 1-row exact report crosses
     val offenders = Q.registry
       .filterNot(_.name.startsWith("stream_"))
       .flatMap { q =>

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Incremental, Layout, Sessionize, Sketches}
+import graft.operators.{Dedup, Incremental, Layout, Packing, Sampling, Sessionize, Sketches}
 
 /** Unit coverage for the scale-infrastructure operators (QScale
   * registry family): sessionization boundaries, count-min guarantees,
@@ -195,6 +195,59 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out("g2") == ((0.0, 1.0)))
   }
 
+  test("Packing.slidingChunks covers every token; trailing chunk short") {
+    import spark.implicits._
+    val d = Seq((1L, 100L), (2L, 1L), (3L, 64L)).toDF("id", "nt")
+    val out = Packing.slidingChunks(d, col("nt"), size = 64, stride = 48)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Long]("chunk_start"), r.getAs[Long]("chunk_len")))
+    // doc 1 (100 tok): starts 0/48 — the 48-window reaches the end
+    // (covers 48..99), so no third start is emitted
+    assert(out.filter(_._1 == 1L).sortBy(_._2).toSeq ==
+      Seq((1L, 0, 0L, 64L), (1L, 1, 48L, 52L)))
+    // every token covered: last chunk's start+len == n_tok
+    assert(out.filter(_._1 == 1L).map(c => c._3 + c._4).max == 100L)
+    // 1-token doc: one 1-token chunk; exact-size doc: one full chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0L, 1L)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, 0L, 64L)))
+  }
+
+  test("Sampling.prioritySample: k rows per stratum; exact when sample = stratum") {
+    import spark.implicits._
+    val d = (1L to 20L).map(i => ("big", i, i % 7 + 1)) ++
+      Seq(("tiny", 100L, 5L), ("tiny", 101L, 7L))
+    val out = Sampling.prioritySample(d.toDF("g", "key", "w"),
+      "g", "key", "w", k = 4, seed = 7L)
+    val big = out.filter(col("g") === "big").orderBy("rk").collect()
+    assert(big.length == 4 && big.map(_.getAs[Long]("rk")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(big(0).getAs[Double]("tau") > 0.0) // threshold live when stratum > k
+    // priorities ranked descending
+    val pri = big.map(_.getAs[Double]("priority"))
+    assert(pri.zip(pri.tail).forall { case (a, b) => a >= b })
+    // a stratum smaller than k is sampled whole: tau = 0 and the
+    // subset-sum estimator degenerates to the EXACT total weight
+    val tiny = out.filter(col("g") === "tiny").collect()
+    assert(tiny.length == 2)
+    assert(tiny.forall(_.getAs[Double]("tau") == 0.0))
+    assert(tiny.forall(r => r.getAs[Double]("est_total") ==
+      r.getAs[Long]("total_weight").toDouble))
+  }
+
+  test("Sketches.joinSizeEstimate never under-estimates; exact at ample width") {
+    import spark.implicits._
+    val a = (1 to 300).map(i => i.toLong % 17L).toDF("k")
+    val b = (1 to 200).map(i => i.toLong % 11L).toDF("j")
+    val exact = a.join(b, a("k") === b("j")).count()
+    for (width <- Seq(8, 64, 1024)) {
+      val est = Sketches.joinSizeEstimate(
+        Sketches.countMinInt(a, "k", 4, width),
+        Sketches.countMinInt(b, "j", 4, width), 4)
+        .collect()(0).getAs[Long]("n_est")
+      assert(est >= exact, s"width=$width under-estimated the join size")
+      if (width == 1024) assert(est == exact, "ample width should be exact")
+    }
+  }
+
   test("scale operators return empty (not crash) on empty input") {
     import spark.implicits._
     val noEvents = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
@@ -215,5 +268,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     // for a diagnostic, asserted so the contract is pinned)
     val diag = operators.Diagnostics.keySkew(noKeys, "key", "empty").collect()
     assert(diag.length == 1 && diag(0).getAs[Long]("n_keys") == 0L)
+    assert(Packing.slidingChunks(
+      noEvents.selectExpr("k AS id", "t AS nt"), col("nt"), 64, 48).count() == 0)
+    assert(Sampling.prioritySample(
+      noEvents.selectExpr("k AS g", "t AS key", "v AS w"),
+      "g", "key", "w", k = 3, seed = 1L).count() == 0)
+    // empty-side join estimate: one row, n_est = 0
+    val js = Sketches.joinSizeEstimate(
+      Sketches.countMinInt(noKeys.select(col("x")), "x", 4, 16),
+      Sketches.countMinInt(noKeys.select(col("x")), "x", 4, 16), 4).collect()
+    assert(js.length == 1 && js(0).getAs[Long]("n_est") == 0L)
   }
 }
