@@ -490,7 +490,9 @@ object Dedup {
 
   /** Embedding-cosine near-dup with IVF-cell blocking: a seeded coarse
     * quantizer (same `hrand`-picked centroids as Similarity.ivfTopK;
-    * cell count data-driven with `nList` as floor, Similarity.autoNList)
+    * cell count data-driven with `nList` as floor,
+    * Similarity.autoCellCount — the LINEAR constant-population rule,
+    * not the query-path √ rule)
     * assigns every vector to its `nProbe` nearest cells, and
     * the pair join runs on (blockCols..., cell) equality — never an
     * all-pairs join within a block key, so a popular block at 100 TB
@@ -511,15 +513,17 @@ object Dedup {
       nProbe: Int = 4, seed: Long = 1337L, dim: Int = 64,
       targetCellSize: Int = 256, numVectors: Option[Long] = None): DataFrame = {
     import graft.functions.Deterministic.hrand
-    // Data-driven cell count (Similarity.autoNList √ rule): `nList` is
-    // the floor, so a growing corpus splits into more cells instead of
-    // letting within-cell candidate volume go O(n²/constant). Corpus
-    // size comes in as `numVectors` (session-cached metadata statistic);
-    // the count() fallback replays the input's lineage.
+    // Data-driven cell count (Similarity.autoCellCount LINEAR rule —
+    // constant ~targetCellSize populations): `nList` is the floor, so a
+    // growing corpus splits into more cells and the pair join's
+    // cells·pop² work stays linear in n (the query-path √ rule measured
+    // n^1.5 here: 50× on 10× data at sf1). Corpus size comes in as
+    // `numVectors` (session-cached metadata statistic); the count()
+    // fallback replays the input's lineage.
     // API INVARIANT: `numVectors` must count the EXACT FRAME passed as
     // `vectors` — a raw-table count over a filtered/derived frame
     // silently mis-sizes the cells (see simhash.numDocs).
-    val nCells = Similarity.autoNList(numVectors.getOrElse(vectors.count()), nList, targetCellSize)
+    val nCells = Similarity.autoCellCount(numVectors.getOrElse(vectors.count()), nList, targetCellSize)
     val cent = vectors
       .orderBy(hrand(col(idCol), seed), col(idCol))
       .limit(nCells)

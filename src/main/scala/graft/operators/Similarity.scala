@@ -86,6 +86,20 @@ object Similarity {
   def autoNList(n: Long, floor: Int, targetCellSize: Int = 256): Int =
     math.max(floor, math.ceil(math.sqrt(n.toDouble / targetCellSize)).toInt)
 
+  /** Cell count for ALL-PAIRS blocking (Dedup.embeddingNearDup):
+    * constant target cell POPULATION, i.e. `ceil(n / targetCellSize)`
+    * cells. The √ rule above is the right compromise for the QUERY
+    * path (per-query probe cost balances centroid scan vs cell scan),
+    * but a pair JOIN does cells · pop² work — √n-sized populations
+    * make that n^1.5 (measured 50× on 10× data at sf1); constant
+    * populations keep it LINEAR (cells · targetCellSize² = n ·
+    * targetCellSize). The centroid table grows ∝ n/targetCellSize but
+    * broadcasts fine far past any realistic corpus (10⁹ vectors →
+    * ~4M centroids is the practical ceiling; shard the corpus before
+    * that). `floor` is the caller's `nList`, as in [[autoNList]]. */
+  def autoCellCount(n: Long, floor: Int, targetCellSize: Int = 256): Int =
+    math.max(floor, math.ceil(n.toDouble / targetCellSize).toInt)
+
   /** The centroid table rolled into ONE array-of-structs row, for the
     * shuffle-free per-row assignment of [[topCells]]. `collect_list`
     * order is partition-dependent, but the downstream comparator sorts

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Incremental, Layout, Packing, Sampling, Sessionize, Sketches}
+import graft.operators.{Dedup, Funnels, Incremental, Layout, Packing, Sampling, Sessionize, Sketches}
 
 /** Unit coverage for the scale-infrastructure operators (QScale
   * registry family): sessionization boundaries, count-min guarantees,
@@ -248,6 +248,52 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Funnels.funnelTimes enforces order and the conversion window") {
+    import spark.implicits._
+    val e = Seq(
+      // u1: clean view(10) -> click(20) -> purchase(25)
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 25L),
+      // u2: purchase BEFORE the first view never converts; click after does
+      (2L, "purchase", 5L), (2L, "view", 10L), (2L, "click", 30L),
+      // u3: click outside the window (10 + 100 < 200)
+      (3L, "view", 10L), (3L, "click", 200L),
+      // u4: no view at all -> not in the funnel
+      (4L, "click", 10L), (4L, "purchase", 20L)
+    ).toDF("u", "et", "t")
+    val out = Funnels.funnelTimes(e, "u", "et", "t",
+        Seq("view", "click", "purchase"), windowSeconds = Some(100L))
+      .collect().map(r => r.getAs[Long]("u") ->
+        (Option(r.get(r.fieldIndex("t_1"))), Option(r.get(r.fieldIndex("t_2")))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((Some(20L), Some(25L))))
+    assert(out(2L) == ((Some(30L), None))) // pre-view purchase ignored
+    assert(out(3L) == ((None, None)))      // out-of-window click
+    val rep = Funnels.funnelReport(e, "u", "et", "t",
+        Seq("view", "click", "purchase"), Some(100L))
+      .orderBy("stage_idx").collect()
+    assert(rep.map(_.getAs[Long]("n_users")).toSeq == Seq(3L, 2L, 1L))
+    assert(rep(1).getAs[Double]("conv_from_prev") == math.rint(2.0 / 3 * 1e6) / 1e6)
+    assert(rep(2).getAs[Double]("mean_seconds_from_prev") == 5.0)
+  }
+
+  test("Funnels.retentionCohorts builds the triangular matrix") {
+    import spark.implicits._
+    // buckets of 10: u1 cohort 0 active at 0,1,2; u2 cohort 0 active at
+    // 0,2; u3 cohort 1 active at 1
+    val e = Seq((1L, 5L), (1L, 15L), (1L, 25L), (2L, 9L), (2L, 29L), (3L, 12L))
+      .toDF("u", "t")
+    val out = Funnels.retentionCohorts(e, "u", "t", bucketSeconds = 10L)
+      .collect().map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("offset")) ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("cohort_users"),
+          r.getAs[Double]("retention"))).toMap
+    assert(out((0L, 0L)) == ((2L, 2L, 1.0)))
+    assert(out((0L, 1L)) == ((1L, 2L, 0.5)))
+    assert(out((0L, 2L)) == ((2L, 2L, 1.0)))
+    assert(out((1L, 0L)) == ((1L, 1L, 1.0)))
+    assert(out.size == 4)
+  }
+
   test("scale operators return empty (not crash) on empty input") {
     import spark.implicits._
     val noEvents = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
@@ -278,5 +324,10 @@ class ScaleOpsSpec extends AnyFunSuite {
       Sketches.countMinInt(noKeys.select(col("x")), "x", 4, 16),
       Sketches.countMinInt(noKeys.select(col("x")), "x", 4, 16), 4).collect()
     assert(js.length == 1 && js(0).getAs[Long]("n_est") == 0L)
+    val noTyped = Seq.empty[(Long, String, Long)].toDF("u", "et", "t")
+    assert(Funnels.funnelTimes(noTyped, "u", "et", "t",
+      Seq("view", "click")).count() == 0)
+    assert(Funnels.retentionCohorts(
+      noTyped.select(col("u"), col("t")), "u", "t", 10L).count() == 0)
   }
 }
