@@ -440,6 +440,70 @@ object QStats {
       .orderBy("event_type")
   })
 
+  // ------------------------------------------------ T10 Mann–Whitney U
+  /** Mann–Whitney U (two-sample rank-sum, unpaired — the independent-
+    * samples complement of the PAIRED signed-rank t2): per day, are
+    * click and purchase `value`s drawn from the same distribution?
+    * Average-rank ties, tie-corrected normal approximation, no
+    * continuity correction (the same convention family as t2's z);
+    * p = 2·Φ(−|z|) reads off the reported z. Rank sums are exact
+    * half-integers (order-independent in doubles), the tie term is
+    * BIGINT, and the z expression is textually identical on both
+    * engines. The per-day rank window bounds each sort by the day's
+    * rows — the t2 demonstrator caveat applies to the GLOBAL form
+    * only. */
+  val t10 = Q("t10_mann_whitney", Some("""
+    WITH e AS (SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) // 86400 AS day,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s1, value AS v
+               FROM events
+               WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+    rk AS (SELECT day, s1,
+             rank() OVER (PARTITION BY day ORDER BY v)
+               + (count(*) OVER (PARTITION BY day, v) - 1) / 2.0 AS r
+           FROM e),
+    tg AS (SELECT day, v, count(*) AS tc FROM e GROUP BY 1, 2),
+    tt AS (SELECT day, CAST(sum(tc * tc * tc - tc) AS BIGINT) AS tie3
+           FROM tg GROUP BY 1),
+    a AS (SELECT day,
+            CAST(sum(CASE WHEN s1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN s1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            sum(CASE WHEN s1 = 1 THEN r ELSE 0 END) AS r1
+          FROM rk GROUP BY 1)
+    SELECT a.day, n1, n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u1,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+                     - CAST(tie3 AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1)))), 4) AS z
+    FROM a JOIN tt USING (day)
+    WHERE n1 >= 1 AND n2 >= 1 AND n1 + n2 >= 3
+    ORDER BY day"""
+  ))((s, d) => {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase") && col("value").isNotNull)
+      .select(expr("cast(ts AS long) div 86400").as("day"),
+        when(col("event_type") === "click", 1).otherwise(0).as("s1"),
+        col("value").as("v"))
+    val rk = e.select(col("day"), col("s1"),
+      (rank().over(Window.partitionBy("day").orderBy("v")) +
+        (count(lit(1)).over(Window.partitionBy("day", "v")) - 1) / 2.0).as("r"))
+    val tt = e.groupBy("day", "v").agg(count(lit(1)).as("tc"))
+      .groupBy("day")
+      .agg(sum(col("tc") * col("tc") * col("tc") - col("tc")).as("tie3"))
+    val a = rk.groupBy("day").agg(
+      sum(when(col("s1") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("s1") === 0, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("s1") === 1, col("r")).otherwise(0.0)).as("r1"))
+    a.join(tt, "day")
+      .filter(col("n1") >= 1 && col("n2") >= 1 && col("n1") + col("n2") >= 3)
+      .select(col("day"), col("n1"), col("n2"),
+        expr("round(r1 - n1 * (n1 + 1) / 2.0, 2)").as("u1"),
+        expr("""round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+                    - CAST(tie3 AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1)))), 4)""")
+          .as("z"))
+      .orderBy("day")
+  })
+
   // ---------------------------------------------------------- Stream
   /** Batch twin of the Structured Streaming job (tumbling event-time
     * window + per-window aggregate); the streaming form lives in
@@ -457,5 +521,6 @@ object QStats {
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
       .orderBy("window_start", "event_type"))
 
-  val all: Seq[Q] = Seq(l3, l4, l5, t1, t2, t2b, t2c, t4, t6, t7, l13, st1)
+  val all: Seq[Q] = Seq(l3, l4, l5, t1, t2, t2b, t2c, t4, t6, t7, t10, l13,
+    st1)
 }

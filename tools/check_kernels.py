@@ -447,6 +447,44 @@ check("t2_wilcoxon_exact", rows,
       load("t2_wilcoxon_exact").sort_values("region_key"),
       ["n_eff", "w_plus", "p_exact"])
 
+# ------------------------------------------- t10 Mann-Whitney U (numpy leg)
+# Independent re-derivation of the per-day rank-sum test: average ranks
+# via stable sort, tie-corrected sigma, no continuity correction.
+if glob.glob(f"{out_dir}/t10_mann_whitney/*.parquet"):
+    ev = con.execute(f"""
+        SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) // 86400 AS day,
+               event_type, value
+        FROM read_parquet('{sf_dir}/events.parquet')
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL""").df()
+    rows = []
+    for day in sorted(ev["day"].unique()):
+        d = ev[ev["day"] == day]
+        v = d["value"].to_numpy(dtype=np.float64)
+        is1 = (d["event_type"] == "click").to_numpy()
+        n1, n2 = int(is1.sum()), int((~is1).sum())
+        if n1 < 1 or n2 < 1 or n1 + n2 < 3:
+            continue
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(v.size)
+        i = 0
+        tie3 = 0
+        while i < v.size:
+            j = i
+            while j + 1 < v.size and v[order[j + 1]] == v[order[i]]:
+                j += 1
+            t = j - i + 1
+            tie3 += t * t * t - t
+            ranks[order[i:j + 1]] = (i + j + 2) / 2.0
+            i = j + 1
+        r1 = ranks[is1].sum()
+        n = n1 + n2
+        u1 = r1 - n1 * (n1 + 1) / 2.0
+        sigma = math.sqrt(n1 * n2 / 12.0 * ((n + 1) - tie3 / (n * (n - 1))))
+        rows.append({"n1": n1, "n2": n2, "u1": round(u1, 2),
+                     "z": round((u1 - n1 * n2 / 2.0) / sigma, 4)})
+    check("t10_mann_whitney", rows,
+          load("t10_mann_whitney").sort_values("day"), ["n1", "n2", "u1", "z"])
+
 if failures:
     print("\nFAILED:\n  " + "\n  ".join(failures))
     sys.exit(1)
