@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph analytics as relational plans. Complements the
+  * connected-components operator (Dedup.connectedComponents): CC finds
+  * WHICH nodes belong together; PageRank scores HOW CENTRAL each node
+  * is — the standard importance prior for dedup keep-selection,
+  * crawl-frontier prioritization and source weighting.
+  */
+object Graphs {
+
+  /** PageRank with a FIXED number of unrolled power iterations (the
+    * same finite-iteration discipline as Similarity.kmeans — an exact
+    * relational artifact, not a convergence loop):
+    * r₀ = 1/N;  r_{t+1}(v) = (1−d)/N + d · Σ_{u→v} r_t(u)/deg(u).
+    *
+    * `edges` is a DIRECTED edge list; symmetrize before calling for an
+    * undirected graph. Every node must have out-degree ≥ 1 (true by
+    * construction for symmetrized lists) — rank mass parked on dangling
+    * nodes is NOT redistributed, so keep them out of the node set.
+    *
+    * Determinism: per-edge contributions r/deg are rounded to 12 dp and
+    * summed as DECIMAL(28,12) — merge-order-independent — and each
+    * iteration re-rounds to 12 dp, so every double derives from
+    * identical operands on any engine/partitioning (the SQL oracle
+    * replays the identical chain).
+    *
+    * Scale shape: one shuffle per iteration, always on the node key —
+    * ranks ⋈ edges on src, re-aggregated on dst; the rank and degree
+    * frames are node-sized, edges are scanned once per iteration from
+    * the scoped persist. Iterations are a fixed small constant, so the
+    * whole plan is iters·|E| work with no driver-side loop state. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"pageRank needs 1 <= iters <= 20, got $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
+    val e = CacheScope.persist(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val deg = CacheScope.persist(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg")))
+    val n = deg.agg(count(lit(1)).as("nn"))
+    val r0 = deg.crossJoin(broadcast(n))
+      .select(col("node"), round(lit(1.0).cast("double") / col("nn"), 12).as("r"))
+    (1 to iters).foldLeft(r0) { (r, _) =>
+      e.join(r.withColumnRenamed("node", "rnode"), col("src") === col("rnode"))
+        .join(deg.select(col("node").as("dnode"), col("dg")),
+          col("src") === col("dnode"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(round(col("r") / col("dg"), 12).cast(DecimalType(28, 12)))
+          .cast("double").as("mass"))
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          round((lit(1.0).cast("double") - lit(damping)) / col("nn") +
+            lit(damping) * col("mass"), 12).as("r"))
+    }
+  }
+}

@@ -425,6 +425,67 @@ object QScale {
       .orderBy("metric")
   })
 
+  // ------------------------------------------------------- PageRank
+  /** PageRank over the customer–supplier co-purchase graph
+    * (operators.Graphs.pageRank): distinct (custkey, suppkey) pairs
+    * from orders ⋈ lineitem, symmetrized into an undirected bipartite
+    * graph (nodes encoded 2·key / 2·key+1 to keep the keyspaces
+    * disjoint), 3 unrolled power iterations at d = 0.85, top-10
+    * suppliers by final rank. The iterative-compute complement of
+    * connected components: one node-keyed shuffle per iteration,
+    * per-edge contributions rounded and DECIMAL-summed so every rank
+    * is bit-identical on both engines. `rank_ppm` = rank · 10⁶. */
+  private val prIters = 3
+  private val prDamp = 0.85
+
+  val pagerank = Q("graph_pagerank_copurchase", Some {
+    def step(prev: String, out: String) = s"""
+    $out AS (SELECT e.dst AS node,
+         round((CAST(1.0 AS DOUBLE) - CAST($prDamp AS DOUBLE)) / (SELECT nn FROM n)
+           + CAST($prDamp AS DOUBLE)
+             * CAST(SUM(CAST(round($prev.r / deg.dg, 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS r
+       FROM edges e JOIN $prev ON e.src = $prev.node JOIN deg ON e.src = deg.node
+       GROUP BY 1)"""
+    s"""
+    WITH raw AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+                 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM raw
+              UNION ALL SELECT s * 2 + 1, c * 2 FROM raw),
+    deg AS (SELECT src AS node, count(*) AS dg FROM edges GROUP BY 1),
+    n AS (SELECT count(*) AS nn FROM deg),
+    r0 AS (SELECT node, round(CAST(1 AS DOUBLE) / (SELECT nn FROM n), 12) AS r FROM deg),
+    ${step("r0", "r1")},
+    ${step("r1", "r2")},
+    ${step("r2", "r3")}
+    SELECT row_number() OVER (ORDER BY r.r DESC, r.node) AS rk,
+           r.node // 2 AS supp_key, round(r.r * 1e6, 6) AS rank_ppm,
+           deg.dg AS degree
+    FROM r3 r JOIN deg ON r.node = deg.node
+    WHERE r.node % 2 = 1
+    ORDER BY rk LIMIT 10"""
+  })((s, d) => {
+    val raw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = raw.select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .unionAll(raw.select((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+    val deg = edges.groupBy(col("src").as("dgnode")).agg(count(lit(1)).as("degree"))
+    graft.operators.Graphs.pageRank(edges, "src", "dst", prIters, prDamp)
+      .filter(col("node") % 2 === 1)
+      .join(deg, col("node") === col("dgnode"))
+      .select(col("node"), col("r"), col("degree"))
+      .withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("r").desc, col("node"))))
+      .filter(col("rk") <= 10)
+      .select(col("rk").cast("long").as("rk"),
+        expr("node div 2").as("supp_key"),
+        round(col("r") * lit(1e6), 6).as("rank_ppm"), col("degree"))
+      .orderBy("rk")
+  })
+
   val all: Seq[Q] = Seq(sessBatch, cms, zorder, rolling, incMerge, keySkew,
-    snapDiff, entropy, bloom, joinSize)
+    snapDiff, entropy, bloom, joinSize, pagerank)
 }

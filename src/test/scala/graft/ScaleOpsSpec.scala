@@ -294,6 +294,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("Graphs.pageRank conserves mass and ranks the hub highest") {
+    import spark.implicits._
+    // star: center 0 connected to 1..4, symmetrized
+    val raw = (1L to 4L).map(i => (0L, i))
+    val edges = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val r = operators.Graphs.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Double]("r")).toMap
+    assert(r.size == 5)
+    // total rank mass stays ~1 (no dangling nodes, rounding at 12dp)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // the hub holds the most rank; leaves are symmetric-identical
+    assert(r(0L) > r(1L))
+    assert((1L to 4L).map(r).distinct.size == 1)
+    // closed form at d=0.85 (teleport 0.03): hub alternates
+    // 0.2 -> 0.71 -> 0.2765 -> 0.644975 over the 3 unrolled iterations
+    assert(math.abs(r(0L) - 0.644975) < 1e-9)
+  }
+
   test("scale operators return empty (not crash) on empty input") {
     import spark.implicits._
     val noEvents = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
