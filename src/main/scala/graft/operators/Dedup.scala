@@ -421,9 +421,23 @@ object Dedup {
     * 10× the rows measured 100× the join (the r7 sf1 scale curve)
     * under the old expected rule, against ~linear after this one.
     * Output: (doc_a, doc_b, hamming). */
+  /** `maxBucket` is the degenerate-corpus guard (analog of
+    * [[minhashLsh]]'s cap): the width rule below keeps HONEST bucket
+    * populations near `targetBucketSize`, but IDENTICAL signatures
+    * (10⁶ copies of one boilerplate doc) collapse into one bucket no
+    * width can split — the one O(n²) path width adaptation cannot
+    * close. A probed bucket holding more than `maxBucket` docs is
+    * dropped whole from candidate generation. Recall trade as for
+    * minhash: docs whose EVERY probed bucket is over-cap surface no
+    * pairs here, but a flood that big is exactly what upstream exact
+    * dedup removes; with no bucket over cap the result is bit-identical
+    * to the unguarded form (true of every committed corpus — the
+    * DuckDB oracle replays the same plan). */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 2, probeBits: Int = 16,
-      targetBucketSize: Int = 256): DataFrame = {
+      targetBucketSize: Int = 256,
+      maxBucket: Long = defaultMaxBandBucket): DataFrame = {
+    require(maxBucket >= 2, s"simhash needs maxBucket >= 2, got $maxBucket")
     val sh = CacheScope.persist(simhashSignatures(docs, idCol, textCol))
     val pr = CacheScope.persist(
       sh.crossJoin(broadcast(observedBucketWidth(sh, probeBits, targetBucketSize)))
@@ -432,7 +446,14 @@ object Dedup {
           explode(expr("concat(array(base), " +
             "transform(sequence(0, bw - 1), k -> base ^ CAST(pow(2, k) AS BIGINT)))"))
             .as("bucket")))
-    pr.as("a").join(pr.as("b"),
+    // population guard BEFORE the self-join (minhashLsh's anti-join
+    // shape: aggregate, anti-join and candidate join all key on
+    // `bucket`, so the exchange is reused; guarding one side suffices)
+    val overCap = pr.groupBy("bucket")
+      .agg(count(lit(1)).as("bc")).filter(col("bc") > maxBucket)
+      .select("bucket")
+    val prG = pr.join(overCap, Seq("bucket"), "left_anti")
+    prG.as("a").join(pr.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))

@@ -462,6 +462,29 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(run(100000L).size == 200 * 199 / 2 + 1)
   }
 
+  test("Dedup.simhash maxBucket drops identical-signature floods whole") {
+    import spark.implicits._
+    // 200 identical docs: identical SIMHASH signatures land in one
+    // bucket that no width adaptation can split — the degenerate path
+    // the population cap closes (width handles merely-similar docs)
+    val flood = (1L to 200L).map(i =>
+      (i, "click here to win a free prize now today"))
+    val pair = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (901L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val d = (flood ++ pair).toDF("id", "body")
+    def run(cap: Long) =
+      Dedup.simhash(d, "id", "body", maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = run(50L)
+    // flood pairs gone whole — no quadratic candidate set — while the
+    // 2-doc bucket stays far under the cap and still surfaces
+    assert(!capped.exists { case (a, b) => a <= 200L && b <= 200L })
+    assert(capped.contains((900L, 901L)))
+    // a cap above every population is bit-identical to unguarded
+    assert(run(100000L).size == 200 * 199 / 2 + 1)
+  }
+
   test("injected graft_* functions reject wrong arity with a clean AnalysisException") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_simhash()").collect()
