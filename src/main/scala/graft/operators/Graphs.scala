@@ -32,29 +32,43 @@ object Graphs {
     * ranks ⋈ edges on src, re-aggregated on dst; the rank and degree
     * frames are node-sized, edges are scanned once per iteration from
     * the scoped persist. Iterations are a fixed small constant, so the
-    * whole plan is iters·|E| work with no driver-side loop state. */
+    * whole plan is iters·|E| work with no driver-side loop state.
+    *
+    * Output: (node, r, dg) — the out-degree rides along from the frame
+    * the operator already holds, so callers never rescan the edge list
+    * for it. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && iters <= 20, s"pageRank needs 1 <= iters <= 20, got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
+    // Persist the edge list PRE-PARTITIONED on the join key: the cached
+    // frame advertises its HashPartitioning, so each iteration's
+    // ranks-join exchanges only the node-sized rank frame instead of
+    // re-shuffling |E| rows per round — the partitioning-reuse pattern
+    // the 100 TB posture rests on (one big exchange, iters small ones).
     val e = CacheScope.persist(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .repartition(col("src")))
     val deg = CacheScope.persist(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg")))
     val n = deg.agg(count(lit(1)).as("nn"))
-    val r0 = deg.crossJoin(broadcast(n))
-      .select(col("node"), round(lit(1.0).cast("double") / col("nn"), 12).as("r"))
+    // per-iteration persists keep the plan per-round (each round's rank
+    // frame is node-sized): without them the final plan is one deep
+    // lineage whose every broadcast/AQE re-plan re-derives the chain
+    val r0 = CacheScope.persist(deg.crossJoin(broadcast(n))
+      .select(col("node"), round(lit(1.0).cast("double") / col("nn"), 12).as("r")))
     (1 to iters).foldLeft(r0) { (r, _) =>
-      e.join(r.withColumnRenamed("node", "rnode"), col("src") === col("rnode"))
-        .join(deg.select(col("node").as("dnode"), col("dg")),
-          col("src") === col("dnode"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(round(col("r") / col("dg"), 12).cast(DecimalType(28, 12)))
-          .cast("double").as("mass"))
-        .crossJoin(broadcast(n))
-        .select(col("node"),
-          round((lit(1.0).cast("double") - lit(damping)) / col("nn") +
-            lit(damping) * col("mass"), 12).as("r"))
-    }
+      CacheScope.persist(
+        e.join(r.withColumnRenamed("node", "rnode"), col("src") === col("rnode"))
+          .join(deg.select(col("node").as("dnode"), col("dg")),
+            col("src") === col("dnode"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(round(col("r") / col("dg"), 12).cast(DecimalType(28, 12)))
+            .cast("double").as("mass"))
+          .crossJoin(broadcast(n))
+          .select(col("node"),
+            round((lit(1.0).cast("double") - lit(damping)) / col("nn") +
+              lit(damping) * col("mass"), 12).as("r")))
+    }.join(deg, "node") // degree rides along: node-sized join, no rescan
   }
 }

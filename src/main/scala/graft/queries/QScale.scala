@@ -469,13 +469,15 @@ object QScale {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
       .distinct()
-    val edges = raw.select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
-      .unionAll(raw.select((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
-    val deg = edges.groupBy(col("src").as("dgnode")).agg(count(lit(1)).as("degree"))
+    // symmetrize in ONE pass (explode, not union — a union of two
+    // selects over `raw` would run the join+distinct pipeline twice)
+    val edges = raw.select(explode(array(
+        struct((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst")),
+        struct((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     graft.operators.Graphs.pageRank(edges, "src", "dst", prIters, prDamp)
       .filter(col("node") % 2 === 1)
-      .join(deg, col("node") === col("dgnode"))
-      .select(col("node"), col("r"), col("degree"))
+      .select(col("node"), col("r"), col("dg").as("degree"))
       .withColumn("rk",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("r").desc, col("node"))))
