@@ -504,6 +504,80 @@ object QStats {
       .orderBy("day")
   })
 
+  // ------------------------------------------- T11 χ² independence
+  /** Chi-square test of independence on the lang × source contingency
+    * table: χ² = Σ (o − e)²/e over the FULL row×column grid (absent
+    * cells contribute e), Wilson–Hilferty cube-root normal
+    * approximation for the upper-tail p (excellent at df = 76), and
+    * Cramér's V effect size. Expected counts derive from integer
+    * row/col/N totals with one rounding per term and a DECIMAL sum, so
+    * the statistic is bit-stable; z and p reuse t1's A&S polynomial
+    * convention. Shape: one corpus aggregation to cells, every
+    * downstream frame is category-bounded (the r×c cross is 100
+    * rows). */
+  private val chi2Term =
+    "round((COALESCE(o, 0) - CAST(rn AS DOUBLE) * cn / n) " +
+      "* (COALESCE(o, 0) - CAST(rn AS DOUBLE) * cn / n) " +
+      "/ (CAST(rn AS DOUBLE) * cn / n), 6)"
+  private val chi2Z =
+    "round((cbrt(chi2 / ((r - 1) * (c - 1))) - (1.0 - 2.0 / (9.0 * (r - 1) * (c - 1)))) " +
+      "/ sqrt(2.0 / (9.0 * (r - 1) * (c - 1))), 4)"
+  private val chi2PUpper =
+    "round(CASE WHEN z >= 0 " +
+      "THEN dd * u * (0.319381530 + u * (-0.356563782 + u * (1.781477937 + u * (-1.821255978 + u * 1.330274429)))) " +
+      "ELSE 1.0 - dd * u * (0.319381530 + u * (-0.356563782 + u * (1.781477937 + u * (-1.821255978 + u * 1.330274429)))) " +
+      "END, 6)"
+
+  val t11 = Q("t11_chi2_independence", Some(s"""
+    WITH cells AS (SELECT lang, source, count(*) AS o FROM documents
+                   WHERE text IS NOT NULL GROUP BY 1, 2),
+    rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rn FROM cells GROUP BY 1),
+    ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS cn FROM cells GROUP BY 1),
+    nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    base AS (SELECT rt.lang, ct.source, rt.rn, ct.cn FROM rt CROSS JOIN ct),
+    terms AS (SELECT $chi2Term AS term
+              FROM base b LEFT JOIN cells ON b.lang = cells.lang AND b.source = cells.source
+              CROSS JOIN nn),
+    st AS (SELECT CAST((SELECT count(*) FROM rt) AS BIGINT) AS r,
+                  CAST((SELECT count(*) FROM ct) AS BIGINT) AS c,
+                  (SELECT n FROM nn) AS n,
+                  round(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 4) AS chi2
+           FROM terms),
+    zz AS (SELECT *, CAST((r - 1) * (c - 1) AS BIGINT) AS df, $chi2Z AS z FROM st),
+    pz AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS u,
+             0.3989422804014327 * exp(-(z * z) / 2.0) AS dd FROM zz)
+    SELECT n, r AS n_row_cats, c AS n_col_cats, df, chi2, z,
+           $chi2PUpper AS p_upper,
+           round(sqrt(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v
+    FROM pz"""
+  ))((s, d) => {
+    val cells = Tables.documents(s, d).filter(col("text").isNotNull)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("lang").agg(sum("o").as("rn"))
+    val ct = cells.groupBy("source").agg(sum("o").as("cn"))
+    val nn = cells.agg(sum("o").as("n"))
+    val dims = rt.agg(count(lit(1)).as("r"))
+      .crossJoin(ct.agg(count(lit(1)).as("c")))
+    // category-bounded cross (r×c rows) + broadcast scalars
+    val terms = rt.crossJoin(ct)
+      .join(cells, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(nn))
+      .select(expr(chi2Term).as("term"))
+    val st = terms
+      .agg(round(sum(col("term").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double"), 4).as("chi2"))
+      .crossJoin(broadcast(dims))
+      .crossJoin(broadcast(nn))
+    st.withColumn("df", expr("CAST((r - 1) * (c - 1) AS BIGINT)"))
+      .withColumn("z", expr(chi2Z))
+      .withColumn("u", expr("1.0 / (1.0 + 0.2316419 * abs(z))"))
+      .withColumn("dd", expr("0.3989422804014327 * exp(-(z * z) / 2.0)"))
+      .select(col("n"), col("r").as("n_row_cats"), col("c").as("n_col_cats"),
+        col("df"), col("chi2"), col("z"),
+        expr(chi2PUpper).as("p_upper"),
+        expr("round(sqrt(chi2 / (n * LEAST(r - 1, c - 1))), 6)").as("cramers_v"))
+  })
+
   // ---------------------------------------------------------- Stream
   /** Batch twin of the Structured Streaming job (tumbling event-time
     * window + per-window aggregate); the streaming form lives in
@@ -521,6 +595,6 @@ object QStats {
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
       .orderBy("window_start", "event_type"))
 
-  val all: Seq[Q] = Seq(l3, l4, l5, t1, t2, t2b, t2c, t4, t6, t7, t10, l13,
-    st1)
+  val all: Seq[Q] = Seq(l3, l4, l5, t1, t2, t2b, t2c, t4, t6, t7, t10, t11,
+    l13, st1)
 }

@@ -39,7 +39,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_ann_recall",           // composes sim_cosine_topk + sim_ann_ivf bounds
       "sketch_bloom_prune",       // two 1-row report-dimension crosses
       "diag_join_size_cms",       // 1-row est × 1-row exact report crosses
-      "graph_pagerank_copurchase") // 1-row node-count cross per iteration
+      "graph_pagerank_copurchase", // 1-row node-count cross per iteration
+      "t11_chi2_independence")    // category-bounded r×c grid + 1-row scalars
     val offenders = Q.registry
       .filterNot(_.name.startsWith("stream_"))
       .flatMap { q =>

@@ -485,6 +485,33 @@ if glob.glob(f"{out_dir}/t10_mann_whitney/*.parquet"):
     check("t10_mann_whitney", rows,
           load("t10_mann_whitney").sort_values("day"), ["n1", "n2", "u1", "z"])
 
+# --------------------------------------- t11 chi-square (numpy leg)
+# Independent re-derivation: dense contingency grid (absent cells get
+# their expected count), Wilson-Hilferty z, A&S upper-tail polynomial.
+if glob.glob(f"{out_dir}/t11_chi2_independence/*.parquet"):
+    cg = con.execute(f"""
+        SELECT lang, source, count(*) AS o
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE text IS NOT NULL GROUP BY 1, 2""").df()
+    piv = cg.pivot_table(index="lang", columns="source", values="o",
+                         fill_value=0).values.astype(np.float64)
+    ntot = piv.sum()
+    e = piv.sum(1, keepdims=True) @ piv.sum(0, keepdims=True) / ntot
+    chi2 = round(float(np.round((piv - e) ** 2 / e, 6).sum()), 4)
+    r, c = piv.shape
+    dfree = (r - 1) * (c - 1)
+    z = round((np.cbrt(chi2 / dfree) - (1 - 2 / (9 * dfree)))
+              / math.sqrt(2 / (9 * dfree)), 4)
+    u = 1.0 / (1.0 + 0.2316419 * abs(z))
+    q = (0.3989422804014327 * math.exp(-(z * z) / 2.0) * u *
+         (0.319381530 + u * (-0.356563782 + u * (1.781477937 +
+          u * (-1.821255978 + u * 1.330274429)))))
+    p = round(q if z >= 0 else 1.0 - q, 6)
+    rows = [{"n": ntot, "df": dfree, "chi2": chi2, "z": z, "p_upper": p,
+             "cramers_v": round(math.sqrt(chi2 / (ntot * min(r - 1, c - 1))), 6)}]
+    check("t11_chi2_independence", rows, load("t11_chi2_independence"),
+          ["n", "df", "chi2", "z", "p_upper", "cramers_v"])
+
 if failures:
     print("\nFAILED:\n  " + "\n  ".join(failures))
     sys.exit(1)
