@@ -488,6 +488,61 @@ object QScale {
       .orderBy("rk")
   })
 
+  // ------------------------------------------------ HyperLogLog
+  /** HLL distinct-count audit (operators.Sketches.hyperLogLog): how
+    * many distinct parts does each supplier nation ship, from 64
+    * integer registers per group instead of a distinct-shuffle —
+    * reported beside the exact count and the relative error (~1.04/√m
+    * ≈ 13 % at b = 6; the deliberately small register file makes the
+    * error REAL, the same honesty convention as sketch_cms_tokens).
+    * Register ranks are all-integer, Σ2^(−M) is a dyadic-rational sum
+    * (exact in any order), so the estimates replay bit-identically. */
+  private val hllB = 6
+
+  val hll = Q("sketch_hll_distinct", Some {
+    val m = 1 << hllB
+    val wBits = 31 - hllB
+    val h8 = "(" + (1 to 8).map(j =>
+      s"(strpos('0123456789abcdef', md5(CAST(k AS VARCHAR))[$j]) - 1) * ${1L << (4 * (8 - j))}")
+      .mkString(" + ") + s") % ${graft.operators.Dedup.mixM}"
+    val bitsCase = "CASE " + (wBits - 1 to 0 by -1)
+      .map(k => s"WHEN w >= ${1L << k} THEN ${k + 1}").mkString(" ") + " ELSE 0 END"
+    val amm = 0.7213 / (1 + 1.079 / m) * m * m
+    val estExpr =
+      s"CASE WHEN CAST($amm AS DOUBLE) / denom <= 2.5 * $m AND v0 > 0 " +
+        s"THEN $m * ln(CAST($m AS DOUBLE) / v0) " +
+        s"ELSE CAST($amm AS DOUBLE) / denom END"
+    s"""
+    WITH it AS (SELECT s.s_nationkey AS g, l.l_partkey AS k FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    h AS (SELECT g, $h8 AS hv FROM it),
+    rw AS (SELECT g, hv // ${1L << wBits} AS reg, hv % ${1L << wBits} AS w FROM h),
+    rk AS (SELECT g, reg, max(${wBits + 1} - ($bitsCase)) AS mr FROM rw GROUP BY 1, 2),
+    grid AS (SELECT DISTINCT g, unnest(generate_series(0, ${m - 1})) AS reg FROM rk),
+    full_r AS (SELECT grid.g, grid.reg, COALESCE(rk.mr, 0) AS mr
+               FROM grid LEFT JOIN rk ON grid.g = rk.g AND grid.reg = rk.reg),
+    est AS (SELECT g, CAST(sum(pow(2.0, -mr)) AS DOUBLE) AS denom,
+                   CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0
+            FROM full_r GROUP BY 1),
+    ex AS (SELECT g, count(DISTINCT k) AS n_exact FROM it GROUP BY 1)
+    SELECT ex.g AS nationkey, ex.n_exact, round($estExpr, 4) AS n_est,
+           round(abs($estExpr - n_exact) / n_exact, 4) AS rel_err
+    FROM ex JOIN est ON ex.g = est.g ORDER BY 1"""
+  })((s, d) => {
+    val it = Tables.lineitem(s, d).select(col("l_suppkey"), col("l_partkey").as("k"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").as("g"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("g"), col("k"))
+    val est = Sketches.hyperLogLog(it, "g", "k", b = hllB)
+    val ex = it.groupBy("g").agg(countDistinct(col("k")).as("n_exact"))
+    ex.join(est, "g")
+      .select(col("g").as("nationkey"), col("n_exact"),
+        round(col("hll_est"), 4).as("n_est"),
+        round(abs(col("hll_est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+      .orderBy("nationkey")
+  })
+
   val all: Seq[Q] = Seq(sessBatch, cms, zorder, rolling, incMerge, keySkew,
-    snapDiff, entropy, bloom, joinSize, pagerank)
+    snapDiff, entropy, bloom, joinSize, pagerank, hll)
 }

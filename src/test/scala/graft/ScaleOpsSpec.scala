@@ -294,6 +294,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("Sketches.hyperLogLog estimates within the m-register error band") {
+    import spark.implicits._
+    // one group with 5000 distinct keys, one with 8 (linear-counting
+    // range); duplicates must not move either estimate
+    val d = ((1L to 5000L).map(("big", _)) ++ (1L to 5000L).map(("big", _)) ++
+      (101L to 108L).map(("small", _))).toDF("g", "k")
+    val est = Sketches.hyperLogLog(d, "g", "k", b = 6)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("hll_est")).toMap
+    // 1.04/sqrt(64) ~ 13% standard error; assert a generous 3-sigma band
+    assert(math.abs(est("big") - 5000.0) / 5000.0 < 0.4,
+      s"big-group estimate off: ${est("big")}")
+    // small cardinality rides linear counting: near-exact
+    assert(math.abs(est("small") - 8.0) <= 2.0, s"small: ${est("small")}")
+  }
+
   test("Graphs.pageRank conserves mass and ranks the hub highest") {
     import spark.implicits._
     // star: center 0 connected to 1..4, symmetrized
