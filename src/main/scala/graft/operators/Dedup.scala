@@ -436,6 +436,20 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 2, probeBits: Int = 16,
       targetBucketSize: Int = 256,
+      maxBucket: Long = defaultMaxBandBucket): DataFrame =
+    simhashCandidates(docs, idCol, textCol, probeBits, targetBucketSize, maxBucket)
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can meet in several probed buckets
+
+  /** The candidate stage of [[simhash]] alone: every (doc_a, doc_b,
+    * hamming) row the probed-bucket join emits, BEFORE the hamming
+    * filter and the meets-in-several-buckets distinct. Public so the
+    * scale accounting (tools.ScaleAccounting) can measure candidate
+    * volume against emitted-pair volume on the exact join the operator
+    * runs — candidate count is the number the population guards bound,
+    * emitted count is the output the corpus actually owes. */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      probeBits: Int = 16, targetBucketSize: Int = 256,
       maxBucket: Long = defaultMaxBandBucket): DataFrame = {
     require(maxBucket >= 2, s"simhash needs maxBucket >= 2, got $maxBucket")
     val sh = CacheScope.persist(simhashSignatures(docs, idCol, textCol))
@@ -457,8 +471,6 @@ object Dedup {
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct() // a pair can meet in several probed buckets
   }
 
   /** Bucket width for [[simhash]] from OBSERVED signature concentration
@@ -532,6 +544,21 @@ object Dedup {
   def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
       blockCols: Seq[String], threshold: Double, nList: Int = 8,
       nProbe: Int = 4, seed: Long = 1337L, dim: Int = 64,
+      targetCellSize: Int = 256, numVectors: Option[Long] = None): DataFrame =
+    embeddingNearDupCandidates(vectors, idCol, vecCol, blockCols, nList,
+      nProbe, seed, dim, targetCellSize, numVectors)
+      .filter(col("c") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cos"))
+      .distinct()
+
+  /** The candidate stage of [[embeddingNearDup]] alone: every
+    * (vec_a, vec_b, c) row the shared-probed-cell join emits, BEFORE
+    * the threshold filter and the shared-cell distinct. Public for the
+    * scale accounting — candidate volume is what the cell sizing
+    * bounds, emitted volume is the output the corpus owes. */
+  def embeddingNearDupCandidates(vectors: DataFrame, idCol: String, vecCol: String,
+      blockCols: Seq[String], nList: Int = 8,
+      nProbe: Int = 4, seed: Long = 1337L, dim: Int = 64,
       targetCellSize: Int = 256, numVectors: Option[Long] = None): DataFrame = {
     import graft.functions.Deterministic.hrand
     // Data-driven cell count (Similarity.autoCellCount LINEAR rule —
@@ -574,8 +601,5 @@ object Dedup {
     asgC.as("a").join(asgC.as("b"), joinCond)
       .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
         Similarity.cosine(s"a.$vecCol", s"b.$vecCol", dim).as("c"))
-      .filter(col("c") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cos"))
-      .distinct()
   }
 }

@@ -69,13 +69,20 @@ object Funnels {
     val wide = times.agg(aggs.head, aggs.tail: _*)
     val legs = stages.zipWithIndex.map { case (s, i) =>
       val prev = if (i == 0) col("n_0") else col(s"n_${i - 1}")
+      // NULLIF-style guards: a stage with zero completers makes every
+      // downstream ratio 0/0 — Spark (ANSI off) yields NULL, DuckDB
+      // IEEE division yields NaN/inf; the explicit NULL pins one
+      // cross-engine answer (and the SQL leg mirrors it with NULLIF)
       wide.select(
         lit(i.toLong).as("stage_idx"), lit(s).as("stage"),
         col(s"n_$i").as("n_users"),
-        round(col(s"n_$i").cast("double") / prev, 6).as("conv_from_prev"),
-        round(col(s"n_$i").cast("double") / col("n_0"), 6).as("conv_from_first"),
+        when(prev > 0, round(col(s"n_$i").cast("double") / prev, 6))
+          .as("conv_from_prev"),
+        when(col("n_0") > 0, round(col(s"n_$i").cast("double") / col("n_0"), 6))
+          .as("conv_from_first"),
         (if (i == 0) lit(null).cast("double")
-         else round(col(s"d_$i").cast("double") / col(s"n_$i"), 6))
+         else when(col(s"n_$i") > 0,
+           round(col(s"d_$i").cast("double") / col(s"n_$i"), 6)))
           .as("mean_seconds_from_prev"))
     }
     legs.reduce(_ unionByName _)

@@ -159,6 +159,18 @@ object Sketches {
     * caps the shuffle at O(tasks · m) rows per group family — then an
     * m-row-per-group roll-up. Output: (groupCol, hll_est DOUBLE,
     * un-rounded). */
+  /** HLL bias-correction constant α_m: the canonical small-m constants
+    * from Flajolet et al. (0.673 / 0.697 / 0.709 for m = 16/32/64) and
+    * the asymptotic formula 0.7213/(1 + 1.079/m) for m ≥ 128 — the
+    * formula alone under-reads ~0.5% at m = 64. Shared by the operator
+    * and the QScale SQL leg so both engines estimate identically. */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1 + 1.079 / m)
+  }
+
   def hyperLogLog(items: DataFrame, groupCol: String, keyCol: String,
       b: Int = 6): DataFrame = {
     require(b >= 4 && b <= 16, s"hyperLogLog needs 4 <= b <= 16, got $b")
@@ -166,7 +178,7 @@ object Sketches {
     val wBits = 31 - b
     val bitsCase = "CASE " + (wBits - 1 to 0 by -1)
       .map(k => s"WHEN w >= ${1L << k} THEN ${k + 1}").mkString(" ") + " ELSE 0 END"
-    val amm = 0.7213 / (1 + 1.079 / m) * m * m
+    val amm = hllAlpha(m) * m * m
     val estCase =
       s"CASE WHEN CAST($amm AS DOUBLE) / denom <= 2.5 * $m AND v0 > 0 " +
         s"THEN $m * ln(CAST($m AS DOUBLE) / v0) " +

@@ -308,6 +308,126 @@ object QCuration {
         Tables.documentsP(s, d), "doc_id", "text")
       .orderBy("doc_id"))
 
+  // ------------------------------------------- rejected-rows ledger
+  /** Per-stage exclusion ledger over the curation funnel's gates —
+    * operators.Ledger.rejectLedger: every document is attributed to
+    * the FIRST gate that rejects it (the funnel's six quality rules in
+    * severity order, then exact-dedup canonicality), each stage reports
+    * its drop count plus the 3 smallest rejected doc_ids as
+    * inspectable examples, and survivors land in the terminal `kept`
+    * row. The engine analog of the reference's failure logger /
+    * exclusion reports (Matlab_part/initialize_session_logger.m:239-458)
+    * — same report, no imperative log: one row-local CASE, one
+    * stage-keyed aggregate with O(3) sample state per stage. */
+  private val ledgerStages = Seq(
+    ("1_too_short", "n_tok < 20"), ("2_too_long", "n_tok > 90"),
+    ("3_words_too_short", "mean_wlen < 4"), ("4_words_too_long", "mean_wlen > 12"),
+    ("5_no_stopwords", "n_stop < 1"), ("6_too_repetitive", "distinct_ratio < 0.3"),
+    ("7_exact_duplicate", "non-canonical copy"))
+
+  val ledger = Q("pipeline_reject_ledger", Some {
+    val dimRows = (ledgerStages :+ ("kept", "kept")).zipWithIndex
+      .map { case ((n, r), i) => s"(CAST($i AS BIGINT), '$n', '$r')" }
+      .mkString(", ")
+    s"""
+    WITH qm AS (SELECT doc_id, text,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+                    / len(string_split(text, ' ')) AS mean_wlen,
+                  len(list_filter(string_split(text, ' '),
+                      w -> w IN ('the','a','and','of','to'))) AS n_stop,
+                  len(list_distinct(string_split(text, ' ')))::DOUBLE
+                    / len(string_split(text, ' ')) AS distinct_ratio
+                FROM documents),
+    k AS (SELECT md5(text) AS th, min(doc_id) AS keep_id FROM qm
+          WHERE NOT (n_tok < 20 OR n_tok > 90 OR mean_wlen < 4.0
+                     OR mean_wlen > 12.0 OR n_stop < 1 OR distinct_ratio < 0.3)
+          GROUP BY 1),
+    att AS (SELECT qm.doc_id,
+              CASE WHEN n_tok < 20 THEN 0 WHEN n_tok > 90 THEN 1
+                   WHEN mean_wlen < 4.0 THEN 2 WHEN mean_wlen > 12.0 THEN 3
+                   WHEN n_stop < 1 THEN 4 WHEN distinct_ratio < 0.3 THEN 5
+                   WHEN qm.doc_id <> k.keep_id THEN 6
+                   ELSE 7 END AS stage_idx
+            FROM qm LEFT JOIN k ON md5(qm.text) = k.th),
+    g AS (SELECT stage_idx, count(*) AS n_rows,
+                 array_to_string(list_sort(list(doc_id))[1:3], ',') AS sample_ids
+          FROM att GROUP BY 1),
+    dim AS (SELECT * FROM (VALUES $dimRows) AS t(stage_idx, stage, reason))
+    SELECT dim.stage_idx, stage, reason,
+           coalesce(g.n_rows, 0) AS n_rows,
+           coalesce(g.sample_ids, '') AS sample_ids
+    FROM dim LEFT JOIN g ON dim.stage_idx = g.stage_idx
+    ORDER BY dim.stage_idx"""
+  })((s, d) => {
+    import graft.operators.Ledger, Ledger.Stage
+    val q = graft.operators.TextOps.qualityFilter(
+      Tables.documentsP(s, d), "text",
+      minTokens = 20, maxTokens = 90, minMeanWlen = 4.0, maxMeanWlen = 12.0,
+      minStopwords = 1, minDistinctRatio = 0.3)
+      .withColumn("th", md5(encode(col("text"), "UTF-8")))
+    val keepers = q.filter(col("keep"))
+      .groupBy("th").agg(min("doc_id").as("keep_id"))
+    val full = q.join(keepers, Seq("th"), "left")
+    Ledger.rejectLedger(full, "doc_id", Seq(
+      Stage(ledgerStages(0)._1, ledgerStages(0)._2, col("n_tok") >= 20),
+      Stage(ledgerStages(1)._1, ledgerStages(1)._2, col("n_tok") <= 90),
+      Stage(ledgerStages(2)._1, ledgerStages(2)._2, col("mean_wlen") >= 4.0),
+      Stage(ledgerStages(3)._1, ledgerStages(3)._2, col("mean_wlen") <= 12.0),
+      Stage(ledgerStages(4)._1, ledgerStages(4)._2, col("n_stop") >= 1),
+      Stage(ledgerStages(5)._1, ledgerStages(5)._2, col("distinct_ratio") >= 0.3),
+      Stage(ledgerStages(6)._1, ledgerStages(6)._2, col("doc_id") === col("keep_id"))),
+      sampleK = 3)
+  })
+
+  // ------------------------------------------- numeric quality gate
+  /** Group-level numeric data-quality gate — the engine analog of the
+    * reference's per-region NaN-% / zero-% / min-mean-rate gate
+    * (Matlab_part/perform_region_analysis.m:136-183): per supplier,
+    * the null rate and zero rate of the discount column and the mean
+    * quantity, gated on row count + all three metrics, with the failed
+    * rules named in a deterministic reasons string (the exclusion
+    * report). One hash aggregate; the mean rides a DECIMAL sum so the
+    * gate compares bit-identical doubles on both engines. */
+  val qualityGate = Q("quality_gate_numeric", Some("""
+    WITH m AS (SELECT l_suppkey, count(*) AS n,
+           round(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS null_pct,
+           round(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS zero_pct,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*), 4) AS mean_qty
+         FROM lineitem GROUP BY 1)
+    SELECT l_suppkey, n, null_pct, zero_pct, mean_qty,
+           (n >= 20 AND null_pct <= 0.01 AND zero_pct <= 0.06
+            AND mean_qty >= 25.0) AS passed,
+           concat_ws(',',
+             CASE WHEN n < 20 THEN 'too_few_rows' END,
+             CASE WHEN null_pct > 0.01 THEN 'null_rate' END,
+             CASE WHEN zero_pct > 0.06 THEN 'zero_rate' END,
+             CASE WHEN mean_qty < 25.0 THEN 'low_mean' END) AS fail_reasons
+    FROM m ORDER BY 1"""
+  ))((s, d) => {
+    val m = Tables.lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum(when(col("l_discount").isNull, 1).otherwise(0)).cast("double")
+          / count(lit(1)), 6).as("null_pct"),
+        round(sum(when(col("l_discount") === 0, 1).otherwise(0)).cast("double")
+          / count(lit(1)), 6).as("zero_pct"),
+        round(stableSum(col("l_quantity"), 6) / count(lit(1)), 4).as("mean_qty"))
+    m.select(col("l_suppkey"), col("n"), col("null_pct"), col("zero_pct"),
+        col("mean_qty"),
+        (col("n") >= 20 && col("null_pct") <= 0.01 && col("zero_pct") <= 0.06
+          && col("mean_qty") >= 25.0).as("passed"),
+        concat_ws(",",
+          when(col("n") < 20, "too_few_rows"),
+          when(col("null_pct") > 0.01, "null_rate"),
+          when(col("zero_pct") > 0.06, "zero_rate"),
+          when(col("mean_qty") < 25.0, "low_mean")).as("fail_reasons"))
+      .orderBy("l_suppkey")
+  })
+
   val all: Seq[Q] = Seq(pack, chunks, prisample, flags, qsketch, mixrates,
-    unigram)
+    unigram, ledger, qualityGate)
 }

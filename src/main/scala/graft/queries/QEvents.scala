@@ -41,17 +41,17 @@ object QEvents {
                  CAST(sum(t_1 - t_0) AS BIGINT) AS d_1,
                  CAST(sum(t_2 - t_1) AS BIGINT) AS d_2 FROM w)
     SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, n_0 AS n_users,
-           round(CAST(n_0 AS DOUBLE) / n_0, 6) AS conv_from_prev,
-           round(CAST(n_0 AS DOUBLE) / n_0, 6) AS conv_from_first,
+           round(CAST(n_0 AS DOUBLE) / NULLIF(n_0, 0), 6) AS conv_from_prev,
+           round(CAST(n_0 AS DOUBLE) / NULLIF(n_0, 0), 6) AS conv_from_first,
            CAST(NULL AS DOUBLE) AS mean_seconds_from_prev FROM a
     UNION ALL
-    SELECT 1, 'click', n_1, round(CAST(n_1 AS DOUBLE) / n_0, 6),
-           round(CAST(n_1 AS DOUBLE) / n_0, 6),
-           round(CAST(d_1 AS DOUBLE) / n_1, 6) FROM a
+    SELECT 1, 'click', n_1, round(CAST(n_1 AS DOUBLE) / NULLIF(n_0, 0), 6),
+           round(CAST(n_1 AS DOUBLE) / NULLIF(n_0, 0), 6),
+           round(CAST(d_1 AS DOUBLE) / NULLIF(n_1, 0), 6) FROM a
     UNION ALL
-    SELECT 2, 'purchase', n_2, round(CAST(n_2 AS DOUBLE) / n_1, 6),
-           round(CAST(n_2 AS DOUBLE) / n_0, 6),
-           round(CAST(d_2 AS DOUBLE) / n_2, 6) FROM a
+    SELECT 2, 'purchase', n_2, round(CAST(n_2 AS DOUBLE) / NULLIF(n_1, 0), 6),
+           round(CAST(n_2 AS DOUBLE) / NULLIF(n_0, 0), 6),
+           round(CAST(d_2 AS DOUBLE) / NULLIF(n_2, 0), 6) FROM a
     ORDER BY stage_idx"""
   ))((s, d) =>
     Funnels.funnelReport(

@@ -507,7 +507,7 @@ object QScale {
       .mkString(" + ") + s") % ${graft.operators.Dedup.mixM}"
     val bitsCase = "CASE " + (wBits - 1 to 0 by -1)
       .map(k => s"WHEN w >= ${1L << k} THEN ${k + 1}").mkString(" ") + " ELSE 0 END"
-    val amm = 0.7213 / (1 + 1.079 / m) * m * m
+    val amm = graft.operators.Sketches.hllAlpha(m) * m * m
     val estExpr =
       s"CASE WHEN CAST($amm AS DOUBLE) / denom <= 2.5 * $m AND v0 > 0 " +
         s"THEN $m * ln(CAST($m AS DOUBLE) / v0) " +

@@ -207,20 +207,30 @@ object QSim {
   /** Embedding-cosine near-dup, (label, IVF-cell)-blocked, cosine ≥ 0.35
     * — operators.Dedup.embeddingNearDup. The former within-label
     * all-pairs join was the repo's one remaining quadratic scale-killer;
-    * the seeded 8-cell quantizer with 4-way multi-probe bounds the join
+    * the seeded quantizer with 4-way multi-probe bounds the join
     * fan-out and (measured) still finds every τ-pair at all three test
     * scales. The oracle replays centroid pick, assignment ranks and the
-    * blocked join with the identical unrolled arithmetic, so the result
-    * is bit-exact across engines. */
+    * blocked join with the identical unrolled arithmetic — INCLUDING
+    * the data-driven cell count: its `rn <= greatest(8, ceil(nv/256))`
+    * mirrors `Similarity.autoCellCount(n, 8, 256)` term for term
+    * (asserted for all committed fixture sizes in LibraryOpsSpec), so
+    * the replay stays bit-exact at ANY corpus size, not just while the
+    * fixture sits under 2048 rows. */
   private val dupNList = 8
   private val dupNProbe = 4
   private val dupSeed = 1337L
 
   val embedNearDup = Q("dedup_embedding_cosine", Some(s"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
-             ORDER BY ${graft.functions.Deterministic.hrandSql("vec_id", dupSeed)}, vec_id
-             LIMIT $dupNList),
+    cent AS (SELECT cent_id, cv FROM (
+               SELECT vec_id AS cent_id, v AS cv,
+                      row_number() OVER (ORDER BY
+                        ${graft.functions.Deterministic.hrandSql("vec_id", dupSeed)},
+                        vec_id) AS rn,
+                      count(*) OVER () AS nv
+               FROM e)
+             WHERE rn <= greatest($dupNList,
+               CAST(ceil(nv / 256.0) AS BIGINT))),
     ac AS (SELECT e.vec_id, e.label, e.v, cent.cent_id, round(${cosD("e.v", "cent.cv")}, 6) AS c
            FROM e CROSS JOIN cent),
     ec AS (SELECT vec_id, label, v, cent_id AS cell FROM

@@ -476,6 +476,7 @@ object QStats {
                      - CAST(tie3 AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1)))), 4) AS z
     FROM a JOIN tt USING (day)
     WHERE n1 >= 1 AND n2 >= 1 AND n1 + n2 >= 3
+      AND tie3 < (n1 + n2) * (n1 + n2) * (n1 + n2) - (n1 + n2)
     ORDER BY day"""
   ))((s, d) => {
     val e = Tables.events(s, d)
@@ -495,6 +496,13 @@ object QStats {
       sum(when(col("s1") === 1, col("r")).otherwise(0.0)).as("r1"))
     a.join(tt, "day")
       .filter(col("n1") >= 1 && col("n2") >= 1 && col("n1") + col("n2") >= 3)
+      // a day with EVERY value tied has tie3 = n³−n, zeroing the
+      // variance term: Spark (ANSI off) yields NULL on /0 where DuckDB
+      // yields inf/NaN — exclude the degenerate day on both legs (no z
+      // is defined there anyway)
+      .filter(col("tie3") <
+        (col("n1") + col("n2")) * (col("n1") + col("n2")) * (col("n1") + col("n2"))
+          - (col("n1") + col("n2")))
       .select(col("day"), col("n1"), col("n2"),
         expr("round(r1 - n1 * (n1 + 1) / 2.0, 2)").as("u1"),
         expr("""round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)

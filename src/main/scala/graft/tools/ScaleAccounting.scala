@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.operators.{CacheScope, Dedup}
+
+/** Candidate-vs-emitted pair accounting for the near-dup operators whose
+  * wall-clock grows super-linearly on the replicated sf1 corpus
+  * (`tools/make_sf1.py`: every sf0.1 document gains 9 near-duplicate
+  * siblings, every embedding 9 EXACT copies).
+  *
+  * The question this answers: is the observed time growth a plan defect
+  * (candidate explosion the guards failed to bound) or OUTPUT-bound (the
+  * corpus genuinely owes quadratically more near-dup pairs, so any
+  * correct operator must emit — and pay for — them)? For each corpus it
+  * measures, on the exact candidate joins the operators run
+  * ([[Dedup.simhashCandidates]] / [[Dedup.embeddingNearDupCandidates]]):
+  *
+  *   - `candidates`: rows out of the blocked self-join (what the
+  *     population guards bound — the only quantity a plan can waste),
+  *   - `emitted`: rows the operator's contract requires
+  *     (post-threshold, distinct),
+  *   - their ratio: candidate OVERHEAD per owed pair. A plan is
+  *     vindicated at scale when overhead stays flat while both counts
+  *     grow with the corpus's true near-dup mass.
+  *
+  * Usage: runMain graft.tools.ScaleAccounting <sfDir> [<sfDir> ...]
+  * Prints one JSON line per corpus; commit the output next to the bench
+  * artifacts (SCALE_ACCOUNTING.json).
+  */
+object ScaleAccounting {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleAccounting <sfDir> [<sfDir> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-scale-accounting"),
+      cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val lines = args.toSeq.map { sfDir =>
+      // simhash: the registry query's exact parameters (QSim.simhash)
+      val (nDocs, shCand, shEmit) = CacheScope.withScope {
+        val docs = Tables.documents(spark, sfDir)
+        val cand = CacheScope.persist(
+          Dedup.simhashCandidates(docs, "doc_id", "text"))
+        (docs.count(), cand.count(),
+          cand.filter(col("hamming") <= 2).distinct().count())
+      }
+      // embedding cosine: the registry query's exact parameters
+      // (QSim.embedNearDup: label block, τ=0.35, nList 8, nProbe 4)
+      val (nVecs, emCand, emEmit) = CacheScope.withScope {
+        val e = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("label"), col("embedding").as("v"))
+        val nv = Tables.rowCount(spark, sfDir, "embeddings")
+        val cand = CacheScope.persist(
+          Dedup.embeddingNearDupCandidates(e, "vec_id", "v",
+            blockCols = Seq("label"), nList = 8, nProbe = 4, seed = 1337L,
+            numVectors = Some(nv)))
+        (nv, cand.count(),
+          cand.filter(col("c") >= 0.35)
+            .select(col("vec_a"), col("vec_b")).distinct().count())
+      }
+      f"""{"sf":"$sfDir","simhash":{"n_docs":$nDocs,"candidates":$shCand,"emitted":$shEmit,"cand_per_emitted":${shCand.toDouble / math.max(1L, shEmit)}%.2f},"embedding_cosine":{"n_vecs":$nVecs,"candidates":$emCand,"emitted":$emEmit,"cand_per_emitted":${emCand.toDouble / math.max(1L, emEmit)}%.2f}}"""
+    }
+    lines.foreach(println)
+    val out = graft.queries.Q.repoRoot + "/SCALE_ACCOUNTING.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      lines.mkString("", "\n", "\n"))
+    catch { case e: Throwable =>
+      System.err.println(s"[accounting] could not write $out: ${e.getMessage}") }
+    spark.stop()
+  }
+}

@@ -172,6 +172,20 @@ class LibraryOpsSpec extends AnyFunSuite {
       s"blocking missed ${expected -- found} / emitted spurious ${found -- expected}")
   }
 
+  test("dedup_embedding_cosine oracle derives the SAME cell count as autoCellCount at every scale") {
+    // The oracle SQL sizes its centroid pick with
+    // `rn <= greatest(8, ceil(nv / 256.0))` (QSim.embedNearDup); the
+    // engine uses Similarity.autoCellCount(n, 8, 256). If the two ever
+    // diverge the hash gate breaks SILENTLY only at the scale where
+    // they first disagree — pin them together across the committed
+    // fixture sizes (500 / 2000 embeddings rows), the 10x bench corpus
+    // (20000) and the rule's breakpoints.
+    def oracleFormula(n: Long): Int = math.max(8, math.ceil(n / 256.0).toInt)
+    for (n <- Seq(1L, 255L, 256L, 257L, 500L, 2000L, 2048L, 2049L, 20000L, 1000000L))
+      assert(Similarity.autoCellCount(n, 8, 256) == oracleFormula(n),
+        s"engine and oracle cell counts diverge at n=$n")
+  }
+
   test("auto quantizer sizing: a 10x corpus picks more cells, recall preserved") {
     import spark.implicits._
     // The sizing rules are monotone and only ever GROW the caller's
