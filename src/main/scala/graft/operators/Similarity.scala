@@ -182,6 +182,11 @@ object Similarity {
           expr("element_at(" + s"graft_top_cells(v, cents, 1)" + ", 1)").as("cc"))
         .select(col(idCol), col("v"),
           col("cc.cent_id").as("cell"), col("cc.c").as("c"))
+    // (Measured: unrolling the 64 per-dimension decimal means as flat
+    // aggregate columns — the single-shuffle shape pqCosError uses at
+    // sub=8 — is SLOWER here: 64 decimal aggregates overflow the
+    // whole-stage-codegen budget and the aggregate falls back to
+    // interpreted. The posexplode form keeps every stage codegen'd.)
     def update(asg: DataFrame): DataFrame =
       asg.select(col("cell").as("cent_id"), posexplode(col("v")))
         .groupBy("cent_id", "pos")
@@ -305,26 +310,43 @@ object Similarity {
         .withColumn("cc", expr("element_at(graft_top_cells(vj, cents, 1), 1)"))
         .select(keys :+ col("j") :+ col("vj") :+ col("cc.cent_id").as("cent_id"): _*)
     }
-    // Lloyd update, all subspaces at once: per-(subspace, codeword,
-    // dim) decimal-stable mean — the kmeans update keyed by j as well
-    def update(asg: DataFrame): DataFrame =
-      asg.select(col("j"), col("cent_id"), posexplode(col("vj")))
-        .groupBy("j", "cent_id", "pos")
-        .agg((stableSum(col("col"), 9) / count(lit(1))).as("mn"))
-        .groupBy("j", "cent_id")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), x -> x.mn)").as("cv"))
+    // Lloyd update, all subspaces at once: per-(subspace, codeword)
+    // element-wise decimal-stable mean. ONE shuffle: `sub` is a small
+    // compile-time constant, so the per-dimension DECIMAL(28,9) sums
+    // unroll as ordinary aggregate columns — numerically identical to
+    // the posexplode + (j, cent_id, pos) + re-collect formulation this
+    // replaced (same per-dim decimal sums, same count divisor, same
+    // dim order) but without its second shuffle and corpus-sized
+    // explode. Local mode pays ~150-200 ms per stage barrier
+    // (SCALE.md §Measured checkpoints); at cluster scale the saved
+    // shuffle is dim× the rows.
+    def update(asg: DataFrame): DataFrame = {
+      val dims = (1 to sub).map(i =>
+        (stableSum(expr(s"CAST(element_at(vj, $i) AS DOUBLE)"), 9)
+          / count(lit(1))).as(s"m$i"))
+      asg.groupBy("j", "cent_id")
+        .agg(dims.head, dims.tail: _*)
+        .select(col("j"), col("cent_id"),
+          array((1 to sub).map(i => col(s"m$i")): _*).as("cv"))
+    }
     // Each trained codebook is persisted: it is TINY (m·kCodes rows)
     // but its lineage holds every earlier Lloyd pass, and it is
-    // consumed by several downstream branches (the next pass, the
-    // final assignment, the broadcast reconstruction join) — without
-    // the persist each branch replays the whole training chain
-    // (measured 3.1× the untrained operator's cost at sf0.1; ~1.6×
-    // with it). The final codebook feeds `asg` and `rec`.
+    // consumed by several downstream branches (the next pass and the
+    // final fused assign/reconstruct join) — without the persist each
+    // branch replays the whole training chain. The final stage fuses
+    // assignment and reconstruction into ONE broadcast join: the
+    // codeword vector is looked up from the SAME broadcast `cents`
+    // array the assignment ranks over (16 elements — the interpreted
+    // filter is nothing next to a second broadcast-join job).
     val trained = (0 until iters).foldLeft(codebook0) {
       (cb, _) => CacheScope.persist(update(assign(cb)))
     }
-    val asg = assign(trained)
-    val rec = asg.join(broadcast(trained), Seq("j", "cent_id"))
+    val centsF = trained.groupBy("j")
+      .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cents"))
+    val rec = exSub.join(broadcast(centsF), "j")
+      .withColumn("cc", expr("element_at(graft_top_cells(vj, cents, 1), 1)"))
+      .withColumn("cv",
+        expr("element_at(filter(cents, x -> x.cent_id = cc.cent_id), 1).cv"))
       .withColumn("xr", expr(dotExpr("vj", "cv", sub)))
       .withColumn("xx", expr(dotExpr("vj", "vj", sub)))
       .withColumn("rr", expr(dotExpr("cv", "cv", sub)))

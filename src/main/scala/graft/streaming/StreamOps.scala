@@ -87,9 +87,15 @@ object StreamOps {
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode, watermarkFlush: Boolean = true): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val key = "spark.sql.shuffle.partitions"
-    val prior = spark.conf.get(key)
-    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    val scoped = Seq(
+      "spark.sql.shuffle.partitions" ->
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
+      // bounded replay: the checkpoint is deleted right after the run,
+      // so retaining 100 batches of offset/commit/state history (the
+      // live-restart default) is pure metadata IO here
+      "spark.sql.streaming.minBatchesToRetain" -> "1")
+    val prior = scoped.map { case (k, _) => k -> spark.conf.get(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
     // The replay checkpoint is throwaway by construction (unique dir,
     // deleted after the run — the same contract as Spark's temp
     // checkpoint), so it goes on memory-backed storage when available:
@@ -119,7 +125,7 @@ object StreamOps {
         .trigger(trigger).start()
       try q.awaitTermination() finally q.stop()
     } finally {
-      spark.conf.set(key, prior)
+      prior.foreach { case (k, v) => spark.conf.set(k, v) }
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(ckpt)
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
