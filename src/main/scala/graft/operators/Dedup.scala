@@ -149,6 +149,71 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
   }
 
+  /** INCREMENTAL MinHash near-dup: near-dup pairs of a NEW document
+    * batch against the whole corpus (old ∪ new) WITHOUT re-pairing
+    * old×old — the daily-increment shape of production dedup, where
+    * yesterday's 100 TB corpus is already deduped and only today's
+    * crawl shard needs checking. Same signature chain, banding and
+    * verify as [[minhashLsh]] (a (new, new) pair surfaces with exactly
+    * the pairs/jaccard minhashLsh would emit for it); the candidate
+    * join is new-side bands ⋈ all bands, so its volume is
+    * Σ_bucket |new_b|·|all_b| — the |new|/|all| fraction of the full
+    * self-join. Re-dedup cost scales with the INCREMENT, not the
+    * corpus.
+    *
+    * `isNewCol`: boolean column marking the increment. Pairs are
+    * emitted as (doc_new, doc_other): every new×old pair once
+    * (new side first), every new×new pair once (doc_new < doc_other).
+    * `maxBucket` guards the new side against degenerate buckets
+    * exactly as in [[minhashLsh]] (bucket population counted over ALL
+    * docs — a flood of old boilerplate also disables its bucket).
+    * Output: (doc_new, doc_other, other_is_new, jaccard). */
+  def minhashLshIncremental(docs: DataFrame, idCol: String, textCol: String,
+      isNewCol: String, nHash: Int = 12, bandRows: Int = 2,
+      threshold: Double = 0.5, ngram: Int = 3,
+      maxBucket: Long = defaultMaxBandBucket): DataFrame = {
+    require(maxBucket >= 2, s"minhashLshIncremental needs maxBucket >= 2, got $maxBucket")
+    val perDoc = CacheScope.persist(
+      docs.select(col(idCol), col(isNewCol).as("is_new"),
+          expr(s"graft_minhash_sig($textCol, $ngram, $nHash)").as("ms"))
+        .filter(col("ms").isNotNull)
+        .select(col(idCol) +: col("is_new") +: col("ms.shs").as("s") +:
+          (0 until nHash).map(i =>
+            element_at(col("ms.sig"), i + 1).as(s"mh$i")): _*))
+    val bandStructs = (0 until nHash / bandRows).map { b =>
+      val ks = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
+      struct(lit(b).as("band"), concat_ws("_", ks: _*).as("bkey"))
+    }
+    val bandsAll = CacheScope.persist(perDoc
+      .select(col(idCol), col("is_new"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("is_new"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey")))
+    val overCap = bandsAll.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bc")).filter(col("bc") > maxBucket)
+      .select("band", "bkey")
+    // guard the NEW side only: every emitted pair has a new endpoint,
+    // so an empty new side kills all pairs of an over-cap bucket
+    val bandsNew = bandsAll.filter(col("is_new"))
+      .join(overCap, Seq("band", "bkey"), "left_anti")
+    val cand = bandsNew.as("a").join(bandsAll.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.band") === col("b.band") &&
+          // old partner: any order (pair surfaces once, new side first);
+          // new partner: a < b so the two new rows emit the pair once
+          (!col("b.is_new") && col(s"a.$idCol") =!= col(s"b.$idCol") ||
+            col("b.is_new") && col(s"a.$idCol") < col(s"b.$idCol")))
+      .select(col(s"a.$idCol").as("doc_new"), col(s"b.$idCol").as("doc_other"),
+        col("b.is_new").as("other_is_new")).distinct()
+    val sa = perDoc.select(col(idCol).as("doc_new"), col("s").as("s_a"))
+    val sb = perDoc.select(col(idCol).as("doc_other"), col("s").as("s_b"))
+    cand.join(sa, "doc_new").join(sb, "doc_other")
+      .withColumn("j",
+        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+          size(array_distinct(concat(col("s_a"), col("s_b")))))
+      .filter(col("j") >= threshold)
+      .select(col("doc_new"), col("doc_other"), col("other_is_new"),
+        round(col("j"), 6).as("jaccard"))
+  }
+
   /** Connected components over an undirected edge list — the stage that
     * turns near-dup PAIRS (minhash/simhash/cosine output) into canonical
     * dedup CLUSTERS: every node is labeled with the smallest id reachable

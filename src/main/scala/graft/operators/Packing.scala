@@ -82,6 +82,57 @@ object Packing {
         col("seq_first"), col("seq_last"))
   }
 
+  /** Token-budget corpus selection: keep the best-scoring documents
+    * until a token budget is filled — the standard "we can afford N
+    * training tokens, take the highest-quality prefix" curation cut.
+    * Semantics: documents are totally ordered by (score DESC, id ASC)
+    * and the kept set is the maximal PREFIX whose running token total
+    * stays ≤ `budget` (greedy prefix, not knapsack: the first
+    * over-budget doc and everything after it drop — deterministic and
+    * engine-replayable).
+    *
+    * Scale design — the naive form is a running sum over one global
+    * score order (a corpus-wide unpartitioned window). Like
+    * [[packSequences]], the prefix decomposes into two parallel
+    * passes: scores bucket into BANDS of width `bandWidth` (band =
+    * floor(score / bandWidth) — score-contiguous, so band order
+    * refines the global order), the running total runs WITHIN each
+    * band (partitioned window), and band-level totals (a
+    * band-count-sized frame) roll into prefix offsets on one tiny
+    * task. `bandWidth` is the balance knob: narrower bands = more
+    * parallel shards; shard skew is bounded by score concentration,
+    * not corpus size.
+    *
+    * `scoreCol` must be non-null (NULL would poison its band's
+    * prefix); ties are broken by `idCol` ascending. Output: the kept
+    * rows as (idCol, score, n_tok, cum_tokens — the running total
+    * INCLUDING the row), ordered (score DESC, id). */
+  def tokenBudgetPrefix(docs: DataFrame, idCol: String, scoreCol: String,
+      nTok: Column, budget: Long, bandWidth: Double): DataFrame = {
+    require(budget >= 0, s"tokenBudgetPrefix needs budget >= 0, got $budget")
+    require(bandWidth > 0, s"tokenBudgetPrefix needs bandWidth > 0, got $bandWidth")
+    val base = docs.select(col(idCol), col(scoreCol).as("score"),
+        nTok.cast("long").as("n_tok"))
+      .withColumn("band", floor(col("score") / bandWidth).cast("long"))
+    // inclusive within-band prefix, parallel across bands
+    val w = Window.partitionBy("band")
+      .orderBy(col("score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val within = base.withColumn("cw", sum("n_tok").over(w))
+    // band totals -> exclusive prefix in band-DESC (best-first) order
+    val wb = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("band")
+      .agg(sum("n_tok").as("bt"))
+      .withColumn("boff", coalesce(sum("bt").over(wb), lit(0L)))
+      .select("band", "boff")
+    within.join(broadcast(offsets), "band")
+      .withColumn("cum_tokens", col("boff") + col("cw"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col("score"), col("n_tok"), col("cum_tokens"))
+      .orderBy(col("score").desc, col(idCol))
+  }
+
   /** Sliding-window chunking with overlap — the OTHER standard corpus
     * layout (long-context chunking, retrieval indexing, eval-window
     * construction): each document yields windows of up to `size` tokens

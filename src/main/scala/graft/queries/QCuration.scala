@@ -380,6 +380,42 @@ object QCuration {
       sampleK = 3)
   })
 
+  // ------------------------------------------- token-budget selection
+  /** Token-budget corpus cut — operators.Packing.tokenBudgetPrefix:
+    * rank the corpus by a quality score (distinct-token ratio here),
+    * keep the best-scoring prefix whose running token total fits the
+    * budget. The engine runs the two-pass banded prefix (no global
+    * window); the oracle replays the identical total order
+    * (score DESC, doc_id) with one window cumsum — the band
+    * decomposition reproduces that cumsum exactly because the band is
+    * a monotone function of the score. All-BIGINT running totals, the
+    * score rounded once at 6 dp on both engines. */
+  private val budgetTokens = 15000L
+
+  val tokenBudget = Q("curate_token_budget", Some(s"""
+    WITH d AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                       / len(string_split(text, ' ')), 6) AS score
+               FROM documents WHERE len(string_split(text, ' ')) >= 1),
+    c AS (SELECT doc_id, score, n_tok,
+                 CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM d)
+    SELECT doc_id, score, n_tok, cum_tokens FROM c
+    WHERE cum_tokens <= $budgetTokens ORDER BY score DESC, doc_id"""
+  ))((s, d) => {
+    val base = Tables.documentsP(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("score",
+        round(size(array_distinct(col("toks"))).cast("double") / col("n_tok"), 6))
+    graft.operators.Packing.tokenBudgetPrefix(base, "doc_id", "score",
+      col("n_tok"), budget = budgetTokens, bandWidth = 0.1)
+  })
+
   // ------------------------------------------- numeric quality gate
   /** Group-level numeric data-quality gate — the engine analog of the
     * reference's per-region NaN-% / zero-% / min-mean-rate gate
@@ -429,5 +465,5 @@ object QCuration {
   })
 
   val all: Seq[Q] = Seq(pack, chunks, prisample, flags, qsketch, mixrates,
-    unigram, ledger, qualityGate)
+    unigram, ledger, qualityGate, tokenBudget)
 }

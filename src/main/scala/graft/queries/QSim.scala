@@ -127,6 +127,59 @@ object QSim {
       .orderBy("doc_id")
   })
 
+  // ---------------------------------------------- incremental MinHash
+  /** Incremental near-dup: today's crawl shards (sources src0–src3,
+    * ~20% of the corpus) checked against the WHOLE corpus without
+    * re-pairing old×old — operators.Dedup.minhashLshIncremental, same
+    * signature/banding/verify constants as `dedup_minhash_lsh`. The
+    * oracle replays the asymmetric candidate join: new-side bands
+    * against all bands, old partners emitted any-order (new side
+    * first), new partners once via doc_new < doc_other. */
+  private val incNewSources = Seq("src0", "src1", "src2", "src3")
+
+  val minhashInc = Q("dedup_incremental_minhash", Some {
+    val newIn = incNewSources.map(s => s"'$s'").mkString(", ")
+    val mhCols = (0 until nHash).map(i =>
+      s"min((h1 * ${graft.operators.Dedup.mixA(i)} + ${graft.operators.Dedup.mixB(i)}) " +
+        s"% ${graft.operators.Dedup.mixM}) AS mh$i").mkString(", ")
+    val bandSel = (0 until nHash / bandRows).map { b =>
+      val ks = (0 until bandRows).map(r => s"mh${b * bandRows + r}").mkString(", ")
+      s"SELECT doc_id, is_new, $b AS band, concat_ws('_', $ks) AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH w AS (SELECT doc_id, source IN ($newIn) AS is_new,
+                      string_split(text, ' ') AS w
+               FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    shs AS (SELECT doc_id, is_new, $shinglesSqlDuck AS s FROM w),
+    ex AS (SELECT doc_id, is_new, unnest(s) AS sh FROM shs),
+    hx AS (SELECT doc_id, is_new, $h1Duck AS h1 FROM ex),
+    sig AS (SELECT doc_id, is_new, $mhCols FROM hx GROUP BY 1, 2),
+    bands AS ($bandSel),
+    bandsb AS (SELECT doc_id, is_new, band, bkey,
+                      count(*) OVER (PARTITION BY band, bkey) AS bc
+               FROM bands),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_other,
+                    b.is_new AS other_is_new
+             FROM bandsb a JOIN bandsb b
+               ON a.bkey = b.bkey AND a.band = b.band
+              AND a.is_new AND a.bc <= ${graft.operators.Dedup.defaultMaxBandBucket}
+              AND ((NOT b.is_new AND a.doc_id <> b.doc_id)
+                   OR (b.is_new AND a.doc_id < b.doc_id))),
+    ver AS (SELECT c.doc_new, c.doc_other, c.other_is_new,
+                   len(list_intersect(sa.s, sb.s))::DOUBLE
+                     / len(list_distinct(sa.s || sb.s)) AS j
+            FROM cand c JOIN shs sa ON c.doc_new = sa.doc_id
+                        JOIN shs sb ON c.doc_other = sb.doc_id)
+    SELECT doc_new, doc_other, other_is_new, round(j, 6) AS jaccard
+    FROM ver WHERE j >= 0.5 ORDER BY 1, 2"""
+  })((s, d) =>
+    Dedup.minhashLshIncremental(
+      Tables.documentsP(s, d)
+        .withColumn("is_new", col("source").isin(incNewSources: _*)),
+      "doc_id", "text", "is_new",
+      nHash = nHash, bandRows = bandRows, threshold = 0.5)
+      .orderBy("doc_new", "doc_other"))
+
   // ------------------------------------------------------------ SimHash
   /** Weighted 32-bit SimHash — operators.Dedup.simhash (observed-
     * population bucket width with two-sided single-bit multi-probe,
@@ -673,6 +726,7 @@ object QSim {
   })
 
   val all: Seq[Q] =
-    Seq(exact, minhashLsh, clusterCc, funnel, simhash, ngramJaccard, embedNearDup,
-      annTopk, annLsh, annIvf, annRecall, kmeansCells, scalarQuant, pqError)
+    Seq(exact, minhashLsh, minhashInc, clusterCc, funnel, simhash, ngramJaccard,
+      embedNearDup, annTopk, annLsh, annIvf, annRecall, kmeansCells, scalarQuant,
+      pqError)
 }

@@ -859,6 +859,58 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(out.exists(t => t._6 > t._5))
   }
 
+  test("Packing.tokenBudgetPrefix equals the serial greedy prefix over (score DESC, id)") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // 40 docs, scores deliberately COLLIDING across band boundaries
+    // (0.05 steps against bandWidth 0.1) and with exact ties broken by
+    // id; token counts vary so the budget cut lands mid-band.
+    val rows = (1L to 40L).map(i => (i, 0.05 * (i % 13), 3L + i % 7))
+    val d = rows.toDF("id", "score", "nt").repartition(5)
+    val out = Packing.tokenBudgetPrefix(d, "id", "score", col("nt"),
+        budget = 80L, bandWidth = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // serial reference: cumsum over (score DESC, id ASC), keep <= 80
+    var cum = 0L
+    val want = rows.sortBy { case (id, sc, _) => (-sc, id) }
+      .map { case (id, _, nt) => cum += nt; (id, cum) }
+      .takeWhile(_._2 <= 80L)
+    assert(out.toSeq == want, s"got ${out.toSeq} want $want")
+    // the cut really is a strict prefix: nothing after the first overflow
+    assert(want.size < rows.size)
+  }
+
+  test("Dedup.minhashLshIncremental: all-new equals minhashLsh; new-old pairs surface once") {
+    import spark.implicits._
+    // 10-token shared prefix -> pairwise J = 8/10; P(some band of 6
+    // collides) > 0.99 and fully deterministic given the fixed text
+    val pre = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = Seq(
+      (1L, false, s"$pre p1"),                       // old
+      (2L, true, s"$pre p2"),                        // near-dup of 1
+      (3L, true, s"$pre p3"),                        // near-dup of 1 and 2
+      (4L, false, "one two three four five six"),
+      (5L, true, "seven eight nine ten eleven twelve"))
+    val d = near.toDF("id", "is_new", "body")
+    val inc = Dedup.minhashLshIncremental(d, "id", "body", "is_new",
+        nHash = 12, bandRows = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // every pair has a NEW left endpoint; old partners appear any-order
+    assert(inc.forall { case (n, _, _) => Set(2L, 3L, 5L).contains(n) })
+    assert(inc.contains((2L, 1L, false)) && inc.contains((3L, 1L, false)))
+    assert(inc.contains((2L, 3L, true)))          // new-new pair once, a < b
+    assert(!inc.exists(p => p._1 == 5L || p._2 == 5L)) // no shared shingles
+    // with EVERYTHING new, the pair set equals the batch operator's
+    val allNew = Dedup.minhashLshIncremental(
+        d.withColumn("is_new", lit(true)), "id", "body", "is_new",
+        nHash = 12, bandRows = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashLsh(d, "id", "body",
+        nHash = 12, bandRows = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(allNew == batch, s"incremental(all-new) $allNew != batch $batch")
+  }
+
   test("Sampling.temperatureRates: tau=1 is natural proportions; lower tau flattens") {
     import spark.implicits._
     import graft.operators.Sampling
