@@ -285,65 +285,17 @@ object Similarity {
   def pqCosError(vectors: DataFrame, idCol: String, vecCol: String,
       dim: Int = 64, m: Int = 8, kCodes: Int = 16, seed: Long = 77L,
       iters: Int = 2, carry: Seq[String] = Nil): DataFrame = {
-    import graft.functions.Deterministic.{hrand, stableSum}
-    require(m >= 1 && dim % m == 0, s"pqCosError needs m | dim, got dim=$dim m=$m")
-    require(kCodes >= 1, s"pqCosError needs kCodes >= 1, got $kCodes")
-    require(iters >= 0, s"pqCosError needs iters >= 0, got $iters")
+    import graft.functions.Deterministic.stableSum
     val sub = dim / m
     val keys = (idCol +: carry).map(col)
-    val v = vectors.select(keys :+ col(vecCol).cast("array<double>").as("v"): _*)
-    val seeds = vectors
-      .orderBy(hrand(col(idCol), seed), col(idCol)).limit(kCodes)
-      .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cv0"))
-    val codebook0 = seeds.select(explode(array((0 until m).map(j =>
-        struct(lit(j).as("j"), col("cent_id"),
-          slice(col("cv0"), j * sub + 1, sub).as("cv"))): _*)).as("e"))
-      .select(col("e.j").as("j"), col("e.cent_id").as("cent_id"), col("e.cv").as("cv"))
-    val exSub = CacheScope.persist(
-      v.select(keys :+ explode(array((0 until m).map(j =>
-          struct(lit(j).as("j"), slice(col("v"), j * sub + 1, sub).as("vj"))): _*)).as("e"): _*)
-        .select(keys :+ col("e.j").as("j") :+ col("e.vj").as("vj"): _*))
-    def assign(cb: DataFrame): DataFrame = {
-      val cents = cb.groupBy("j")
-        .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cents"))
-      exSub.join(broadcast(cents), "j")
-        .withColumn("cc", expr("element_at(graft_top_cells(vj, cents, 1), 1)"))
-        .select(keys :+ col("j") :+ col("vj") :+ col("cc.cent_id").as("cent_id"): _*)
-    }
-    // Lloyd update, all subspaces at once: per-(subspace, codeword)
-    // element-wise decimal-stable mean. ONE shuffle: `sub` is a small
-    // compile-time constant, so the per-dimension DECIMAL(28,9) sums
-    // unroll as ordinary aggregate columns — numerically identical to
-    // the posexplode + (j, cent_id, pos) + re-collect formulation this
-    // replaced (same per-dim decimal sums, same count divisor, same
-    // dim order) but without its second shuffle and corpus-sized
-    // explode. Local mode pays ~150-200 ms per stage barrier
-    // (SCALE.md §Measured checkpoints); at cluster scale the saved
-    // shuffle is dim× the rows.
-    def update(asg: DataFrame): DataFrame = {
-      val dims = (1 to sub).map(i =>
-        (stableSum(expr(s"CAST(element_at(vj, $i) AS DOUBLE)"), 9)
-          / count(lit(1))).as(s"m$i"))
-      asg.groupBy("j", "cent_id")
-        .agg(dims.head, dims.tail: _*)
-        .select(col("j"), col("cent_id"),
-          array((1 to sub).map(i => col(s"m$i")): _*).as("cv"))
-    }
-    // Each trained codebook is persisted: it is TINY (m·kCodes rows)
-    // but its lineage holds every earlier Lloyd pass, and it is
-    // consumed by several downstream branches (the next pass and the
-    // final fused assign/reconstruct join) — without the persist each
-    // branch replays the whole training chain. The final stage fuses
-    // assignment and reconstruction into ONE broadcast join: the
-    // codeword vector is looked up from the SAME broadcast `cents`
-    // array the assignment ranks over (16 elements — the interpreted
-    // filter is nothing next to a second broadcast-join job).
-    val trained = (0 until iters).foldLeft(codebook0) {
-      (cb, _) => CacheScope.persist(update(assign(cb)))
-    }
-    val centsF = trained.groupBy("j")
-      .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cents"))
-    val rec = exSub.join(broadcast(centsF), "j")
+    val (exSub, trained) =
+      pqTrainParts(vectors, idCol, vecCol, dim, m, kCodes, seed, iters, carry)
+    // The final stage fuses assignment and reconstruction into ONE
+    // broadcast join: the codeword vector is looked up from the SAME
+    // broadcast `cents` array the assignment ranks over (kCodes
+    // elements — the interpreted filter is nothing next to a second
+    // broadcast-join job).
+    val rec = exSub.join(broadcast(pqCentsByJ(trained)), "j")
       .withColumn("cc", expr("element_at(graft_top_cells(vj, cents, 1), 1)"))
       .withColumn("cv",
         expr("element_at(filter(cents, x -> x.cent_id = cc.cent_id), 1).cv"))
@@ -358,6 +310,130 @@ object Similarity {
         when(col("sxx") === 0.0 || col("srr") === 0.0, lit(0.0))
           .otherwise(col("sxr") / (sqrt(col("sxx")) * sqrt(col("srr")))))
       .drop("sxr", "sxx", "srr")
+  }
+
+  /** Shared PQ training chain for [[pqCosError]] / [[pqAdcTopK]]:
+    * slices the corpus into `m` persisted sub-vector rows (`exSub`:
+    * keys…, j, vj) and trains the per-subspace codebook (`trained`:
+    * j, cent_id, cv) — seeded picks refined by `iters` Lloyd passes.
+    *
+    * The Lloyd update is ONE shuffle: `sub = dim/m` is a small
+    * compile-time constant, so the per-dimension DECIMAL(28,9) means
+    * unroll as ordinary aggregate columns — numerically identical to a
+    * posexplode + (j, cent_id, pos) + re-collect formulation (same
+    * decimal sums, divisor and dim order) minus its second shuffle.
+    * (Do NOT copy this unroll to full-width dim=64 aggregations — 64
+    * decimal aggregates fall out of whole-stage codegen; see kmeans.)
+    * Each trained codebook is persisted: it is TINY (m·kCodes rows)
+    * but its lineage holds every earlier Lloyd pass and several
+    * downstream branches consume it. */
+  private def pqTrainParts(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, kCodes: Int, seed: Long, iters: Int,
+      carry: Seq[String]): (DataFrame, DataFrame) = {
+    import graft.functions.Deterministic.{hrand, stableSum}
+    require(m >= 1 && dim % m == 0, s"PQ needs m | dim, got dim=$dim m=$m")
+    require(kCodes >= 1, s"PQ needs kCodes >= 1, got $kCodes")
+    require(iters >= 0, s"PQ needs iters >= 0, got $iters")
+    val sub = dim / m
+    val keys = (idCol +: carry).map(col)
+    val v = vectors.select(keys :+ col(vecCol).cast("array<double>").as("v"): _*)
+    val seeds = vectors
+      .orderBy(hrand(col(idCol), seed), col(idCol)).limit(kCodes)
+      .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cv0"))
+    val codebook0 = seeds.select(explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), col("cent_id"),
+          slice(col("cv0"), j * sub + 1, sub).as("cv"))): _*)).as("e"))
+      .select(col("e.j").as("j"), col("e.cent_id").as("cent_id"), col("e.cv").as("cv"))
+    val exSub = CacheScope.persist(
+      v.select(keys :+ explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), slice(col("v"), j * sub + 1, sub).as("vj"))): _*)).as("e"): _*)
+        .select(keys :+ col("e.j").as("j") :+ col("e.vj").as("vj"): _*))
+    def assign(cb: DataFrame): DataFrame =
+      exSub.join(broadcast(pqCentsByJ(cb)), "j")
+        .withColumn("cc", expr("element_at(graft_top_cells(vj, cents, 1), 1)"))
+        .select(keys :+ col("j") :+ col("vj") :+ col("cc.cent_id").as("cent_id"): _*)
+    def update(asg: DataFrame): DataFrame = {
+      val dims = (1 to sub).map(i =>
+        (stableSum(expr(s"CAST(element_at(vj, $i) AS DOUBLE)"), 9)
+          / count(lit(1))).as(s"m$i"))
+      asg.groupBy("j", "cent_id")
+        .agg(dims.head, dims.tail: _*)
+        .select(col("j"), col("cent_id"),
+          array((1 to sub).map(i => col(s"m$i")): _*).as("cv"))
+    }
+    val trained = (0 until iters).foldLeft(codebook0) {
+      (cb, _) => CacheScope.persist(update(assign(cb)))
+    }
+    (exSub, trained)
+  }
+
+  /** Codebook rolled into one array-of-structs row PER SUBSPACE for the
+    * broadcast [[topCells]] assignment (the per-j analog of
+    * [[centroidArray]]). */
+  private def pqCentsByJ(cb: DataFrame): DataFrame =
+    cb.groupBy("j").agg(collect_list(struct(col("cent_id"), col("cv"))).as("cents"))
+
+  /** ADC (asymmetric-distance) top-k search over PQ codes — the query
+    * path that makes a PQ-compressed 100 TB embedding store searchable:
+    * the corpus exists only as (vector → m codeword ids); a query keeps
+    * full precision and scores every candidate by the cosine between
+    * the full query and the candidate's codeword RECONSTRUCTION,
+    * reading `m` codewords per candidate instead of `dim` floats — the
+    * standard Jégou-style ADC scan, 8 bytes/vector here vs 256.
+    *
+    * Approximation contract: scores are exact cosines against the
+    * QUANTIZED corpus (the asymmetric estimator — query side unlossy),
+    * so ranking error is bounded by the codebook fidelity
+    * [[pqCosError]] reports. Determinism: per-subspace partial dots
+    * ride DECIMAL(28,12) stable sums (order-invariant), the query norm
+    * is one row-local unrolled chain, ties break by candidate id.
+    *
+    * Plan shape: codebook training = [[pqTrainParts]] (bounded
+    * broadcast passes); encoding + scoring is ONE broadcast join of
+    * the persisted sub-vector stream against (codebook × query
+    * sub-vectors) — no shuffle wider than (query × candidate), and the
+    * per-query rank window partitions on the bounded query set. The
+    * reconstruction norm is recomputed per (query, cand) pair — at
+    * `queries` sizes that matters for, precompute it per candidate and
+    * join; at the bounded query sets this serves, the extra broadcast
+    * join would cost more than the duplicate codegen arithmetic.
+    * Output: (query_id, rk, cand_id, cos_adc), rk ≤ k. */
+  def pqAdcTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 3, dim: Int = 64, m: Int = 8,
+      kCodes: Int = 16, seed: Long = 77L, iters: Int = 1): DataFrame = {
+    import graft.functions.Deterministic.stableSum
+    require(k >= 1, s"pqAdcTopK needs k >= 1, got $k")
+    val sub = dim / m
+    val (exSub, trained) =
+      pqTrainParts(vectors, idCol, vecCol, dim, m, kCodes, seed, iters, Nil)
+    // encode the corpus: sub-vector -> nearest codeword's vector
+    val enc = exSub.join(broadcast(pqCentsByJ(trained)), "j")
+      .withColumn("cc", expr("element_at(graft_top_cells(vj, cents, 1), 1)"))
+      .withColumn("cv",
+        expr("element_at(filter(cents, x -> x.cent_id = cc.cent_id), 1).cv"))
+      .select(col(idCol).as("cand_id"), col("j"), col("cv"))
+    // query sub-vectors, with the full-precision norm computed once
+    val qv = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(expr(dotExpr("qv", "qv", dim))))
+    val qSub = qv.select(col("query_id"), col("qn"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), slice(col("qv"), j * sub + 1, sub).as("qj"))): _*)).as("e"))
+      .select(col("query_id"), col("qn"), col("e.j").as("j"), col("e.qj").as("qj"))
+    val parts = enc.join(broadcast(qSub), "j")
+      .withColumn("xr", expr(dotExpr("qj", "cv", sub)))
+      .withColumn("rr", expr(dotExpr("cv", "cv", sub)))
+    val scored = parts.groupBy("query_id", "qn", "cand_id")
+      .agg(stableSum(col("xr"), 12).as("sxr"),
+        stableSum(col("rr"), 12).as("srr"))
+      .withColumn("c", round(
+        when(col("srr") === 0.0 || col("qn") === 0.0, lit(0.0))
+          .otherwise(col("sxr") / (col("qn") * sqrt(col("srr")))), 6))
+      .filter(col("query_id") =!= col("cand_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("c").as("cos_adc"))
   }
 
   /** IVF-style top-k: a seeded coarse quantizer (centroid vectors

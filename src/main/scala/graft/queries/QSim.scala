@@ -669,6 +669,76 @@ object QSim {
       .orderBy("label")
   })
 
+  // ------------------------------------------------- ADC top-k search
+  /** ADC (asymmetric-distance) top-k on PQ codes —
+    * operators.Similarity.pqAdcTopK: the corpus exists only as
+    * per-subspace codeword ids (the [[pqError]] compression, 1 Lloyd
+    * iteration here to halve the unrolled oracle), the fixed query set
+    * (vec_id < 8) keeps full precision, and candidates rank by cosine
+    * against their codeword reconstruction. The oracle replays
+    * training, encoding, the DECIMAL(28,12) partial-dot sums, the
+    * unrolled full-width query norm, and the (cos DESC, cand_id)
+    * row_number — bit-exact across engines. */
+  private val adcIters = 1
+
+  val adcTopk = Q("sim_pq_adc_topk", Some {
+    def dotS(x: String, y: String) =
+      "(0" + (1 to pqSub).map(i => s" + ($x[$i] * $y[$i])").mkString + ")"
+    def cosS(x: String, y: String) =
+      s"${dotS(x, y)} / (sqrt(${dotS(x, x)}) * sqrt(${dotS(y, y)}))"
+    def assignCte(cbCte: String, n: Int) = s"""
+    ac$n AS (SELECT ex.vec_id, ex.j, ex.vj, cb.cent_id,
+                    round(${cosS("ex.vj", "cb.cv")}, 6) AS c
+             FROM ex JOIN $cbCte cb USING (j)),
+    r$n AS (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY c DESC, cent_id) AS rn
+            FROM ac$n),
+    asg$n AS (SELECT vec_id, j, vj, cent_id FROM r$n WHERE rn = 1)"""
+    def updateCte(n: Int) = s"""
+    u$n AS (SELECT j, cent_id, i, CAST(SUM(CAST(vj[i] AS DECIMAL(28,9))) AS DOUBLE)
+                   / count(*) AS mn
+            FROM asg$n, LATERAL unnest(generate_series(1, $pqSub)) AS t(i)
+            GROUP BY 1, 2, 3),
+    cb$n AS (SELECT j, cent_id, list(mn ORDER BY i) AS cv FROM u$n GROUP BY 1, 2)"""
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, v AS cv0 FROM e
+             ORDER BY ${graft.functions.Deterministic.hrandSql("vec_id", pqSeed)}, vec_id
+             LIMIT $pqK),
+    cb0 AS (SELECT t.j, cent_id, cv0[t.j * $pqSub + 1 : (t.j + 1) * $pqSub] AS cv
+            FROM cent, LATERAL unnest(generate_series(0, ${pqM - 1})) AS t(j)),
+    ex AS (SELECT vec_id, t.j, v[t.j * $pqSub + 1 : (t.j + 1) * $pqSub] AS vj
+           FROM e, LATERAL unnest(generate_series(0, ${pqM - 1})) AS t(j)),
+    ${assignCte("cb0", 1)},
+    ${updateCte(1)},
+    ${assignCte("cb1", 2)},
+    enc AS (SELECT a.vec_id AS cand_id, a.j, cb.cv
+            FROM asg2 a JOIN cb1 cb USING (j, cent_id)),
+    q AS (SELECT vec_id AS query_id, v, sqrt(${duckDot("v", "v")}) AS qn
+          FROM e WHERE vec_id < 8),
+    qs AS (SELECT query_id, qn, t.j, v[t.j * $pqSub + 1 : (t.j + 1) * $pqSub] AS qj
+           FROM q, LATERAL unnest(generate_series(0, ${pqM - 1})) AS t(j)),
+    parts AS (SELECT qs.query_id, qs.qn, enc.cand_id,
+                     ${dotS("qs.qj", "enc.cv")} AS xr,
+                     ${dotS("enc.cv", "enc.cv")} AS rr
+              FROM enc JOIN qs USING (j)),
+    sc AS (SELECT query_id, qn, cand_id,
+                  CAST(SUM(CAST(xr AS DECIMAL(28,12))) AS DOUBLE) AS sxr,
+                  CAST(SUM(CAST(rr AS DECIMAL(28,12))) AS DOUBLE) AS srr
+           FROM parts GROUP BY 1, 2, 3),
+    f AS (SELECT query_id, cand_id,
+                 round(CASE WHEN srr = 0 OR qn = 0 THEN 0.0
+                            ELSE sxr / (qn * sqrt(srr)) END, 6) AS cos_adc
+          FROM sc WHERE query_id <> cand_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_adc DESC, cand_id) AS rk
+          FROM f)
+    SELECT query_id, rk, cand_id, cos_adc FROM r WHERE rk <= 3 ORDER BY 1, 2"""
+  })((s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 8), "vec_id", "v",
+        k = 3, dim = kmDim, m = pqM, kCodes = pqK, seed = pqSeed, iters = adcIters)
+      .orderBy("query_id", "rk")
+  })
+
   // ------------------------------------------------ ANN recall report
   /** ANN quality evaluation: recall@3 of the IVF index against the
     * brute-force exact top-3 on the same probe set — the acceptance
@@ -728,5 +798,5 @@ object QSim {
   val all: Seq[Q] =
     Seq(exact, minhashLsh, minhashInc, clusterCc, funnel, simhash, ngramJaccard,
       embedNearDup, annTopk, annLsh, annIvf, annRecall, kmeansCells, scalarQuant,
-      pqError)
+      pqError, adcTopk)
 }

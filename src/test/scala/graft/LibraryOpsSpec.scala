@@ -911,6 +911,37 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(allNew == batch, s"incremental(all-new) $allNew != batch $batch")
   }
 
+  test("Similarity.pqAdcTopK: ADC score is EXACT for candidates whose codeword is themselves") {
+    import spark.implicits._
+    val dim = 8
+    def rng(seed: Long): Iterator[Double] = Iterator.iterate(seed * 2862933555777941757L + 3037000493L)(
+      s => s * 2862933555777941757L + 3037000493L)
+      .map(s => (s >>> 33).toDouble / (1L << 31).toDouble - 0.5)
+    val rows = (0 until 12).map(i => (i.toLong, rng(i + 1).take(dim).toArray))
+    val d = rows.toDF("vid", "vec")
+    // iters = 0 and kCodes = corpus size: the seeded codebook contains
+    // EVERY vector's own sub-vectors, so each candidate's nearest
+    // codeword is itself, the reconstruction is lossless, and the ADC
+    // cosine must equal the exact cosine (both rounded 6dp).
+    val q = d.filter(col("vid") < 2)
+    val adc = Similarity.pqAdcTopK(d, q, "vid", "vec",
+        k = 11, dim = dim, m = 2, kCodes = 12, seed = 5L, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val byId = rows.toMap
+    assert(adc.size == 2 * 11)
+    adc.foreach { case ((qid, cid), c) =>
+      val exact = BigDecimal(cos(byId(qid), byId(cid)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(c - exact) < 2e-6,
+        s"ADC($qid,$cid)=$c != exact $exact under a lossless codebook")
+    }
+  }
+
   test("Sampling.temperatureRates: tau=1 is natural proportions; lower tau flattens") {
     import spark.implicits._
     import graft.operators.Sampling
