@@ -70,6 +70,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetPrefix is invariant to input partitioning and row order") {
+    // The banded cumsum must reproduce the serial (score DESC, id)
+    // prefix regardless of how the input arrives — bucket offsets and
+    // within-band windows are both keyed, nothing positional.
+    import spark.implicits._
+    import graft.operators.Packing
+    val rnd = new scala.util.Random(17L)
+    val rows = (1L to 80L).map(i => (i, rnd.nextDouble(), 1L + rnd.nextInt(9)))
+    val df = rows.toDF("id", "score", "nt")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.tokenBudgetPrefix(d, "id", "score", col("nt"),
+        budget = 200L, bandWidth = 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val a = run(df.coalesce(1).orderBy("id"))
+    val b = run(df.repartition(7, col("score")))
+    assert(a == b)
+    assert(a.nonEmpty && a.size < rows.size, "budget cut must land mid-corpus")
+  }
+
+  test("minhashLshIncremental is invariant to input partitioning and row order") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val pre = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = (1L to 20L).map { i =>
+      (i, i % 3 == 0, if (i <= 10) s"$pre p$i" else s"unrelated text block number $i about topic $i")
+    }
+    val df = rows.toDF("id", "is_new", "body")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashLshIncremental(d, "id", "body", "is_new", threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3))).toSet
+    val a = run(df.coalesce(1).orderBy("id"))
+    val b = run(df.repartition(5, col("body")))
+    assert(a == b)
+    assert(a.nonEmpty, "no near-dup pairs — property vacuous")
+  }
+
   test("embeddingNearDup is invariant to input partitioning and row order") {
     // The IVF centroid pick is a seeded hrand orderBy-limit and every
     // downstream stage is keyed — nothing may depend on how (or in what
