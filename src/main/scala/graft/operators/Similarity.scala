@@ -389,15 +389,19 @@ object Similarity {
     * is one row-local unrolled chain, ties break by candidate id.
     *
     * Plan shape: codebook training = [[pqTrainParts]] (bounded
-    * broadcast passes); encoding + scoring is ONE broadcast join of
-    * the persisted sub-vector stream against (codebook × query
-    * sub-vectors) — no shuffle wider than (query × candidate), and the
-    * per-query rank window partitions on the bounded query set. The
-    * reconstruction norm is recomputed per (query, cand) pair — at
-    * `queries` sizes that matters for, precompute it per candidate and
-    * join; at the bounded query sets this serves, the extra broadcast
-    * join would cost more than the duplicate codegen arithmetic.
-    * Output: (query_id, rk, cand_id, cos_adc), rk ≤ k. */
+    * broadcast passes); scoring is the textbook ADC lookup-table scan,
+    * relationalized. The corpus collapses to ONE row per candidate
+    * (its m codeword ids + reconstruction norm — the only n·m-row
+    * shuffle), each query precomputes its m × kCodes partial-dot
+    * table against the broadcast codebook (q·m·kCodes rows — tiny),
+    * and scoring is a broadcast cross join of the n candidate rows
+    * against the q LUT rows with a row-local exact-DECIMAL fold over
+    * the m code lookups — no (query × candidate × subspace) shuffle
+    * ever materializes, and the per-query rank window partitions on
+    * the bounded query set. The fold casts every step back to
+    * DECIMAL(28,12), so the sum is bit-identical to the stableSum
+    * aggregate the oracle replays (exact decimal addition is
+    * order-free). Output: (query_id, rk, cand_id, cos_adc), rk ≤ k. */
   def pqAdcTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 3, dim: Int = 64, m: Int = 8,
       kCodes: Int = 16, seed: Long = 77L, iters: Int = 1): DataFrame = {
@@ -406,13 +410,20 @@ object Similarity {
     val sub = dim / m
     val (exSub, trained) =
       pqTrainParts(vectors, idCol, vecCol, dim, m, kCodes, seed, iters, Nil)
-    // encode the corpus: sub-vector -> nearest codeword's vector
+    // encode the corpus: sub-vector -> nearest codeword id, rolled up
+    // to one row per candidate: (cand_id, codes["j:cent_id"], srr)
     val enc = exSub.join(broadcast(pqCentsByJ(trained)), "j")
       .withColumn("cc", expr("element_at(graft_top_cells(vj, cents, 1), 1)"))
       .withColumn("cv",
         expr("element_at(filter(cents, x -> x.cent_id = cc.cent_id), 1).cv"))
-      .select(col(idCol).as("cand_id"), col("j"), col("cv"))
-    // query sub-vectors, with the full-precision norm computed once
+      .select(col(idCol).as("cand_id"),
+        concat(col("j"), lit(":"), col("cc.cent_id")).as("code"),
+        expr(dotExpr("cv", "cv", sub)).as("rr"))
+    val cand = enc.groupBy("cand_id")
+      .agg(collect_list(col("code")).as("codes"),
+        stableSum(col("rr"), 12).as("srr"))
+    // per-query ADC lookup table: xr["j:cent_id"] = <q_j, codeword>,
+    // plus the full-precision query norm computed once
     val qv = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", sqrt(expr(dotExpr("qv", "qv", dim))))
@@ -420,16 +431,20 @@ object Similarity {
         explode(array((0 until m).map(j =>
           struct(lit(j).as("j"), slice(col("qv"), j * sub + 1, sub).as("qj"))): _*)).as("e"))
       .select(col("query_id"), col("qn"), col("e.j").as("j"), col("e.qj").as("qj"))
-    val parts = enc.join(broadcast(qSub), "j")
+    val lut = qSub.join(trained.hint("broadcast"), "j")
       .withColumn("xr", expr(dotExpr("qj", "cv", sub)))
-      .withColumn("rr", expr(dotExpr("cv", "cv", sub)))
-    val scored = parts.groupBy("query_id", "qn", "cand_id")
-      .agg(stableSum(col("xr"), 12).as("sxr"),
-        stableSum(col("rr"), 12).as("srr"))
+      .groupBy("query_id", "qn")
+      .agg(map_from_entries(collect_list(struct(
+        concat(col("j"), lit(":"), col("cent_id")), col("xr")))).as("lut"))
+    val scored = cand.crossJoin(broadcast(lut))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sxr", expr(
+        """CAST(aggregate(codes, CAST(0 AS DECIMAL(28,12)),
+          |  (acc, c) -> CAST(acc + CAST(lut[c] AS DECIMAL(28,12)) AS DECIMAL(28,12)))
+          | AS DOUBLE)""".stripMargin))
       .withColumn("c", round(
         when(col("srr") === 0.0 || col("qn") === 0.0, lit(0.0))
           .otherwise(col("sxr") / (col("qn") * sqrt(col("srr")))), 6))
-      .filter(col("query_id") =!= col("cand_id"))
     val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
