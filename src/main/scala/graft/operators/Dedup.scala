@@ -464,6 +464,68 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
   }
 
+  /** Contiguous substring-overlap pairs — the token-level exact-
+    * substring dedup of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"), relationalized: two documents are
+    * flagged when they share a verbatim run of ≥ `k + minRun − 1`
+    * consecutive tokens. Where [[ngramJaccard]] measures SET overlap
+    * (reordered boilerplate still matches), this demands contiguity —
+    * the memorization-risk signal, caught by the suffix-array pass in
+    * the paper and by a k-gram diagonal-run scan here.
+    *
+    * Mechanics: each doc emits its k-token window md5s with positions
+    * (FIRST occurrence per distinct gram — repeated-token degenerate
+    * docs collapse instead of multiplying join rows; true duplicated
+    * passages in natural text have distinct grams and survive intact);
+    * an inverted-index equi-join on the gram keys candidates (Σ df²
+    * rows, df capped to [2, maxDf] — singleton grams cannot match,
+    * hot boilerplate grams are dropped exactly as ngramJaccard's
+    * guard does); matched positions align on the DIAGONAL d = posA −
+    * posB, and a gaps-and-islands pass per (pair, diagonal) measures
+    * each maximal run of consecutive grams — r consecutive k-grams =
+    * r + k − 1 verbatim tokens.
+    *
+    * Scale: every stage keys on (gram), (pair, diagonal) or (pair) —
+    * never fewer; the island window sorts only a pair's matches on one
+    * diagonal. All-integer arithmetic end to end.
+    *
+    * Output: (doc_a, doc_b, n_shared_grams, max_run_grams,
+    * max_run_tokens), max_run_grams ≥ minRun. */
+  def substringRuns(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 6, minRun: Int = 2, maxDf: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"substringRuns needs k >= 1, got $k")
+    require(minRun >= 1, s"substringRuns needs minRun >= 1, got $minRun")
+    require(maxDf >= 2, s"substringRuns needs maxDf >= 2, got $maxDf")
+    val grams = (0 until k).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(", ")
+    val occ = docs
+      .withColumn("w", split(col(textCol), " "))
+      .filter(size(col("w")) >= k)
+      .select(col(idCol), col("w"),
+        explode(expr(s"sequence(0, size(w) - $k)")).as("i"))
+      .select(col(idCol),
+        expr(s"md5(encode(concat_ws(' ', $grams), 'UTF-8'))").as("g"), col("i"))
+      .groupBy(idCol, "g").agg(min("i").as("i"))
+    val ex = CacheScope.persist(occ
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df").between(2L, maxDf)).drop("df"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("a.i").as("ia"), (col("a.i") - col("b.i")).as("diag"))
+    val wIsl = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    pairs
+      .withColumn("grp", col("ia") - row_number().over(wIsl))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum("run_len").as("n_shared_grams"),
+        max("run_len").as("max_run_grams"))
+      .filter(col("max_run_grams") >= minRun)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_grams"),
+        col("max_run_grams"), (col("max_run_grams") + (k - 1)).as("max_run_tokens"))
+  }
+
   /** Weighted 32-bit SimHash near-dup pairs: bit source = first 8 hex
     * chars of each token's md5, weight = token multiplicity; candidates
     * share a MULTI-PROBED bucket of the signature's top bits and

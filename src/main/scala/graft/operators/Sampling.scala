@@ -138,4 +138,33 @@ object Sampling {
         round(col("weight"), 6).as("weight"), round(col("rate"), 6).as("rate"),
         col("expected_tokens"))
   }
+
+  /** Per-domain document cap — the "no single host dominates the
+    * corpus" curation rule every crawl pipeline applies before mixing:
+    * keep the `cap` best documents of each domain under the total
+    * order (score DESC, id ASC), reporting each kept doc's rank and
+    * the domain's pre-cap size.
+    *
+    * Selection runs through the bounded-state top-k aggregate
+    * ([[graft.functions.TopKRowsAgg]]): O(cap) state per domain with
+    * map-side combine, instead of the row_number window the oracle
+    * replays — the window form sorts a domain's ENTIRE posting on one
+    * task, and a crawl's hottest host is exactly where that posting is
+    * corpus-sized. Determinism: the caller pre-rounds `score`, ties
+    * break on the unique id, so the kept set and ranks are unique.
+    *
+    * Output: (domainCol, rk, idCol, score, n_docs), rk ≤ cap. */
+  def domainCap(df: DataFrame, domainCol: String, idCol: String,
+      score: Column, cap: Int): DataFrame = {
+    require(cap >= 1, s"domainCap needs cap >= 1, got $cap")
+    val topAgg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKRowsAgg(cap),
+      org.apache.spark.sql.Encoders.product[graft.functions.TopKRow])
+    df.groupBy(domainCol)
+      .agg(topAgg(score.cast("double"), col(idCol).cast("long"), lit(0L)).as("ks"),
+        count(lit(1)).as("n_docs"))
+      .select(col(domainCol), posexplode(col("ks")).as(Seq("p", "r")), col("n_docs"))
+      .select(col(domainCol), (col("p") + 1).cast("long").as("rk"),
+        col("r.k1").as(idCol), col("r.v").as("score"), col("n_docs"))
+  }
 }

@@ -204,6 +204,49 @@ object TextOps {
       .withColumn("logprob_score", round(col("logprob_score"), 6))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): fit two add-one-
+    * smoothed unigram LMs — one on the TARGET subset (the distribution
+    * you want more of), one on the whole raw corpus — and weight every
+    * document by its log-likelihood ratio
+    * log p_target(doc) − log p_raw(doc). Documents that look like the
+    * target rank high; resampling the corpus by these weights shifts
+    * the mixture toward the target domain without hand-written rules.
+    *
+    * Scale shape mirrors [[unigramLogprob]]: BOTH models come out of
+    * the SAME token-keyed aggregate (the target counts ride as a
+    * conditional sum beside the corpus counts — one vocab build, not
+    * two), scoring is one equi-join of the token stream against that
+    * vocab, and the doc roll-up is one id-keyed aggregate. Nothing
+    * corpus-sized converges on fewer keys than (token) or (doc).
+    *
+    * Determinism: both likelihoods are add-one ratios of exact
+    * integers; each token's log-ratio term is rounded to 6 dp and the
+    * per-doc sum rides DECIMAL — bit-stable across partitionings and
+    * engines. Tokens outside the target subset's support still score
+    * (the +1 smoothing), exactly as the paper's estimator requires.
+    *
+    * Output: (idCol, n_tok, log_weight), one row per doc with
+    * non-NULL text; log_weight > 0 ⇔ the doc is more probable under
+    * the target LM. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), isTarget.cast("long").as("tgt"),
+        explode(split(col(textCol), " ")).as("tok"))
+    val vocab = toks.groupBy("tok")
+      .agg(count(lit(1)).as("cnt_c"), sum("tgt").as("cnt_t"))
+    val tot = vocab.agg(sum("cnt_c").as("n_c"), sum("cnt_t").as("n_t"),
+      count(lit(1)).as("v"))
+    toks.join(vocab, "tok").crossJoin(broadcast(tot))
+      .withColumn("term", round(
+        log((col("cnt_t") + 1).cast("double") / (col("n_t") + col("v")))
+          - log((col("cnt_c") + 1).cast("double") / (col("n_c") + col("v"))), 6))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"),
+        round(Deterministic.stableSum(col("term"), 6), 6).as("log_weight"))
+  }
+
   /** Named-regex flagging battery: one `n_<name>` match-count column
     * per pattern plus a `flagged` bit — the mechanism behind the two
     * standard curation passes that are regex sweeps over every

@@ -464,6 +464,71 @@ object QCuration {
       .orderBy("l_suppkey")
   })
 
+  // ------------------------------------------- per-domain cap
+  /** Per-domain document cap — operators.Sampling.domainCap: keep the
+    * 20 best documents of every source under (distinct-token-ratio
+    * DESC, doc_id), with each domain's pre-cap count beside the kept
+    * rows. The engine selects through the bounded-state top-k
+    * aggregate (O(cap) state per domain, map-side combine — a crawl's
+    * hottest host never sorts its corpus-sized posting on one task);
+    * the oracle replays the row_number window over the identical
+    * 6-dp-rounded score with the unique-id tie-break, so the kept set
+    * and ranks are bit-equal. */
+  private val domainCapK = 20
+
+  val domainCap = Q("curate_domain_cap", Some(s"""
+    WITH d AS (SELECT doc_id, source,
+                 round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                       / len(string_split(text, ' ')), 6) AS score
+               FROM documents WHERE text IS NOT NULL),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n_docs
+          FROM d)
+    SELECT source, CAST(rn AS BIGINT) AS rk, doc_id, score, n_docs
+    FROM r WHERE rn <= $domainCapK ORDER BY source, rk"""
+  ))((s, d) => {
+    val base = Tables.documentsP(s, d).filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("score",
+        round(size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")), 6))
+    graft.operators.Sampling.domainCap(base, "source", "doc_id",
+        col("score"), domainCapK)
+      .orderBy("source", "rk")
+  })
+
+  // ------------------------------------------- DSIR importance weights
+  /** DSIR-style importance weights — operators.TextOps.dsirWeights:
+    * add-one-smoothed unigram LMs on the English subset (target) and
+    * the whole corpus (raw), every document scored by its
+    * log-likelihood ratio. The published importance-resampling
+    * selector for "more of THIS distribution" corpus shifts. The
+    * oracle rebuilds both LMs from the same token stream and replays
+    * the 6-dp term rounding + DECIMAL doc sums. */
+  val dsir = Q("curate_dsir_weights", Some("""
+    WITH toks AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+    v AS (SELECT tok, count(*) AS cnt_c, sum(tgt) AS cnt_t FROM toks GROUP BY 1),
+    n AS (SELECT sum(cnt_c) AS n_c, sum(cnt_t) AS n_t, count(*) AS v FROM v),
+    s AS (
+      SELECT doc_id,
+             round(ln(CAST(cnt_t + 1 AS DOUBLE) / (n_t + v))
+                   - ln(CAST(cnt_c + 1 AS DOUBLE) / (n_c + v)), 6) AS term
+      FROM toks JOIN v USING (tok) CROSS JOIN n)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           round(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 6) AS log_weight
+    FROM s GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    // coalesce: a NULL lang must count as non-target (the SQL CASE's
+    // ELSE 0), not poison the conditional count with NULL
+    graft.operators.TextOps.dsirWeights(
+        Tables.documentsP(s, d), "doc_id", "text",
+        coalesce(col("lang") === "en", lit(false)))
+      .orderBy("doc_id"))
+
   val all: Seq[Q] = Seq(pack, chunks, prisample, flags, qsketch, mixrates,
-    unigram, ledger, qualityGate, tokenBudget)
+    unigram, ledger, qualityGate, tokenBudget, domainCap, dsir)
 }

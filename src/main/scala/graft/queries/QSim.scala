@@ -795,8 +795,47 @@ object QSim {
       .orderBy("query_id")
   })
 
+  // ------------------------------------------ substring-run near-dup
+  /** Contiguous verbatim-overlap pairs — operators.Dedup.substringRuns
+    * (the Lee et al. 2022 exact-substring dedup, k-gram diagonal-run
+    * form): pairs sharing a run of ≥ 2 consecutive 6-token windows
+    * (≥ 7 verbatim tokens), with the total shared-gram count and the
+    * longest run. Complements dedup_ngram_jaccard: set overlap vs
+    * CONTIGUOUS overlap — the memorization-risk signal. The oracle
+    * replays first-occurrence gram positions, the [2, 20] df gate, and
+    * the gaps-and-islands run measurement; all-integer, so the hash
+    * compare is exact by construction. */
+  private val runK = 6
+  private val runMinRun = 2
+  private val runMaxDf = 20L
+
+  val substringRun = Q("dedup_substring_run", Some(s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE len(string_split(text, ' ')) >= $runK),
+    g0 AS (SELECT doc_id, t.i,
+                  md5(array_to_string(w[t.i + 1 : t.i + $runK], ' ')) AS g
+           FROM w, LATERAL unnest(generate_series(0, len(w) - $runK)) AS t(i)),
+    f AS (SELECT doc_id, g, CAST(min(i) AS BIGINT) AS i FROM g0 GROUP BY 1, 2),
+    d AS (SELECT g FROM f GROUP BY g HAVING count(*) BETWEEN 2 AND $runMaxDf),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, a.i - b.i AS diag
+          FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id
+          JOIN d ON a.g = d.g),
+    isl AS (SELECT doc_a, doc_b, diag, ia,
+                   ia - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY ia) AS grp
+            FROM p),
+    runs AS (SELECT doc_a, doc_b, diag, grp, count(*) AS run_len
+             FROM isl GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, CAST(sum(run_len) AS BIGINT) AS n_shared_grams,
+           CAST(max(run_len) AS BIGINT) AS max_run_grams,
+           CAST(max(run_len) + ${runK - 1} AS BIGINT) AS max_run_tokens
+    FROM runs GROUP BY 1, 2 HAVING max(run_len) >= $runMinRun ORDER BY 1, 2"""
+  ))((s, d) =>
+    Dedup.substringRuns(Tables.documentsP(s, d), "doc_id", "text",
+        k = runK, minRun = runMinRun, maxDf = runMaxDf)
+      .orderBy("doc_a", "doc_b"))
+
   val all: Seq[Q] =
     Seq(exact, minhashLsh, minhashInc, clusterCc, funnel, simhash, ngramJaccard,
       embedNearDup, annTopk, annLsh, annIvf, annRecall, kmeansCells, scalarQuant,
-      pqError, adcTopk)
+      pqError, adcTopk, substringRun)
 }

@@ -972,6 +972,45 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(!out.contains(3L)) // NULL text is excluded, not scored
   }
 
+  test("Sampling.domainCap keeps the top-cap per domain with (score DESC, id) ranks") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = Seq(
+      ("web", 1L, 0.9), ("web", 2L, 0.5), ("web", 3L, 0.9), ("web", 4L, 0.1),
+      ("books", 5L, 0.2)).toDF("dom", "id", "sc")
+    val out = Sampling.domainCap(d, "dom", "id", col("sc"), cap = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out.size == 3)
+    assert(out(("web", 1L)) == ((1L, 0.9, 4L)))   // score tie at 0.9 -> lower id first
+    assert(out(("web", 2L)) == ((3L, 0.9, 4L)))
+    assert(out(("books", 1L)) == ((5L, 0.2, 1L))) // undersized domain kept whole
+  }
+
+  test("TextOps.dsirWeights matches the hand-computed add-one likelihood ratio") {
+    import spark.implicits._
+    val d = Seq((1L, "en", "a a"), (2L, "de", "a b"), (3L, "en", null: String))
+      .toDF("id", "lg", "body")
+    val out = TextOps.dsirWeights(d, "id", "body", col("lg") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus: a x3, b x1 (N_c=4); target: a x2 (N_t=2); V=2
+    // term(a) = ln(3/4) - ln(2/3) -> 0.117783; term(b) = ln(1/4) - ln(1/3) -> -0.287682
+    assert(out(1L) == (2L, 0.235566))
+    assert(out(2L) == (2L, 0.117783 - 0.287682))
+    assert(!out.contains(3L)) // NULL text excluded, not scored
+  }
+
+  test("Dedup.substringRuns measures the longest diagonal run and drops sub-minRun pairs") {
+    val d = docs(
+      (1L, "x", "a b c d e f g"),
+      (2L, "x", "z a b c d e f q"),    // shares the 6-token run "a b c d e f"
+      (3L, "x", "q a b c q2"))         // shares only the single gram "a b c"
+    val out = Dedup.substringRuns(d, "id", "body", k = 3, minRun = 2, maxDf = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 4 consecutive shared 3-grams (abc bcd cde def) on one diagonal = 6 tokens
+    assert(out((1L, 2L)) == ((4L, 4L, 6L)))
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L))) // run of 1 < minRun
+  }
+
   test("Packing.packSequences: zero-length doc occupies no tokens") {
     import spark.implicits._
     import graft.operators.Packing

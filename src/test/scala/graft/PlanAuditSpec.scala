@@ -35,6 +35,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_kmeans_cells",         // 1-row centroid-array broadcast cross (per iteration)
       "sketch_kmv_overlap",       // three 1-row sketch crosses
       "text_unigram_logprob",     // 1-row corpus-total broadcast cross
+      "curate_dsir_weights",      // 1-row two-LM-totals broadcast cross
       "inc_snapshot_diff",        // 1-row timeline-cut scalar bound
       "sim_ann_recall",           // composes sim_cosine_topk + sim_ann_ivf bounds
       "sketch_bloom_prune",       // two 1-row report-dimension crosses
