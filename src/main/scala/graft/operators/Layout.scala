@@ -20,6 +20,51 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Deterministic global shuffle-shard layout + its acceptance audit —
+    * the write side of training-data preparation: docs are dealt into
+    * `nShards` output shards by the partition-invariant hash
+    * ([[graft.functions.Deterministic.hrand]] on the stable id — never
+    * `rand()`, so the layout is identical on 1 or 1000 executors and
+    * across reruns), which simultaneously BALANCES the shards and
+    * breaks source/time locality (each shard sees an i.i.d.-ish slice
+    * of the corpus — what a trainer streaming shards sequentially
+    * needs). The audit per shard: doc and token counts, the shard's
+    * share of corpus tokens, and the domain-mix entropy + effective
+    * domain count — near-max entropy ⇔ locality actually broken.
+    *
+    * Shape: one row-local hash, ONE (shard, domain)-keyed aggregate
+    * rolled up to shards — the audit never re-shuffles the corpus
+    * twice. All counts integer; entropy terms rounded + DECIMAL-summed
+    * (order-free); token share divides exact BIGINTs.
+    *
+    * Output: (shard, n_docs, n_tokens, token_share, domain_entropy,
+    * n_domains), one row per non-empty shard. */
+  def shuffleShards(df: DataFrame, idCol: String, nTok: Column,
+      domainCol: String, nShards: Int, seed: Long): DataFrame = {
+    import graft.functions.Deterministic
+    require(nShards >= 1, s"shuffleShards needs nShards >= 1, got $nShards")
+    val cells = df
+      .select(col(idCol), nTok.cast("long").as("__nt"), col(domainCol),
+        Deterministic.hrand(col(idCol), seed).as("__hr"))
+      .withColumn("shard", expr(s"(__hr * $nShards) div ${Deterministic.M}"))
+      .groupBy(col("shard"), col(domainCol))
+      .agg(count(lit(1)).as("__dc"), sum("__nt").as("__dt"))
+    val shards = cells.groupBy("shard")
+      .agg(sum("__dc").as("n_docs"), sum("__dt").as("n_tokens"),
+        count(lit(1)).as("n_domains"))
+    val total = shards.agg(sum("n_tokens").as("__tot"))
+    val p = col("__dc").cast("double") / col("n_docs")
+    val ent = cells.join(shards.select("shard", "n_docs"), "shard")
+      .select(col("shard"), round(-p * log(p), 6).as("__term"))
+      .groupBy("shard")
+      .agg(sum(col("__term").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double").as("domain_entropy"))
+    shards.join(ent, "shard").crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("__tot"), 6).as("token_share"),
+        round(col("domain_entropy"), 6).as("domain_entropy"), col("n_domains"))
+  }
+
   /** Morton-interleave two non-negative integer columns, `bits` bits
     * each (values must already be reduced mod 2^bits): bit i of x lands
     * at position 2i, bit i of y at 2i+1. Spark side uses integer

@@ -139,6 +139,41 @@ object Sampling {
         col("expected_tokens"))
   }
 
+  /** Leak-free train/val/test split: the split coin is tossed per
+    * GROUP (domain/host), never per document — all documents of a
+    * group land in the same split, so near-duplicates and boilerplate
+    * siblings (which overwhelmingly live within one host) cannot
+    * straddle the train/eval boundary and leak supervision into the
+    * held-out sets. The standard contamination-safe split discipline
+    * for web corpora.
+    *
+    * `fracs` are (name, fraction) in declaration order, summing to 1;
+    * the group's deterministic uniform u = hrand(md5-hash(group),
+    * seed) / 2³¹ (exact in a double — 31-bit integer over a power of
+    * two) is compared against the cumulative fractions, so the
+    * assignment is reproducible across runs/partitionings and
+    * replayable in SQL. The last split takes the remainder.
+    *
+    * One row-local hash + one (split, group) aggregate. Output:
+    * (split, groupCol, n_docs, n_tokens). */
+  def groupSplit(df: DataFrame, groupCol: String, nTok: Column,
+      fracs: Seq[(String, Double)], seed: Long): DataFrame = {
+    require(fracs.size >= 2, s"groupSplit needs >= 2 splits, got ${fracs.size}")
+    require(math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
+      s"groupSplit fractions must sum to 1, got ${fracs.map(_._2).sum}")
+    val h1 = conv(substring(md5(encode(col(groupCol).cast("string"), "UTF-8")), 1, 8),
+      16, 10).cast("long") % graft.operators.Dedup.mixM
+    val u = Deterministic.hrand(h1, seed) / lit(Deterministic.M.toDouble)
+    val cums = fracs.scanLeft(0.0)(_ + _._2).tail
+    val split = fracs.init.zip(cums.init)
+      .foldLeft(when(lit(false), lit(null).cast("string"))) {
+        case (c, ((name, _), cum)) => c.when(u < cum, name)
+      }.otherwise(fracs.last._1)
+    df.withColumn("split", split)
+      .groupBy("split", groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum(nTok.cast("long")).as("n_tokens"))
+  }
+
   /** Per-domain document cap — the "no single host dominates the
     * corpus" curation rule every crawl pipeline applies before mixing:
     * keep the `cap` best documents of each domain under the total

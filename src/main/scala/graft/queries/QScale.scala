@@ -543,6 +543,48 @@ object QScale {
       .orderBy("nationkey")
   })
 
+  // ------------------------------------------- shuffle-shard layout
+  /** Deterministic training-shard layout + audit —
+    * operators.Layout.shuffleShards: 16 hash-dealt shards over the
+    * document corpus, each reporting doc/token balance, its corpus
+    * token share, and the source-mix entropy/effective-source count
+    * proving crawl locality is broken. The oracle replays the integer
+    * hash deal and the rounded-term DECIMAL entropy sums; everything
+    * else is exact integer arithmetic. */
+  private val shardN = 16
+  private val shardSeed = 4242L
+
+  val shards = Q("layout_shuffle_shards", Some(s"""
+    WITH d AS (SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                 (${graft.functions.Deterministic.hrandSql("doc_id", shardSeed)})
+                   * $shardN // ${graft.functions.Deterministic.M} AS shard
+               FROM documents WHERE text IS NOT NULL),
+    c AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS dc,
+                 CAST(sum(nt) AS BIGINT) AS dt
+          FROM d GROUP BY 1, 2),
+    s AS (SELECT shard, CAST(sum(dc) AS BIGINT) AS n_docs,
+                 CAST(sum(dt) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_domains
+          FROM c GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM s),
+    e AS (SELECT c.shard,
+                 round(-(CAST(dc AS DOUBLE) / n_docs)
+                       * ln(CAST(dc AS DOUBLE) / n_docs), 6) AS term
+          FROM c JOIN s USING (shard)),
+    ent AS (SELECT shard,
+                   CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE) AS domain_entropy
+            FROM e GROUP BY 1)
+    SELECT s.shard, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
+           round(domain_entropy, 6) AS domain_entropy, n_domains
+    FROM s JOIN ent USING (shard) CROSS JOIN tot ORDER BY shard"""
+  ))((s, d) =>
+    Layout.shuffleShards(Tables.documentsP(s, d).filter(col("text").isNotNull),
+        "doc_id", size(split(col("text"), " ")).cast("long"), "source",
+        nShards = shardN, seed = shardSeed)
+      .orderBy("shard"))
+
   val all: Seq[Q] = Seq(sessBatch, cms, zorder, rolling, incMerge, keySkew,
-    snapDiff, entropy, bloom, joinSize, pagerank, hll)
+    snapDiff, entropy, bloom, joinSize, pagerank, hll, shards)
 }

@@ -834,8 +834,84 @@ object QSim {
         k = runK, minRun = runMinRun, maxDf = runMaxDf)
       .orderBy("doc_a", "doc_b"))
 
+  // ------------------------------------- JL random projection audit
+  /** Johnson–Lindenstrauss random projection + distortion audit —
+    * operators.Similarity.randomProjection: 64 → 16 dims through a
+    * seeded Rademacher matrix (Achlioptas 2003), then every probe pair
+    * (vec_id < 32) reports its original vs projected Euclidean
+    * distance and the distortion ratio — the acceptance test that the
+    * 4× narrower vectors are safe to hand to downstream ANN/dedup
+    * joins. The oracle regenerates the ±1 matrix from the same
+    * seeded-md5 parity and replays the DECIMAL(28,12) sums and exact /√16
+    * scaling; the probe set is dimension-bounded, the projection
+    * itself is corpus×dim — never all-pairs. */
+  private val rpOut = 16
+  private val rpSeed = 271828L
+  private val rpProbe = 32
+
+  val randProj = Q("sim_random_projection", Some {
+    val root = math.sqrt(rpOut.toDouble) // 4.0 — exact by the perfect-square contract
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    r0 AS (SELECT g, md5(CAST(g AS VARCHAR) || '_$rpSeed') AS sh
+           FROM generate_series(0, ${kmDim * rpOut - 1}) AS t(g)),
+    r AS (SELECT g // $rpOut AS i, g % $rpOut AS j,
+                 CASE WHEN (${(1 to 8).map(k =>
+                   s"(strpos('0123456789abcdef', sh[$k]) - 1) * ${1L << (4 * (8 - k))}")
+                   .mkString(" + ")}) % 2 = 0
+                 THEN 1.0 ELSE -1.0 END AS s
+          FROM r0),
+    ex AS (SELECT vec_id, t.i, v[t.i + 1] AS x
+           FROM e, LATERAL unnest(generate_series(0, ${kmDim - 1})) AS t(i)),
+    p0 AS (SELECT vec_id, j,
+                  round(CAST(SUM(CAST(x * s AS DECIMAL(28,12))) AS DOUBLE) / $root, 6) AS y
+           FROM ex JOIN r USING (i) GROUP BY 1, 2),
+    pp AS (SELECT vec_id, j, y FROM p0 WHERE vec_id < $rpProbe),
+    dp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  round(sqrt(CAST(SUM(CAST((a.y - b.y) * (a.y - b.y)
+                    AS DECIMAL(28,12))) AS DOUBLE)), 6) AS d_proj
+           FROM pp a JOIN pp b ON a.j = b.j AND a.vec_id < b.vec_id
+           GROUP BY 1, 2),
+    eo AS (SELECT vec_id, i, x FROM ex WHERE vec_id < $rpProbe),
+    dor AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(sqrt(CAST(SUM(CAST((a.x - b.x) * (a.x - b.x)
+                     AS DECIMAL(28,12))) AS DOUBLE)), 6) AS d_orig
+            FROM eo a JOIN eo b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2)
+    SELECT vec_a, vec_b, d_orig, d_proj, round(d_proj / d_orig, 6) AS ratio
+    FROM dor JOIN dp USING (vec_a, vec_b)
+    WHERE d_orig > 0 ORDER BY 1, 2"""
+  })((s, d) => {
+    import graft.functions.Deterministic.stableSum
+    val root = math.sqrt(rpOut.toDouble)
+    val e = Tables.embeddingsP(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val proj = Similarity.randomProjection(e, "vec_id", "v",
+      dim = kmDim, outDim = rpOut, seed = rpSeed)
+    val pp = proj.filter(col("vec_id") < rpProbe)
+    val dp = pp.as("a").join(pp.as("b"),
+        col("a.j") === col("b.j") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        ((col("a.y") - col("b.y")) * (col("a.y") - col("b.y"))).as("t"))
+      .groupBy("vec_a", "vec_b")
+      .agg(round(sqrt(stableSum(col("t"), 12)), 6).as("d_proj"))
+    val eo = e.filter(col("vec_id") < rpProbe)
+      .select(col("vec_id"),
+        posexplode(col("v").cast("array<double>")).as(Seq("i", "x")))
+    val dor = eo.as("a").join(eo.as("b"),
+        col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        ((col("a.x") - col("b.x")) * (col("a.x") - col("b.x"))).as("t"))
+      .groupBy("vec_a", "vec_b")
+      .agg(round(sqrt(stableSum(col("t"), 12)), 6).as("d_orig"))
+    dor.join(dp, Seq("vec_a", "vec_b"))
+      .filter(col("d_orig") > 0)
+      .select(col("vec_a"), col("vec_b"), col("d_orig"), col("d_proj"),
+        round(col("d_proj") / col("d_orig"), 6).as("ratio"))
+      .orderBy("vec_a", "vec_b")
+  })
+
   val all: Seq[Q] =
     Seq(exact, minhashLsh, minhashInc, clusterCc, funnel, simhash, ngramJaccard,
       embedNearDup, annTopk, annLsh, annIvf, annRecall, kmeansCells, scalarQuant,
-      pqError, adcTopk, substringRun)
+      pqError, adcTopk, substringRun, randProj)
 }

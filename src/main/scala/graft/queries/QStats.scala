@@ -603,6 +603,83 @@ object QStats {
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
       .orderBy("window_start", "event_type"))
 
+  // --------------------------------------- T12 Kolmogorov–Smirnov
+  /** Two-sample Kolmogorov–Smirnov per day: are `view` and `click`
+    * values drawn from the same distribution? D = max |F̂₁ − F̂₂|
+    * evaluated at every distinct pooled value (the CDFs are step
+    * functions — the sup is attained at a step), p from the standard
+    * asymptotic series Q(λ) = 2·Σ (−1)^{k−1} e^{−2k²λ²} with the
+    * small-sample effective-n correction λ = (√eₙ + 0.12 + 0.11/√eₙ)·D,
+    * truncated at k = 8 (the tail under any λ ≥ 0.3 is below 1e−12;
+    * larger-p small-λ cases clip at 1). Completes the nonparametric
+    * battery: MW-U (t10) tests location shift, KS tests ANY
+    * distributional difference.
+    *
+    * Exactness: step heights are ratios of exact BIGINT cumulative
+    * counts (one per-day value window, sorted per day only), D is
+    * rounded once at 6 dp, and the λ/series expression is textually
+    * identical on both engines over those identical operands. */
+  val t12 = Q("t12_ks_two_sample", Some("""
+    WITH e AS (SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) // 86400 AS day,
+                 CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s1, value AS v
+               FROM events
+               WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
+    c AS (SELECT day, v,
+                 CAST(sum(s1) AS BIGINT) AS c1,
+                 CAST(sum(1 - s1) AS BIGINT) AS c2
+          FROM e GROUP BY 1, 2),
+    t AS (SELECT day, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+          FROM c GROUP BY 1),
+    w AS (SELECT day, v,
+                 CAST(sum(c1) OVER (PARTITION BY day ORDER BY v) AS BIGINT) AS cum1,
+                 CAST(sum(c2) OVER (PARTITION BY day ORDER BY v) AS BIGINT) AS cum2
+          FROM c),
+    d AS (SELECT w.day, n1, n2,
+                 round(max(abs(CAST(cum1 AS DOUBLE) / n1
+                               - CAST(cum2 AS DOUBLE) / n2)), 6) AS d_stat
+          FROM w JOIN t ON w.day = t.day
+          WHERE n1 >= 1 AND n2 >= 1
+          GROUP BY 1, 2, 3),
+    l AS (SELECT day, n1, n2, d_stat,
+                 (sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) + 0.12
+                  + 0.11 / sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))) * d_stat AS lam
+          FROM d)
+    SELECT day, n1, n2, d_stat,
+           round(least(1.0, greatest(0.0,
+             2 * (exp(-2 * lam * lam) - exp(-8 * lam * lam)
+                  + exp(-18 * lam * lam) - exp(-32 * lam * lam)
+                  + exp(-50 * lam * lam) - exp(-72 * lam * lam)
+                  + exp(-98 * lam * lam) - exp(-128 * lam * lam)))), 6) AS p_value
+    FROM l ORDER BY day"""
+  ))((s, d) => {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click") && col("value").isNotNull)
+      .select(expr("cast(ts AS long) div 86400").as("day"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("s1"),
+        col("value").as("v"))
+    val c = e.groupBy("day", "v")
+      .agg(sum("s1").as("c1"), sum(lit(1L) - col("s1")).as("c2"))
+    val t = c.groupBy("day").agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val wd = Window.partitionBy("day").orderBy("v")
+    val w = c.select(col("day"), col("v"),
+      sum("c1").over(wd).as("cum1"), sum("c2").over(wd).as("cum2"))
+    val dd = w.join(t, "day")
+      .filter(col("n1") >= 1 && col("n2") >= 1)
+      .groupBy("day", "n1", "n2")
+      .agg(round(max(abs(col("cum1").cast("double") / col("n1")
+        - col("cum2").cast("double") / col("n2"))), 6).as("d_stat"))
+    dd.withColumn("lam",
+        expr("""(sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) + 0.12
+                + 0.11 / sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))) * d_stat"""))
+      .select(col("day"), col("n1"), col("n2"), col("d_stat"),
+        expr("""round(least(1.0, greatest(0.0,
+            2 * (exp(-2 * lam * lam) - exp(-8 * lam * lam)
+                 + exp(-18 * lam * lam) - exp(-32 * lam * lam)
+                 + exp(-50 * lam * lam) - exp(-72 * lam * lam)
+                 + exp(-98 * lam * lam) - exp(-128 * lam * lam)))), 6)""").as("p_value"))
+      .orderBy("day")
+  })
+
   val all: Seq[Q] = Seq(l3, l4, l5, t1, t2, t2b, t2c, t4, t6, t7, t10, t11,
-    l13, st1)
+    t12, l13, st1)
 }

@@ -238,5 +238,44 @@ object QWindowSet {
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       .orderBy("o_orderpriority"))
 
-  val all: Seq[Q] = Seq(w1, w5, w6, w7, w8, w9, so1, so5)
+  // --------------------------------------------------------------- W11
+  /** Leak-free train/val/test split — operators.Sampling.groupSplit:
+    * the 80/10/10 coin is tossed per SOURCE (md5-hash → seeded hrand →
+    * exact 31-bit/2³¹ uniform), never per document, so near-duplicate
+    * siblings within a host cannot straddle the train/eval boundary —
+    * the contamination-safe split discipline for web corpora. Output
+    * is the per-(split, source) doc/token audit; a source appearing
+    * under exactly one split IS the leak-freedom proof. The oracle
+    * replays the positional hex parse, the affine hrand and the same
+    * double comparisons. */
+  private val splitSeed = 20260814L
+
+  val w11 = Q("w11_group_split", Some {
+    val hexParse = "(" + (1 to 8).map(k =>
+      s"(strpos('0123456789abcdef', sh[$k]) - 1) * ${1L << (4 * (8 - k))}")
+      .mkString(" + ") + s") % ${graft.operators.Dedup.mixM}"
+    s"""
+    WITH d AS (SELECT doc_id, source, md5(source) AS sh,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+               FROM documents WHERE text IS NOT NULL),
+    h AS (SELECT doc_id, source, nt, $hexParse AS h1 FROM d),
+    r AS (SELECT doc_id, source, nt,
+                 (${hrandSql("h1", splitSeed)}) / 2147483648.0 AS u
+          FROM h),
+    a AS (SELECT source, nt,
+                 CASE WHEN u < 0.8 THEN 'train'
+                      WHEN u < 0.9 THEN 'valid'
+                      ELSE 'test' END AS split
+          FROM r)
+    SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens
+    FROM a GROUP BY 1, 2 ORDER BY split, source"""
+  })((s, d) =>
+    graft.operators.Sampling.groupSplit(
+        Tables.documentsP(s, d).filter(col("text").isNotNull),
+        "source", size(split(col("text"), " ")).cast("long"),
+        Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)), seed = splitSeed)
+      .orderBy("split", "source"))
+
+  val all: Seq[Q] = Seq(w1, w5, w6, w7, w8, w9, so1, so5, w11)
 }

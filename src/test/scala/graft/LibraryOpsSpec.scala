@@ -1011,6 +1011,49 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L))) // run of 1 < minRun
   }
 
+  test("Sampling.groupSplit assigns every group to exactly one split, covering all docs") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = (1L to 200L).map(i => (i, s"host${i % 10}", 5L)).toDF("id", "host", "nt")
+    val out = Sampling.groupSplit(d, "host", col("nt"),
+      Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)), seed = 7L).collect()
+    val hosts = out.map(_.getString(1))
+    assert(hosts.length == hosts.distinct.length)          // leak-freedom: one split per host
+    assert(out.map(_.getLong(2)).sum == 200L)              // every doc accounted for
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("train", "valid", "test")))
+  }
+
+  test("Layout.shuffleShards balances tokens and is invariant to input partitioning") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val d = (1L to 400L).map(i => (i, s"src${i % 5}", 10L + i % 3)).toDF("id", "src", "nt")
+    val a = Layout.shuffleShards(d, "id", col("nt"), "src", nShards = 4, seed = 3L)
+      .orderBy("shard").collect()
+    val b = Layout.shuffleShards(d.repartition(7), "id", col("nt"), "src", nShards = 4, seed = 3L)
+      .orderBy("shard").collect()
+    assert(a.toSeq == b.toSeq)                             // layout-independent
+    assert(a.map(_.getLong(1)).sum == 400L)
+    val shares = a.map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    assert(shares.forall(s => s > 0.1 && s < 0.4))         // 4 shards, roughly balanced
+    assert(a.forall(_.getLong(5) == 5L))                   // every shard sees all 5 sources
+  }
+
+  test("Similarity.randomProjection preserves pairwise distance in expectation") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dim = 16
+    // orthogonal-ish fixture: unit vectors along distinct axes
+    val d = (0L until 8L).map { v =>
+      (v, (0 until dim).map(i => if (i == v * 2) 1.0f else 0.0f).toArray)
+    }.toDF("vid", "vec")
+    val p = Similarity.randomProjection(d, "vid", "vec", dim = dim, outDim = 4, seed = 9L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(p.size == 8 * 4)
+    // each projected coordinate of a one-hot vector is the matrix cell / 2: |y| = 0.5
+    assert(p.values.forall(y => math.abs(math.abs(y) - 0.5) < 1e-9))
+  }
+
   test("Packing.packSequences: zero-length doc occupies no tokens") {
     import spark.implicits._
     import graft.operators.Packing
