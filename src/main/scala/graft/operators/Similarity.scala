@@ -327,7 +327,7 @@ object Similarity {
     * Each trained codebook is persisted: it is TINY (m·kCodes rows)
     * but its lineage holds every earlier Lloyd pass and several
     * downstream branches consume it. */
-  private def pqTrainParts(vectors: DataFrame, idCol: String, vecCol: String,
+  private[graft] def pqTrainParts(vectors: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, kCodes: Int, seed: Long, iters: Int,
       carry: Seq[String]): (DataFrame, DataFrame) = {
     import graft.functions.Deterministic.{hrand, stableSum}
@@ -370,7 +370,7 @@ object Similarity {
   /** Codebook rolled into one array-of-structs row PER SUBSPACE for the
     * broadcast [[topCells]] assignment (the per-j analog of
     * [[centroidArray]]). */
-  private def pqCentsByJ(cb: DataFrame): DataFrame =
+  private[graft] def pqCentsByJ(cb: DataFrame): DataFrame =
     cb.groupBy("j").agg(collect_list(struct(col("cent_id"), col("cv"))).as("cents"))
 
   /** ADC (asymmetric-distance) top-k search over PQ codes — the query
@@ -395,13 +395,19 @@ object Similarity {
     * shuffle), each query precomputes its m × kCodes partial-dot
     * table against the broadcast codebook (q·m·kCodes rows — tiny),
     * and scoring is a broadcast cross join of the n candidate rows
-    * against the q LUT rows with a row-local exact-DECIMAL fold over
+    * against the q LUT rows with a row-local exact-DECIMAL chain over
     * the m code lookups — no (query × candidate × subspace) shuffle
     * ever materializes, and the per-query rank window partitions on
-    * the bounded query set. The fold casts every step back to
-    * DECIMAL(28,12), so the sum is bit-identical to the stableSum
-    * aggregate the oracle replays (exact decimal addition is
-    * order-free). Output: (query_id, rk, cand_id, cos_adc), rk ≤ k. */
+    * the bounded query set. The m lookups are UNROLLED over m pivoted
+    * code columns, not folded with `aggregate` — higher-order lambdas
+    * run interpreted (this file's header note; the fold form measured
+    * ~5 s of pure per-row interpretation at 200k candidates) while the
+    * unrolled positional `lut[i0].xr + … + lut[i7].xr` chain stays in
+    * whole-stage codegen. Every term is cast to DECIMAL(28,12), so the
+    * exact decimal chain equals the stableSum aggregate the oracle
+    * replays (exact addition is order-free and the chain's precision
+    * headroom is m digits). Output: (query_id, rk, cand_id, cos_adc),
+    * rk ≤ k. */
   def pqAdcTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 3, dim: Int = 64, m: Int = 8,
       kCodes: Int = 16, seed: Long = 77L, iters: Int = 1): DataFrame = {
@@ -410,20 +416,37 @@ object Similarity {
     val sub = dim / m
     val (exSub, trained) =
       pqTrainParts(vectors, idCol, vecCol, dim, m, kCodes, seed, iters, Nil)
-    // encode the corpus: sub-vector -> nearest codeword id, rolled up
-    // to one row per candidate: (cand_id, codes["j:cent_id"], srr)
+    // dense per-(j, cent_id) LUT positions (within-j rank + cumulative
+    // offset of prior subspaces — dense even if a Lloyd iteration
+    // starves a codeword out of some j) so LUT lookups are positional:
+    // Spark's map element_at is a LINEAR scan over the entries per
+    // lookup (no hash index), measured ~3 s of pure scanning at 200k
+    // candidates; an array index is O(1). Codebook-sized frames only.
+    val perJ = trained.select("j", "cent_id")
+      .withColumn("cr",
+        row_number().over(Window.partitionBy("j").orderBy("cent_id")) - 1)
+    val offs = perJ.groupBy("j").agg(count(lit(1)).as("nj"))
+      .withColumn("off", coalesce(sum("nj").over(
+        Window.orderBy("j").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val pos = perJ.join(offs.select("j", "off"), "j")
+      .select(col("j"), col("cent_id"), (col("off") + col("cr")).as("idx"))
+    // encode the corpus: sub-vector -> nearest codeword, rolled up to
+    // one row per candidate: (cand_id, i0..i{m-1} LUT positions, srr)
     val enc = exSub.join(broadcast(pqCentsByJ(trained)), "j")
       .withColumn("cc", expr("element_at(graft_top_cells(vj, cents, 1), 1)"))
       .withColumn("cv",
         expr("element_at(filter(cents, x -> x.cent_id = cc.cent_id), 1).cv"))
-      .select(col(idCol).as("cand_id"),
-        concat(col("j"), lit(":"), col("cc.cent_id")).as("code"),
+      .select(col(idCol).as("cand_id"), col("j"),
+        col("cc.cent_id").as("cent_id"),
         expr(dotExpr("cv", "cv", sub)).as("rr"))
+      .join(broadcast(pos), Seq("j", "cent_id"))
+    val idxCols = (0 until m).map(j =>
+      max(when(col("j") === j, col("idx"))).as(s"i$j"))
     val cand = enc.groupBy("cand_id")
-      .agg(collect_list(col("code")).as("codes"),
-        stableSum(col("rr"), 12).as("srr"))
-    // per-query ADC lookup table: xr["j:cent_id"] = <q_j, codeword>,
-    // plus the full-precision query norm computed once
+      .agg(idxCols.head, idxCols.tail :+ stableSum(col("rr"), 12).as("srr"): _*)
+    // per-query ADC lookup table: lut[pos(j, cent)] = <q_j, codeword>,
+    // positionally sorted; plus the full-precision query norm computed
+    // once
     val qv = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", sqrt(expr(dotExpr("qv", "qv", dim))))
@@ -432,16 +455,16 @@ object Similarity {
           struct(lit(j).as("j"), slice(col("qv"), j * sub + 1, sub).as("qj"))): _*)).as("e"))
       .select(col("query_id"), col("qn"), col("e.j").as("j"), col("e.qj").as("qj"))
     val lut = qSub.join(trained.hint("broadcast"), "j")
+      .join(broadcast(pos), Seq("j", "cent_id"))
       .withColumn("xr", expr(dotExpr("qj", "cv", sub)))
       .groupBy("query_id", "qn")
-      .agg(map_from_entries(collect_list(struct(
-        concat(col("j"), lit(":"), col("cent_id")), col("xr")))).as("lut"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("xr")))).as("lut"))
     val scored = cand.crossJoin(broadcast(lut))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("sxr", expr(
-        """CAST(aggregate(codes, CAST(0 AS DECIMAL(28,12)),
-          |  (acc, c) -> CAST(acc + CAST(lut[c] AS DECIMAL(28,12)) AS DECIMAL(28,12)))
-          | AS DOUBLE)""".stripMargin))
+      .withColumn("sxr",
+        (0 until m).map(j =>
+            expr(s"CAST(element_at(lut, CAST(i$j + 1 AS INT)).xr AS DECIMAL(28,12))"))
+          .reduce(_ + _).cast("double"))
       .withColumn("c", round(
         when(col("srr") === 0.0 || col("qn") === 0.0, lit(0.0))
           .otherwise(col("sxr") / (col("qn") * sqrt(col("srr")))), 6))
