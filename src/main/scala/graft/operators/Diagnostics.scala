@@ -29,6 +29,53 @@ object Diagnostics {
           .as("skew_ratio"),
         round(col("max_cnt").cast("double") / col("n_rows"), 6).as("top_share"))
 
+  /** Mutual information between two categorical columns (nats), with
+    * the marginal entropies and the conditional entropy H(x|y) —
+    * "how much does knowing the source tell you about the language":
+    * the dependence audit that says whether a stratified sample over
+    * one column implicitly stratifies the other, and whether a
+    * (x, y)-keyed layout is redundant. MI = Σ p(x,y)·ln(p(x,y)/(p(x)
+    * p(y))) over the OBSERVED cells (absent cells contribute 0 — the
+    * limit of p·ln p at 0).
+    *
+    * Shape: one corpus aggregate to the r×c contingency table, all
+    * information math on that category-bounded frame (marginals via
+    * windows over it). Per-cell terms are rounded then DECIMAL-summed,
+    * so every reported number is bit-stable across partitionings and
+    * engines. Output (one row): n_rows, h_x, h_y, mi_nats,
+    * h_x_given_y, redundancy = MI/min(H) (0 = independent,
+    * 1 = one determines the other; 0 when min(H) = 0). */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val cells = CacheScope.persist(
+      df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("c")))
+    val tot = cells.agg(sum("c").as("n"))
+    def margEnt(k: String, out: String): DataFrame =
+      cells.groupBy(col(k)).agg(sum("c").as("ck"))
+        .crossJoin(broadcast(tot))
+        .select(round(-(col("ck").cast("double") / col("n"))
+          * log(col("ck").cast("double") / col("n")), 6).as("t"))
+        .agg(sum(col("t").cast(dec)).cast("double").as(out))
+    val mx = cells.groupBy(col(xCol)).agg(sum("c").as("cx"))
+    val my = cells.groupBy(col(yCol)).agg(sum("c").as("cy"))
+    val mi = cells.join(broadcast(mx), xCol).join(broadcast(my), yCol)
+      .crossJoin(broadcast(tot))
+      .select(round((col("c").cast("double") / col("n"))
+        * log(col("c").cast("double") * col("n")
+          / (col("cx").cast("double") * col("cy"))), 6).as("t"))
+      .agg(sum(col("t").cast(dec)).cast("double").as("mi"))
+    tot.crossJoin(broadcast(margEnt(xCol, "hx")))
+      .crossJoin(broadcast(margEnt(yCol, "hy")))
+      .crossJoin(broadcast(mi))
+      .select(col("n").as("n_rows"),
+        round(col("hx"), 6).as("h_x"), round(col("hy"), 6).as("h_y"),
+        round(col("mi"), 6).as("mi_nats"),
+        round(col("hx") - col("mi"), 6).as("h_x_given_y"),
+        round(when(least(col("hx"), col("hy")) > 0,
+          col("mi") / least(col("hx"), col("hy"))).otherwise(0.0), 6)
+          .as("redundancy"))
+  }
+
   /** Per-group Shannon entropy of a categorical column (nats), plus
     * the effective category count e^H — the corpus-diversity audit
     * (e.g. language mix per source). Each category's −p·ln p term is

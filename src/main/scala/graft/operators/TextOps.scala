@@ -247,6 +247,31 @@ object TextOps {
         round(Deterministic.stableSum(col("term"), 6), 6).as("log_weight"))
   }
 
+  /** N-gram novelty score: the fraction of a document's DISTINCT
+    * word n-grams that appear in no other document — high novelty =
+    * genuinely new content, low novelty = boilerplate / near-dup /
+    * template text. The positive complement of the dedup family: where
+    * near-dup pairs tell you what to REMOVE, novelty ranks what the
+    * corpus gains by KEEPING a document (and a corpus-level novelty
+    * drop over time is the standard crawl-saturation signal).
+    *
+    * Shape: one shingle pass (md5 grams, distinct per doc via
+    * [[Dedup.shingles]]), document frequency by ONE gram-keyed window
+    * over that stream, then the per-doc roll-up — shuffles key on
+    * (gram) and (doc), never fewer. All-integer until the one rounded
+    * ratio. Output: (idCol, n_grams, n_novel, novelty). */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Dedup.shingles(docs, textCol, Seq(idCol), n)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+    sh.groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+  }
+
   /** Named-regex flagging battery: one `n_<name>` match-count column
     * per pattern plus a `flagged` bit — the mechanism behind the two
     * standard curation passes that are regex sweeps over every

@@ -680,6 +680,44 @@ object QStats {
       .orderBy("day")
   })
 
+  // --------------------------------------- T13 mutual information
+  /** Mutual information between language and source (nats) —
+    * operators.Diagnostics.mutualInformation: MI over the observed
+    * lang × source contingency cells with marginal entropies, the
+    * conditional entropy H(lang|source), and redundancy
+    * MI/min(H) — the DEPENDENCE measure beside t11's χ² significance
+    * test (χ² says "not independent"; MI says how many nats of
+    * language you learn from the source, i.e. whether source-level
+    * sampling implicitly stratifies language). One corpus aggregate;
+    * every later frame is category-bounded; rounded-term DECIMAL sums
+    * replayed by the oracle. */
+  val t13 = Q("t13_mutual_information", Some("""
+    WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    hx AS (SELECT CAST(SUM(CAST(round(-(CAST(ck AS DOUBLE) / n)
+                 * ln(CAST(ck AS DOUBLE) / n), 6) AS DECIMAL(28,6))) AS DOUBLE) AS hxv
+           FROM (SELECT lang, CAST(sum(c) AS BIGINT) AS ck FROM cells GROUP BY 1)
+           CROSS JOIN tot),
+    hy AS (SELECT CAST(SUM(CAST(round(-(CAST(ck AS DOUBLE) / n)
+                 * ln(CAST(ck AS DOUBLE) / n), 6) AS DECIMAL(28,6))) AS DOUBLE) AS hyv
+           FROM (SELECT source, CAST(sum(c) AS BIGINT) AS ck FROM cells GROUP BY 1)
+           CROSS JOIN tot),
+    mx AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+    my AS (SELECT source, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+    mi AS (SELECT CAST(SUM(CAST(round((CAST(c AS DOUBLE) / n)
+                 * ln(CAST(c AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy)), 6)
+                 AS DECIMAL(28,6))) AS DOUBLE) AS miv
+           FROM cells JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN tot)
+    SELECT n AS n_rows, round(hxv, 6) AS h_x, round(hyv, 6) AS h_y,
+           round(miv, 6) AS mi_nats, round(hxv - miv, 6) AS h_x_given_y,
+           round(CASE WHEN least(hxv, hyv) > 0 THEN miv / least(hxv, hyv)
+                      ELSE 0.0 END, 6) AS redundancy
+    FROM tot CROSS JOIN hx CROSS JOIN hy CROSS JOIN mi"""
+  ))((s, d) =>
+    graft.operators.Diagnostics.mutualInformation(
+      Tables.documents(s, d), "lang", "source"))
+
   val all: Seq[Q] = Seq(l3, l4, l5, t1, t2, t2b, t2c, t4, t6, t7, t10, t11,
-    t12, l13, st1)
+    t12, t13, l13, st1)
 }

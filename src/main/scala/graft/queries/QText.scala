@@ -363,6 +363,30 @@ object QText {
     TextOps.oovRate(Tables.documentsP(s, d), "source", "text", oovV)
       .orderBy("source"))
 
+  // ------------------------------------------------ n-gram novelty
+  /** N-gram novelty score — operators.TextOps.ngramNovelty: the
+    * fraction of each document's distinct word trigrams appearing in
+    * NO other document. The positive complement of the dedup family
+    * (what a doc ADDS, not what it repeats) and the crawl-saturation
+    * signal when tracked over time. One shingle pass + gram-keyed df
+    * window + doc roll-up; the oracle replays the identical md5
+    * shingles (parity proven by the ngram-Jaccard gate) with a df
+    * join. All-integer until the one rounded ratio. */
+  val novelty = Q("text_ngram_novelty", Some("""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    g AS (SELECT DISTINCT doc_id, md5(array_to_string(w[t.i + 1 : t.i + 3], ' ')) AS sh
+          FROM w, LATERAL unnest(generate_series(0, len(w) - 3)) AS t(i)),
+    d AS (SELECT sh, count(*) AS df FROM g GROUP BY 1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS novelty
+    FROM g JOIN d USING (sh) GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    TextOps.ngramNovelty(Tables.documentsP(s, d), "doc_id", "text", n = 3)
+      .orderBy("doc_id"))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25, qualityGate,
-    decontaminate, repetition, lengthOutliers, vocab, normalizeAudit, oov)
+    decontaminate, repetition, lengthOutliers, vocab, normalizeAudit, oov, novelty)
 }

@@ -1054,6 +1054,33 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(p.values.forall(y => math.abs(math.abs(y) - 0.5) < 1e-9))
   }
 
+  test("Diagnostics.mutualInformation matches the hand-computed joint distribution") {
+    import spark.implicits._
+    import graft.operators.Diagnostics
+    // cells: (a,u)x2 (a,v)x2 (b,u)x4 -> H(x)=ln2, H(y)=0.5623,
+    // MI = .25 ln(2/3) + .25 ln 2 + .5 ln(4/3) = 0.215762
+    val d = (Seq.fill(2)(("a", "u")) ++ Seq.fill(2)(("a", "v")) ++
+      Seq.fill(4)(("b", "u"))).toDF("x", "y")
+    val r = Diagnostics.mutualInformation(d, "x", "y").collect().head
+    assert(r.getLong(0) == 8L)
+    assert(r.getDouble(1) == 0.693148)                        // H(x) = ln 2 (2 x round(.3465736, 6))
+    assert(math.abs(r.getDouble(3) - 0.215762) < 1e-5)        // MI
+    assert(math.abs(r.getDouble(4) - (r.getDouble(1) - r.getDouble(3))) < 1e-6)
+    assert(math.abs(r.getDouble(5) - r.getDouble(3) / r.getDouble(2)) < 1e-5)
+  }
+
+  test("TextOps.ngramNovelty counts grams unseen in any other doc") {
+    val d = docs(
+      (1L, "x", "a b c d"),   // abc bcd -> bcd unique
+      (2L, "x", "a b c x"),   // abc bcx -> bcx unique
+      (3L, "x", "p q r s"))   // pqr qrs -> both unique
+    val out = TextOps.ngramNovelty(d, "id", "body", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (2L, 1L, 0.5))
+    assert(out(2L) == (2L, 1L, 0.5))
+    assert(out(3L) == (2L, 2L, 1.0))
+  }
+
   test("Packing.packSequences: zero-length doc occupies no tokens") {
     import spark.implicits._
     import graft.operators.Packing

@@ -37,6 +37,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_unigram_logprob",     // 1-row corpus-total broadcast cross
       "curate_dsir_weights",      // 1-row two-LM-totals broadcast cross
       "layout_shuffle_shards",    // 1-row corpus-token-total broadcast cross
+      "t13_mutual_information",   // 1-row entropy/MI report crosses (category-bounded)
       "inc_snapshot_diff",        // 1-row timeline-cut scalar bound
       "sim_ann_recall",           // composes sim_cosine_topk + sim_ann_ivf bounds
       "sketch_bloom_prune",       // two 1-row report-dimension crosses
