@@ -127,4 +127,53 @@ class PropertySpec extends AnyFunSuite {
     assert(a == b)
     assert(a.nonEmpty, "threshold too high for the seeded corpus — property vacuous")
   }
+
+  test("substringRuns is invariant to input partitioning and row order") {
+    // Gram positions come from min(i) per (doc, gram) and run
+    // detection is keyed on (pair, diagonal) — nothing positional in
+    // the plan, so arrival order/partitioning must not matter.
+    import spark.implicits._
+    import graft.operators.Dedup
+    val words = Vector("a","b","c","d","e","f","g","h","i","j")
+    val rnd = new scala.util.Random(53L)
+    val shared = (0 until 8).map(i => words(i)).mkString(" ")
+    val rows = (1L to 24L).map { i =>
+      val noise = Seq.fill(4)(words(rnd.nextInt(words.size)) + i).mkString(" ")
+      (i, if (i % 3 == 0) s"$noise $shared" else s"$shared $noise")
+    }
+    val df = rows.toDF("id", "body")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.substringRuns(d, "id", "body", k = 4, minRun = 2, maxDf = 30L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val a = run(df.coalesce(1).orderBy("id"))
+    val b = run(df.repartition(7, col("body")))
+    assert(a == b)
+    assert(a.nonEmpty, "no shared runs — property vacuous")
+  }
+
+  test("domainCap / groupSplit / dsirWeights are invariant to partitioning and row order") {
+    import spark.implicits._
+    import graft.operators.{Sampling, TextOps}
+    val rnd = new scala.util.Random(71L)
+    val rows = (1L to 90L).map { i =>
+      (i, s"host${i % 7}", rnd.nextDouble(),
+        Seq.fill(3 + rnd.nextInt(4))("w" + rnd.nextInt(12)).mkString(" "))
+    }
+    val df = rows.toDF("id", "host", "sc", "body")
+    def runCap(d: org.apache.spark.sql.DataFrame) =
+      Sampling.domainCap(d.withColumn("s", round(col("sc"), 6)), "host", "id", col("s"), 5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def runSplit(d: org.apache.spark.sql.DataFrame) =
+      Sampling.groupSplit(d, "host", lit(1L),
+        Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)), seed = 5L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def runDsir(d: org.apache.spark.sql.DataFrame) =
+      TextOps.dsirWeights(d, "id", "body", col("host") === "host0")
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val one = df.coalesce(1).orderBy("id")
+    val many = df.repartition(9, col("body"))
+    assert(runCap(one) == runCap(many))
+    assert(runSplit(one) == runSplit(many))
+    assert(runDsir(one) == runDsir(many))
+  }
 }
