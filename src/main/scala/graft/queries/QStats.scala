@@ -718,6 +718,104 @@ object QStats {
     graft.operators.Diagnostics.mutualInformation(
       Tables.documents(s, d), "lang", "source"))
 
+  // --------------------------------------- T14 two-proportion z-test
+  /** Two-proportion z-test (pooled) per day — the A/B conversion
+    * comparison: split users into two arms by the deterministic
+    * user_id parity, conversion = purchases / (views + purchases),
+    * z = (p̂₁ − p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the pooled p̂. Every
+    * input to the z is a ratio of exact BIGINTs and the expression is
+    * textually identical on both engines; degenerate days (an empty
+    * arm, or pooled p̂ ∈ {0,1} zeroing the variance) are excluded on
+    * both legs. One conditional aggregate per day — no shuffle wider
+    * than (day). */
+  val t14 = Q("t14_two_proportion", Some("""
+    WITH e AS (SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) // 86400 AS day,
+                 user_id % 2 AS arm,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+               FROM events WHERE event_type IN ('view', 'purchase')),
+    a AS (SELECT day,
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+            CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c2
+          FROM e GROUP BY 1)
+    SELECT day, n1, n2,
+           round(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+           round(CAST(c2 AS DOUBLE) / n2, 6) AS p2,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                 / sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                        * (1 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 4) AS z
+    FROM a
+    WHERE n1 >= 1 AND n2 >= 1 AND c1 + c2 > 0 AND c1 + c2 < n1 + n2
+    ORDER BY day"""
+  ))((s, d) => {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(expr("cast(ts AS long) div 86400").as("day"),
+        (col("user_id") % 2).as("arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+    e.groupBy("day")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c2"))
+      .filter(col("n1") >= 1 && col("n2") >= 1 &&
+        col("c1") + col("c2") > 0 && col("c1") + col("c2") < col("n1") + col("n2"))
+      .select(col("day"), col("n1"), col("n2"),
+        round(col("c1").cast("double") / col("n1"), 6).as("p1"),
+        round(col("c2").cast("double") / col("n2"), 6).as("p2"),
+        expr("""round((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                / sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                       * (1 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                       * (1.0 / n1 + 1.0 / n2)), 4)""").as("z"))
+      .orderBy("day")
+  })
+
+  // --------------------------------------- T15 Benjamini–Hochberg FDR
+  /** Benjamini–Hochberg FDR correction over the per-day KS p-value
+    * battery (t12's 30 tests) — the multiple-comparison discipline the
+    * reference's per-test stars (C7) lack: adjusted p(i) =
+    * min_{j ≥ i} p(j)·m/j over the ascending-p ranking, reported with
+    * each day's rank and a q = 0.10 discovery flag. The running min is
+    * ONE window over the m-row p-value frame (m = number of tests —
+    * tiny by construction); everything upstream reuses t12's exact
+    * CDF-gap machinery verbatim. Ties in p rank deterministically by
+    * day; adjusted values are exact-rational arithmetic over already-
+    * rounded p's, rounded once at 6 dp. */
+  val t15 = Q("t15_bh_fdr", Some {
+    val ks = t12.oracle.get.replace("ORDER BY day", "")
+    s"""
+    WITH kso AS ($ks),
+    r AS (SELECT day, p_value,
+                 row_number() OVER (ORDER BY p_value, day) AS rk,
+                 count(*) OVER () AS m
+          FROM kso),
+    adj AS (SELECT day, p_value, rk, m,
+                   min(p_value * m / rk) OVER (ORDER BY rk DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS padj_raw
+            FROM r)
+    SELECT day, p_value, CAST(rk AS BIGINT) AS rk,
+           round(least(1.0, padj_raw), 6) AS p_adj,
+           (round(least(1.0, padj_raw), 6) <= 0.10) AS discovery
+    FROM adj ORDER BY rk"""
+  })((s, d) => {
+    val ks = t12.build(s, d)
+    val wRank = Window.orderBy(col("p_value"), col("day"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wTail = Window.orderBy(col("rk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ks.select(col("day"), col("p_value"))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("padj_raw",
+        min(col("p_value") * col("m") / col("rk")).over(wTail))
+      .select(col("day"), col("p_value"), col("rk").cast("long").as("rk"),
+        round(least(lit(1.0), col("padj_raw")), 6).as("p_adj"),
+        (round(least(lit(1.0), col("padj_raw")), 6) <= 0.10).as("discovery"))
+      .orderBy("rk")
+  })
+
   val all: Seq[Q] = Seq(l3, l4, l5, t1, t2, t2b, t2c, t4, t6, t7, t10, t11,
-    t12, t13, l13, st1)
+    t12, t13, t14, t15, l13, st1)
 }

@@ -1081,6 +1081,29 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(out(3L) == (2L, 2L, 1.0))
   }
 
+  test("BH step-up equals the hand-computed adjusted p-values") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // classic worked example: p = .01 .02 .03 .04 (m=4)
+    // raw m*p/rk = .04 .04 .04 .04 -> all adjusted to .04
+    // and p = .01 .04 .03 .05 -> rk-sorted .01 .03 .04 .05
+    //   raw = .04 .06 .0533... .05; tail-min = .04 .05 .05 .05
+    val d = Seq((1L, 0.01), (2L, 0.04), (3L, 0.03), (4L, 0.05)).toDF("day", "p_value")
+    val wRank = Window.orderBy(col("p_value"), col("day"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wTail = Window.orderBy(col("rk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val adj = d.withColumn("rk", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("p_adj", round(least(lit(1.0),
+        min(col("p_value") * col("m") / col("rk")).over(wTail)), 6))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(adj(1L) == 0.04)
+    assert(adj(3L) == 0.05)
+    assert(adj(2L) == 0.05)
+    assert(adj(4L) == 0.05)
+  }
+
   test("Packing.packSequences: zero-length doc occupies no tokens") {
     import spark.implicits._
     import graft.operators.Packing
