@@ -173,8 +173,12 @@ object Dedup {
       threshold: Double = 0.5, ngram: Int = 3,
       maxBucket: Long = defaultMaxBandBucket): DataFrame = {
     require(maxBucket >= 2, s"minhashLshIncremental needs maxBucket >= 2, got $maxBucket")
+    // NULL is_new coalesces to false (old corpus): left as-is it would
+    // fail BOTH candidate predicates (filter(is_new) and !b.is_new each
+    // evaluate NULL) and the row could never pair at all (r8 ADVICE).
     val perDoc = CacheScope.persist(
-      docs.select(col(idCol), col(isNewCol).as("is_new"),
+      docs.select(col(idCol),
+          coalesce(col(isNewCol).cast("boolean"), lit(false)).as("is_new"),
           expr(s"graft_minhash_sig($textCol, $ngram, $nHash)").as("ms"))
         .filter(col("ms").isNotNull)
         .select(col(idCol) +: col("is_new") +: col("ms.shs").as("s") +:

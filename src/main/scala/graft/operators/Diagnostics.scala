@@ -47,8 +47,16 @@ object Diagnostics {
     * 1 = one determines the other; 0 when min(H) = 0). */
   def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    // NULL categories are excluded from the WHOLE computation (cells,
+    // marginals, n_rows): the MI sum joins cells to marginals on
+    // equality, which can never match a NULL key, so keeping NULLs in
+    // the marginals/entropies while they silently vanish from the MI
+    // term made mi_nats/h_x_given_y/redundancy internally inconsistent
+    // on corpora with NULL keys (r8 ADVICE). A caller who wants NULL as
+    // a real category coalesces to a sentinel before calling.
     val cells = CacheScope.persist(
-      df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("c")))
+      df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+        .groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("c")))
     val tot = cells.agg(sum("c").as("n"))
     def margEnt(k: String, out: String): DataFrame =
       cells.groupBy(col(k)).agg(sum("c").as("ck"))

@@ -51,11 +51,21 @@ object Ledger {
       case ((st, i), rest) => when(!coalesce(st.keep, lit(false)), i.toLong).otherwise(rest)
     }
     // min-k ids per stage with O(k) state: rank by v = −id (ids far
-    // below 2^53 stay exact in the double), k1 = id ascending tie-break
+    // below 2^53 stay exact in the double), k1 = id ascending tie-break.
+    // The 2^53 contract is ENFORCED, not just commented (r8 ADVICE): an
+    // id at or past the double's exact-integer ceiling raises at run
+    // time instead of silently corrupting the "k smallest" sample.
     val sampler = udaf(new graft.functions.TopKKeysAgg(sampleK),
       org.apache.spark.sql.Encoders.product[graft.functions.TopKRow])
+    val lim = 1L << 53
+    val idGuard = when(
+      col(idCol).cast("long") >= lim || col(idCol).cast("long") <= -lim,
+      raise_error(concat(lit("rejectLedger: |id| >= 2^53 breaks the " +
+        "double-ranked sample exactness contract, got "),
+        col(idCol).cast("string"))))
+      .otherwise(col(idCol).cast("long"))
     val got = df
-      .select(idx.as("stage_idx"), col(idCol).cast("long").as("id"))
+      .select(idx.as("stage_idx"), idGuard.as("id"))
       .groupBy("stage_idx")
       .agg(count(lit(1)).as("n_rows"),
         sampler(negate(col("id").cast("double")), col("id"), col("id")).as("sample"))

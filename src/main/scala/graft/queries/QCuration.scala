@@ -338,7 +338,7 @@ object QCuration {
                       w -> w IN ('the','a','and','of','to'))) AS n_stop,
                   len(list_distinct(string_split(text, ' ')))::DOUBLE
                     / len(string_split(text, ' ')) AS distinct_ratio
-                FROM documents),
+                FROM documents WHERE text IS NOT NULL),
     k AS (SELECT md5(text) AS th, min(doc_id) AS keep_id FROM qm
           WHERE NOT (n_tok < 20 OR n_tok > 90 OR mean_wlen < 4.0
                      OR mean_wlen > 12.0 OR n_stop < 1 OR distinct_ratio < 0.3)
@@ -361,8 +361,12 @@ object QCuration {
     ORDER BY dim.stage_idx"""
   })((s, d) => {
     import graft.operators.Ledger, Ledger.Stage
+    // NULL-text rows are dropped on BOTH legs: a NULL text makes every
+    // SQL CASE comparison NULL (falls through to 'kept') while the
+    // engine's NULL-fails-the-gate convention rejects at stage 0 — a
+    // latent cross-engine divergence (r8 ADVICE).
     val q = graft.operators.TextOps.qualityFilter(
-      Tables.documentsP(s, d), "text",
+      Tables.documentsP(s, d).filter(col("text").isNotNull), "text",
       minTokens = 20, maxTokens = 90, minMeanWlen = 4.0, maxMeanWlen = 12.0,
       minStopwords = 1, minDistinctRatio = 0.3)
       .withColumn("th", md5(encode(col("text"), "UTF-8")))

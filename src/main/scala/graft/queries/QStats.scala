@@ -619,7 +619,12 @@ object QStats {
     * counts (one per-day value window, sorted per day only), D is
     * rounded once at 6 dp, and the λ/series expression is textually
     * identical on both engines over those identical operands. */
-  val t12 = Q("t12_ks_two_sample", Some("""
+  /** t12's oracle body WITHOUT the trailing ORDER BY, shared with
+    * t15's BH correction (which wraps it as a CTE where an ORDER BY
+    * would be dead weight). Factored as a constant — t15 used to
+    * string-replace "ORDER BY day" out of t12's SQL, which silently
+    * corrupts if the body ever gains another occurrence (r8 ADVICE). */
+  private val ksSqlBody = """
     WITH e AS (SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) // 86400 AS day,
                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s1, value AS v
                FROM events
@@ -650,8 +655,9 @@ object QStats {
                   + exp(-18 * lam * lam) - exp(-32 * lam * lam)
                   + exp(-50 * lam * lam) - exp(-72 * lam * lam)
                   + exp(-98 * lam * lam) - exp(-128 * lam * lam)))), 6) AS p_value
-    FROM l ORDER BY day"""
-  ))((s, d) => {
+    FROM l"""
+
+  val t12 = Q("t12_ks_two_sample", Some(ksSqlBody + " ORDER BY day"))((s, d) => {
     val e = Tables.events(s, d)
       .filter(col("event_type").isin("view", "click") && col("value").isNotNull)
       .select(expr("cast(ts AS long) div 86400").as("day"),
@@ -693,7 +699,9 @@ object QStats {
     * replayed by the oracle. */
   val t13 = Q("t13_mutual_information", Some("""
     WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
-                   FROM documents GROUP BY 1, 2),
+                   FROM documents
+                   WHERE lang IS NOT NULL AND source IS NOT NULL
+                   GROUP BY 1, 2),
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
     hx AS (SELECT CAST(SUM(CAST(round(-(CAST(ck AS DOUBLE) / n)
                  * ln(CAST(ck AS DOUBLE) / n), 6) AS DECIMAL(28,6))) AS DOUBLE) AS hxv
@@ -784,9 +792,8 @@ object QStats {
     * day; adjusted values are exact-rational arithmetic over already-
     * rounded p's, rounded once at 6 dp. */
   val t15 = Q("t15_bh_fdr", Some {
-    val ks = t12.oracle.get.replace("ORDER BY day", "")
     s"""
-    WITH kso AS ($ks),
+    WITH kso AS ($ksSqlBody),
     r AS (SELECT day, p_value,
                  row_number() OVER (ORDER BY p_value, day) AS rk,
                  count(*) OVER () AS m
