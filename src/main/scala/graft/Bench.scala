@@ -7,18 +7,25 @@ import org.apache.spark.sql.SparkSession
   * forced with a count() action (full pipeline execution, no result
   * materialization on the driver).
   *
-  * Each query runs SPARK_GRAFT_REPS times (default 5) and reports the
-  * MINIMUM (per-query median rides along under "queries_median"), so
-  * the numbers measure the plan rather than JVM/codegen warm-up — a
-  * cold single shot was observed 2× the warm band.
+  * Each query runs SPARK_GRAFT_REPS times (default 5) in INTERLEAVED
+  * round-robin passes over the whole registry (pass r runs every query
+  * once) and reports the per-query MINIMUM across passes (median rides
+  * along under "queries_median"), so the numbers measure the plan
+  * rather than JVM/codegen warm-up — and so a transient co-tenant load
+  * window shorter than the run contaminates at most one pass of each
+  * query instead of every back-to-back rep of one alphabetical cluster
+  * (the failure mode of four straight r5–r8 closing recordings).
   *
   * Load robustness: min-of-N cannot filter SUSTAINED machine load (the
   * r5 recording was inflated 2–3× across its whole duration), so the
   * run brackets itself with a fixed CPU-bound canary job timed before
-  * the first query and after the last. "canary_ratio" (end/start) near
+  * the first query and after the last, plus ONE canary shot between
+  * passes ("canary_passes") that timestamps any mid-run excursion the
+  * endpoint canaries cannot see. "canary_ratio" (end/start) near
   * 1.0 means a steady machine; either leg far off the historical band
-  * (~0.07 s at local[32], idle) or a ratio outside [0.67, 1.5] marks
-  * the recording suspect — re-run rather than trust it.
+  * (~0.07 s at local[32], idle), a ratio outside [0.67, 1.5], or a
+  * pass canary far above its siblings marks the recording suspect —
+  * re-run rather than trust it.
   */
 object Bench {
 
@@ -94,22 +101,43 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     val canaryStart = canarySec(spark)
-    val results = selected.map { case (name, fn) =>
-      // A rep that throws yields None: a query failing every rep reports
-      // null in the JSON, never the min of N fast failure times.
-      val times = (1 to math.max(1, reps)).map { _ =>
+    // INTERLEAVED passes, not per-query back-to-back reps: pass r runs
+    // every query once, and each query reports its min ACROSS passes.
+    // Four straight closing recordings were contaminated by roaming
+    // co-tenant load windows shorter than the run but longer than one
+    // query's rep block — with back-to-back reps such a window inflates
+    // every rep of whichever alphabetical cluster it lands on and the
+    // min keeps the inflation; spread across passes it inflates at most
+    // one pass of each query and the min recovers the clean number.
+    // One canary shot between passes localizes any such window in time
+    // ("canary_passes" in the JSON) — the endpoint canaries can't see
+    // a mid-run excursion.
+    val acc: Map[String, scala.collection.mutable.ArrayBuffer[Double]] =
+      selected.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer.empty[Double] }.toMap
+    val passCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to math.max(1, reps)).foreach { pass =>
+      selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         // CacheScope: operator-internal persists release after each rep,
         // so caches never accumulate across the run (the r3 f-cluster
         // regression was exactly this pressure).
+        // A rep that throws records nothing: a query failing every pass
+        // reports null in the JSON, never the min of N fast failures.
         val ok = try { graft.operators.CacheScope.withScope {
           fn(spark, sfDir).count() }; true }
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        if (ok) acc(name) += (System.nanoTime() - t0) / 1e9
       }
-      name -> times.flatten
+      if (pass < math.max(1, reps)) {
+        val t0 = System.nanoTime()
+        spark.range(0L, 1L << 27, 1L, 32)
+          .selectExpr("sum(hash(id)) AS s").count()
+        passCanaries += (System.nanoTime() - t0) / 1e9
+      }
     }
+    val results = selected.map { case (name, _) => name -> acc(name).toSeq }
     val canaryEnd = canarySec(spark)
     val canaryRatio = canaryEnd / canaryStart
     def fmt(sel: Seq[Double] => Double) = results.map {
@@ -121,8 +149,9 @@ object Bench {
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
     val totalMed = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
     val nFailed = results.count(_._2.isEmpty)
+    val cps = passCanaries.map(c => f"$c%.3f").mkString("[", ",", "]")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"total_median":$totalMed%.3f,"canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_ratio":$canaryRatio%.3f,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"total_median":$totalMed%.3f,"canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_ratio":$canaryRatio%.3f,"canary_passes":$cps,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}"""
     println(full)
     // The full line (~3 KB at 86 queries) outgrows the harness's 2000-char
     // output tail, so per-query numbers also go to a FILE, and the very
