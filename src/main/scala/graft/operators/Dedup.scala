@@ -91,6 +91,36 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       nHash: Int = 12, bandRows: Int = 2, threshold: Double = 0.5,
       ngram: Int = 3, maxBucket: Long = defaultMaxBandBucket): DataFrame = {
+    val (perDoc, candRows) =
+      minhashBandParts(docs, idCol, textCol, nHash, bandRows, ngram, maxBucket)
+    val cand = candRows.distinct()
+    val sa = perDoc.select(col(idCol).as("doc_a"), col("s").as("s_a"))
+    val sb = perDoc.select(col(idCol).as("doc_b"), col("s").as("s_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("j",
+        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+          size(array_distinct(concat(col("s_a"), col("s_b")))))
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+  }
+
+  /** The banded candidate stage of [[minhashLsh]] alone: every
+    * (doc_a, doc_b) band-bucket co-occurrence BEFORE the cross-band
+    * distinct and the Jaccard verify — the Σ_bucket pop² volume the
+    * population cap bounds. Public for the scale accounting
+    * (tools.ScaleAccounting): candidate count is what a plan can
+    * waste, emitted count is what the corpus owes. */
+  def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+      nHash: Int = 12, bandRows: Int = 2, ngram: Int = 3,
+      maxBucket: Long = defaultMaxBandBucket): DataFrame =
+    minhashBandParts(docs, idCol, textCol, nHash, bandRows, ngram, maxBucket)._2
+
+  /** Shared signature/banding/candidate chain of [[minhashLsh]] /
+    * [[minhashLshCandidates]]: (perDoc signatures+shingles, pre-distinct
+    * band pairs). */
+  private def minhashBandParts(docs: DataFrame, idCol: String, textCol: String,
+      nHash: Int, bandRows: Int, ngram: Int,
+      maxBucket: Long): (DataFrame, DataFrame) = {
     require(maxBucket >= 2, s"minhashLsh needs maxBucket >= 2, got $maxBucket")
     // The whole shingle→md5→mix→min stage is per-document, so it runs
     // as ONE row-local native expression (functions.MinhashSig) — the
@@ -135,18 +165,11 @@ object Dedup {
     // guarding ONE side suffices: a pair needs both endpoints in the
     // bucket, so an empty a-side kills every pair of an over-cap bucket
     val bands = bandsAll.join(overCap, Seq("band", "bkey"), "left_anti")
-    val cand = bands.as("a").join(bandsAll.as("b"),
+    val candRows = bands.as("a").join(bandsAll.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.band") === col("b.band") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b")).distinct()
-    val sa = perDoc.select(col(idCol).as("doc_a"), col("s").as("s_a"))
-    val sb = perDoc.select(col(idCol).as("doc_b"), col("s").as("s_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("j",
-        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
-          size(array_distinct(concat(col("s_a"), col("s_b")))))
-      .filter(col("j") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    (perDoc, candRows)
   }
 
   /** INCREMENTAL MinHash near-dup: near-dup pairs of a NEW document
@@ -172,6 +195,37 @@ object Dedup {
       isNewCol: String, nHash: Int = 12, bandRows: Int = 2,
       threshold: Double = 0.5, ngram: Int = 3,
       maxBucket: Long = defaultMaxBandBucket): DataFrame = {
+    val (perDoc, candRows) = minhashIncBandParts(docs, idCol, textCol,
+      isNewCol, nHash, bandRows, ngram, maxBucket)
+    val cand = candRows.distinct()
+    val sa = perDoc.select(col(idCol).as("doc_new"), col("s").as("s_a"))
+    val sb = perDoc.select(col(idCol).as("doc_other"), col("s").as("s_b"))
+    cand.join(sa, "doc_new").join(sb, "doc_other")
+      .withColumn("j",
+        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+          size(array_distinct(concat(col("s_a"), col("s_b")))))
+      .filter(col("j") >= threshold)
+      .select(col("doc_new"), col("doc_other"), col("other_is_new"),
+        round(col("j"), 6).as("jaccard"))
+  }
+
+  /** The banded candidate stage of [[minhashLshIncremental]] alone:
+    * every (doc_new, doc_other, other_is_new) new-side × all-side
+    * band co-occurrence BEFORE the distinct and the Jaccard verify —
+    * the Σ_bucket |new_b|·|all_b| volume the cap bounds. Public for
+    * the scale accounting (tools.ScaleAccounting). */
+  def minhashLshIncrementalCandidates(docs: DataFrame, idCol: String,
+      textCol: String, isNewCol: String, nHash: Int = 12, bandRows: Int = 2,
+      ngram: Int = 3, maxBucket: Long = defaultMaxBandBucket): DataFrame =
+    minhashIncBandParts(docs, idCol, textCol, isNewCol, nHash, bandRows,
+      ngram, maxBucket)._2
+
+  /** Shared chain of [[minhashLshIncremental]] /
+    * [[minhashLshIncrementalCandidates]]: (perDoc, pre-distinct
+    * candidate rows). */
+  private def minhashIncBandParts(docs: DataFrame, idCol: String,
+      textCol: String, isNewCol: String, nHash: Int, bandRows: Int,
+      ngram: Int, maxBucket: Long): (DataFrame, DataFrame) = {
     require(maxBucket >= 2, s"minhashLshIncremental needs maxBucket >= 2, got $maxBucket")
     // NULL is_new coalesces to false (old corpus): left as-is it would
     // fail BOTH candidate predicates (filter(is_new) and !b.is_new each
@@ -199,23 +253,15 @@ object Dedup {
     // so an empty new side kills all pairs of an over-cap bucket
     val bandsNew = bandsAll.filter(col("is_new"))
       .join(overCap, Seq("band", "bkey"), "left_anti")
-    val cand = bandsNew.as("a").join(bandsAll.as("b"),
+    val candRows = bandsNew.as("a").join(bandsAll.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.band") === col("b.band") &&
           // old partner: any order (pair surfaces once, new side first);
           // new partner: a < b so the two new rows emit the pair once
           (!col("b.is_new") && col(s"a.$idCol") =!= col(s"b.$idCol") ||
             col("b.is_new") && col(s"a.$idCol") < col(s"b.$idCol")))
       .select(col(s"a.$idCol").as("doc_new"), col(s"b.$idCol").as("doc_other"),
-        col("b.is_new").as("other_is_new")).distinct()
-    val sa = perDoc.select(col(idCol).as("doc_new"), col("s").as("s_a"))
-    val sb = perDoc.select(col(idCol).as("doc_other"), col("s").as("s_b"))
-    cand.join(sa, "doc_new").join(sb, "doc_other")
-      .withColumn("j",
-        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
-          size(array_distinct(concat(col("s_a"), col("s_b")))))
-      .filter(col("j") >= threshold)
-      .select(col("doc_new"), col("doc_other"), col("other_is_new"),
-        round(col("j"), 6).as("jaccard"))
+        col("b.is_new").as("other_is_new"))
+    (perDoc, candRows)
   }
 
   /** Connected components over an undirected edge list — the stage that
@@ -434,6 +480,23 @@ object Dedup {
     * `docs` must already carry `blockCols`. Output: (doc_a, doc_b, jaccard). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double = 0.8, ngram: Int = 3,
+      maxDf: Option[Long] = None): DataFrame =
+    ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf)
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("j"))
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+
+  /** The inverted-index match stage of [[ngramJaccard]] alone: one row
+    * per shared (shingle, block) occurrence between a doc pair —
+    * the Σ_within-block df² volume the `maxDf` gate bounds — BEFORE the
+    * per-pair aggregation and the threshold. Public for the scale
+    * accounting (tools.ScaleAccounting). Output: (doc_a, doc_b, na, nb),
+    * one row per matched shingle. */
+  def ngramJaccardCandidates(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], ngram: Int = 3,
       maxDf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Per-doc set sizes ride the shingle stream via a count window —
@@ -459,13 +522,8 @@ object Dedup {
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
     ex.as("a").join(ex.as("b"), joinCond)
-      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("j"))
-      .filter(col("j") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
   }
 
   /** Contiguous substring-overlap pairs — the token-level exact-
@@ -498,8 +556,30 @@ object Dedup {
   def substringRuns(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 6, minRun: Int = 2, maxDf: Long = 20L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(k >= 1, s"substringRuns needs k >= 1, got $k")
     require(minRun >= 1, s"substringRuns needs minRun >= 1, got $minRun")
+    val pairs = substringRunCandidates(docs, idCol, textCol, k, maxDf)
+    val wIsl = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    pairs
+      .withColumn("grp", col("ia") - row_number().over(wIsl))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum("run_len").as("n_shared_grams"),
+        max("run_len").as("max_run_grams"))
+      .filter(col("max_run_grams") >= minRun)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_grams"),
+        col("max_run_grams"), (col("max_run_grams") + (k - 1)).as("max_run_tokens"))
+  }
+
+  /** The inverted-index match stage of [[substringRuns]] alone: one row
+    * per shared k-gram occurrence between a doc pair, with its diagonal
+    * — the Σ df² volume the df ∈ [2, maxDf] gate bounds — BEFORE the
+    * island/run aggregation. Public for the scale accounting
+    * (tools.ScaleAccounting). Output: (doc_a, doc_b, ia, diag). */
+  def substringRunCandidates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 6, maxDf: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"substringRuns needs k >= 1, got $k")
     require(maxDf >= 2, s"substringRuns needs maxDf >= 2, got $maxDf")
     val grams = (0 until k).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(", ")
     val occ = docs
@@ -513,21 +593,10 @@ object Dedup {
     val ex = CacheScope.persist(occ
       .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("df").between(2L, maxDf)).drop("df"))
-    val pairs = ex.as("a").join(ex.as("b"),
+    ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
         col("a.i").as("ia"), (col("a.i") - col("b.i")).as("diag"))
-    val wIsl = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
-    pairs
-      .withColumn("grp", col("ia") - row_number().over(wIsl))
-      .groupBy("doc_a", "doc_b", "diag", "grp")
-      .agg(count(lit(1)).as("run_len"))
-      .groupBy("doc_a", "doc_b")
-      .agg(sum("run_len").as("n_shared_grams"),
-        max("run_len").as("max_run_grams"))
-      .filter(col("max_run_grams") >= minRun)
-      .select(col("doc_a"), col("doc_b"), col("n_shared_grams"),
-        col("max_run_grams"), (col("max_run_grams") + (k - 1)).as("max_run_tokens"))
   }
 
   /** Weighted 32-bit SimHash near-dup pairs: bit source = first 8 hex

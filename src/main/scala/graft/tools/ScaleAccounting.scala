@@ -16,7 +16,10 @@ import graft.operators.{CacheScope, Dedup}
   * corpus genuinely owes quadratically more near-dup pairs, so any
   * correct operator must emit — and pay for — them)? For each corpus it
   * measures, on the exact candidate joins the operators run
-  * ([[Dedup.simhashCandidates]] / [[Dedup.embeddingNearDupCandidates]]):
+  * ([[Dedup.simhashCandidates]], [[Dedup.embeddingNearDupCandidates]],
+  * [[Dedup.minhashLshCandidates]], [[Dedup.minhashLshIncrementalCandidates]],
+  * [[Dedup.ngramJaccardCandidates]], [[Dedup.substringRunCandidates]] —
+  * all six near-dup generators):
   *
   *   - `candidates`: rows out of the blocked self-join (what the
   *     population guards bound — the only quantity a plan can waste),
@@ -49,6 +52,42 @@ object ScaleAccounting {
         (docs.count(), cand.count(),
           cand.filter(col("hamming") <= 2).distinct().count())
       }
+      // minhash LSH: QSim.minhashLsh's parameters (nHash 12, bands of
+      // 2, τ=0.5 — the operator defaults)
+      val (mhCand, mhEmit) = CacheScope.withScope {
+        val docs = Tables.documentsP(spark, sfDir)
+        (Dedup.minhashLshCandidates(docs, "doc_id", "text").count(),
+          Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5).count())
+      }
+      // incremental minhash: QSim.minhashInc's parameters (new batch =
+      // sources src0-src3)
+      val (inCand, inEmit) = CacheScope.withScope {
+        val docs = Tables.documentsP(spark, sfDir).withColumn("is_new",
+          col("source").isin("src0", "src1", "src2", "src3"))
+        (Dedup.minhashLshIncrementalCandidates(
+            docs, "doc_id", "text", "is_new").count(),
+          Dedup.minhashLshIncremental(
+            docs, "doc_id", "text", "is_new", threshold = 0.5).count())
+      }
+      // n-gram Jaccard: QSim.ngramJaccard's parameters (block on
+      // (lang, length-band 40), τ=0.8)
+      val (ngCand, ngEmit) = CacheScope.withScope {
+        val docs = Tables.documentsP(spark, sfDir).withColumn("lb",
+          (size(split(col("text"), " ")).cast("long").divide(lit(40))).cast("long"))
+        (Dedup.ngramJaccardCandidates(
+            docs, "doc_id", "text", blockCols = Seq("lang", "lb")).count(),
+          Dedup.ngramJaccard(docs, "doc_id", "text",
+            blockCols = Seq("lang", "lb"), threshold = 0.8).count())
+      }
+      // exact-substring runs: QSim.substringRun's parameters
+      // (k=6, minRun=2, maxDf=20)
+      val (srCand, srEmit) = CacheScope.withScope {
+        val docs = Tables.documentsP(spark, sfDir)
+        (Dedup.substringRunCandidates(
+            docs, "doc_id", "text", k = 6, maxDf = 20L).count(),
+          Dedup.substringRuns(docs, "doc_id", "text",
+            k = 6, minRun = 2, maxDf = 20L).count())
+      }
       // embedding cosine: the registry query's exact parameters
       // (QSim.embedNearDup: label block, τ=0.35, nList 8, nProbe 4)
       val (nVecs, emCand, emEmit) = CacheScope.withScope {
@@ -63,7 +102,9 @@ object ScaleAccounting {
           cand.filter(col("c") >= 0.35)
             .select(col("vec_a"), col("vec_b")).distinct().count())
       }
-      f"""{"sf":"$sfDir","simhash":{"n_docs":$nDocs,"candidates":$shCand,"emitted":$shEmit,"cand_per_emitted":${shCand.toDouble / math.max(1L, shEmit)}%.2f},"embedding_cosine":{"n_vecs":$nVecs,"candidates":$emCand,"emitted":$emEmit,"cand_per_emitted":${emCand.toDouble / math.max(1L, emEmit)}%.2f}}"""
+      def blk(cand: Long, emit: Long) =
+        f""""candidates":$cand,"emitted":$emit,"cand_per_emitted":${cand.toDouble / math.max(1L, emit)}%.2f"""
+      f"""{"sf":"$sfDir","simhash":{"n_docs":$nDocs,${blk(shCand, shEmit)}},"embedding_cosine":{"n_vecs":$nVecs,${blk(emCand, emEmit)}},"minhash_lsh":{${blk(mhCand, mhEmit)}},"incremental_minhash":{${blk(inCand, inEmit)}},"ngram_jaccard":{${blk(ngCand, ngEmit)}},"substring_run":{${blk(srCand, srEmit)}}}"""
     }
     lines.foreach(println)
     val out = graft.queries.Q.repoRoot + "/SCALE_ACCOUNTING.json"
