@@ -447,6 +447,74 @@ object TextOps {
       .select(col(idCol), col("n_shingles"),
         array_min(col("ms.shs")).as("fingerprint"))
 
+  // --------------------------------------------------- BPE tokenizer
+  // Subword tokenization (Sennrich, Haddow & Birch 2016, "Neural
+  // Machine Translation of Rare Words with Subword Units"): a text is
+  // seeded as per-character symbols and a LEARNED merge list is applied
+  // in priority order, each merge fusing every adjacent (x, y) symbol
+  // pair into xy. This is the unit a trainer actually consumes — the
+  // token-denominated curation operators (budget, packing, mixing)
+  // over-count with whitespace words.
+  //
+  // Representation: every symbol is wrapped U+0001 symbol U+0002 inside
+  // one string, so a merge rule is ONE plain `replace` of
+  // "(x)(y)" with "(xy)" in that encoding — non-
+  // overlapping left-to-right, exactly the order Sennrich's reference
+  // apply visits pairs, and exactly the semantics of `replace` in
+  // every SQL engine (the DuckDB oracle replays the chain verbatim via
+  // chr(1)/chr(2) concatenation). Space symbols are never part of a
+  // merge rule, so merges cannot cross word boundaries — the whole
+  // text encodes in ONE pass, no per-word explode. The entire
+  // tokenizer is a flat codegen'd string-function chain: no UDF, no
+  // higher-order lambda (both measured interpreted), no shuffle.
+
+  private val BpeL = "\u0001" // symbol open
+  private val BpeR = "\u0002" // symbol close
+
+  private def bpeWrapped(x: String) = s"$BpeL$x$BpeR"
+
+  /** The merge-applied symbol string for `textCol` (internal encoding;
+    * consumers use [[bpeTokenCount]] / [[bpePieces]]). `merges` is the
+    * learned rule list IN PRIORITY ORDER; symbols must not contain
+    * spaces or the U+0001/U+0002 delimiters. */
+  def bpeEncoded(textCol: Column, merges: Seq[(String, String)]): Column = {
+    merges.foreach { case (x, y) =>
+      require(x.nonEmpty && y.nonEmpty &&
+        !(x + y).exists(c => c == ' ' || c == '\u0001' || c == '\u0002'),
+        s"BPE merge symbols must be non-empty and delimiter/space-free, got ($x, $y)")
+    }
+    val seeded = regexp_replace(textCol, "(?s)(.)", s"$BpeL$$1$BpeR")
+    merges.foldLeft(seeded) { case (c, (x, y)) =>
+      replace(c, lit(bpeWrapped(x) + bpeWrapped(y)), lit(bpeWrapped(x + y)))
+    }
+  }
+
+  /** BPE token count of `textCol` under `merges`: symbols after all
+    * merges, minus the space symbols (spaces separate words; they are
+    * not tokens). Empty/NULL text counts 0. */
+  def bpeTokenCount(textCol: Column, merges: Seq[(String, String)]): Column = {
+    val nSyms = size(split(bpeEncoded(textCol, merges), BpeR + BpeL))
+    val nSpaces = length(textCol) - length(replace(textCol, lit(" "), lit("")))
+    when(textCol.isNull || length(textCol) === 0, lit(0L))
+      .otherwise((nSyms - nSpaces).cast("long"))
+  }
+
+  /** Exploded (idCol, pos, piece) token rows of each document under
+    * `merges` — the tokenizer's inspection surface (piece frequencies,
+    * vocab coverage). `pos` is the 1-based symbol position INCLUDING
+    * space symbols (so it is a stable within-doc order key); space
+    * pieces themselves are dropped. Row-local explode — no shuffle. */
+  def bpePieces(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= 1)
+      .select(col(idCol),
+        posexplode(split(replace(bpeEncoded(col(textCol), merges),
+          lit(BpeL), lit("")), BpeR)))
+      .filter(col("col") =!= "" && col("col") =!= " ")
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("piece"))
+
   /** Canonical text normalization — the pre-dedup cleanup pass: lower-
     * case, collapse whitespace runs to single spaces, trim. Row-local
     * projection (adds `norm_text`); run it BEFORE exact/near dedup so

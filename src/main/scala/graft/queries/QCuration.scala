@@ -420,6 +420,45 @@ object QCuration {
       col("n_tok"), budget = budgetTokens, bandWidth = 0.1)
   })
 
+  // ------------------------------------- token budget in BPE units
+  /** Token-budget cut denominated in SUBWORD tokens —
+    * operators.TextOps.bpeTokenCount (the committed Sennrich merge
+    * list, QText.bpeMerges) feeding the same banded two-pass prefix as
+    * `curate_token_budget`: rank by quality score, keep the best
+    * prefix whose running BPE-token total fits the budget. This is the
+    * unit a trainer consumes — whitespace words under-count the
+    * sequence length the budget actually buys (~2.3 pieces/word on
+    * this corpus), so a word-denominated budget overshoots. The
+    * tokenizer is a row-local codegen'd string chain; the oracle
+    * replays the identical chain and cumsum. */
+  private val budgetBpeTokens = 40000L
+
+  val tokenBudgetBpe = Q("curate_token_budget_bpe", Some(s"""
+    WITH d AS (SELECT doc_id,
+                 ${QText.bpeCountDuck("text")} AS n_tok,
+                 round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                       / len(string_split(text, ' ')), 6) AS score
+               FROM documents WHERE len(string_split(text, ' ')) >= 1),
+    c AS (SELECT doc_id, score, n_tok,
+                 CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM d)
+    SELECT doc_id, score, n_tok, cum_tokens FROM c
+    WHERE cum_tokens <= $budgetBpeTokens ORDER BY score DESC, doc_id"""
+  ))((s, d) => {
+    val base = Tables.documentsP(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("score",
+        round(size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")), 6))
+      .withColumn("n_tok",
+        graft.operators.TextOps.bpeTokenCount(col("text"), QText.bpeMerges))
+    graft.operators.Packing.tokenBudgetPrefix(base, "doc_id", "score",
+      col("n_tok"), budget = budgetBpeTokens, bandWidth = 0.1)
+  })
+
   // ------------------------------------------- numeric quality gate
   /** Group-level numeric data-quality gate — the engine analog of the
     * reference's per-region NaN-% / zero-% / min-mean-rate gate
@@ -534,5 +573,5 @@ object QCuration {
       .orderBy("doc_id"))
 
   val all: Seq[Q] = Seq(pack, chunks, prisample, flags, qsketch, mixrates,
-    unigram, ledger, qualityGate, tokenBudget, domainCap, dsir)
+    unigram, ledger, qualityGate, tokenBudget, tokenBudgetBpe, domainCap, dsir)
 }

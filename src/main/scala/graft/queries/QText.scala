@@ -387,6 +387,64 @@ object QText {
     TextOps.ngramNovelty(Tables.documentsP(s, d), "doc_id", "text", n = 3)
       .orderBy("doc_id"))
 
+  // ------------------------------------------------------ BPE tokenizer
+  /** Learned BPE merge list for the synthetic corpus — derived OFFLINE
+    * with the reference Sennrich 2016 learner (iterative most-frequent
+    * adjacent-pair merging over the sf0.01 word-frequency dict;
+    * deterministic count-desc / pair-lexicographic tie-break), 24
+    * merges. Committed as a constant the way a production pipeline
+    * ships a tokenizer vocab file: tokenization must be frozen, not
+    * re-learned per run, or token-denominated budgets drift between
+    * runs. */
+  private[queries] val bpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar",
+    "j" -> "o", "jo" -> "in", "a" -> "s", "as" -> "h", "h" -> "ash",
+    "r" -> "ow", "at" -> "c", "atc" -> "h", "b" -> "atch", "a" -> "n",
+    "c" -> "an", "s" -> "can", "c" -> "o", "c" -> "u")
+
+  /** The DuckDB replay of [[TextOps.bpeEncoded]]'s merge chain over
+    * `textExpr` — the same U+0001/U+0002 symbol encoding (E'\x01'/
+    * E'\x02' literals), the same seeded regexp, the same replace per
+    * merge in the same order. `replace` is non-overlapping
+    * left-to-right in both engines, so the chains are byte-equal. */
+  private[queries] def bpeEncDuck(textExpr: String): String = {
+    def w(x: String) = s"\\x01$x\\x02"
+    val seeded = s"regexp_replace($textExpr, '(.)', E'\\x01\\\\1\\x02', 'g')"
+    bpeMerges.foldLeft(seeded) { case (acc, (x, y)) =>
+      s"replace($acc, E'${w(x)}${w(y)}', E'${w(x + y)}')"
+    }
+  }
+
+  /** DuckDB replay of [[TextOps.bpeTokenCount]]. */
+  private[queries] def bpeCountDuck(textExpr: String): String =
+    s"(len(string_split(${bpeEncDuck(textExpr)}, E'\\x02\\x01'))" +
+      s" - (length($textExpr) - length(replace($textExpr, ' ', ''))))"
+
+  /** Subword vocabulary audit — operators.TextOps.bpePieces over the
+    * committed merge list: the corpus's 30 most frequent BPE pieces
+    * with occurrence and document counts, the "is the tokenizer vocab
+    * still a fit for this corpus" report. The whole tokenizer is a
+    * flat codegen'd string chain (seed regexp + 24 replaces), so the
+    * scan parallelizes embarrassingly; the aggregate shuffles only
+    * distinct pieces (map-side combined) and the global top-30 is
+    * TakeOrderedAndProject, never a full sort. */
+  val bpeVocab = Q("text_bpe_vocab", Some(s"""
+    WITH p AS (SELECT doc_id,
+                 unnest(string_split(replace(${bpeEncDuck("text")}, E'\\x01', ''),
+                        E'\\x02')) AS piece
+               FROM documents WHERE text IS NOT NULL AND length(text) >= 1)
+    SELECT piece, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM p WHERE piece <> '' AND piece <> ' '
+    GROUP BY 1 ORDER BY n_occ DESC, piece LIMIT 30"""
+  ))((s, d) =>
+    TextOps.bpePieces(Tables.documentsP(s, d), "doc_id", "text", bpeMerges)
+      .groupBy("piece")
+      .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n_occ").desc, col("piece")).limit(30))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25, qualityGate,
-    decontaminate, repetition, lengthOutliers, vocab, normalizeAudit, oov, novelty)
+    decontaminate, repetition, lengthOutliers, vocab, normalizeAudit, oov, novelty,
+    bpeVocab)
 }

@@ -646,6 +646,51 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("g", 5L, 12L, 2L, 1L)))
   }
 
+  test("TextOps.bpeEncoded/bpeTokenCount/bpePieces match a reference Sennrich apply") {
+    import spark.implicits._
+    // reference apply: seed chars, run each merge left-to-right
+    // non-overlapping, in order
+    def refBpe(word: String, merges: Seq[(String, String)]): Seq[String] =
+      merges.foldLeft(word.map(_.toString).toList) { case (syms, (x, y)) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == x && syms(i + 1) == y) {
+            out += x + y; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toList
+      }
+    val merges = Seq("e" -> "r", "a" -> "t", "at" -> "c", "atc" -> "h",
+      "m" -> "er", "er" -> "ge")
+    val texts = Seq("merge batch", "matcher merger", "a", "er er er",
+      "mmerge", "xyz", "batch batch hatch")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = TextOps.bpePieces(d, "id", "t", merges)
+      .orderBy("id", "pos")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = t.split(" ").toSeq.flatMap(w => refBpe(w, merges))
+      assert(got(i.toLong) == want, s"doc $i '$t': ${got(i.toLong)} != $want")
+    }
+    // token count column agrees with the piece rows, and empty/NULL is 0
+    val cnt = d.select(col("id"),
+        TextOps.bpeTokenCount(col("t"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(cnt(i.toLong) == t.split(" ").map(w => refBpe(w, merges).size).sum)
+    }
+    val edge = Seq((0L, ""), (1L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(TextOps.bpeTokenCount(col("t"), merges).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(edge == Seq(0L, 0L))
+    // delimiter-unsafe merges are rejected
+    intercept[IllegalArgumentException] {
+      TextOps.bpeEncoded(col("t"), Seq("a " -> "b"))
+    }
+  }
+
   test("Similarity.pqCosError: all-codeword corpus reconstructs perfectly; layout-invariant") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
