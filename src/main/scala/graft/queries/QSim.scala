@@ -917,8 +917,91 @@ object QSim {
       .orderBy("vec_a", "vec_b")
   })
 
+  // ------------------------------------------------- semantic dedup
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"), composed from the oracle-proven pieces: Lloyd
+    * k-means cells (Similarity.kmeans, 2 iterations, cell count
+    * data-driven via the LINEAR autoCellCount rule — constant ~256
+    * populations keep the within-cell pair join linear in n) →
+    * within-cell cosine ≥ τ pairs → alternating-star connected
+    * components (Dedup.connectedComponents) → keep the min vec_id per
+    * semantic cluster. Output labels EVERY vector: its cluster
+    * representative (itself when no semantic dup), cluster size, and
+    * the keep decision.
+    *
+    * The oracle replays the seeded centroids + both unrolled Lloyd
+    * iterations (the sim_kmeans_cells discipline, with the cell count
+    * as a computed QUALIFY bound instead of a constant LIMIT), the
+    * within-cell pair join, and a recursive transitive closure. */
+  private val semTau = 0.4
+
+  val semantic = Q("dedup_semantic", Some {
+    def assignCte(centCte: String, n: Int) = s"""
+    ac$n AS (SELECT e.vec_id, e.v, c.cent_id, round(${cosD("e.v", "c.cv")}, 6) AS c
+             FROM e CROSS JOIN $centCte c),
+    r$n AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+            FROM ac$n),
+    asg$n AS (SELECT vec_id, v, cent_id AS cell FROM r$n WHERE rn = 1)"""
+    def updateCte(n: Int) = s"""
+    u$n AS (SELECT cell AS cent_id, i, CAST(SUM(CAST(v[i] AS DECIMAL(28,9))) AS DOUBLE)
+                   / count(*) AS m
+            FROM asg$n, LATERAL unnest(generate_series(1, $kmDim)) AS t(i)
+            GROUP BY 1, 2),
+    c$n AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM u$n GROUP BY 1)"""
+    s"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nk AS (SELECT GREATEST(8, CAST(ceil(count(*) / 256.0) AS BIGINT)) AS k FROM e),
+    c0 AS (SELECT vec_id AS cent_id, v AS cv FROM (
+             SELECT vec_id, v, row_number() OVER (
+               ORDER BY ${graft.functions.Deterministic.hrandSql("vec_id", kmSeed)}, vec_id) AS rn
+             FROM e) CROSS JOIN nk WHERE rn <= k),
+    ${assignCte("c0", 1)},
+    ${updateCte(1)},
+    ${assignCte("c1", 2)},
+    ${updateCte(2)},
+    ${assignCte("c2", 3)},
+    pr AS (SELECT a.vec_id AS va, b.vec_id AS vb
+           FROM asg3 a JOIN asg3 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE ${cosD("a.v", "b.v")} >= $semTau),
+    se AS (SELECT va AS a, vb AS b FROM pr UNION SELECT vb, va FROM pr),
+    reach(a, b) AS (SELECT a, b FROM se
+                    UNION
+                    SELECT r.a, s.b FROM reach r JOIN se s ON r.b = s.a),
+    compt AS (SELECT a AS vec_id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+    lbl AS (SELECT e.vec_id, coalesce(c.comp, e.vec_id) AS comp
+            FROM e LEFT JOIN compt c ON e.vec_id = c.vec_id)
+    SELECT vec_id, comp, count(*) OVER (PARTITION BY comp) AS cluster_size,
+           (vec_id = comp) AS keep
+    FROM lbl ORDER BY vec_id"""
+  })((s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.CacheScope
+    val e = CacheScope.persist(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")))
+    val n = Tables.rowCount(s, d, "embeddings")
+    val kCells = Similarity.autoCellCount(n, 8, 256)
+    val asg = Similarity.kmeans(e, "vec_id", "v",
+        k = kCells, iters = 2, seed = kmSeed, dim = kmDim)
+      .select(col("vec_id"), col("cell"))
+    // the pair join consumes the (vec_id, cell, v) frame on both sides
+    val withV = CacheScope.persist(asg.join(e, "vec_id"))
+    val pairs = withV.as("a").join(withV.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(Similarity.cosine("a.v", "b.v", kmDim) >= semTau)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val cc = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+      .withColumnRenamed("node", "vec_id")
+    e.select("vec_id").join(cc, Seq("vec_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("vec_id")))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("comp")))
+      .withColumn("keep", col("vec_id") === col("comp"))
+      .select("vec_id", "comp", "cluster_size", "keep")
+      .orderBy("vec_id")
+  })
+
   val all: Seq[Q] =
     Seq(exact, minhashLsh, minhashInc, clusterCc, funnel, simhash, ngramJaccard,
       embedNearDup, annTopk, annLsh, annIvf, annRecall, kmeansCells, scalarQuant,
-      pqError, adcTopk, substringRun, randProj)
+      pqError, adcTopk, substringRun, randProj, semantic)
 }
