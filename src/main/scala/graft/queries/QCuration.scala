@@ -420,6 +420,67 @@ object QCuration {
       col("n_tok"), budget = budgetTokens, bandWidth = 0.1)
   })
 
+  // -------------------------------------- gate + ledger integration
+  /** The numeric gate FEEDING the rejection ledger as one composable
+    * pipeline — the full analog of the reference's exclusion flow,
+    * where perform_region_analysis.m:43-75,136-183 gates regions and
+    * initialize_session_logger.m:239-458 logs each exclusion with its
+    * reason: the per-supplier metric frame of `quality_gate_numeric`
+    * runs through operators.Ledger.rejectLedger with the gate's rules
+    * as stages in severity order, so every supplier is attributed to
+    * its FIRST failing rule, each stage reports its count plus the 3
+    * smallest supplier keys as inspectable examples, and survivors
+    * land in `kept`. One metric aggregate + one stage-keyed aggregate
+    * with O(3) sample state — composition adds no new shuffle shape. */
+  private val gateLedgerStages = Seq(
+    ("1_too_few_rows", "n < 20"), ("2_null_rate", "null_pct > 0.01"),
+    ("3_zero_rate", "zero_pct > 0.06"), ("4_low_mean", "mean_qty < 25.0"))
+
+  val gateLedger = Q("quality_gate_ledger", Some {
+    val dimRows = (gateLedgerStages :+ ("kept", "kept")).zipWithIndex
+      .map { case ((n, r), i) => s"(CAST($i AS BIGINT), '$n', '$r')" }
+      .mkString(", ")
+    s"""
+    WITH m AS (SELECT l_suppkey, count(*) AS n,
+           round(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS null_pct,
+           round(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS zero_pct,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*), 4) AS mean_qty
+         FROM lineitem GROUP BY 1),
+    att AS (SELECT l_suppkey,
+              CASE WHEN n < 20 THEN 0 WHEN null_pct > 0.01 THEN 1
+                   WHEN zero_pct > 0.06 THEN 2 WHEN mean_qty < 25.0 THEN 3
+                   ELSE 4 END AS stage_idx
+            FROM m),
+    g AS (SELECT stage_idx, count(*) AS n_rows,
+                 array_to_string(list_sort(list(l_suppkey))[1:3], ',') AS sample_ids
+          FROM att GROUP BY 1),
+    dim AS (SELECT * FROM (VALUES $dimRows) AS t(stage_idx, stage, reason))
+    SELECT dim.stage_idx, stage, reason,
+           coalesce(g.n_rows, 0) AS n_rows,
+           coalesce(g.sample_ids, '') AS sample_ids
+    FROM dim LEFT JOIN g ON dim.stage_idx = g.stage_idx
+    ORDER BY dim.stage_idx"""
+  })((s, d) => {
+    import graft.operators.Ledger, Ledger.Stage
+    val m = Tables.lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum(when(col("l_discount").isNull, 1).otherwise(0)).cast("double")
+          / count(lit(1)), 6).as("null_pct"),
+        round(sum(when(col("l_discount") === 0, 1).otherwise(0)).cast("double")
+          / count(lit(1)), 6).as("zero_pct"),
+        round(stableSum(col("l_quantity"), 6) / count(lit(1)), 4).as("mean_qty"))
+    Ledger.rejectLedger(m, "l_suppkey", Seq(
+      Stage(gateLedgerStages(0)._1, gateLedgerStages(0)._2, col("n") >= 20),
+      Stage(gateLedgerStages(1)._1, gateLedgerStages(1)._2, col("null_pct") <= 0.01),
+      Stage(gateLedgerStages(2)._1, gateLedgerStages(2)._2, col("zero_pct") <= 0.06),
+      Stage(gateLedgerStages(3)._1, gateLedgerStages(3)._2, col("mean_qty") >= 25.0)),
+      sampleK = 3)
+  })
+
   // ------------------------------------- token budget in BPE units
   /** Token-budget cut denominated in SUBWORD tokens —
     * operators.TextOps.bpeTokenCount (the committed Sennrich merge
@@ -573,5 +634,5 @@ object QCuration {
       .orderBy("doc_id"))
 
   val all: Seq[Q] = Seq(pack, chunks, prisample, flags, qsketch, mixrates,
-    unigram, ledger, qualityGate, tokenBudget, tokenBudgetBpe, domainCap, dsir)
+    unigram, ledger, qualityGate, gateLedger, tokenBudget, tokenBudgetBpe, domainCap, dsir)
 }
