@@ -1114,6 +1114,70 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) - r.getDouble(3) / r.getDouble(2)) < 1e-5)
   }
 
+  test("Diagnostics.mutualInformation: NULL categories are excluded from the WHOLE computation") {
+    import spark.implicits._
+    import graft.operators.Diagnostics
+    val base = (Seq.fill(2)(("a", "u")) ++ Seq.fill(2)(("a", "v")) ++
+      Seq.fill(4)(("b", "u")))
+    val withNulls = base ++ Seq((null, "u"), ("a", null), (null: String, null: String))
+    val clean = Diagnostics.mutualInformation(base.toDF("x", "y"), "x", "y")
+      .collect().head
+    val nulled = Diagnostics.mutualInformation(withNulls.toDF("x", "y"), "x", "y")
+      .collect().head
+    // NULL rows must change NOTHING: n_rows, entropies and MI are all
+    // computed over the same NULL-free distribution (the r8 ADVICE bug
+    // had the MI sum drop NULL cells while marginals kept them)
+    assert(nulled.getLong(0) == 8L)
+    (1 to 5).foreach(i => assert(nulled.getDouble(i) == clean.getDouble(i),
+      s"col $i differs with NULL categories present"))
+  }
+
+  test("Dedup.minhashLshIncremental: NULL is_new rows participate as OLD corpus docs") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta"
+    val d = Seq((1L, t, Some(true)), (2L, t, None: Option[Boolean]),
+      (3L, t, Some(false))).toDF("id", "body", "flag")
+    val out = Dedup.minhashLshIncremental(d, "id", "body", "flag",
+        nHash = 12, bandRows = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // doc 2 (NULL flag) must pair with the new doc 1 as an OLD partner;
+    // before the coalesce fix it failed both candidate predicates and
+    // could never pair at all
+    assert(out == Set((1L, 2L, false), (1L, 3L, false)), s"got $out")
+  }
+
+  test("Ledger.rejectLedger raises on ids at or past 2^53") {
+    import spark.implicits._
+    import graft.operators.Ledger, Ledger.Stage
+    val bad = Seq((1L << 53, 5.0), (7L, 1.0)).toDF("id", "v")
+    val ex = intercept[Exception] {
+      Ledger.rejectLedger(bad, "id", Seq(Stage("s1", "v too small", col("v") >= 2.0)))
+        .collect()
+    }
+    assert(ex.getMessage != null)
+    val ok = Seq(((1L << 53) - 1, 5.0), (7L, 1.0)).toDF("id", "v")
+    val rows = Ledger.rejectLedger(ok, "id",
+        Seq(Stage("s1", "v too small", col("v") >= 2.0)))
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getString(4)))
+    assert(rows.toSeq == Seq(("s1", 1L, "7"), ("kept", 1L, "9007199254740991")))
+  }
+
+  test("Memo: same key returns the same persisted frame; clear releases") {
+    import spark.implicits._
+    import graft.operators.Memo
+    var builds = 0
+    def build() = { builds += 1; Seq(1, 2, 3).toDF("x") }
+    val a = Memo.cached("spec/memo/a") { build() }
+    val b = Memo.cached("spec/memo/a") { build() }
+    assert(builds == 1 && (a eq b) && a.storageLevel.useMemory)
+    val c = Memo.cached("spec/memo/b") { build() }
+    assert(builds == 2 && !(c eq a))
+    Memo.clear()
+    val d = Memo.cached("spec/memo/a") { build() }
+    assert(builds == 3 && !(d eq a))
+    Memo.clear()
+  }
+
   test("TextOps.ngramNovelty counts grams unseen in any other doc") {
     val d = docs(
       (1L, "x", "a b c d"),   // abc bcd -> bcd unique
