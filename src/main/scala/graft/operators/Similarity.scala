@@ -171,10 +171,21 @@ object Similarity {
     * Output: final assignment (idCol, cell, cos) — cos is the rounded
     * member→centroid cosine of the final assignment. */
   def kmeans(vectors: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 2, seed: Long = 7L, dim: Int = 64): DataFrame = {
+      k: Int = 8, iters: Int = 2, seed: Long = 7L, dim: Int = 64,
+      memoKey: Option[String] = None): DataFrame = {
     import graft.functions.Deterministic.{hrand, stableSum}
     require(k >= 1, s"kmeans needs k >= 1, got $k")
     require(iters >= 1, s"kmeans needs iters >= 1, got $iters")
+    // memoKey: session-wide share of the trained centroid chain and the
+    // final assignment (the pqTrainParts discipline) — sim_kmeans_cells
+    // and dedup_semantic train the SAME seeded Lloyd chain whenever the
+    // data-driven cell count resolves to the same k. Key must identify
+    // the corpus; every training parameter is appended here.
+    val pfx = memoKey.map(mk => s"$mk/km/$idCol/$vecCol/$k/$iters/$seed")
+    def memoC(kk: String)(b: => DataFrame): DataFrame = pfx match {
+      case Some(p) => Memo.cached(s"$p/$kk")(b)
+      case None    => b
+    }
     val v = vectors.select(col(idCol), col(vecCol).as("v"))
     def assign(cent: DataFrame): DataFrame =
       v.crossJoin(broadcast(centroidArray(cent)))
@@ -197,10 +208,12 @@ object Similarity {
       .orderBy(hrand(col(idCol), seed), col(idCol))
       .limit(k)
       .select(col(idCol).as("cent_id"), col("v").as("cv"))
-    val centFinal = (1 until iters).foldLeft(update(assign(cent0))) {
-      (cent, _) => update(assign(cent))
+    val centFinal = (1 to iters).foldLeft(cent0) {
+      (cent, i) => memoC(s"cent$i") { update(assign(cent)) }
     }
-    assign(centFinal).select(col(idCol), col("cell"), col("c").as("cos"))
+    memoC("asgF") {
+      assign(centFinal).select(col(idCol), col("cell"), col("c").as("cos"))
+    }
   }
 
   /** Int8 scalar quantization fidelity report — the compression step

@@ -530,7 +530,8 @@ object QSim {
   })((s, d) => {
     import graft.functions.Deterministic.stableSum
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
-    Similarity.kmeans(e, "vec_id", "v", k = kmK, iters = 2, seed = kmSeed, dim = kmDim)
+    Similarity.kmeans(e, "vec_id", "v", k = kmK, iters = 2, seed = kmSeed,
+        dim = kmDim, memoKey = Some(s"km:$d"))
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"),
         round(stableSum(col("cos"), 6) / count(lit(1)), 6).as("mean_cos"))
@@ -981,8 +982,12 @@ object QSim {
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")))
     val n = Tables.rowCount(s, d, "embeddings")
     val kCells = Similarity.autoCellCount(n, 8, 256)
+    // same memo namespace as sim_kmeans_cells: whenever the linear cell
+    // rule resolves to the same k, the two queries share one trained
+    // chain (k is part of the key, so a different sizing never collides)
     val asg = Similarity.kmeans(e, "vec_id", "v",
-        k = kCells, iters = 2, seed = kmSeed, dim = kmDim)
+        k = kCells, iters = 2, seed = kmSeed, dim = kmDim,
+        memoKey = Some(s"km:$d"))
       .select(col("vec_id"), col("cell"))
     // the pair join consumes the (vec_id, cell, v) frame on both sides
     val withV = CacheScope.persist(asg.join(e, "vec_id"))
