@@ -58,12 +58,18 @@ object Graphs {
     val r0 = CacheScope.persist(deg.crossJoin(broadcast(n))
       .select(col("node"), round(lit(1.0).cast("double") / col("nn"), 12).as("r")))
     (1 to iters).foldLeft(r0) { (r, _) =>
+      // contribution weight r/deg is a NODE property: computed on the
+      // node-sized frame BEFORE touching edges, so the |E|-row path
+      // carries exactly one join (ranks onto the pre-partitioned edge
+      // list) instead of dragging the degree join through every edge
+      // row — same rounded operands, same decimal sum, bit-identical.
+      val w = r.join(deg.select(col("node"), col("dg")), "node")
+        .select(col("node").as("wnode"),
+          round(col("r") / col("dg"), 12).as("w"))
       CacheScope.persist(
-        e.join(r.withColumnRenamed("node", "rnode"), col("src") === col("rnode"))
-          .join(deg.select(col("node").as("dnode"), col("dg")),
-            col("src") === col("dnode"))
+        e.join(w, col("src") === col("wnode"))
           .groupBy(col("dst").as("node"))
-          .agg(sum(round(col("r") / col("dg"), 12).cast(DecimalType(28, 12)))
+          .agg(sum(col("w").cast(DecimalType(28, 12)))
             .cast("double").as("mass"))
           .crossJoin(broadcast(n))
           .select(col("node"),
