@@ -88,20 +88,35 @@ object Dedup {
     * exact dedup removes. With no bucket over the cap the result is
     * bit-identical to the uncapped form (the committed corpora never
     * exceed it; the DuckDB oracle replays the same guard). */
+  /** `memoKey`: when set, the verified pair OUTPUT is memoized
+    * session-wide ([[Memo]]) under `memoKey/params` — three registry
+    * consumers (the pair report, the CC clustering, the curation
+    * funnel) run the identical signature→band→verify chain on the same
+    * corpus, and the pairs frame is output-sized (never larger than
+    * the near-dup mass the corpus owes), so one materialization serves
+    * all. The caller's key must identify the corpus. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       nHash: Int = 12, bandRows: Int = 2, threshold: Double = 0.5,
-      ngram: Int = 3, maxBucket: Long = defaultMaxBandBucket): DataFrame = {
-    val (perDoc, candRows) =
-      minhashBandParts(docs, idCol, textCol, nHash, bandRows, ngram, maxBucket)
-    val cand = candRows.distinct()
-    val sa = perDoc.select(col(idCol).as("doc_a"), col("s").as("s_a"))
-    val sb = perDoc.select(col(idCol).as("doc_b"), col("s").as("s_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("j",
-        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
-          size(array_distinct(concat(col("s_a"), col("s_b")))))
-      .filter(col("j") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+      ngram: Int = 3, maxBucket: Long = defaultMaxBandBucket,
+      memoKey: Option[String] = None): DataFrame = {
+    def build: DataFrame = {
+      val (perDoc, candRows) =
+        minhashBandParts(docs, idCol, textCol, nHash, bandRows, ngram, maxBucket)
+      val cand = candRows.distinct()
+      val sa = perDoc.select(col(idCol).as("doc_a"), col("s").as("s_a"))
+      val sb = perDoc.select(col(idCol).as("doc_b"), col("s").as("s_b"))
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("j",
+          size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+            size(array_distinct(concat(col("s_a"), col("s_b")))))
+        .filter(col("j") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+    }
+    memoKey match {
+      case Some(mk) => Memo.cached(
+        s"$mk/minhashPairs/$idCol/$textCol/$nHash/$bandRows/$threshold/$ngram/$maxBucket")(build)
+      case None => build
+    }
   }
 
   /** The banded candidate stage of [[minhashLsh]] alone: every

@@ -88,7 +88,8 @@ object QSim {
     SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM ver WHERE j >= 0.5 ORDER BY 1, 2"""
   ))((s, d) =>
     Dedup.minhashLsh(Tables.documentsP(s, d), "doc_id", "text",
-      nHash = nHash, bandRows = bandRows, threshold = 0.5)
+      nHash = nHash, bandRows = bandRows, threshold = 0.5,
+      memoKey = Some(s"mh:$d"))
       .orderBy("doc_a", "doc_b"))
 
   // ------------------------------------------- dedup cluster assignment
@@ -119,8 +120,11 @@ object QSim {
     FROM compt ORDER BY doc_id"""
   ))((s, d) => {
     import org.apache.spark.sql.expressions.Window
+    // shared memo with dedup_minhash_lsh / pipeline_curation_funnel:
+    // all three verify the identical pair set on this corpus
     val pairs = Dedup.minhashLsh(Tables.documentsP(s, d), "doc_id", "text",
-      nHash = nHash, bandRows = bandRows, threshold = 0.5)
+      nHash = nHash, bandRows = bandRows, threshold = 0.5,
+      memoKey = Some(s"mh:$d"))
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("comp")))
       .select(col("node").as("doc_id"), col("comp"), col("cluster_size"))
@@ -468,7 +472,8 @@ object QSim {
     val s2 = th.join(k2, col("th") === col("th2") && col("doc_id") === col("keep_id"))
       .select("doc_id", "n_tok")
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
-      nHash = nHash, bandRows = bandRows, threshold = 0.5)
+      nHash = nHash, bandRows = bandRows, threshold = 0.5,
+      memoKey = Some(s"mh:$d"))
     val lbl = graft.operators.CacheScope.persist(
       s2.join(
           Dedup.connectedComponents(pairs, "doc_a", "doc_b")
