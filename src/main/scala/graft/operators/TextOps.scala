@@ -447,6 +447,56 @@ object TextOps {
       .select(col(idCol), col("n_shingles"),
         array_min(col("ms.shs")).as("fingerprint"))
 
+  /** Per-document bigram-LM negative log-likelihood with add-α
+    * smoothing — the CCNet-style perplexity signal (Wenzek et al.
+    * 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data"): documents whose word sequences are improbable
+    * under a corpus LM are boilerplate/garble candidates; documents
+    * too probable are templated. Complements [[unigramLogprob]] with
+    * ORDER sensitivity: P(w₂|w₁) = (c(w₁,w₂) + α) / (c₁(w₁) + α·V)
+    * over corpus bigram counts, c₁ the bigram-start total, V the
+    * corpus vocab.
+    *
+    * Shape: the bigram stream is built ROW-LOCALLY with native
+    * `arrays_zip(slice, slice)` (no interpreted lambda, no positional
+    * self-join shuffle); counts are two map-side-combinable aggregates
+    * (bigram-keyed, unigram-keyed); scoring joins the stream to the
+    * count tables on their natural keys. Per-position NLLs are
+    * rounded then DECIMAL-summed, so the per-doc mean is bit-stable
+    * under any partitioning; perplexity is exp of the ROUNDED mean,
+    * rounded once more — both engines evaluate identical operands.
+    *
+    * Output: (idCol, n_bigrams, avg_nll, ppl) for docs with ≥ 2
+    * tokens. */
+  def bigramLogprob(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    import graft.functions.Deterministic.stableSum
+    require(alpha > 0.0, s"bigramLogprob needs alpha > 0, got $alpha")
+    val w = docs
+      .withColumn("w", split(col(textCol), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col(idCol), col("w"))
+    val bg = CacheScope.persist(w.select(col(idCol),
+        explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1))).as("pr"))
+      .select(col(idCol), col("pr.0").as("w1"), col("pr.1").as("w2")))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val c1 = cb.groupBy("w1").agg(sum("c").as("c1"))
+    val v = w.select(explode(col("w")).as("u")).agg(countDistinct("u").as("nv"))
+    val scored = bg.join(cb, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col(idCol),
+        round(-log((col("c") + lit(alpha)) /
+          (col("c1") + lit(alpha) * col("nv"))), 6).as("nll"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (stableSum(col("nll"), 6) / count(lit(1))).as("avg_raw"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("avg_raw"), 6).as("avg_nll"),
+        round(exp(round(col("avg_raw"), 6)), 4).as("ppl"))
+  }
+
   // --------------------------------------------------- BPE tokenizer
   // Subword tokenization (Sennrich, Haddow & Birch 2016, "Neural
   // Machine Translation of Rare Words with Subword Units"): a text is

@@ -923,6 +923,86 @@ object QSim {
       .orderBy("vec_a", "vec_b")
   })
 
+  // ------------------------------------- fuzzy (near-dup) decontamination
+  /** NEAR-duplicate benchmark decontamination — the fuzzy complement
+    * of `text_decontaminate`'s exact 5-gram check (the discipline of
+    * the GPT-3/Llama contamination appendices: paraphrased or lightly
+    * edited eval leakage slips an exact n-gram match but not a
+    * minhash one). Composed from the oracle-proven incremental
+    * operator with the EVAL SET as the increment: eval docs (source
+    * src0, the same held-out set text_decontaminate uses) band-join
+    * the whole corpus, so candidate volume is the |eval|/|corpus|
+    * fraction of the full self-join — the right cost shape when the
+    * benchmark is tiny against a 100 TB corpus. Train×train is never
+    * paired. Output: per train source, its doc count, how many of its
+    * docs are near-dups (j ≥ 0.5) of some eval doc, and the worst
+    * jaccard — the drop list's summary. */
+  private val fuzzEvalSource = "src0"
+
+  val decontamFuzzy = Q("text_decontaminate_fuzzy", Some {
+    val mhCols = (0 until nHash).map(i =>
+      s"min((h1 * ${graft.operators.Dedup.mixA(i)} + ${graft.operators.Dedup.mixB(i)}) " +
+        s"% ${graft.operators.Dedup.mixM}) AS mh$i").mkString(", ")
+    val bandSel = (0 until nHash / bandRows).map { b =>
+      val ks = (0 until bandRows).map(r => s"mh${b * bandRows + r}").mkString(", ")
+      s"SELECT doc_id, is_new, $b AS band, concat_ws('_', $ks) AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH w AS (SELECT doc_id, source = '$fuzzEvalSource' AS is_new,
+                      string_split(text, ' ') AS w
+               FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    shs AS (SELECT doc_id, is_new, $shinglesSqlDuck AS s FROM w),
+    ex AS (SELECT doc_id, is_new, unnest(s) AS sh FROM shs),
+    hx AS (SELECT doc_id, is_new, $h1Duck AS h1 FROM ex),
+    sig AS (SELECT doc_id, is_new, $mhCols FROM hx GROUP BY 1, 2),
+    bands AS ($bandSel),
+    bandsb AS (SELECT doc_id, is_new, band, bkey,
+                      count(*) OVER (PARTITION BY band, bkey) AS bc
+               FROM bands),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_other
+             FROM bandsb a JOIN bandsb b
+               ON a.bkey = b.bkey AND a.band = b.band
+              AND a.is_new AND a.bc <= ${graft.operators.Dedup.defaultMaxBandBucket}
+              AND NOT b.is_new AND a.doc_id <> b.doc_id),
+    ver AS (SELECT c.doc_other,
+                   round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                     / len(list_distinct(sa.s || sb.s)), 6) AS j
+            FROM cand c JOIN shs sa ON c.doc_new = sa.doc_id
+                        JOIN shs sb ON c.doc_other = sb.doc_id),
+    hits AS (SELECT d.source, count(DISTINCT v.doc_other) AS nc,
+                    max(v.j) AS mj
+             FROM ver v JOIN documents d ON v.doc_other = d.doc_id
+             WHERE v.j >= 0.5 GROUP BY 1),
+    base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+             WHERE source <> '$fuzzEvalSource' GROUP BY 1)
+    SELECT base.source, base.n_docs,
+           CAST(coalesce(h.nc, 0) AS BIGINT) AS n_contaminated,
+           round(coalesce(h.mj, 0.0), 6) AS max_jaccard,
+           round(coalesce(h.nc, 0)::DOUBLE / base.n_docs, 6) AS contamination_rate
+    FROM base LEFT JOIN hits h ON base.source = h.source
+    ORDER BY base.source"""
+  })((s, d) => {
+    val docs = Tables.documentsP(s, d)
+      .withColumn("is_eval", col("source") === fuzzEvalSource)
+    val pairs = Dedup.minhashLshIncremental(docs, "doc_id", "text", "is_eval",
+        nHash = nHash, bandRows = bandRows, threshold = 0.5)
+      .filter(!col("other_is_new"))
+    val tsrc = Tables.documentsP(s, d)
+      .select(col("doc_id").as("doc_other"), col("source"))
+    val hits = pairs.join(tsrc, "doc_other")
+      .groupBy("source")
+      .agg(countDistinct("doc_other").as("nc"), max("jaccard").as("mj"))
+    docs.filter(!col("is_eval"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(hits, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("nc"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("mj"), lit(0.0)), 6).as("max_jaccard"),
+        round(coalesce(col("nc"), lit(0L)).cast("double") / col("n_docs"), 6)
+          .as("contamination_rate"))
+      .orderBy("source")
+  })
+
   // ------------------------------------------------- semantic dedup
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1013,5 +1093,5 @@ object QSim {
   val all: Seq[Q] =
     Seq(exact, minhashLsh, minhashInc, clusterCc, funnel, simhash, ngramJaccard,
       embedNearDup, annTopk, annLsh, annIvf, annRecall, kmeansCells, scalarQuant,
-      pqError, adcTopk, substringRun, randProj, semantic)
+      pqError, adcTopk, substringRun, randProj, semantic, decontamFuzzy)
 }

@@ -387,6 +387,36 @@ object QText {
     TextOps.ngramNovelty(Tables.documentsP(s, d), "doc_id", "text", n = 3)
       .orderBy("doc_id"))
 
+  // ------------------------------------------------ bigram perplexity
+  /** CCNet-style perplexity filter signal — operators.TextOps
+    * .bigramLogprob: per-document mean bigram NLL (add-½ smoothing
+    * over corpus counts) and perplexity. Too-improbable → garble;
+    * too-probable → template. The oracle replays the bigram stream,
+    * both count tables, the corpus vocab size, the rounded-then-
+    * DECIMAL-summed per-position NLLs and the exp-of-rounded-mean. */
+  private val ppxAlpha = 0.5
+
+  val perplexity = Q("text_perplexity_bigram", Some(s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           FROM w, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+    v AS (SELECT count(DISTINCT u) AS nv FROM (SELECT unnest(w) AS u FROM w)),
+    s AS (SELECT bg.doc_id,
+                 round(-ln((cb.c + $ppxAlpha) / (c1.c1 + $ppxAlpha * v.nv)), 6) AS nll
+          FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+    p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_raw
+          FROM s GROUP BY 1)
+    SELECT doc_id, n_bigrams, round(avg_raw, 6) AS avg_nll,
+           round(exp(round(avg_raw, 6)), 4) AS ppl
+    FROM p ORDER BY doc_id"""
+  ))((s, d) =>
+    TextOps.bigramLogprob(Tables.documentsP(s, d), "doc_id", "text", ppxAlpha)
+      .orderBy("doc_id"))
+
   // ------------------------------------------------------ BPE tokenizer
   /** Learned BPE merge list for the synthetic corpus — derived OFFLINE
     * with the reference Sennrich 2016 learner (iterative most-frequent
@@ -444,7 +474,39 @@ object QText {
       .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
       .orderBy(col("n_occ").desc, col("piece")).limit(30))
 
+  /** Tokenizer fertility audit per language — pieces per word and
+    * characters per piece under the committed merge list: the
+    * multilingual-pipeline fairness check (a language whose fertility
+    * is far above the corpus mean pays more sequence length per word
+    * of content, skewing token-denominated budgets and pricing). All
+    * sums are exact BIGINTs; ratios rounded once. */
+  val bpeFertility = Q("text_bpe_fertility", Some(s"""
+    WITH d AS (SELECT lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                 ${bpeCountDuck("text")} AS n_pieces,
+                 CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+               FROM documents WHERE text IS NOT NULL AND length(text) >= 1)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS words,
+           CAST(sum(n_pieces) AS BIGINT) AS pieces,
+           round(sum(n_pieces)::DOUBLE / sum(n_words), 6) AS fertility,
+           round(sum(n_chars)::DOUBLE / sum(n_pieces), 6) AS chars_per_piece
+    FROM d GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    Tables.documentsP(s, d)
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        TextOps.bpeTokenCount(col("text"), bpeMerges).as("n_pieces"),
+        length(replace(col("text"), lit(" "), lit(""))).cast("long").as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("words"), sum("n_pieces").as("pieces"),
+        round(sum("n_pieces").cast("double") / sum("n_words"), 6).as("fertility"),
+        round(sum("n_chars").cast("double") / sum("n_pieces"), 6).as("chars_per_piece"))
+      .orderBy("lang"))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25, qualityGate,
     decontaminate, repetition, lengthOutliers, vocab, normalizeAudit, oov, novelty,
-    bpeVocab)
+    bpeVocab, perplexity, bpeFertility)
 }

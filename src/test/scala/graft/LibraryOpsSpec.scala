@@ -1178,6 +1178,28 @@ class LibraryOpsSpec extends AnyFunSuite {
     Memo.clear()
   }
 
+  test("TextOps.bigramLogprob matches a hand-computed add-alpha bigram LM") {
+    import spark.implicits._
+    // corpus: "a b a b" and "a c"; bigrams: (a,b)x2 (b,a)x1 (a,c)x1
+    // c1(a)=3, c1(b)=1; V=3; alpha=0.5
+    val d = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("id", "t")
+    val got = TextOps.bigramLogprob(d, "id", "t", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    def nll(c: Double, c1: Double) =
+      BigDecimal(-math.log((c + 0.5) / (c1 + 0.5 * 3)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = Seq(nll(2, 3), nll(1, 1), nll(2, 3)) // (a,b) (b,a) (a,b)
+    val avg1 = BigDecimal(d1.sum / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - avg1) < 1e-9)
+    assert(math.abs(got(1L)._3 - BigDecimal(math.exp(avg1))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    val avg2 = nll(1, 3)
+    assert(got(2L) == ((1L, avg2, BigDecimal(math.exp(avg2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(!got.contains(3L)) // single-token doc has no bigrams
+  }
+
   test("TextOps.ngramNovelty counts grams unseen in any other doc") {
     val d = docs(
       (1L, "x", "a b c d"),   // abc bcd -> bcd unique
