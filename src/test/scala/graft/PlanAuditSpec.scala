@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "diag_join_size_cms",       // 1-row est × 1-row exact report crosses
       "graph_pagerank_copurchase", // 1-row node-count cross per iteration
       "t11_chi2_independence",    // category-bounded r×c grid + 1-row scalars
-      "sim_pq_adc_topk")          // candidates × broadcast per-query ADC LUTs (bounded query set)
+      "sim_pq_adc_topk",          // candidates × broadcast per-query ADC LUTs (bounded query set)
+      "text_perplexity_bigram")   // 1-row vocab-size broadcast cross
     val offenders = Q.registry
       .filterNot(_.name.startsWith("stream_"))
       .flatMap { q =>
