@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Planning diagnostics: the statistics a 100 TB job needs BEFORE it
@@ -106,5 +106,79 @@ object Diagnostics {
         sum(col("term").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
           .cast("double").as("entropy"))
       .withColumn("eff_cats", round(exp(col("entropy")), 6))
+  }
+
+  /** Population-stability-index drift of a numeric column against a
+    * REFERENCE group — the production data-QA monitor ("is today's
+    * crawl/feed distributed like the corpus we validated on"):
+    * PSI = Σ_k (q'_k − p'_k)·ln(q'_k/p'_k) over `bins` reference-decile
+    * buckets, with the conventional reading psi < 0.1 stable,
+    * 0.1–0.2 moderate, > 0.2 drifted. Complements the KS test (t12):
+    * KS answers "same distribution?" per pair with a p-value; PSI is
+    * the binned, thresholded index dashboards track per period.
+    *
+    * Determinism & portability: bucket CUT POINTS are the max value of
+    * each reference ntile (ordered by value — a total order on the
+    * value lattice); BOTH legs then re-assign rows by the same
+    * `1 + #{cuts < v}` rule, so reference shares are computed under
+    * the identical assignment (never from raw tile counts, which
+    * would disagree with the rule on boundary ties). Shares are
+    * Laplace-smoothed ((c + ½)/(n + bins/2)) so empty buckets stay
+    * finite on both engines; per-bucket terms are rounded then
+    * DECIMAL-summed.
+    *
+    * Shape: one pass over the reference for cut points (ntile window —
+    * reference-sized sort, the one sorted pass; cuts collapse to a
+    * broadcast 1-row array), one scan of `df` assigning buckets via
+    * the broadcast cuts (flat codegen comparisons), one
+    * (group, bucket)-keyed aggregate. Output: (groupCol, n_rows, psi,
+    * drifted) per group, reference group included (psi = 0). */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+      refGroup: Column, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2 && bins <= 100, s"psiDrift needs 2 <= bins <= 100, got $bins")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val ref = df.filter(refGroup).select(col(valueCol).as("v"))
+    val cuts = ref
+      .withColumn("t", ntile(bins).over(Window.orderBy("v")))
+      .filter(col("t") < bins)
+      .groupBy("t").agg(max("v").as("cut"))
+      .agg(expr("transform(array_sort(collect_list(struct(t, cut))), x -> x.cut)")
+        .as("cuts"))
+    // bucket = 1 + #{cuts < v}, UNROLLED over the bins-1 cut positions:
+    // a higher-order filter() runs interpreted per row (repo codegen
+    // discipline); the flat comparison chain stays in whole-stage
+    // codegen. Absent trailing cuts (tiny reference) compare NULL →
+    // contribute 0, which matches the filter() semantics.
+    val bucketExpr = "1" + (1 until bins).map(i =>
+      s" + (CASE WHEN element_at(cuts, $i) < v THEN 1 ELSE 0 END)").mkString
+    val assigned = df.select(col(groupCol), col(valueCol).as("v"))
+      .crossJoin(broadcast(cuts))
+      .select(col(groupCol), expr(bucketExpr).as("bucket"))
+    val counts = CacheScope.persist(
+      assigned.groupBy(col(groupCol), col("bucket")).agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy(col(groupCol)).agg(sum("c").as("n"))
+    val refC = counts.filter(refGroup)
+      .select(col("bucket"), col("c").as("rc"))
+    val refN = totals.filter(refGroup).select(col("n").as("rn"))
+    // fixed bucket frame per group: absent buckets still contribute via
+    // the smoothed zero share
+    val grid = totals.select(col(groupCol), col("n"))
+      .crossJoin(broadcast(refN))
+      .select(col(groupCol), col("n"), col("rn"),
+        explode(expr(s"sequence(1, $bins)")).as("bucket"))
+    val terms = grid
+      .join(counts, Seq(groupCol, "bucket"), "left")
+      .join(broadcast(refC), Seq("bucket"), "left")
+      .select(col(groupCol), col("n"),
+        round(((coalesce(col("c"), lit(0L)) + lit(0.5)) / (col("n") + lit(bins / 2.0))
+            - (coalesce(col("rc"), lit(0L)) + lit(0.5)) / (col("rn") + lit(bins / 2.0)))
+          * log(((coalesce(col("c"), lit(0L)) + lit(0.5)) / (col("n") + lit(bins / 2.0)))
+            / ((coalesce(col("rc"), lit(0L)) + lit(0.5)) / (col("rn") + lit(bins / 2.0)))),
+          6).as("term"))
+    terms.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n_rows"),
+        round(sum(col("term").cast(dec)).cast("double"), 6).as("psi"))
+      .withColumn("drifted", col("psi") > 0.2)
   }
 }

@@ -823,6 +823,56 @@ object QStats {
       .orderBy("rk")
   })
 
+  // --------------------------------------- T16 PSI distribution drift
+  /** Population-stability-index drift — operators.Diagnostics.psiDrift:
+    * each event type's `value` distribution against the `view`
+    * reference, over 10 reference-decile buckets with Laplace-smoothed
+    * shares and the conventional psi > 0.2 drift flag. The dashboard
+    * complement of t12's KS test (binned thresholded index vs exact
+    * sup-gap p-value). The oracle replays the reference ntile cuts,
+    * the unrolled `1 + #{cuts < v}` assignment, the smoothed shares
+    * and the rounded-term DECIMAL sum. */
+  private val psiBins = 10
+
+  val t16 = Q("t16_psi_event_type", Some {
+    val bucketSql = "1" + (1 until psiBins).map(i =>
+      s" + (CASE WHEN cuts[$i] < v THEN 1 ELSE 0 END)").mkString
+    // CASTs pin every operand to DOUBLE: a bare 0.5 is DECIMAL in
+    // DuckDB and the mixed-type arithmetic lands an ulp off Spark's
+    def share(c: String, n: String) =
+      s"((CAST(coalesce($c, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE))" +
+        s" / (CAST($n AS DOUBLE) + CAST(${psiBins / 2.0} AS DOUBLE)))"
+    s"""
+    WITH e AS (SELECT event_type, value AS v FROM events WHERE value IS NOT NULL),
+    r AS (SELECT v, ntile($psiBins) OVER (ORDER BY v) AS t FROM e
+          WHERE event_type = 'view'),
+    cut AS (SELECT t, max(v) AS cut FROM r WHERE t < $psiBins GROUP BY 1),
+    cl AS (SELECT list(cut ORDER BY t) AS cuts FROM cut),
+    a AS (SELECT event_type, $bucketSql AS bucket FROM e CROSS JOIN cl),
+    counts AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c
+               FROM a GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+    rc AS (SELECT bucket, c AS rc FROM counts WHERE event_type = 'view'),
+    rn AS (SELECT n AS rn FROM tot WHERE event_type = 'view'),
+    grid AS (SELECT event_type, n, rn, unnest(generate_series(1, $psiBins)) AS bucket
+             FROM tot CROSS JOIN rn),
+    terms AS (SELECT g.event_type, g.n,
+                round((${share("c.c", "g.n")} - ${share("rc.rc", "g.rn")})
+                  * ln(${share("c.c", "g.n")} / ${share("rc.rc", "g.rn")}), 6) AS term
+              FROM grid g
+              LEFT JOIN counts c ON g.event_type = c.event_type AND g.bucket = c.bucket
+              LEFT JOIN rc ON g.bucket = rc.bucket)
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+           round(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 6) AS psi,
+           (round(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 6) > 0.2) AS drifted
+    FROM terms GROUP BY 1 ORDER BY 1"""
+  })((s, d) =>
+    graft.operators.Diagnostics.psiDrift(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"), col("value")),
+        "event_type", "value", col("event_type") === "view", bins = psiBins)
+      .orderBy("event_type"))
+
   val all: Seq[Q] = Seq(l3, l4, l5, t1, t2, t2b, t2c, t4, t6, t7, t10, t11,
-    t12, t13, t14, t15, l13, st1)
+    t12, t13, t14, t15, t16, l13, st1)
 }

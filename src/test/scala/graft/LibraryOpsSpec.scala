@@ -1178,6 +1178,22 @@ class LibraryOpsSpec extends AnyFunSuite {
     Memo.clear()
   }
 
+  test("Diagnostics.psiDrift matches hand-computed smoothed shares; reference reads 0") {
+    import spark.implicits._
+    import graft.operators.Diagnostics
+    // ref 1..10 -> ntile(2) cut [5]; cmp {6,7,8} all in bucket 2
+    val d = ((1 to 10).map(v => ("r", v.toDouble)) ++
+      Seq(("g", 6.0), ("g", 7.0), ("g", 8.0))).toDF("grp", "v")
+    val got = Diagnostics.psiDrift(d, "grp", "v", col("grp") === "r", bins = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p1 = 5.5 / 11; val p2 = 5.5 / 11          // ref smoothed shares
+    val q1 = 0.5 / 4; val q2 = 3.5 / 4            // cmp smoothed shares
+    val want = rd(rd((q1 - p1) * math.log(q1 / p1)) + rd((q2 - p2) * math.log(q2 / p2)))
+    assert(got("g") == ((3L, want, want > 0.2)), s"got ${got("g")} want $want")
+    assert(got("r")._2 == 0.0 && !got("r")._3)
+  }
+
   test("TextOps.bigramLogprob matches a hand-computed add-alpha bigram LM") {
     import spark.implicits._
     // corpus: "a b a b" and "a c"; bigrams: (a,b)x2 (b,a)x1 (a,c)x1
