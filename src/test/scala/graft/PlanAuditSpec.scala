@@ -45,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "graph_pagerank_copurchase", // 1-row node-count cross per iteration
       "t11_chi2_independence",    // category-bounded r×c grid + 1-row scalars
       "sim_pq_adc_topk",          // candidates × broadcast per-query ADC LUTs (bounded query set)
-      "text_perplexity_bigram")   // 1-row vocab-size broadcast cross
+      "text_perplexity_bigram",   // 1-row vocab-size broadcast cross
+      "t16_psi_event_type")       // 1-row decile-cuts + ref-total broadcast crosses
     val offenders = Q.registry
       .filterNot(_.name.startsWith("stream_"))
       .flatMap { q =>
