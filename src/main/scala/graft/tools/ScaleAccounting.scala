@@ -88,6 +88,23 @@ object ScaleAccounting {
           Dedup.substringRuns(docs, "doc_id", "text",
             k = 6, minRun = 2, maxDf = 20L).count())
       }
+      // semantic dedup: QSim.semantic's parameters (kmeans cells under
+      // the linear rule, seed 4242, tau 0.4) — candidates = within-cell
+      // pairs, emitted = pairs >= tau
+      val (smCand, smEmit) = CacheScope.withScope {
+        import graft.operators.{CacheScope => CS, Similarity}
+        val e = CS.persist(Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding").as("v")))
+        val nv = Tables.rowCount(spark, sfDir, "embeddings")
+        val asg = Similarity.kmeans(e, "vec_id", "v",
+          k = Similarity.autoCellCount(nv, 8, 256), iters = 2, seed = 4242L)
+          .select(col("vec_id"), col("cell"))
+        val withV = CS.persist(asg.join(e, "vec_id"))
+        val cand = CS.persist(withV.as("a").join(withV.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .select(Similarity.cosine("a.v", "b.v").as("c")))
+        (cand.count(), cand.filter(col("c") >= 0.4).count())
+      }
       // embedding cosine: the registry query's exact parameters
       // (QSim.embedNearDup: label block, τ=0.35, nList 8, nProbe 4)
       val (nVecs, emCand, emEmit) = CacheScope.withScope {
@@ -104,7 +121,7 @@ object ScaleAccounting {
       }
       def blk(cand: Long, emit: Long) =
         f""""candidates":$cand,"emitted":$emit,"cand_per_emitted":${cand.toDouble / math.max(1L, emit)}%.2f"""
-      f"""{"sf":"$sfDir","simhash":{"n_docs":$nDocs,${blk(shCand, shEmit)}},"embedding_cosine":{"n_vecs":$nVecs,${blk(emCand, emEmit)}},"minhash_lsh":{${blk(mhCand, mhEmit)}},"incremental_minhash":{${blk(inCand, inEmit)}},"ngram_jaccard":{${blk(ngCand, ngEmit)}},"substring_run":{${blk(srCand, srEmit)}}}"""
+      f"""{"sf":"$sfDir","simhash":{"n_docs":$nDocs,${blk(shCand, shEmit)}},"embedding_cosine":{"n_vecs":$nVecs,${blk(emCand, emEmit)}},"minhash_lsh":{${blk(mhCand, mhEmit)}},"incremental_minhash":{${blk(inCand, inEmit)}},"ngram_jaccard":{${blk(ngCand, ngEmit)}},"substring_run":{${blk(srCand, srEmit)}},"semantic":{${blk(smCand, smEmit)}}}"""
     }
     lines.foreach(println)
     val out = graft.queries.Q.repoRoot + "/SCALE_ACCOUNTING.json"
