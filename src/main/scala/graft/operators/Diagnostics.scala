@@ -119,31 +119,73 @@ object Diagnostics {
     *
     * Determinism & portability: bucket CUT POINTS are the max value of
     * each reference ntile (ordered by value — a total order on the
-    * value lattice); BOTH legs then re-assign rows by the same
-    * `1 + #{cuts < v}` rule, so reference shares are computed under
-    * the identical assignment (never from raw tile counts, which
-    * would disagree with the rule on boundary ties). Shares are
-    * Laplace-smoothed ((c + ½)/(n + bins/2)) so empty buckets stay
-    * finite on both engines; per-bucket terms are rounded then
-    * DECIMAL-summed.
+    * value lattice; the max of tile t is the value at sorted position
+    * k_t = t·(n div bins) + min(t, n mod bins), well-defined on the
+    * value multiset regardless of tie placement); BOTH legs then
+    * re-assign rows by the same `1 + #{cuts < v}` rule, so reference
+    * shares are computed under the identical assignment (never from
+    * raw tile counts, which would disagree with the rule on boundary
+    * ties). Shares are Laplace-smoothed ((c + ½)/(n + bins/2)) so
+    * empty buckets stay finite on both engines; per-bucket terms are
+    * rounded then DECIMAL-summed.
     *
-    * Shape: one pass over the reference for cut points (ntile window —
-    * reference-sized sort, the one sorted pass; cuts collapse to a
-    * broadcast 1-row array), one scan of `df` assigning buckets via
-    * the broadcast cuts (flat codegen comparisons), one
-    * (group, bucket)-keyed aggregate. Output: (groupCol, n_rows, psi,
-    * drifted) per group, reference group included (psi = 0). */
+    * Shape: the cut points come from a DISTRIBUTED rank, never a
+    * single-partition sort (a 100 TB reference slice cannot funnel
+    * through one task): distinct-value counts (map-side combined) →
+    * coarse range buckets from the broadcast (lo, hi) → per-bucket
+    * totals with cumulative offsets (a window over the ≤256-row
+    * bucket frame — bounded) → within-bucket running rank (window
+    * PARTITIONED on the coarse bucket) → pick the values straddling
+    * the bins−1 boundary ranks via a broadcast theta-join against the
+    * (bins−1)-row rank grid. Cuts collapse to a broadcast 1-row
+    * array; one scan of `df` then assigns buckets via flat codegen
+    * comparisons, one (group, bucket)-keyed aggregate. Output:
+    * (groupCol, n_rows, psi, drifted) per group, reference group
+    * included (psi = 0). */
   def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
       refGroup: Column, bins: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bins >= 2 && bins <= 100, s"psiDrift needs 2 <= bins <= 100, got $bins")
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val coarseB = 256
     val ref = df.filter(refGroup).select(col(valueCol).as("v"))
-    val cuts = ref
-      .withColumn("t", ntile(bins).over(Window.orderBy("v")))
-      .filter(col("t") < bins)
-      .groupBy("t").agg(max("v").as("cut"))
-      .agg(expr("transform(array_sort(collect_list(struct(t, cut))), x -> x.cut)")
+    val vCnts = ref.groupBy("v").agg(count(lit(1)).as("c"))
+    val scalars = vCnts.agg(min("v").as("lo"), max("v").as("hi"),
+      sum("c").as("n"))
+    // coarse bucket by value range — equal values always share a
+    // bucket, so within-bucket rank + bucket offset is a global rank
+    val bucketed = CacheScope.persist(vCnts.crossJoin(broadcast(scalars))
+      .withColumn("cb", when(col("hi") <= col("lo"), lit(0)).otherwise(
+        least(floor((col("v") - col("lo")) / (col("hi") - col("lo"))
+          * coarseB), lit(coarseB - 1))).cast("int"))
+      .select(col("v"), col("c"), col("cb")))
+    // bucket offsets WITHOUT any window: each bucket's total
+    // contributes to every HIGHER bucket's offset (≤256² fan-out rows,
+    // compile-time bounded), folded by an equi-groupBy — so no
+    // WindowExec, partitioned or otherwise, touches this path
+    val offs = bucketed.groupBy("cb").agg(sum("c").as("bc"))
+      .filter(col("cb") < coarseB - 1) // sequence(a,b) DESCENDS if a > b
+      .select(explode(expr(s"sequence(cb + 1, ${coarseB - 1})")).as("cb"),
+        col("bc"))
+      .groupBy("cb").agg(sum("bc").as("off"))
+    val ranked = bucketed.join(broadcast(offs), Seq("cb"), "left")
+      .withColumn("off", coalesce(col("off"), lit(0L)))
+      .withColumn("cum", col("off") + sum("c").over(
+        Window.partitionBy("cb").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    // boundary ranks of the bins−1 interior ntile edges; tiles beyond
+    // the row count (tiny reference) are empty in ntile and emit no
+    // cut, so keep only t with a nonzero tile size
+    val ks = scalars.select(col("n"),
+        explode(expr(s"sequence(1, ${bins - 1})")).as("t"))
+      .filter(expr(s"n DIV $bins") > 0 || col("t") <= col("n") % bins)
+      .select(col("t"),
+        (col("t") * expr(s"n DIV $bins") + least(col("t"), col("n") % bins))
+          .as("k"))
+    val cuts = ranked.join(broadcast(ks),
+        col("cum") - col("c") < col("k") && col("k") <= col("cum"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(t, v))), x -> x.v)")
         .as("cuts"))
     // bucket = 1 + #{cuts < v}, UNROLLED over the bins-1 cut positions:
     // a higher-order filter() runs interpreted per row (repo codegen

@@ -578,19 +578,21 @@ object TextOps {
   /** Out-of-vocabulary rate under a top-`vocabSize` frequency vocab —
     * the tokenizer-budget planning report: what fraction of each
     * group's token mass a truncated vocabulary fails to cover. The
-    * vocab build is one token-keyed count (map-side combined) ranked
-    * on a vocab-sized frame (cnt desc, token asc — deterministic
-    * ties); the scoring pass LEFT-joins the BROADCAST vocab, so the
-    * corpus stream is scanned once and never shuffled by token. */
+    * vocab build is one token-keyed count (map-side combined) then a
+    * top-`vocabSize` selection via orderBy+limit — Spark plans this as
+    * TakeOrderedAndProject (per-partition top-k, O(vocabSize) state per
+    * task, merged on the driver), so the 10⁸–10⁹-distinct-token frame
+    * of a web corpus never funnels through one partition (cnt desc,
+    * token asc — deterministic ties); the scoring pass LEFT-joins the
+    * BROADCAST vocab, so the corpus stream is scanned once and never
+    * shuffled by token. */
   def oovRate(docs: DataFrame, groupCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(groupCol), explode(split(col(textCol), " ")).as("__tok"))
     val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("__cnt").desc, col("__tok"))))
-      .filter(col("__rk") <= vocabSize)
+      .orderBy(col("__cnt").desc, col("__tok"))
+      .limit(vocabSize)
       .select(col("__tok"), lit(1L).as("__in_vocab"))
     toks.join(broadcast(vocab), Seq("__tok"), "left")
       .groupBy(col(groupCol))

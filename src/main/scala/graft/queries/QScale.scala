@@ -92,11 +92,12 @@ object QScale {
       .select(explode(split(col("text"), " ")).as("tok"))
     val sketch = Sketches.countMin(toks, "tok", cmsDepth, cmsWidth)
     val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
-    // vocab-sized frame: the global rank window runs over ~31 rows
+    // top-cmsProbes selection via orderBy+limit — TakeOrderedAndProject
+    // (per-partition top-k), so the distinct-token frame of a web-scale
+    // corpus never funnels through one task just to pick the probes
     val probes = exact
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("n_exact").desc, col("tok"))))
-      .filter(col("rk") <= cmsProbes).drop("rk")
+      .orderBy(col("n_exact").desc, col("tok"))
+      .limit(cmsProbes)
     Sketches.estimate(sketch, probes, "tok", cmsDepth, cmsWidth)
       .select(col("tok"), col("n_exact"), col("n_est"),
         (col("n_est") - col("n_exact")).as("overcount"))
@@ -478,10 +479,13 @@ object QScale {
     graft.operators.Graphs.pageRank(edges, "src", "dst", prIters, prDamp)
       .filter(col("node") % 2 === 1)
       .select(col("node"), col("r"), col("dg").as("degree"))
+      // top-10 via orderBy+limit (distributed TakeOrdered); the rank
+      // window then runs over the 10-row post-limit frame only
+      .orderBy(col("r").desc, col("node"))
+      .limit(10)
       .withColumn("rk",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("r").desc, col("node"))))
-      .filter(col("rk") <= 10)
       .select(col("rk").cast("long").as("rk"),
         expr("node div 2").as("supp_key"),
         round(col("r") * lit(1e6), 6).as("rank_ppm"), col("degree"))

@@ -61,6 +61,44 @@ class PlanAuditSpec extends AnyFunSuite {
         s"no longer nested-loop (update the list): ${intentional -- offenders}")
   }
 
+  test("unpartitioned windows appear only over dimension-bounded frames") {
+    // A WindowExec with an empty partition spec funnels its ENTIRE
+    // input through one task — a scale-killer when the frame is
+    // corpus-sized (the r9 psiDrift/oovRate class). Allowed only where
+    // the windowed frame is bounded by a constant or a dimension, never
+    // by the corpus: these are each annotated at the definition site.
+    val intentional = Set(
+      "text_bm25_rank",          // rank over the ≤topK-row result frame (TextOps.scala:122)
+      "pack_sequences",          // bucket-offset frame: ≤numBuckets rows (Packing.scala:70)
+      "curate_token_budget",     // Packing band-offset frame: ≤(score range/bandWidth)
+      "curate_token_budget_bpe", //   bands, 10 here (Packing.scala:123)
+      "mix_temperature_rates",   // domain-count totals frame (Sampling.scala:124)
+      "p5_upper_triangle_hier",  // region-dimension totals frame (QGaps2.scala:336)
+      "t15_bh_fdr",              // BH rank over the per-day hypothesis frame — one row
+                                 //   per DAY (time dimension), and BH is definitionally
+                                 //   a total rank over the m hypotheses (QStats.scala:811)
+      "t2_wilcoxon_signed_rank", // documented single-group demonstrator (QStats.scala:192);
+                                 //   the typed Aggregator legs are the scale path
+      "graph_pagerank_copurchase", // rank over the 10-row post-LIMIT frame (QScale.scala)
+      "sim_pq_adc_topk")         // LUT-position offsets over the m-row subspace frame
+                                 //   (Similarity.scala:475 — codebook-bounded)
+    val offenders = Q.registry
+      .filterNot(_.name.startsWith("stream_"))
+      .flatMap { q =>
+        val plan = q.build(spark, s"${Q.testdataRoot}/sf0.001")
+          .queryExecution.sparkPlan
+        val bad = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(q.name) else None
+      }.toSet
+    assert(offenders == intentional,
+      s"unexpected unpartitioned windows (corpus-scaled single-task sort?): " +
+        s"${offenders -- intentional}; " +
+        s"no longer windowed (update the list): ${intentional -- offenders}")
+  }
+
   test("j1_skewed_segment joins on the deterministic salt") {
     val plan = Q.registry.find(_.name == "j1_skewed_segment").get
       .build(spark, s"${Q.testdataRoot}/sf0.001")
