@@ -18,9 +18,15 @@ object Graphs {
     * r₀ = 1/N;  r_{t+1}(v) = (1−d)/N + d · Σ_{u→v} r_t(u)/deg(u).
     *
     * `edges` is a DIRECTED edge list; symmetrize before calling for an
-    * undirected graph. Every node must have out-degree ≥ 1 (true by
-    * construction for symmetrized lists) — rank mass parked on dangling
-    * nodes is NOT redistributed, so keep them out of the node set.
+    * undirected graph. The node set is src ∪ dst, and DANGLING nodes
+    * (dst-only, out-degree 0) get the standard treatment: their rank
+    * mass redistributes uniformly each iteration
+    * (r_{t+1}(v) = (1−d)/N + d·(Σ_{u→v} r_t(u)/deg(u) + dm_t/N), dm_t
+    * the summed rank of the dangling set), so Σr stays 1 instead of
+    * leaking. On a dangling-free graph (any symmetrized list) dm ≡ 0
+    * and every arithmetic operand — including the rounding chain — is
+    * identical to the no-redistribution form, so existing oracles
+    * replay unchanged.
     *
     * Determinism: per-edge contributions r/deg are rounded to 12 dp and
     * summed as DECIMAL(28,12) — merge-order-independent — and each
@@ -51,11 +57,16 @@ object Graphs {
         .repartition(col("src")))
     val deg = CacheScope.persist(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg")))
-    val n = deg.agg(count(lit(1)).as("nn"))
+    // node set = src ∪ dst: a dst-only (dangling) node is a real node —
+    // it holds rank, and its mass must re-enter the distribution below
+    val nodes = CacheScope.persist(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.agg(count(lit(1)).as("nn"))
     // per-iteration persists keep the plan per-round (each round's rank
     // frame is node-sized): without them the final plan is one deep
     // lineage whose every broadcast/AQE re-plan re-derives the chain
-    val r0 = CacheScope.persist(deg.crossJoin(broadcast(n))
+    val r0 = CacheScope.persist(nodes.crossJoin(broadcast(n))
       .select(col("node"), round(lit(1.0).cast("double") / col("nn"), 12).as("r")))
     (1 to iters).foldLeft(r0) { (r, _) =>
       // contribution weight r/deg is a NODE property: computed on the
@@ -66,15 +77,26 @@ object Graphs {
       val w = r.join(deg.select(col("node"), col("dg")), "node")
         .select(col("node").as("wnode"),
           round(col("r") / col("dg"), 12).as("w"))
+      // dangling mass: summed rank of out-degree-0 nodes (node-sized
+      // anti-join + 1-row broadcast). Empty on symmetrized graphs →
+      // coalesce(0), and x + d·0.0/N leaves every double unchanged, so
+      // the dangling-free rounding chain is bit-identical to before.
+      val dm = r.join(deg.select("node"), Seq("node"), "left_anti")
+        .agg(sum(col("r").cast(DecimalType(28, 12))).cast("double").as("dm"))
+      val mass = e.join(w, col("src") === col("wnode"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w").cast(DecimalType(28, 12)))
+          .cast("double").as("mass"))
       CacheScope.persist(
-        e.join(w, col("src") === col("wnode"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("w").cast(DecimalType(28, 12)))
-            .cast("double").as("mass"))
+        nodes.join(mass, Seq("node"), "left")
           .crossJoin(broadcast(n))
+          .crossJoin(broadcast(dm))
           .select(col("node"),
             round((lit(1.0).cast("double") - lit(damping)) / col("nn") +
-              lit(damping) * col("mass"), 12).as("r")))
-    }.join(deg, "node") // degree rides along: node-sized join, no rescan
+              lit(damping) * coalesce(col("mass"), lit(0.0)) +
+              lit(damping) * coalesce(col("dm"), lit(0.0)) / col("nn"),
+              12).as("r")))
+    }.join(deg, Seq("node"), "left") // degree rides along: node-sized join
+      .select(col("node"), col("r"), coalesce(col("dg"), lit(0L)).as("dg"))
   }
 }

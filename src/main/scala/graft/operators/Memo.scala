@@ -50,6 +50,35 @@ object Memo {
     }
   }
 
+  /** The frame for `key` if (and only if) it is already memoized on
+    * the live context — a read-only probe that never registers or
+    * persists. For chain INTERMEDIATES: a builder that benefits from a
+    * sibling's memoized final frame (pqTrainParts' asg_i, final for
+    * the iters=i sharer, intermediate for iters>i) probes here, and on
+    * a miss builds UN-persisted — a frame consumed exactly once must
+    * not stay pinned for the session (the r3 cache-accumulation
+    * regression class). */
+  def lookup(key: String): Option[DataFrame] = synchronized {
+    entries.get(key).filter(sameContext)
+  }
+
+  /** Corpus identity for memo keys: the source directory plus a
+    * fingerprint of its parquet file listing (name, mtime, size). A
+    * path-only key silently serves stale frames when data under the
+    * same path is regenerated mid-session (this repo's /tmp/sf1
+    * workflow does exactly that); folding the listing into the key
+    * makes regeneration a clean miss. Driver-side metadata only —
+    * never reads file contents. */
+  def corpusKey(tag: String, dir: String): String = {
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
+    val fp = java.util.UUID.nameUUIDFromBytes(
+      files.mkString("|").getBytes("UTF-8")).toString.take(8)
+    s"$tag:$dir@$fp"
+  }
+
   private def contextId(df: DataFrame): String = {
     val sc = df.sparkSession.sparkContext
     s"${sc.applicationId}@${sc.startTime}"

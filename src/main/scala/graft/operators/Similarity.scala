@@ -181,7 +181,7 @@ object Similarity {
     // and dedup_semantic train the SAME seeded Lloyd chain whenever the
     // data-driven cell count resolves to the same k. Key must identify
     // the corpus; every training parameter is appended here.
-    val pfx = memoKey.map(mk => s"$mk/km/$idCol/$vecCol/$k/$iters/$seed")
+    val pfx = memoKey.map(mk => s"$mk/km/$idCol/$vecCol/$k/$iters/$seed/$dim")
     def memoC(kk: String)(b: => DataFrame): DataFrame = pfx match {
       case Some(p) => Memo.cached(s"$p/$kk")(b)
       case None    => b
@@ -339,15 +339,20 @@ object Similarity {
     * (`asgF`: id, j, vj, cent_id against `trained`), which both the
     * fidelity reconstruction and the ADC corpus encoding consume.
     *
-    * `memoKey`: when set, every iteration's codebook and assignment
-    * (and `exSub`) is memoized session-wide via [[Memo]] under
+    * `memoKey`: when set, `exSub`, every iteration's CODEBOOK and the
+    * FINAL assignment are memoized session-wide via [[Memo]] under
     * `memoKey/params/…` — `sim_pq_error` (iters = 2) and
     * `sim_pq_adc_topk` (iters = 1) train the SAME seeded codebooks,
     * and iteration i's frames are a strict prefix of iteration i+1's,
     * so with a shared key the second query (and every bench rep) pays
     * only its un-memoized suffix instead of the whole chain (r8's one
-    * weak item: the chain was re-trained twice per bench pass). The
-    * caller's key must identify the CORPUS (e.g. the source dir);
+    * weak item: the chain was re-trained twice per bench pass).
+    * Chain-INTERMEDIATE assignments are only PROBED ([[Memo.lookup]] —
+    * a hit when a fewer-iters sibling memoized that assignment as its
+    * final) and on a miss built un-persisted: each is consumed exactly
+    * once by the next Lloyd update, and pinning corpus×m frames for
+    * the session is the r3 cache-accumulation regression class. The
+    * caller's key must identify the CORPUS (e.g. [[Memo.corpusKey]]);
     * params are appended here. Without a key, behavior is the
     * original scope-local persist chain.
     *
@@ -375,10 +380,20 @@ object Similarity {
       case Some(p) => Memo.cached(s"$p/$k")(b)
       case None    => CacheScope.persist(b)
     }
-    // assignments: memo when keyed; un-keyed callers consumed each one
-    // exactly once before this refactor, so no persist there
+    // final assignment: memo when keyed (re-read by every bench rep of
+    // its own query); un-keyed callers consumed it once, so no persist
     def memoA(k: String)(b: => DataFrame): DataFrame = pfx match {
       case Some(p) => Memo.cached(s"$p/$k")(b)
+      case None    => b
+    }
+    // chain INTERMEDIATES: probe the memo (a sibling with fewer iters
+    // memoized this assignment as ITS final — reuse it), but on a miss
+    // build UN-persisted and never register: an assignment consumed
+    // exactly once by the next Lloyd update must not stay pinned at
+    // MEMORY_AND_DISK for the session (cross-query cache pressure —
+    // the r3 f-cluster regression class)
+    def probeA(k: String)(b: => DataFrame): DataFrame = pfx match {
+      case Some(p) => Memo.lookup(s"$p/$k").getOrElse(b)
       case None    => b
     }
     val v = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
@@ -407,7 +422,7 @@ object Similarity {
           array((1 to sub).map(i => col(s"m$i")): _*).as("cv"))
     }
     val trained = (0 until iters).foldLeft(codebook0) { (cb, i) =>
-      memoP(s"cb${i + 1}") { update(memoA(s"asg$i") { assign(cb) }) }
+      memoP(s"cb${i + 1}") { update(probeA(s"asg$i") { assign(cb) }) }
     }
     val asgF = memoA(s"asg$iters") { assign(trained) }
     (trained, asgF)

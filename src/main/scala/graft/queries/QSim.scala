@@ -89,7 +89,7 @@ object QSim {
   ))((s, d) =>
     Dedup.minhashLsh(Tables.documentsP(s, d), "doc_id", "text",
       nHash = nHash, bandRows = bandRows, threshold = 0.5,
-      memoKey = Some(s"mh:$d"))
+      memoKey = Some(graft.operators.Memo.corpusKey("mh", d)))
       .orderBy("doc_a", "doc_b"))
 
   // ------------------------------------------- dedup cluster assignment
@@ -124,7 +124,7 @@ object QSim {
     // all three verify the identical pair set on this corpus
     val pairs = Dedup.minhashLsh(Tables.documentsP(s, d), "doc_id", "text",
       nHash = nHash, bandRows = bandRows, threshold = 0.5,
-      memoKey = Some(s"mh:$d"))
+      memoKey = Some(graft.operators.Memo.corpusKey("mh", d)))
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("comp")))
       .select(col("node").as("doc_id"), col("comp"), col("cluster_size"))
@@ -151,7 +151,7 @@ object QSim {
       s"SELECT doc_id, is_new, $b AS band, concat_ws('_', $ks) AS bkey FROM sig"
     }.mkString(" UNION ALL ")
     s"""
-    WITH w AS (SELECT doc_id, source IN ($newIn) AS is_new,
+    WITH w AS (SELECT doc_id, coalesce(source IN ($newIn), FALSE) AS is_new,
                       string_split(text, ' ') AS w
                FROM documents WHERE len(string_split(text, ' ')) >= 3),
     shs AS (SELECT doc_id, is_new, $shinglesSqlDuck AS s FROM w),
@@ -473,7 +473,7 @@ object QSim {
       .select("doc_id", "n_tok")
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
       nHash = nHash, bandRows = bandRows, threshold = 0.5,
-      memoKey = Some(s"mh:$d"))
+      memoKey = Some(graft.operators.Memo.corpusKey("mh", d)))
     val lbl = graft.operators.CacheScope.persist(
       s2.join(
           Dedup.connectedComponents(pairs, "doc_a", "doc_b")
@@ -536,7 +536,7 @@ object QSim {
     import graft.functions.Deterministic.stableSum
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     Similarity.kmeans(e, "vec_id", "v", k = kmK, iters = 2, seed = kmSeed,
-        dim = kmDim, memoKey = Some(s"km:$d"))
+        dim = kmDim, memoKey = Some(graft.operators.Memo.corpusKey("km", d)))
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"),
         round(stableSum(col("cos"), 6) / count(lit(1)), 6).as("mean_cos"))
@@ -673,7 +673,7 @@ object QSim {
     // corpus identity.
     Similarity.pqCosError(e, "vec_id", "v", dim = kmDim, m = pqM,
         kCodes = pqK, seed = pqSeed, iters = pqIters, carry = Seq("label"),
-        memoKey = Some(s"pq:$d"))
+        memoKey = Some(graft.operators.Memo.corpusKey("pq", d)))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         round(stableSum(col("cos_pq"), 12) / count(lit(1)), 9).as("avg_pq_cos"),
@@ -748,7 +748,7 @@ object QSim {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 8), "vec_id", "v",
         k = 3, dim = kmDim, m = pqM, kCodes = pqK, seed = pqSeed,
-        iters = adcIters, memoKey = Some(s"pq:$d"))
+        iters = adcIters, memoKey = Some(graft.operators.Memo.corpusKey("pq", d)))
       .orderBy("query_id", "rk")
   })
 
@@ -948,7 +948,7 @@ object QSim {
       s"SELECT doc_id, is_new, $b AS band, concat_ws('_', $ks) AS bkey FROM sig"
     }.mkString(" UNION ALL ")
     s"""
-    WITH w AS (SELECT doc_id, source = '$fuzzEvalSource' AS is_new,
+    WITH w AS (SELECT doc_id, coalesce(source = '$fuzzEvalSource', FALSE) AS is_new,
                       string_split(text, ' ') AS w
                FROM documents WHERE len(string_split(text, ' ')) >= 3),
     shs AS (SELECT doc_id, is_new, $shinglesSqlDuck AS s FROM w),
@@ -1072,7 +1072,7 @@ object QSim {
     // chain (k is part of the key, so a different sizing never collides)
     val asg = Similarity.kmeans(e, "vec_id", "v",
         k = kCells, iters = 2, seed = kmSeed, dim = kmDim,
-        memoKey = Some(s"km:$d"))
+        memoKey = Some(graft.operators.Memo.corpusKey("km", d)))
       .select(col("vec_id"), col("cell"))
     // the pair join consumes the (vec_id, cell, v) frame on both sides
     val withV = CacheScope.persist(asg.join(e, "vec_id"))

@@ -440,16 +440,22 @@ object QText {
     * left-to-right in both engines, so the chains are byte-equal. */
   private[queries] def bpeEncDuck(textExpr: String): String = {
     def w(x: String) = s"\\x01$x\\x02"
-    val seeded = s"regexp_replace($textExpr, '(.)', E'\\x01\\\\1\\x02', 'g')"
+    // 's' (dotall) mirrors Spark's '(?s)(.)' seed: a newline character
+    // must be wrapped as a symbol on BOTH engines (RE2's '.' skips it
+    // without the flag — the one byte-equality hole in the replay)
+    val seeded = s"regexp_replace($textExpr, '(.)', E'\\x01\\\\1\\x02', 'gs')"
     bpeMerges.foldLeft(seeded) { case (acc, (x, y)) =>
       s"replace($acc, E'${w(x)}${w(y)}', E'${w(x + y)}')"
     }
   }
 
-  /** DuckDB replay of [[TextOps.bpeTokenCount]]. */
+  /** DuckDB replay of [[TextOps.bpeTokenCount]] — including the
+    * empty-string edge: Spark's when-guard returns 0 there, while
+    * len(string_split('', sep)) = 1, so the CASE mirrors the guard. */
   private[queries] def bpeCountDuck(textExpr: String): String =
-    s"(len(string_split(${bpeEncDuck(textExpr)}, E'\\x02\\x01'))" +
-      s" - (length($textExpr) - length(replace($textExpr, ' ', ''))))"
+    s"(CASE WHEN length($textExpr) = 0 THEN 0 ELSE " +
+      s"len(string_split(${bpeEncDuck(textExpr)}, E'\\x02\\x01'))" +
+      s" - (length($textExpr) - length(replace($textExpr, ' ', ''))) END)"
 
   /** Subword vocabulary audit — operators.TextOps.bpePieces over the
     * committed merge list: the corpus's 30 most frequent BPE pieces
