@@ -10,11 +10,20 @@ import org.apache.spark.sql.SparkSession
   * Each query runs SPARK_GRAFT_REPS times (default 5) in INTERLEAVED
   * round-robin passes over the whole registry (pass r runs every query
   * once) and reports the per-query MINIMUM across passes (median rides
-  * along under "queries_median"), so the numbers measure the plan
-  * rather than JVM/codegen warm-up — and so a transient co-tenant load
-  * window shorter than the run contaminates at most one pass of each
-  * query instead of every back-to-back rep of one alphabetical cluster
-  * (the failure mode of four straight r5–r8 closing recordings).
+  * along under "queries_median"). The minima are STEADY-STATE numbers:
+  * JVM/codegen warm-up is absorbed by a discarded first pass, and for
+  * the queries wired into the session memo tier (operators.Memo — the
+  * minhash trio, kmeans pair, PQ pair) every timed pass reads the
+  * memoized trained frames built during that first pass, so their
+  * minima measure the memo-warm suffix, not the training chain. The
+  * FIRST-RUN cost is an artifact too: the discarded pass is timed
+  * per-query and emitted as "queries_cold" — read it as first-call
+  * cost (plan compilation + codegen + any memo build), upper-bounding
+  * the memo training cost. Interleaving also means a transient
+  * co-tenant load window shorter than the run contaminates at most
+  * one pass of each query instead of every back-to-back rep of one
+  * alphabetical cluster (the failure mode of four straight r5–r8
+  * closing recordings).
   *
   * Load robustness: min-of-N cannot filter SUSTAINED machine load (the
   * r5 recording was inflated 2–3× across its whole duration), so the
@@ -96,8 +105,14 @@ object Bench {
     // measure plans from rep 1.
     // NonFatal only: a query failure here is absorbed (the timed reps
     // will report it), but OOM/interrupts must not be silently eaten.
-    selected.foreach { case (_, fn) =>
-      try graft.operators.CacheScope.withScope { fn(spark, sfDir).count() }
+    // The pass is also TIMED per query ("queries_cold"): first-call
+    // cost including plan compilation, codegen and any session-memo
+    // build — the committed record of what the memo-warm minima hide.
+    val coldAcc = scala.collection.mutable.Map.empty[String, Double]
+    selected.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { graft.operators.CacheScope.withScope { fn(spark, sfDir).count() }
+        coldAcc(name) = (System.nanoTime() - t0) / 1e9 }
       catch { case scala.util.control.NonFatal(_) => () }
     }
     val canaryStart = canarySec(spark)
@@ -146,12 +161,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val qs = fmt(_.min)
     val qsMed = fmt(median)
+    val qsCold = selected.map { case (k, _) => coldAcc.get(k) match {
+      case Some(t) => "\"" + k + f"\":$t%.3f"
+      case None    => "\"" + k + "\":null"
+    } }.mkString("{", ",", "}")
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
     val totalMed = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
     val nFailed = results.count(_._2.isEmpty)
     val cps = passCanaries.map(c => f"$c%.3f").mkString("[", ",", "]")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"total_median":$totalMed%.3f,"canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_ratio":$canaryRatio%.3f,"canary_passes":$cps,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"total_median":$totalMed%.3f,"canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_ratio":$canaryRatio%.3f,"canary_passes":$cps,"queries":$qs,"queries_median":$qsMed,"queries_cold":$qsCold,"sf":"$sfDir"}"""
     println(full)
     // The full line (~3 KB at 86 queries) outgrows the harness's 2000-char
     // output tail, so per-query numbers also go to a FILE, and the very

@@ -47,14 +47,22 @@ object Graphs {
       iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && iters <= 20, s"pageRank needs 1 <= iters <= 20, got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
-    // Persist the edge list PRE-PARTITIONED on the join key: the cached
-    // frame advertises its HashPartitioning, so each iteration's
-    // ranks-join exchanges only the node-sized rank frame instead of
-    // re-shuffling |E| rows per round — the partitioning-reuse pattern
-    // the 100 TB posture rests on (one big exchange, iters small ones).
-    val e = CacheScope.persist(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .repartition(col("src")))
+    // Materialize the edge list PRE-PARTITIONED on the join key via an
+    // eager localCheckpoint — the same lineage-truncation discipline as
+    // connectedComponents' rounds, and for the same reason: a persist
+    // alone keeps the caller's FULL logical plan under every iteration,
+    // and when the edges derive from an expensive pipeline (the
+    // near-dup pair set in dedup_keep_rank) the optimizer re-analyzes
+    // that tree once per iteration per action — measured 30–40 s of
+    // pure planning on a 45-row pair graph. The checkpointed frame is
+    // a leaf that still advertises its HashPartitioning (LogicalRDD
+    // keeps outputPartitioning), so each iteration's ranks-join
+    // exchanges only the node-sized rank frame instead of re-shuffling
+    // |E| rows per round — the partitioning-reuse pattern the 100 TB
+    // posture rests on (one big exchange, iters small ones).
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
     val deg = CacheScope.persist(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg")))
     // node set = src ∪ dst: a dst-only (dangling) node is a real node —

@@ -131,6 +131,76 @@ object QSim {
       .orderBy("doc_id")
   })
 
+  // --------------------------------------- rank-prior keep selection
+  /** PageRank-prior keep-selection over near-dup clusters — the
+    * composition Graphs.pageRank's header positions it for: cluster
+    * the minhash near-dup pairs (Dedup.connectedComponents), score
+    * every clustered doc's centrality over the SAME symmetrized pair
+    * graph (3 power iterations, d = 0.85), and keep the max-PageRank
+    * member per cluster (tie → min doc_id) — the "canonical copy"
+    * rule that prefers the most-linked variant instead of the
+    * arbitrary min-id, the standard importance-prior refinement of
+    * dedup keep-selection. Output is the per-doc decision ledger:
+    * every clustered doc with its cluster, rank (ppm), the cluster's
+    * keeper and its own kept/dropped verdict — the drop list IS the
+    * rows with kept = false, attribution included.
+    *
+    * Scale shape: pair set memo-shared with dedup_minhash_lsh (the
+    * third consumer); CC is the O(log² n) star construction; PageRank
+    * is one node-keyed shuffle per iteration on the pre-partitioned
+    * edge list; keeper election is max(struct(r, −id)) — an ordinary
+    * map-side-combinable aggregate, no window, no corpus sort. */
+  val keepRank = Q("dedup_keep_rank", Some {
+    def step(prev: String, out: String) = s"""
+    $out AS (SELECT e.b AS node,
+         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nn FROM n)
+           + CAST(0.85 AS DOUBLE)
+             * CAST(SUM(CAST(round($prev.r / pdeg.dg, 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS r
+       FROM se e JOIN $prev ON e.a = $prev.node JOIN pdeg ON e.a = pdeg.node
+       GROUP BY 1)"""
+    s"""
+    WITH RECURSIVE $minhashPairsCte,
+    $ccLabelsCte,
+    pdeg AS (SELECT a AS node, count(*) AS dg FROM se GROUP BY 1),
+    n AS (SELECT count(*) AS nn FROM pdeg),
+    r0 AS (SELECT node, round(CAST(1 AS DOUBLE) / (SELECT nn FROM n), 12) AS r FROM pdeg),
+    ${step("r0", "r1")},
+    ${step("r1", "r2")},
+    ${step("r2", "r3")},
+    prj AS (SELECT c.doc_id, c.comp, r3.r FROM compt c JOIN r3 ON c.doc_id = r3.node),
+    keepers AS (SELECT comp, doc_id AS keep_id FROM (
+                SELECT comp, doc_id,
+                       row_number() OVER (PARTITION BY comp ORDER BY r DESC, doc_id) AS rn
+                FROM prj) WHERE rn = 1)
+    SELECT p.doc_id, p.comp, round(p.r * 1e6, 6) AS rank_ppm,
+           k.keep_id, p.doc_id = k.keep_id AS kept
+    FROM prj p JOIN keepers k ON p.comp = k.comp
+    ORDER BY p.doc_id"""
+  })((s, d) => {
+    val pairs = Dedup.minhashLsh(Tables.documentsP(s, d), "doc_id", "text",
+      nHash = nHash, bandRows = bandRows, threshold = 0.5,
+      memoKey = Some(graft.operators.Memo.corpusKey("mh", d)))
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val pr = graft.operators.Graphs.pageRank(edges, "src", "dst",
+      iters = 3, damping = 0.85)
+    // prj feeds BOTH the keeper election and the final decision join —
+    // scope-persisted so the CC + PageRank chains plan (and run) once
+    val prj = graft.operators.CacheScope.persist(
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .join(pr.select(col("node"), col("r")), "node"))
+    val keepers = prj.groupBy("comp")
+      .agg(max(struct(col("r"), (-col("node")).as("nid"))).as("m"))
+      .select(col("comp"), (-col("m.nid")).as("keep_id"))
+    prj.join(keepers, "comp")
+      .select(col("node").as("doc_id"), col("comp"),
+        round(col("r") * lit(1e6), 6).as("rank_ppm"), col("keep_id"),
+        (col("node") === col("keep_id")).as("kept"))
+      .orderBy("doc_id")
+  })
+
   // ---------------------------------------------- incremental MinHash
   /** Incremental near-dup: today's crawl shards (sources src0–src3,
     * ~20% of the corpus) checked against the WHOLE corpus without
@@ -1091,7 +1161,7 @@ object QSim {
   })
 
   val all: Seq[Q] =
-    Seq(exact, minhashLsh, minhashInc, clusterCc, funnel, simhash, ngramJaccard,
+    Seq(exact, minhashLsh, minhashInc, clusterCc, keepRank, funnel, simhash, ngramJaccard,
       embedNearDup, annTopk, annLsh, annIvf, annRecall, kmeansCells, scalarQuant,
       pqError, adcTopk, substringRun, randProj, semantic, decontamFuzzy)
 }

@@ -43,6 +43,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "sketch_bloom_prune",       // two 1-row report-dimension crosses
       "diag_join_size_cms",       // 1-row est × 1-row exact report crosses
       "graph_pagerank_copurchase", // 1-row node-count cross per iteration
+      "dedup_keep_rank",          // same pageRank 1-row node-count/dangling-mass crosses
       "t11_chi2_independence",    // category-bounded r×c grid + 1-row scalars
       "sim_pq_adc_topk",          // candidates × broadcast per-query ADC LUTs (bounded query set)
       "text_perplexity_bigram",   // 1-row vocab-size broadcast cross
