@@ -149,7 +149,10 @@ object Diagnostics {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     val coarseB = 256
     val ref = df.filter(refGroup).select(col(valueCol).as("v"))
-    val vCnts = ref.groupBy("v").agg(count(lit(1)).as("c"))
+    // persisted: scalars, the bucket assignment AND the rank-grid all
+    // re-read this frame — unpersisted it would recompute the
+    // reference scan three times
+    val vCnts = CacheScope.persist(ref.groupBy("v").agg(count(lit(1)).as("c")))
     val scalars = vCnts.agg(min("v").as("lo"), max("v").as("hi"),
       sum("c").as("n"))
     // coarse bucket by value range — equal values always share a

@@ -63,18 +63,24 @@ object Graphs {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src"))
       .localCheckpoint(true)
-    val deg = CacheScope.persist(
-      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg")))
-    // node set = src ∪ dst: a dst-only (dangling) node is a real node —
+    // node set = src ∪ dst WITH out-degree in ONE shuffle (src rows
+    // count 1, dst rows 0): a dst-only (dangling) node is a real node —
     // it holds rank, and its mass must re-enter the distribution below
-    val nodes = CacheScope.persist(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct())
-    val n = nodes.agg(count(lit(1)).as("nn"))
+    val nd = CacheScope.persist(
+      e.select(col("src").as("node"), lit(1L).as("o"))
+        .union(e.select(col("dst").as("node"), lit(0L).as("o")))
+        .groupBy("node").agg(sum("o").as("dg")))
+    // ONE build-time probe decides the iteration shape: with no
+    // dangling node (every symmetrized list) the redistribution term
+    // is identically 0 every round, so the fast iteration — no
+    // per-round dangling aggregate/broadcast — is exact, and the two
+    // shapes produce bit-identical doubles there (x + d·0.0/N ≡ x).
+    val hasDangling = nd.filter(col("dg") === 0L).limit(1).count() > 0
+    val n = nd.agg(count(lit(1)).as("nn"))
     // per-iteration persists keep the plan per-round (each round's rank
     // frame is node-sized): without them the final plan is one deep
     // lineage whose every broadcast/AQE re-plan re-derives the chain
-    val r0 = CacheScope.persist(nodes.crossJoin(broadcast(n))
+    val r0 = CacheScope.persist(nd.crossJoin(broadcast(n))
       .select(col("node"), round(lit(1.0).cast("double") / col("nn"), 12).as("r")))
     (1 to iters).foldLeft(r0) { (r, _) =>
       // contribution weight r/deg is a NODE property: computed on the
@@ -82,29 +88,37 @@ object Graphs {
       // carries exactly one join (ranks onto the pre-partitioned edge
       // list) instead of dragging the degree join through every edge
       // row — same rounded operands, same decimal sum, bit-identical.
-      val w = r.join(deg.select(col("node"), col("dg")), "node")
+      val rj = r.join(nd, "node")
+      val w = rj.filter(col("dg") > 0L)
         .select(col("node").as("wnode"),
           round(col("r") / col("dg"), 12).as("w"))
-      // dangling mass: summed rank of out-degree-0 nodes (node-sized
-      // anti-join + 1-row broadcast). Empty on symmetrized graphs →
-      // coalesce(0), and x + d·0.0/N leaves every double unchanged, so
-      // the dangling-free rounding chain is bit-identical to before.
-      val dm = r.join(deg.select("node"), Seq("node"), "left_anti")
-        .agg(sum(col("r").cast(DecimalType(28, 12))).cast("double").as("dm"))
       val mass = e.join(w, col("src") === col("wnode"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("w").cast(DecimalType(28, 12)))
           .cast("double").as("mass"))
-      CacheScope.persist(
-        nodes.join(mass, Seq("node"), "left")
-          .crossJoin(broadcast(n))
-          .crossJoin(broadcast(dm))
-          .select(col("node"),
+      val base = nd.select("node").join(mass, Seq("node"), "left")
+        .crossJoin(broadcast(n))
+      val next =
+        if (!hasDangling)
+          base.select(col("node"),
             round((lit(1.0).cast("double") - lit(damping)) / col("nn") +
-              lit(damping) * coalesce(col("mass"), lit(0.0)) +
-              lit(damping) * coalesce(col("dm"), lit(0.0)) / col("nn"),
-              12).as("r")))
-    }.join(deg, Seq("node"), "left") // degree rides along: node-sized join
-      .select(col("node"), col("r"), coalesce(col("dg"), lit(0L)).as("dg"))
+              lit(damping) * coalesce(col("mass"), lit(0.0)), 12).as("r"))
+        else {
+          // dangling mass: summed rank of out-degree-0 nodes — the
+          // node-keyed rj again (co-partitioned, no exchange) folded
+          // to a 1-row broadcast, redistributed uniformly
+          val dm = rj.filter(col("dg") === 0L)
+            .agg(sum(col("r").cast(DecimalType(28, 12)))
+              .cast("double").as("dm"))
+          base.crossJoin(broadcast(dm))
+            .select(col("node"),
+              round((lit(1.0).cast("double") - lit(damping)) / col("nn") +
+                lit(damping) * coalesce(col("mass"), lit(0.0)) +
+                lit(damping) * coalesce(col("dm"), lit(0.0)) / col("nn"),
+                12).as("r"))
+        }
+      CacheScope.persist(next)
+    }.join(nd, "node") // degree rides along: node-sized join, no rescan
+      .select(col("node"), col("r"), col("dg"))
   }
 }
