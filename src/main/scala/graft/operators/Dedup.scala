@@ -514,15 +514,22 @@ object Dedup {
       blockCols: Seq[String], ngram: Int = 3,
       maxDf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Per-doc set sizes ride the shingle stream via a count window —
-    // measured FASTER here than the seemingly-lighter alternative
-    // (separate size aggregate broadcast-joined onto the pair table
-    // after aggregation): each broadcast is a blocking job, and two of
-    // them cost more than the window's one sorted pass at every scale
-    // where the shingle stream fits a shuffle — while at cluster scale
-    // the window keys on the doc id, so it partitions without skew.
-    val base = shingles(docs, textCol, idCol +: blockCols, ngram)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(idCol)))
+    // The distinct shingle set and its size are PER-DOCUMENT values, so
+    // they come from the row-local native MinhashSig pass (shs is its
+    // distinct-md5 set, first 8 hex chain identical to shingles()):
+    // the exploded index frame is a pure projection of the input — no
+    // corpus-wide distinct shuffle and no per-doc count window before
+    // the join, the same structural win minhashLsh took. (The earlier
+    // window form re-shuffled the whole shingle stream twice just to
+    // rebuild row-local facts; its "window beats broadcast" measurement
+    // compared two post-shuffle variants, not this shuffle-free one.)
+    val base = docs
+      .select((col(idCol) +: blockCols.map(col) :+
+        expr(s"graft_minhash_sig($textCol, $ngram, 1)").as("ms")): _*)
+      .filter(col("ms").isNotNull)
+      .select((col(idCol) +: blockCols.map(col) :+
+        size(col("ms.shs")).cast("long").as("n") :+
+        explode(col("ms.shs")).as("sh")): _*)
     val capped = maxDf match {
       case Some(cap) =>
         require(cap >= 1, s"ngramJaccard needs maxDf >= 1, got $cap")
