@@ -621,6 +621,80 @@ object Dedup {
         col("a.i").as("ia"), (col("a.i") - col("b.i")).as("diag"))
   }
 
+  /** SPAN-LEVEL corpus dedup with document REWRITE — the "remove any
+    * span that appears verbatim across the corpus" pass of large-scale
+    * text curation (the line/span dedup of C4 and MassiveText,
+    * relationalized): every k-token window whose document frequency
+    * reaches `minDf` DISTINCT documents is hot, the token positions its
+    * occurrences cover are masked, and each document is rebuilt from
+    * its surviving tokens. Where the pairwise family (minhash, ngram,
+    * substring runs) FLAGS near-dup documents, this op EDITS them —
+    * boilerplate sentences, repeated headers and license blocks vanish
+    * while the unique remainder of each document survives.
+    *
+    * Scale shape: the gram stream (corpus tokens × 1 row) is built
+    * row-locally (explode, no pre-shuffle), aggregated once by gram for
+    * the distinct-doc frequency, and the hot-gram join + ×k coverage
+    * fan-out is bounded by the corpus's duplication mass — clean
+    * documents never reach the rebuild join, which is doc-keyed with
+    * the (small) touched-doc side collectible per doc. The rebuild
+    * itself is row-local array surgery (filter/transform run ONLY on
+    * touched rows — the when() guard short-circuits clean ones), so an
+    * untouched document costs one split+size and passes its text
+    * through byte-identical.
+    *
+    * df counts DISTINCT documents — a doc repeating a span internally
+    * is not corpus duplication and is left intact (the Gopher-style
+    * intra-doc repetition signals live in TextOps.repetitionSignals).
+    * Output: (id, n_tok, n_removed, removed_frac, kept_text) per input
+    * doc with non-NULL text, including untouched ones (audit ledger:
+    * Σ n_removed / Σ n_tok is the corpus-level removal rate). */
+  def spanRewrite(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDf: Long = 2L): DataFrame = {
+    require(k >= 2, s"spanRewrite needs k >= 2, got $k")
+    require(minDf >= 2, s"spanRewrite needs minDf >= 2, got $minDf")
+    val d = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("text"))
+    val grams = (0 until k).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(", ")
+    // ALL gram occurrences with positions (not first-per-doc: every
+    // occurrence of a hot gram must mask its token range)
+    val occ = CacheScope.persist(d
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= k)
+      .select(col(idCol), col("w"),
+        explode(expr(s"sequence(0, size(w) - $k)")).as("i"))
+      .select(col(idCol), col("i"),
+        expr(s"md5(encode(concat_ws(' ', $grams), 'UTF-8'))").as("g")))
+    val hot = occ.groupBy("g")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf).select("g")
+    // covered token positions: hot occurrences fanned out ×k, dedup'd —
+    // volume ≤ k × (hot occurrence count), i.e. duplication-bounded
+    val cov = occ.join(hot, "g")
+      .select(col(idCol), explode(expr(s"sequence(i, i + ${k - 1})")).as("pos"))
+      .distinct()
+    // per-doc covered-position array rides back onto the doc ROW —
+    // sort_array pins collect_set's nondeterministic order
+    val covSet = cov.groupBy(idCol)
+      .agg(sort_array(collect_set(col("pos"))).as("cov"))
+    d.join(covSet, Seq(idCol), "left")
+      .withColumn("w", split(col("text"), " "))
+      .select(col(idCol), size(col("w")).cast("long").as("n_tok"),
+        // size(NULL) is -1 under Spark's legacy sizeOfNull — guard with
+        // an explicit branch, not coalesce
+        when(col("cov").isNull, lit(0L))
+          .otherwise(size(col("cov")).cast("long")).as("n_removed"),
+        when(col("cov").isNull, col("text")).otherwise(
+          array_join(transform(
+            filter(sequence(lit(0), size(col("w")) - 1),
+              p => !array_contains(col("cov"), p)),
+            p => element_at(col("w"), p + 1)), " ")).as("kept_text"))
+      .select(col(idCol), col("n_tok"), col("n_removed"),
+        round(col("n_removed").cast("double") / col("n_tok").cast("double"), 6)
+          .as("removed_frac"),
+        col("kept_text"))
+  }
+
   /** Weighted 32-bit SimHash near-dup pairs: bit source = first 8 hex
     * chars of each token's md5, weight = token multiplicity; candidates
     * share a MULTI-PROBED bucket of the signature's top bits and

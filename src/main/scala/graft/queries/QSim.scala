@@ -917,6 +917,50 @@ object QSim {
         k = runK, minRun = runMinRun, maxDf = runMaxDf)
       .orderBy("doc_a", "doc_b"))
 
+  // --------------------------------------------- span-rewrite dedup
+  /** Span-level corpus dedup with document REWRITE —
+    * operators.Dedup.spanRewrite (the C4/MassiveText "remove any span
+    * duplicated across the corpus" pass): every 8-token window found
+    * verbatim in ≥ 2 distinct documents masks the positions it covers,
+    * and each document is rebuilt from its surviving tokens. The only
+    * dedup entry that EDITS documents instead of flagging pairs — the
+    * per-doc ledger carries the removal fraction and the rewritten
+    * text. Oracle replays the identical md5 gram chain, the
+    * distinct-doc df gate, the ×k coverage fan-out and the
+    * position-ordered string reassembly; token counts are integers and
+    * the rebuilt text is byte-exact, so only removed_frac needs the
+    * DOUBLE-cast discipline. */
+  private val srK = 8
+  private val srMinDf = 2
+  val spanRewrite = Q("dedup_span_rewrite", Some(s"""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w
+               FROM documents WHERE text IS NOT NULL),
+    occ AS (SELECT doc_id, t.i,
+                   md5(array_to_string(w[t.i + 1 : t.i + $srK], ' ')) AS g
+            FROM d, LATERAL unnest(generate_series(0, len(w) - $srK)) AS t(i)
+            WHERE len(w) >= $srK),
+    hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+                           FROM occ GROUP BY 1) WHERE df >= $srMinDf),
+    cov AS (SELECT DISTINCT o.doc_id, o.i + s.j AS pos
+            FROM occ o JOIN hot USING (g),
+                 LATERAL unnest(generate_series(0, ${srK - 1})) AS s(j)),
+    tok AS (SELECT doc_id, t.i - 1 AS pos, w[t.i] AS tk
+            FROM d, LATERAL unnest(generate_series(1, len(w))) AS t(i)),
+    reb AS (SELECT t.doc_id, count(*) AS n_kept,
+                   string_agg(t.tk, ' ' ORDER BY t.pos) AS kept_text
+            FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+            WHERE c.doc_id IS NULL GROUP BY 1)
+    SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+           CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           round(CAST(len(w) - coalesce(n_kept, 0) AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE), 6) AS removed_frac,
+           coalesce(kept_text, '') AS kept_text
+    FROM d LEFT JOIN reb USING (doc_id) ORDER BY doc_id"""
+  ))((s, d) =>
+    Dedup.spanRewrite(Tables.documentsP(s, d), "doc_id", "text",
+        k = srK, minDf = srMinDf.toLong)
+      .orderBy("doc_id"))
+
   // ------------------------------------- JL random projection audit
   /** Johnson–Lindenstrauss random projection + distortion audit —
     * operators.Similarity.randomProjection: 64 → 16 dims through a
@@ -1163,5 +1207,5 @@ object QSim {
   val all: Seq[Q] =
     Seq(exact, minhashLsh, minhashInc, clusterCc, keepRank, funnel, simhash, ngramJaccard,
       embedNearDup, annTopk, annLsh, annIvf, annRecall, kmeansCells, scalarQuant,
-      pqError, adcTopk, substringRun, randProj, semantic, decontamFuzzy)
+      pqError, adcTopk, substringRun, spanRewrite, randProj, semantic, decontamFuzzy)
 }

@@ -61,6 +61,32 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(cleanRun(Some(10L)) == cleanRun(None) && cleanRun(None).nonEmpty)
   }
 
+  test("Dedup.spanRewrite removes cross-corpus spans and passes clean docs through") {
+    import spark.implicits._
+    val boiler = "b1 b2 b3 b4"               // 4-token span shared by 2 docs
+    val d = Seq(
+      (1L, s"u1 u2 $boiler u3 u4"),          // boilerplate mid-doc
+      (2L, s"$boiler v1 v2 v3 v4"),          // boilerplate at doc start
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8"),       // clean — byte-identical passthrough
+      (4L, "r1 r2 r1 r2 r1 r2 r1 r2"))       // INTRA-doc repeat only — df=1, intact
+      .toDF("doc_id", "text")
+    val out = Dedup.spanRewrite(d, "doc_id", "text", k = 4, minDf = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    assert(out(1L) == ((8L, 4L, "u1 u2 u3 u4")))
+    assert(out(2L) == ((8L, 4L, "v1 v2 v3 v4")))
+    assert(out(3L) == ((8L, 0L, "w1 w2 w3 w4 w5 w6 w7 w8")))
+    assert(out(4L)._2 == 0L && out(4L)._3 == "r1 r2 r1 r2 r1 r2 r1 r2")
+    // overlapping hot windows merge their coverage: two docs sharing a
+    // 5-token run have BOTH 4-gram windows hot → 5 positions masked
+    val d2 = Seq((10L, "a b c d e x1 x2 x3"), (11L, "a b c d e y1 y2 y3"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.spanRewrite(d2, "doc_id", "text", k = 4, minDf = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(4))).toMap
+    assert(out2(10L) == ((5L, "x1 x2 x3")))
+    assert(out2(11L) == ((5L, "y1 y2 y3")))
+  }
+
   test("graft_top_cells matches the HOF slice/sort/transform form bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions.broadcast
