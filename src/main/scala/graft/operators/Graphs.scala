@@ -121,4 +121,62 @@ object Graphs {
     }.join(nd, "node") // degree rides along: node-sized join, no rescan
       .select(col("node"), col("r"), col("dg"))
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected edge list — the node-iterator++ scheme (Schank &
+    * Wagner 2005): edges are ORIENTED from the lower- to the
+    * higher-(degree, id) endpoint, every triangle {a,b,c} then appears
+    * as exactly ONE wedge a→b, a→c (rank(b) < rank(c)) closed by the
+    * oriented edge b→c, so no triangle is double-counted and — the
+    * scale guarantee — every node's oriented OUT-degree is O(√m)
+    * regardless of raw degree: a 10⁷-degree hub contributes wedges
+    * only through its (few) higher-rank neighbors, never d² pairs.
+    * Both the wedge join (on the oriented source) and the closing join
+    * (on the oriented pair) are plain equi-joins.
+    *
+    * Input may contain duplicates, self-loops or both orientations —
+    * canonicalized and distinct'd first. Output: (node, degree,
+    * triangles, clustering) for every node of the edge set; clustering
+    * = 2T/(d(d−1)) rounded to 6 dp (0.0 where d < 2), all counts exact
+    * BIGINTs. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = CacheScope.persist(edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct())
+    val deg = CacheScope.persist(
+      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d")))
+    def rankLess(d1: org.apache.spark.sql.Column, n1: org.apache.spark.sql.Column,
+        d2: org.apache.spark.sql.Column, n2: org.apache.spark.sql.Column) =
+      d1 < d2 || (d1 === d2 && n1 < n2)
+    // orient low→high rank; carry the DEST rank (dt) so the wedge join
+    // can order the two spokes without another degree lookup
+    val withDeg = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    val ori = CacheScope.persist(withDeg.select(
+      when(rankLess(col("du"), col("u"), col("dv"), col("v")), col("u"))
+        .otherwise(col("v")).as("s"),
+      when(rankLess(col("du"), col("u"), col("dv"), col("v")), col("v"))
+        .otherwise(col("u")).as("t"),
+      when(rankLess(col("du"), col("u"), col("dv"), col("v")), col("dv"))
+        .otherwise(col("du")).as("dt")))
+    val wedges = ori.as("x").join(ori.as("y"),
+        col("x.s") === col("y.s") &&
+          rankLess(col("x.dt"), col("x.t"), col("y.dt"), col("y.t")))
+      .select(col("x.s").as("a"), col("x.t").as("b"), col("y.t").as("c"))
+    val tris = wedges.join(ori.select(col("s").as("b"), col("t").as("c")),
+      Seq("b", "c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("d").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(when(col("d") < 2, lit(0.0)).otherwise(
+          lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double") /
+            (col("d") * (col("d") - 1)).cast("double")), 6).as("clustering"))
+  }
 }

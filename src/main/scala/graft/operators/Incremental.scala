@@ -38,6 +38,52 @@ object Incremental {
     }.select((keys ++ measures).map(col): _*)
   }
 
+  /** SCD2 historization: collapse a keyed change log into type-2
+    * slowly-changing-dimension validity intervals. Consecutive events
+    * with the SAME state merge into one interval; each state change
+    * opens a new version with `valid_from` = its first event's
+    * timestamp and closes the previous version (`valid_to` = the new
+    * version's `valid_from` — closed-open intervals, NULL for the
+    * current one). The standard build step for dimension tables fed by
+    * CDC streams: downstream as-of joins (operators.AsOfJoin) resolve
+    * any fact timestamp to the version valid at that instant.
+    *
+    * Scale shape: every window and aggregate is keyed on the dimension
+    * key — one sort per key partition for the change detection, a
+    * co-partitioned groupBy for the interval collapse, and a second
+    * key-local window over the (much smaller) interval frame for the
+    * closing timestamps. No corpus-wide sort, no driver state; a key's
+    * history never leaves its partition. Ordering within a key is
+    * (`tsCol`, `tieCols`…) — pass a unique tie-breaker for a total
+    * order when timestamps can collide.
+    *
+    * Output: key cols + (version, state, valid_from, valid_to,
+    * n_events, is_current), version 1-based per key. */
+  def scd2Intervals(log: DataFrame, keyCols: Seq[String], stateCol: String,
+      tsCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = (col(tsCol) +: tieCols.map(col)): Seq[org.apache.spark.sql.Column]
+    val wOrd = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    val versioned = log
+      .withColumn("__prev", lag(col(stateCol), 1).over(wOrd))
+      .withColumn("__chg",
+        when(col("__prev").isNull || col("__prev") =!= col(stateCol), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("__chg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = versioned
+      .groupBy((keyCols.map(col) :+ col("version")): _*)
+      .agg(first(col(stateCol)).as("state"), min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wKey = Window.partitionBy(keyCols.map(col): _*).orderBy(col("version"))
+    intervals
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wKey))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keyCols.map(col) ++ Seq(col("version"), col("state"),
+        col("valid_from"), col("valid_to"), col("n_events"),
+        col("is_current"))): _*)
+  }
+
   /** Snapshot-diff (CDC audit): classify every key as `added` /
     * `changed` / `unchanged` between an old snapshot (the rows
     * matching `oldPred`) and the current full frame. Because the old

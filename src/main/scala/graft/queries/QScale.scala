@@ -190,6 +190,42 @@ object QScale {
       .orderBy("event_type")
   })
 
+  // --------------------------------------------- SCD2 historization
+  /** SCD2 dimension build from a change log —
+    * operators.Incremental.scd2Intervals: each user's event stream
+    * collapses into type-2 validity intervals (consecutive same-type
+    * events merge; each type change opens a new version and closes the
+    * previous one, closed-open, NULL valid_to = current). The standard
+    * CDC→dimension historization whose output the as-of join
+    * (j10_asof_attribution) resolves fact timestamps against. Every
+    * window/aggregate keys on user_id — a key's history never leaves
+    * its partition. The probe slice (user_id < 40) keeps the ledger
+    * result bounded and demonstrates scan-level pushdown of the key
+    * predicate. */
+  val scd2 = Q("inc_scd2_intervals", Some("""
+    WITH e AS (SELECT user_id, event_type, ts, event_id FROM events WHERE user_id < 40),
+    v AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                           OR lag(event_type) OVER w <> event_type
+                         THEN 1 ELSE 0 END AS chg
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    ver AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS version FROM v),
+    iv AS (SELECT user_id, version, min(event_type) AS state,
+                  min(ts) AS valid_from, count(*) AS n_events
+           FROM ver GROUP BY 1, 2),
+    fin AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+                                             ORDER BY version) AS valid_to FROM iv)
+    SELECT user_id, CAST(version AS BIGINT) AS version, state, valid_from, valid_to,
+           CAST(n_events AS BIGINT) AS n_events, valid_to IS NULL AS is_current
+    FROM fin ORDER BY user_id, version"""
+  ))((s, d) =>
+    Incremental.scd2Intervals(
+      Tables.events(s, d).filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+      keyCols = Seq("user_id"), stateCol = "event_type", tsCol = "ts",
+      tieCols = Seq("event_id"))
+      .orderBy("user_id", "version"))
+
   // --------------------------------------------- key-skew diagnostic
   /** Key-skew planning report (operators.Diagnostics.keySkew) over
     * three join/aggregation keyspaces: the statistics that decide
@@ -492,6 +528,63 @@ object QScale {
       .orderBy("rk")
   })
 
+  // ------------------------------------------------ Triangle counting
+  /** Per-part triangle counts over the co-purchase graph —
+    * operators.Graphs.triangleCounts (node-iterator++ / degree-ordered
+    * wedge closure): parts are linked when ≥ 2 orders contain both, and
+    * each part reports how many closed co-purchase triangles it sits in
+    * plus its local clustering coefficient — the "bought-together
+    * cliquishness" signal, and the third graph primitive beside
+    * connected components (membership) and PageRank (centrality).
+    * The degree orientation bounds every node's wedge fan-out at
+    * O(√m), so a hub part never generates d² candidate pairs; the
+    * per-order pair generation is bounded by order size. Counts are
+    * exact integers; the oracle replays the same orientation via
+    * SQL row-value comparison. Top 15 by (triangles, node). */
+  val triangles = Q("graph_triangle_copurchase", Some("""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    deg AS (SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+    ori AS (SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS s,
+                   CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS t,
+                   CASE WHEN (da.d, e.u) < (db.d, e.v) THEN db.d ELSE da.d END AS dt
+            FROM e JOIN deg da ON da.node = e.u JOIN deg db ON db.node = e.v),
+    w AS (SELECT x.s AS a, x.t AS b, y.t AS c FROM ori x JOIN ori y
+          ON x.s = y.s AND (x.dt, x.t) < (y.dt, y.t)),
+    tri AS (SELECT a, b, c FROM w JOIN ori z ON w.b = z.s AND w.c = z.t),
+    pn AS (SELECT node, count(*) AS triangles FROM
+             (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri) GROUP BY 1)
+    SELECT deg.node, deg.d AS degree,
+           CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+           round(CASE WHEN deg.d < 2 THEN CAST(0 AS DOUBLE)
+                      ELSE CAST(2 AS DOUBLE) * coalesce(pn.triangles, 0)
+                           / CAST(deg.d * (deg.d - 1) AS DOUBLE) END, 6) AS clustering
+    FROM deg LEFT JOIN pn USING (node)
+    ORDER BY triangles DESC, node LIMIT 15"""
+  ))((s, d) => {
+    // pair generation: ONE groupBy(order) — collect_set doubles as the
+    // per-order distinct — then a row-local double explode (order size
+    // is bounded ≤ 7, so ≤ 21 pairs per row); the orderkey self-join
+    // form re-shuffled the 600k-row distinct frame twice for the same
+    // pairs (measured 3× the edge-build cost at sf0.1)
+    val byOrder = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(collect_set(col("p")).as("ps"))
+    val edges = byOrder
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") < col("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select("src", "dst")
+    graft.operators.Graphs.triangleCounts(edges, "src", "dst")
+      .orderBy(col("triangles").desc, col("node")).limit(15)
+      .orderBy(col("triangles").desc, col("node"))
+  })
+
   // ------------------------------------------------ HyperLogLog
   /** HLL distinct-count audit (operators.Sketches.hyperLogLog): how
     * many distinct parts does each supplier nation ship, from 64
@@ -590,5 +683,5 @@ object QScale {
       .orderBy("shard"))
 
   val all: Seq[Q] = Seq(sessBatch, cms, zorder, rolling, incMerge, keySkew,
-    snapDiff, entropy, bloom, joinSize, pagerank, hll, shards)
+    snapDiff, scd2, entropy, bloom, joinSize, pagerank, triangles, hll, shards)
 }

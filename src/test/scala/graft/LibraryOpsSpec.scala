@@ -87,6 +87,45 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(out2(11L) == ((5L, "y1 y2 y3")))
   }
 
+  test("Graphs.triangleCounts counts each triangle once despite dup/reversed/self edges") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: 4 triangles, every node in 3 of them, clustering 1.0.
+    // Star center 10 with leaves 11..13 plus ONE closed leaf pair (11,12):
+    // exactly 1 triangle there. Input deliberately dirty: both
+    // orientations, duplicates, and a self-loop.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (12L, 11L), (10L, 11L), (13L, 13L))
+    val out = graft.operators.Graphs
+      .triangleCounts((k4 ++ star).toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    (1L to 4L).foreach { n => assert(out(n) == ((3L, 3L, 1.0)), s"node $n: ${out(n)}") }
+    assert(out(10L) == ((3L, 1L, 0.333333)))
+    assert(out(11L) == ((2L, 1L, 1.0)))
+    assert(out(12L) == ((2L, 1L, 1.0)))
+    assert(out(13L) == ((1L, 0L, 0.0)))
+  }
+
+  test("Incremental.scd2Intervals merges same-state runs and chains validity") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "gold", 10L, 1L), (1L, "gold", 20L, 2L),   // run merges → v1
+      (1L, "silver", 30L, 3L),                        // change → v2
+      (1L, "gold", 40L, 4L),                          // back to gold = NEW version
+      (2L, "bronze", 5L, 5L))                         // single-event key
+      .toDF("uid", "state", "t", "eid")
+    val out = graft.operators.Incremental
+      .scd2Intervals(log, Seq("uid"), "state", "t", Seq("eid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+          r.getLong(5), r.getBoolean(6)))).toMap
+    assert(out((1L, 1L)) == (("gold", 10L, Some(30L), 2L, false)))
+    assert(out((1L, 2L)) == (("silver", 30L, Some(40L), 1L, false)))
+    assert(out((1L, 3L)) == (("gold", 40L, None, 1L, true)))
+    assert(out((2L, 1L)) == (("bronze", 5L, None, 1L, true)))
+    assert(out.size == 4)
+  }
+
   test("graft_top_cells matches the HOF slice/sort/transform form bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions.broadcast
