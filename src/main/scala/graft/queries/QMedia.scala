@@ -270,6 +270,114 @@ object QMedia {
       .orderBy("width")
   })
 
+  // ------------------------------------------- perceptual image dedup
+  final case class DHashRow(doc_id: Long, hsh: Long)
+
+  /** Difference-hash (dHash) of a decoded gray raster: the image is
+    * average-pooled onto an 8×8 grid (pixel (pr, pc) belongs to cell
+    * ((8·pr)/h, (8·pc)/w) — the exact integer partition both engines
+    * can replay), and each of the 7 adjacent-cell comparisons per row
+    * contributes one bit (right cell brighter ⇒ 1) — a 56-bit
+    * brightness-GRADIENT signature that survives rescaling and uniform
+    * brightness shifts, the standard first-pass perceptual near-dup
+    * key for image corpora. Integer-only (cell value = sum / count
+    * floored), so the signature is deterministic. */
+  private[graft] def dhashBmp(rows: Iterator[MediaRow]): Iterator[DHashRow] =
+    rows.map { r =>
+      val (w, h, gray) = decodeBmpGray(r.doc_id, r.payload)
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var pr = 0
+      while (pr < h) {
+        val gr = 8 * pr / h
+        var pc = 0
+        while (pc < w) {
+          val cell = gr * 8 + 8 * pc / w
+          sums(cell) += (gray(pr * w + pc) & 0xff)
+          cnts(cell) += 1
+          pc += 1
+        }
+        pr += 1
+      }
+      var hsh = 0L
+      var gr = 0
+      while (gr < 8) {
+        var gc = 0
+        while (gc < 7) {
+          val a = sums(gr * 8 + gc) / cnts(gr * 8 + gc)
+          val b = sums(gr * 8 + gc + 1) / cnts(gr * 8 + gc + 1)
+          if (b > a) hsh |= 1L << (gr * 7 + gc)
+          gc += 1
+        }
+        gr += 1
+      }
+      DHashRow(r.doc_id, hsh)
+    }
+
+  /** Perceptual image near-dup via dHash + banded LSH — the VISUAL
+    * member of the dedup family (simhash for pixels): each image's
+    * 56-bit difference hash splits into 4 bands of 14 bits, images
+    * sharing any band become candidates (equi-join — never all-pairs,
+    * the same banding scale shape as minhash/simhash), and the 20 most
+    * similar pairs by exact Hamming distance are reported. Top-k by
+    * (hamming, pair) instead of a fixed threshold so the report is
+    * never empty and never unbounded. The oracle re-derives every
+    * pooled cell from the source text's codepoints — a stride/pooling
+    * bug in the decoder shifts cells, flips gradient bits and
+    * hash-fails. Images must span the 8-row grid (≥ 8 full pixel
+    * rows), enforced identically on both sides. */
+  val dhash = Q("mm_image_dhash", Some("""
+    WITH m AS (SELECT doc_id, 25 + doc_id % 7 AS w,
+                      length(text) // (25 + doc_id % 7) AS h, text
+               FROM documents
+               WHERE strlen(text) = length(text)
+                 AND length(text) >= 8 * (25 + doc_id % 7)),
+    px AS (SELECT doc_id, (8 * (t.i // w)) // h AS gr, (8 * (t.i % w)) // w AS gc,
+                  ascii(substr(text, t.i + 1, 1)) AS v
+           FROM m, LATERAL unnest(generate_series(0, w * h - 1)) AS t(i)),
+    cell AS (SELECT doc_id, gr, gc, sum(v) // count(*) AS cv FROM px GROUP BY 1, 2, 3),
+    bits AS (SELECT a.doc_id, a.gr, a.gc,
+                    CASE WHEN b.cv > a.cv THEN 1 ELSE 0 END AS bit
+             FROM cell a JOIN cell b
+               ON a.doc_id = b.doc_id AND a.gr = b.gr AND b.gc = a.gc + 1),
+    hash AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << (gr * 7 + gc))) AS BIGINT) AS hsh
+             FROM bits GROUP BY 1),
+    bands AS (SELECT doc_id, hsh, t.b, (hsh >> (t.b * 14)) & 16383 AS bkey
+              FROM hash, LATERAL unnest(generate_series(0, 3)) AS t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.hsh AS ha, b.hsh AS hb
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand ORDER BY hamming, doc_a, doc_b LIMIT 20"""
+  ))((s, d) => {
+    import s.implicits._
+    // only docs with >= 8 full pixel rows span the grid — filtered
+    // BEFORE the hasher (an h < 8 raster leaves grid rows empty)
+    val media = Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text")) &&
+        length(col("text")) >= (lit(25) + pmod(col("doc_id"), lit(7))) * 8)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        MediaRow(id, bmpBytes(25 + (id % 7).toInt, raw))
+      })
+    val hashes = media.mapPartitions(dhashBmp).toDF()
+    val bands = hashes.select(col("doc_id"), col("hsh"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bkey", expr("shiftright(hsh, 14 * b)").bitwiseAND(lit(16383L)))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.hsh").as("ha"), col("b.hsh").as("hb"))
+      .distinct()
+    cand.select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b")).limit(20)
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+  })
+
   // ------------------------------------------------- REAL codec: WAV
   final case class WavRow(doc_id: Long, payload: Array[Byte])
   final case class WavFeatures(doc_id: Long, sample_rate: Long, n_samples: Long,
@@ -495,5 +603,5 @@ object QMedia {
       .orderBy("sample_rate")
   })
 
-  val all: Seq[Q] = Seq(decode, frames, resize, wav, wavFrames)
+  val all: Seq[Q] = Seq(decode, frames, resize, dhash, wav, wavFrames)
 }

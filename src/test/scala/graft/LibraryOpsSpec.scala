@@ -576,6 +576,24 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("graft_cosine") && e2.getMessage.contains("2"))
   }
 
+  test("QMedia.dhashBmp is a brightness-shift-invariant gradient signature") {
+    import graft.queries.QMedia.{MediaRow, bmpBytes, dhashBmp}
+    def hashOf(w: Int, gray: Array[Byte]): Long =
+      dhashBmp(Iterator(MediaRow(1L, bmpBytes(w, gray)))).next().hsh
+    // strict left-to-right brightness ramp → every right cell brighter
+    // → all 56 gradient bits set
+    val ramp = Array.tabulate(16 * 16)(i => ((i % 16) * 8).toByte)
+    assert(hashOf(16, ramp) == (1L << 56) - 1)
+    // uniform brightness shift preserves every cell DIFFERENCE → same
+    // hash (the perceptual invariance dHash exists for)
+    val shifted = ramp.map(b => ((b & 0xff) + 50).toByte)
+    assert(hashOf(16, shifted) == hashOf(16, ramp))
+    // flat image → no gradient anywhere → zero hash
+    assert(hashOf(16, Array.fill(16 * 16)(77.toByte)) == 0L)
+    // right-to-left ramp → no "brighter to the right" cell pair
+    assert(hashOf(16, ramp.map(b => (120 - (b & 0xff)).toByte)) == 0L)
+  }
+
   test("BMP synth/decode round-trips the raster across every stride residue") {
     // widths 25..31 cover all 4-byte-stride paddings (0..3 pad bytes);
     // per-index pixel values make any bottom-up/offset mistake visible
