@@ -69,6 +69,14 @@ object GraftSession {
             graft.functions.MinhashSig(a, b, c)
           }))
         ext.injectFunction((
+          FunctionIdentifier("graft_kgram_first_pos"),
+          new ExpressionInfo(classOf[graft.functions.KgramFirstPos].getName,
+            "graft_kgram_first_pos"),
+          (children: Seq[Expression]) => {
+            val Seq(a, b) = arity("graft_kgram_first_pos", 2, children)
+            graft.functions.KgramFirstPos(a, b)
+          }))
+        ext.injectFunction((
           FunctionIdentifier("graft_simhash"),
           new ExpressionInfo(classOf[graft.functions.SimhashSig].getName,
             "graft_simhash"),

@@ -603,15 +603,17 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"substringRuns needs k >= 1, got $k")
     require(maxDf >= 2, s"substringRuns needs maxDf >= 2, got $maxDf")
-    val grams = (0 until k).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(", ")
+    // (gram, first-position) pairs are PER-DOCUMENT facts — computed
+    // row-locally by the native KgramFirstPos pass (identical
+    // token/md5 chain), so the index frame is a pure projection: no
+    // corpus-wide groupBy of the gram stream before the df gate (the
+    // same structural win the minhash/ngram paths took). A NULL result
+    // (doc shorter than k tokens) explodes to no rows — the old
+    // size(w) >= k gate.
     val occ = docs
-      .withColumn("w", split(col(textCol), " "))
-      .filter(size(col("w")) >= k)
-      .select(col(idCol), col("w"),
-        explode(expr(s"sequence(0, size(w) - $k)")).as("i"))
       .select(col(idCol),
-        expr(s"md5(encode(concat_ws(' ', $grams), 'UTF-8'))").as("g"), col("i"))
-      .groupBy(idCol, "g").agg(min("i").as("i"))
+        explode(expr(s"graft_kgram_first_pos($textCol, $k)")).as("z"))
+      .select(col(idCol), col("z.g").as("g"), col("z.i").as("i"))
     val ex = CacheScope.persist(occ
       .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("df").between(2L, maxDf)).drop("df"))

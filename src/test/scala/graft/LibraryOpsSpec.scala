@@ -594,6 +594,32 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(hashOf(16, ramp.map(b => (120 - (b & 0xff)).toByte)) == 0L)
   }
 
+  test("graft_kgram_first_pos matches the explode+groupBy formulation bit-for-bit") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c a b c a b"),          // repeated grams → first positions
+      (2L, "x y"),                      // shorter than k=3 → NO rows
+      (3L, "p q r s"),                  // exactly two 3-grams
+      (4L, ""),                         // empty text → 1 token → no rows
+      (5L, "t  u v w"))                 // double space → empty token kept
+      .toDF("id", "body")
+    val viaExpr = d.select(col("id"),
+        explode(expr("graft_kgram_first_pos(body, 3)")).as("z"))
+      .select(col("id"), col("z.g"), col("z.i"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val viaPlan = d.withColumn("w", split(col("body"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("id"), col("w"),
+        explode(expr("sequence(0, size(w) - 3)")).as("i"))
+      .select(col("id"),
+        expr("md5(encode(concat_ws(' ', w[i], w[i+1], w[i+2]), 'UTF-8'))").as("g"),
+        col("i"))
+      .groupBy("id", "g").agg(min("i").as("i"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(viaExpr == viaPlan && viaExpr.nonEmpty)
+    assert(!viaExpr.exists(t => t._1 == 2L || t._1 == 4L))
+  }
+
   test("BMP synth/decode round-trips the raster across every stride residue") {
     // widths 25..31 cover all 4-byte-stride paddings (0..3 pad bytes);
     // per-index pixel values make any bottom-up/offset mistake visible
