@@ -457,55 +457,71 @@ object Similarity {
     * table against the broadcast codebook (q·m·kCodes rows — tiny),
     * and scoring is a broadcast cross join of the n candidate rows
     * against the q LUT rows with a row-local exact-DECIMAL chain over
-    * the m code lookups — no (query × candidate × subspace) shuffle
-    * ever materializes, and the per-query rank window partitions on
-    * the bounded query set. The m lookups are UNROLLED over m pivoted
-    * code columns, not folded with `aggregate` — higher-order lambdas
-    * run interpreted (this file's header note; the fold form measured
-    * ~5 s of pure per-row interpretation at 200k candidates) while the
-    * unrolled positional `lut[i0].xr + … + lut[i7].xr` chain stays in
-    * whole-stage codegen. Every term is cast to DECIMAL(28,12), so the
-    * exact decimal chain equals the stableSum aggregate the oracle
-    * replays (exact addition is order-free and the chain's precision
-    * headroom is m digits). Output: (query_id, rk, cand_id, cos_adc),
+    * the m code lookups ([[adcScore]] — unrolled, codegen'd, decimal-
+    * exact) — no (query × candidate × subspace) shuffle ever
+    * materializes, and the per-query rank window partitions on the
+    * bounded query set. Output: (query_id, rk, cand_id, cos_adc),
     * rk ≤ k. */
   def pqAdcTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 3, dim: Int = 64, m: Int = 8,
       kCodes: Int = 16, seed: Long = 77L, iters: Int = 1,
       memoKey: Option[String] = None): DataFrame = {
-    import graft.functions.Deterministic.stableSum
     require(k >= 1, s"pqAdcTopK needs k >= 1, got $k")
     val sub = dim / m
     val (trained, asgF) =
       pqTrainParts(vectors, idCol, vecCol, dim, m, kCodes, seed, iters, memoKey)
-    // dense per-(j, cent_id) LUT positions (within-j rank + cumulative
-    // offset of prior subspaces — dense even if a Lloyd iteration
-    // starves a codeword out of some j) so LUT lookups are positional:
-    // Spark's map element_at is a LINEAR scan over the entries per
-    // lookup (no hash index), measured ~3 s of pure scanning at 200k
-    // candidates; an array index is O(1). Codebook-sized frames only.
+    val pos = pqLutPositions(trained)
+    val cand = pqEncodeRows(asgF, trained, pos, idCol, sub, m)
+    val lut = pqQueryLut(queries, trained, pos, idCol, vecCol, dim, m, sub)
+    val scored = adcScore(cand.crossJoin(broadcast(lut))
+      .filter(col("query_id") =!= col("cand_id")), m)
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("c").as("cos_adc"))
+  }
+
+  /** Dense per-(j, cent_id) LUT positions (within-j rank + cumulative
+    * offset of prior subspaces — dense even if a Lloyd iteration
+    * starves a codeword out of some j) so LUT lookups are positional:
+    * Spark's map element_at is a LINEAR scan over the entries per
+    * lookup (no hash index), measured ~3 s of pure scanning at 200k
+    * candidates; an array index is O(1). Codebook-sized frames only
+    * (the unpartitioned offset window runs over ≤ m rows). */
+  private def pqLutPositions(trained: DataFrame): DataFrame = {
     val perJ = trained.select("j", "cent_id")
       .withColumn("cr",
         row_number().over(Window.partitionBy("j").orderBy("cent_id")) - 1)
     val offs = perJ.groupBy("j").agg(count(lit(1)).as("nj"))
       .withColumn("off", coalesce(sum("nj").over(
         Window.orderBy("j").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val pos = perJ.join(offs.select("j", "off"), "j")
+    perJ.join(offs.select("j", "off"), "j")
       .select(col("j"), col("cent_id"), (col("off") + col("cr")).as("idx"))
-    // encode the corpus: the (memoizable) final assignment + one
-    // broadcast codebook join for the codeword norm, rolled up to
-    // one row per candidate: (cand_id, i0..i{m-1} LUT positions, srr)
+  }
+
+  /** Encode the corpus for ADC: the (memoizable) final PQ assignment +
+    * one broadcast codebook join for the codeword norm, rolled up to
+    * one row per candidate — (cand_id, i0..i{m-1} LUT positions, srr).
+    * The only n·m-row shuffle of the ADC path. */
+  private def pqEncodeRows(asgF: DataFrame, trained: DataFrame,
+      pos: DataFrame, idCol: String, sub: Int, m: Int): DataFrame = {
+    import graft.functions.Deterministic.stableSum
     val enc = asgF.join(broadcast(trained), Seq("j", "cent_id"))
       .select(col(idCol).as("cand_id"), col("j"), col("cent_id"),
         expr(dotExpr("cv", "cv", sub)).as("rr"))
       .join(broadcast(pos), Seq("j", "cent_id"))
     val idxCols = (0 until m).map(j =>
       max(when(col("j") === j, col("idx"))).as(s"i$j"))
-    val cand = enc.groupBy("cand_id")
+    enc.groupBy("cand_id")
       .agg(idxCols.head, idxCols.tail :+ stableSum(col("rr"), 12).as("srr"): _*)
-    // per-query ADC lookup table: lut[pos(j, cent)] = <q_j, codeword>,
-    // positionally sorted; plus the full-precision query norm computed
-    // once
+  }
+
+  /** Per-query ADC lookup table: lut[pos(j, cent)] = <q_j, codeword>,
+    * positionally sorted; plus the full-precision query norm computed
+    * once. q·m·kCodes rows — tiny by the small-query-set contract. */
+  private def pqQueryLut(queries: DataFrame, trained: DataFrame,
+      pos: DataFrame, idCol: String, vecCol: String, dim: Int, m: Int,
+      sub: Int): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", sqrt(expr(dotExpr("qv", "qv", dim))))
@@ -513,13 +529,25 @@ object Similarity {
         explode(array((0 until m).map(j =>
           struct(lit(j).as("j"), slice(col("qv"), j * sub + 1, sub).as("qj"))): _*)).as("e"))
       .select(col("query_id"), col("qn"), col("e.j").as("j"), col("e.qj").as("qj"))
-    val lut = qSub.join(trained.hint("broadcast"), "j")
+    qSub.join(trained.hint("broadcast"), "j")
       .join(broadcast(pos), Seq("j", "cent_id"))
       .withColumn("xr", expr(dotExpr("qj", "cv", sub)))
       .groupBy("query_id", "qn")
       .agg(array_sort(collect_list(struct(col("idx"), col("xr")))).as("lut"))
-    val scored = cand.crossJoin(broadcast(lut))
-      .filter(col("query_id") =!= col("cand_id"))
+  }
+
+  /** The row-local ADC cosine over a frame carrying (i0..i{m-1}, srr,
+    * qn, lut): the m lookups are UNROLLED over m pivoted code columns,
+    * not folded with `aggregate` — higher-order lambdas run interpreted
+    * (this file's header note; the fold form measured ~5 s of pure
+    * per-row interpretation at 200k candidates) while the unrolled
+    * positional `lut[i0].xr + … + lut[i7].xr` chain stays in
+    * whole-stage codegen. Every term is cast to DECIMAL(28,12), so the
+    * exact decimal chain equals the stableSum aggregate the oracle
+    * replays (exact addition is order-free and the chain's precision
+    * headroom is m digits). Adds columns sxr and c (rounded cosine). */
+  private def adcScore(pairs: DataFrame, m: Int): DataFrame =
+    pairs
       .withColumn("sxr",
         (0 until m).map(j =>
             expr(s"CAST(element_at(lut, CAST(i$j + 1 AS INT)).xr AS DECIMAL(28,12))"))
@@ -527,6 +555,82 @@ object Similarity {
       .withColumn("c", round(
         when(col("srr") === 0.0 || col("qn") === 0.0, lit(0.0))
           .otherwise(col("sxr") / (col("qn") * sqrt(col("srr")))), 6))
+
+  /** IVF-ADC top-k — the Jégou et al. 2011 "IVFADC" layout, THE
+    * standard billion-scale ANN structure (coarse inverted lists to
+    * bound the scan, PQ codes to bound the bytes): queries probe their
+    * `nProbe` nearest coarse cells and score ONLY those cells' members,
+    * by asymmetric distance against each member's codeword
+    * reconstruction — never the raw vectors. [[ivfTopK]] bounds WHICH
+    * candidates are read (nProbe/nList of the corpus) but still reads
+    * `dim` floats each; [[pqAdcTopK]] bounds the BYTES per candidate
+    * (m codes) but scans the whole corpus; this composition bounds
+    * both, which is what makes a 100 TB embedding store servable.
+    *
+    * Structure: the coarse quantizer is [[ivfTopK]]'s (seeded centroid
+    * picks, shuffle-free [[topCells]] assignment — top-1 over the
+    * corpus for the inverted lists, top-nProbe over the QUERY vectors
+    * for the probes, so out-of-corpus queries probe correctly); the code
+    * layer is [[pqAdcTopK]]'s ([[pqTrainParts]] training — memo-shared
+    * under the same key, so a session serving both ADC variants trains
+    * once — positional LUT, unrolled decimal scoring chain). The
+    * probed-pair frame replaces pqAdcTopK's full cross join: candidate
+    * pairs (query_id, cand_id) are built from the broadcast probe set
+    * and joined to the encoded-corpus rows by a broadcast hash join,
+    * so the scoring pass is ONE scan of the 8-byte-code frame with no
+    * shuffle, emitting only probed-cell members.
+    *
+    * Determinism: both stages' tie-breaks are spec-pinned (rounded
+    * cosine DESC, id), scores ride the same DECIMAL(28,12) chains as
+    * pqAdcTopK; recall vs [[bruteTopK]] is bounded by coarse-probe
+    * misses (measured by sim_ann_recall's protocol) times codebook
+    * fidelity ([[pqCosError]]). Output: (query_id, rk, cand_id,
+    * cos_adc), rk ≤ k. */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 3, nList: Int = 16, nProbe: Int = 2,
+      ivfSeed: Long = 2024L, dim: Int = 64, m: Int = 8, kCodes: Int = 16,
+      pqSeed: Long = 77L, iters: Int = 1, targetCellSize: Int = 256,
+      numVectors: Option[Long] = None,
+      memoKey: Option[String] = None): DataFrame = {
+    import graft.functions.Deterministic.hrand
+    require(k >= 1, s"ivfPqTopK needs k >= 1, got $k")
+    val sub = dim / m
+    val nCells = autoNList(numVectors.getOrElse(vectors.count()), nList, targetCellSize)
+    val cent = vectors
+      .orderBy(hrand(col(idCol), ivfSeed), col(idCol))
+      .limit(nCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+    // one-row centroid array, persisted: both the inverted list and the
+    // query probes cross against it (the seeded pick is one pass either
+    // way, but unpersisted each consumer would re-run it)
+    val cents = CacheScope.persist(centroidArray(cent))
+    // inverted list: TOP-1 assignment only (unlike ivfTopK, probes do
+    // not come from this frame, so no nProbe fan-out and no persist —
+    // each frame has exactly one consumer)
+    val a1 = vectors.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol).as("cand_id"),
+        expr(s"element_at(graft_top_cells($vecCol, cents, 1), 1).cent_id").as("cent_id"))
+    // probes from the QUERY vectors directly — same topCells ordering,
+    // so identical to ranking the corpus assignment when queries are
+    // corpus members, and (unlike the id-join formulation) also correct
+    // for out-of-corpus query vectors
+    val probes = queries.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol).as("query_id"),
+        explode(topCells(vecCol, math.max(nProbe, 1))).as("pc"))
+      .select(col("query_id"), col("pc.cent_id").as("cent_id"))
+    val pairs = broadcast(probes).join(a1, "cent_id")
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id")
+    val (trained, asgF) =
+      pqTrainParts(vectors, idCol, vecCol, dim, m, kCodes, pqSeed, iters, memoKey)
+    val pos = pqLutPositions(trained)
+    val candEnc = pqEncodeRows(asgF, trained, pos, idCol, sub, m)
+    val lut = pqQueryLut(queries, trained, pos, idCol, vecCol, dim, m, sub)
+    val scored = adcScore(
+      candEnc.join(broadcast(pairs), "cand_id")
+        .join(broadcast(lut), "query_id"), m)
     val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

@@ -878,6 +878,94 @@ object QSim {
       .orderBy("query_id")
   })
 
+  // ------------------------------------------------- IVF-ADC search
+  /** The composed billion-scale ANN layout — operators.Similarity
+    * .ivfPqTopK (Jégou et al. 2011 IVFADC): coarse inverted lists
+    * bound WHICH candidates are read (nprobe/nlist of the corpus), PQ
+    * codes bound the BYTES per candidate (m codewords, not dim
+    * floats) — the structure a 100 TB embedding store actually
+    * serves queries from. Same coarse quantizer as sim_ann_ivf
+    * (nlist=16, nprobe=2, seed 2024) and the same code layer as
+    * sim_pq_adc_topk (8×16 codebooks, 1 Lloyd iteration, seed 77 —
+    * memo-shared, so the session trains once for both). The oracle
+    * composes the two proven replays: the IVF probe/candidate CTEs of
+    * sim_ann_recall restrict the per-subspace partial-dot scoring
+    * CTEs of sim_pq_adc_topk. */
+  val ivfPq = Q("sim_ivfpq_topk", Some {
+    def dotS(x: String, y: String) =
+      "(0" + (1 to pqSub).map(i => s" + ($x[$i] * $y[$i])").mkString + ")"
+    def cosS(x: String, y: String) =
+      s"${dotS(x, y)} / (sqrt(${dotS(x, x)}) * sqrt(${dotS(y, y)}))"
+    def assignCte(cbCte: String, n: Int) = s"""
+    pac$n AS (SELECT ex.vec_id, ex.j, ex.vj, cb.cent_id,
+                     round(${cosS("ex.vj", "cb.cv")}, 6) AS c
+              FROM ex JOIN $cbCte cb USING (j)),
+    pr$n AS (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY c DESC, cent_id) AS rn
+             FROM pac$n),
+    pasg$n AS (SELECT vec_id, j, vj, cent_id FROM pr$n WHERE rn = 1)"""
+    def updateCte(n: Int) = s"""
+    pu$n AS (SELECT j, cent_id, i, CAST(SUM(CAST(vj[i] AS DECIMAL(28,9))) AS DOUBLE)
+                    / count(*) AS mn
+             FROM pasg$n, LATERAL unnest(generate_series(1, $pqSub)) AS t(i)
+             GROUP BY 1, 2, 3),
+    pcb$n AS (SELECT j, cent_id, list(mn ORDER BY i) AS cv FROM pu$n GROUP BY 1, 2)"""
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+             ORDER BY ${graft.functions.Deterministic.hrandSql("vec_id", ivfSeed)}, vec_id
+             LIMIT $nList),
+    ac AS (SELECT e.vec_id, cent.cent_id, round(${cosD("e.v", "cent.cv")}, 6) AS c
+           FROM e CROSS JOIN cent),
+    asg AS (SELECT vec_id, cent_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+            FROM ac),
+    a1 AS (SELECT vec_id AS cand_id, cent_id FROM asg WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cent_id FROM asg WHERE rn <= $nProbe AND vec_id < 8),
+    cand AS (SELECT p.query_id, a.cand_id FROM probes p
+             JOIN a1 a ON p.cent_id = a.cent_id AND a.cand_id <> p.query_id),
+    pcent AS (SELECT vec_id AS cent_id, v AS cv0 FROM e
+              ORDER BY ${graft.functions.Deterministic.hrandSql("vec_id", pqSeed)}, vec_id
+              LIMIT $pqK),
+    pcb0 AS (SELECT t.j, cent_id, cv0[t.j * $pqSub + 1 : (t.j + 1) * $pqSub] AS cv
+             FROM pcent, LATERAL unnest(generate_series(0, ${pqM - 1})) AS t(j)),
+    ex AS (SELECT vec_id, t.j, v[t.j * $pqSub + 1 : (t.j + 1) * $pqSub] AS vj
+           FROM e, LATERAL unnest(generate_series(0, ${pqM - 1})) AS t(j)),
+    ${assignCte("pcb0", 1)},
+    ${updateCte(1)},
+    ${assignCte("pcb1", 2)},
+    enc AS (SELECT a.vec_id AS cand_id, a.j, cb.cv
+            FROM pasg2 a JOIN pcb1 cb USING (j, cent_id)),
+    q AS (SELECT vec_id AS query_id, v, sqrt(${duckDot("v", "v")}) AS qn
+          FROM e WHERE vec_id < 8),
+    qs AS (SELECT query_id, qn, t.j, v[t.j * $pqSub + 1 : (t.j + 1) * $pqSub] AS qj
+           FROM q, LATERAL unnest(generate_series(0, ${pqM - 1})) AS t(j)),
+    parts AS (SELECT c.query_id, qs.qn, c.cand_id,
+                     ${dotS("qs.qj", "enc.cv")} AS xr,
+                     ${dotS("enc.cv", "enc.cv")} AS rr
+              FROM cand c
+              JOIN enc ON c.cand_id = enc.cand_id
+              JOIN qs ON qs.query_id = c.query_id AND qs.j = enc.j),
+    sc AS (SELECT query_id, qn, cand_id,
+                  CAST(SUM(CAST(xr AS DECIMAL(28,12))) AS DOUBLE) AS sxr,
+                  CAST(SUM(CAST(rr AS DECIMAL(28,12))) AS DOUBLE) AS srr
+           FROM parts GROUP BY 1, 2, 3),
+    f AS (SELECT query_id, cand_id,
+                 round(CASE WHEN srr = 0 OR qn = 0 THEN 0.0
+                            ELSE sxr / (qn * sqrt(srr)) END, 6) AS cos_adc
+          FROM sc),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_adc DESC, cand_id) AS rk
+          FROM f)
+    SELECT query_id, rk, cand_id, cos_adc FROM r WHERE rk <= 3 ORDER BY 1, 2"""
+  })((s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8), "vec_id", "v",
+        k = 3, nList = nList, nProbe = nProbe, ivfSeed = ivfSeed,
+        dim = kmDim, m = pqM, kCodes = pqK, pqSeed = pqSeed, iters = adcIters,
+        numVectors = Some(Tables.rowCount(s, d, "embeddings")),
+        memoKey = Some(graft.operators.Memo.corpusKey("pq", d)))
+      .orderBy("query_id", "rk")
+  })
+
   // ------------------------------------------ substring-run near-dup
   /** Contiguous verbatim-overlap pairs — operators.Dedup.substringRuns
     * (the Lee et al. 2022 exact-substring dedup, k-gram diagonal-run
@@ -1207,5 +1295,6 @@ object QSim {
   val all: Seq[Q] =
     Seq(exact, minhashLsh, minhashInc, clusterCc, keepRank, funnel, simhash, ngramJaccard,
       embedNearDup, annTopk, annLsh, annIvf, annRecall, kmeansCells, scalarQuant,
-      pqError, adcTopk, substringRun, spanRewrite, randProj, semantic, decontamFuzzy)
+      pqError, adcTopk, ivfPq, substringRun, spanRewrite, randProj, semantic,
+      decontamFuzzy)
 }

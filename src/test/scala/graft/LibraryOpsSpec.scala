@@ -1096,6 +1096,37 @@ class LibraryOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Similarity.ivfPqTopK agrees with the full ADC scan on the probed candidate set") {
+    import spark.implicits._
+    val dim = 8
+    def rng(seed: Long): Iterator[Double] = Iterator.iterate(seed * 2862933555777941757L + 3037000493L)(
+      s => s * 2862933555777941757L + 3037000493L)
+      .map(s => (s >>> 33).toDouble / (1L << 31).toDouble - 0.5)
+    val d = (0 until 40).map(i => (i.toLong, rng(i + 1).take(dim).toArray)).toDF("vid", "vec")
+    val q = d.filter(col("vid") < 3)
+    // k larger than the corpus: both calls return their FULL scored
+    // sets, so the composition invariants are checked pair-by-pair
+    val full = Similarity.pqAdcTopK(d, q, "vid", "vec",
+        k = 100, dim = dim, m = 2, kCodes = 6, seed = 5L, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivfadc = Similarity.ivfPqTopK(d, q, "vid", "vec",
+        k = 100, nList = 4, nProbe = 2, ivfSeed = 11L, dim = dim, m = 2,
+        kCodes = 6, pqSeed = 5L, iters = 1, numVectors = Some(40L))
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(d, q, "vid", "vec",
+        k = 100, nList = 4, nProbe = 2, seed = 11L, dim = dim,
+        numVectors = Some(40L))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 1) candidate restriction IS the IVF candidate set (same coarse
+    //    quantizer, same probes); 2) every probed pair scores exactly
+    //    what the unrestricted ADC scan gives it (shared code path)
+    assert(ivfadc.keySet == ivf, s"probed pairs ${ivfadc.keySet} != IVF candidates $ivf")
+    assert(ivfadc.nonEmpty && ivfadc.size < full.size)
+    ivfadc.foreach { case (pair, c) =>
+      assert(full(pair) == c, s"ADC score mismatch for $pair: $c vs ${full(pair)}")
+    }
+  }
+
   test("Sampling.temperatureRates: tau=1 is natural proportions; lower tau flattens") {
     import spark.implicits._
     import graft.operators.Sampling

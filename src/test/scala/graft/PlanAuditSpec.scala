@@ -46,6 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "dedup_keep_rank",          // same pageRank 1-row node-count/dangling-mass crosses
       "t11_chi2_independence",    // category-bounded r×c grid + 1-row scalars
       "sim_pq_adc_topk",          // candidates × broadcast per-query ADC LUTs (bounded query set)
+      "sim_ivfpq_topk",           // 1-row centroid-array broadcast cross (the IVF stage)
       "text_perplexity_bigram",   // 1-row vocab-size broadcast cross
       "t16_psi_event_type")       // 1-row decile-cuts + ref-total broadcast crosses
     val offenders = Q.registry
@@ -81,8 +82,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "t2_wilcoxon_signed_rank", // documented single-group demonstrator (QStats.scala:192);
                                  //   the typed Aggregator legs are the scale path
       "graph_pagerank_copurchase", // rank over the 10-row post-LIMIT frame (QScale.scala)
-      "sim_pq_adc_topk")         // LUT-position offsets over the m-row subspace frame
-                                 //   (Similarity.scala:475 — codebook-bounded)
+      "sim_pq_adc_topk",         // LUT-position offsets over the m-row subspace frame
+                                 //   (Similarity.pqLutPositions — codebook-bounded)
+      "sim_ivfpq_topk")          // same codebook-bounded LUT-position offsets
     val offenders = Q.registry
       .filterNot(_.name.startsWith("stream_"))
       .flatMap { q =>
