@@ -17,7 +17,7 @@ import graft.operators.{Dedup, Similarity}
   */
 object QSim {
 
-  private val shinglesSqlDuck =
+  private[queries] val shinglesSqlDuck =
     "list_distinct([md5(concat_ws(' ', w[i], w[i+1], w[i+2])) for i in generate_series(1, len(w)-2)])"
 
   // Input choice (SCALE.md §Dedup): only the SHINGLE-heavy operators
@@ -47,12 +47,12 @@ object QSim {
     * The oracle parses the md5's first 8 hex chars positionally into the
     * same 31-bit integer Spark gets from conv(·,16,10), then replays the
     * identical (h·A+B) mod 2^31 mixes. */
-  private val nHash = 12
-  private val bandRows = 2
+  private[queries] val nHash = 12
+  private[queries] val bandRows = 2
 
   // (strpos hex parse) == conv(substring(sh,1,8),16,10): digit k of 8
   // scales by 16^(8-k) = 2^(4(8-k)); all terms integer-exact BIGINTs.
-  private val h1Duck = "(" + (1 to 8).map(k =>
+  private[queries] val h1Duck = "(" + (1 to 8).map(k =>
     s"(strpos('0123456789abcdef', sh[$k]) - 1) * ${1L << (4 * (8 - k))}")
     .mkString(" + ") + s") % ${graft.operators.Dedup.mixM}"
 
@@ -209,7 +209,7 @@ object QSim {
     * oracle replays the asymmetric candidate join: new-side bands
     * against all bands, old partners emitted any-order (new side
     * first), new partners once via doc_new < doc_other. */
-  private val incNewSources = Seq("src0", "src1", "src2", "src3")
+  private[queries] val incNewSources = Seq("src0", "src1", "src2", "src3")
 
   val minhashInc = Q("dedup_incremental_minhash", Some {
     val newIn = incNewSources.map(s => s"'$s'").mkString(", ")

@@ -85,5 +85,53 @@ object QStream {
     SELECT n_obs, count(*) AS n_trigs FROM j GROUP BY 1 ORDER BY 1"""
   ))((s, d) => StreamOps.intervalJoinOuter(s, d))
 
-  val all: Seq[Q] = Seq(wm, sess, ij, dedup, ijo)
+  /** Ingest-time near-dup: a documents STREAM (the arriving crawl
+    * shard — sources src0–src3, the incremental-dedup increment)
+    * band-joined against the STATIC old-corpus minhash index, Jaccard
+    * verified in-stream — StreamOps.streamingNearDup. Stateless
+    * stream-static equi-join: no watermark, no state store; the oracle
+    * replays the identical signature/band chain restricted to new×old
+    * pairs with the bucket-population guard applied to the OLD index
+    * (index-build-time semantics), which on this corpus yields exactly
+    * the new×old slice of dedup_incremental_minhash. */
+  val nearDup = Q("stream_neardup_ingest", Some {
+    import graft.operators.Dedup
+    val newIn = QSim.incNewSources.map(s => s"'$s'").mkString(", ")
+    val nHash = QSim.nHash
+    val bandRows = QSim.bandRows
+    val mhCols = (0 until nHash).map(i =>
+      s"min((h1 * ${Dedup.mixA(i)} + ${Dedup.mixB(i)}) " +
+        s"% ${Dedup.mixM}) AS mh$i").mkString(", ")
+    val bandSel = (0 until nHash / bandRows).map { b =>
+      val ks = (0 until bandRows).map(r => s"mh${b * bandRows + r}").mkString(", ")
+      s"SELECT doc_id, is_new, $b AS band, concat_ws('_', $ks) AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH w AS (SELECT doc_id, coalesce(source IN ($newIn), FALSE) AS is_new,
+                      string_split(text, ' ') AS w
+               FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    shs AS (SELECT doc_id, is_new, ${QSim.shinglesSqlDuck} AS s FROM w),
+    ex AS (SELECT doc_id, is_new, unnest(s) AS sh FROM shs),
+    hx AS (SELECT doc_id, is_new, ${QSim.h1Duck} AS h1 FROM ex),
+    sig AS (SELECT doc_id, is_new, $mhCols FROM hx GROUP BY 1, 2),
+    bands AS ($bandSel),
+    oldb AS (SELECT doc_id, band, bkey FROM (
+               SELECT doc_id, band, bkey,
+                      count(*) OVER (PARTITION BY band, bkey) AS bc
+               FROM bands WHERE NOT is_new)
+             WHERE bc <= ${Dedup.defaultMaxBandBucket}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+             FROM bands a JOIN oldb b
+               ON a.bkey = b.bkey AND a.band = b.band AND a.is_new),
+    ver AS (SELECT c.doc_new, c.doc_old,
+                   len(list_intersect(sa.s, sb.s))::DOUBLE
+                     / len(list_distinct(sa.s || sb.s)) AS j
+            FROM cand c JOIN shs sa ON c.doc_new = sa.doc_id
+                        JOIN shs sb ON c.doc_old = sb.doc_id)
+    SELECT doc_new, doc_old, round(j, 6) AS jaccard
+    FROM ver WHERE j >= 0.5 ORDER BY 1, 2"""
+  })((s, d) => StreamOps.streamingNearDup(s, d, QSim.incNewSources,
+    nHash = QSim.nHash, bandRows = QSim.bandRows, threshold = 0.5))
+
+  val all: Seq[Q] = Seq(wm, sess, ij, dedup, ijo, nearDup)
 }

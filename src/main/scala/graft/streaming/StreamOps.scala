@@ -29,19 +29,7 @@ object StreamOps {
     * path). Normalizes the ns-long `ts` to a µs timestamp exactly like
     * Tables.events. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
-    // the file-stream source requires a DIRECTORY of files (its basePath
-    // and discovery model); the table is a single file, so expose it
-    // through a per-sf temp directory containing one symlink.
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_src", Integer.toHexString(sfDir.hashCode))
-    java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
-    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    val (raw, schema) = singleFileStream(spark, s"$sfDir/events.parquet")
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -50,6 +38,29 @@ object StreamOps {
         raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
+  }
+
+  /** File-source readStream over the documents table — the
+    * arriving-crawl-shard side of ingest-time operators. */
+  def docsStream(spark: SparkSession, sfDir: String): DataFrame =
+    singleFileStream(spark, s"$sfDir/documents.parquet")._1
+
+  /** A readStream over one parquet FILE: the file-stream source
+    * requires a DIRECTORY of files (its basePath and discovery model),
+    * so the table is exposed through a per-path temp directory
+    * containing one symlink. Schema comes from a cached batch probe —
+    * file streams require a declared schema. */
+  private def singleFileStream(spark: SparkSession,
+      path: String): (DataFrame, org.apache.spark.sql.types.StructType) = {
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_src", Integer.toHexString(path.hashCode))
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve(java.nio.file.Paths.get(path).getFileName)
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    (spark.readStream.schema(schema).parquet(dir.toString), schema)
   }
 
   /** Run a bounded streaming query to a memory sink and return the final
@@ -291,6 +302,80 @@ object StreamOps {
       .select(col("event_type"), col("user_id"), col("ts"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_type", "user_id")
+
+  /** Ingest-time near-dup: arriving crawl-shard documents (a STREAM)
+    * checked against the deduped standing corpus (a STATIC band
+    * index) — the production shape where yesterday's 100 TB corpus is
+    * already clean and each landing shard must be screened before
+    * admission, WITHOUT waiting for the nightly batch pass
+    * (new×new pairs remain that pass's job —
+    * operators.Dedup.minhashLshIncremental).
+    *
+    * Plan: the static side builds the old-corpus banded-signature
+    * index once (same row-local signature chain as the batch
+    * operators — [[graft.operators.Dedup.minhashBandRows]] — plus the
+    * standard over-population bucket guard, applied at INDEX BUILD
+    * time: a boilerplate-flooded bucket is dropped whole before any
+    * arrival can join it). Each micro-batch computes arriving docs'
+    * band rows with the identical expression and equi-joins the
+    * broadcast index on (band, bkey) — stateless, so no watermark and
+    * no state store; the Jaccard verify (exact shingle-set
+    * intersection over union, same as the batch verify) runs
+    * row-locally on the joined pair. At scale the index broadcast is
+    * replaced by a pre-partitioned index join — the plan is the same
+    * declarative equi-join either way.
+    *
+    * A pair that collides in several bands emits once per band inside
+    * the stream (stateless operators cannot dedup across rows); the
+    * memory-sink read-back collapses them with one DISTINCT — the
+    * same post-sink compaction discipline as [[sessionize]]. NULL
+    * sources count as OLD corpus on both legs (the incremental-dedup
+    * convention). Output: (doc_new, doc_old, jaccard ≥ threshold). */
+  def streamingNearDup(spark: SparkSession, sfDir: String,
+      newSources: Seq[String], nHash: Int = 12, bandRows: Int = 2,
+      threshold: Double = 0.5, ngram: Int = 3,
+      maxBucket: Long = graft.operators.Dedup.defaultMaxBandBucket): DataFrame = {
+    val docs = graft.Tables.documentsP(spark, sfDir)
+    val isNew = coalesce(col("source").isin(newSources: _*), lit(false))
+    val index = nearDupIndex(docs.filter(!isNew), nHash, bandRows, ngram, maxBucket)
+    val arriving = docsStream(spark, sfDir).filter(isNew)
+    runToMemory(spark,
+        nearDupPlan(arriving, index, nHash, bandRows, threshold, ngram),
+        "graft_stream_neardup", OutputMode.Append(), watermarkFlush = false)
+      .distinct()
+      .orderBy("doc_new", "doc_old")
+  }
+
+  /** The static half of [[streamingNearDup]]: the standing corpus's
+    * banded-signature index with the over-population guard applied at
+    * build time. */
+  def nearDupIndex(oldDocs: DataFrame, nHash: Int = 12, bandRows: Int = 2,
+      ngram: Int = 3,
+      maxBucket: Long = graft.operators.Dedup.defaultMaxBandBucket): DataFrame = {
+    val oldRows = graft.operators.Dedup.minhashBandRows(
+      oldDocs, "doc_id", "text", nHash, bandRows, ngram)
+    val overCap = oldRows.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bc")).filter(col("bc") > maxBucket)
+      .select("band", "bkey")
+    oldRows.join(overCap, Seq("band", "bkey"), "left_anti")
+      .select(col("band"), col("bkey"),
+        col("doc_id").as("doc_old"), col("s").as("s_old"))
+  }
+
+  /** The streaming half of [[streamingNearDup]] — composition point
+    * for the multi-batch delivery tests. `arriving` needs (doc_id,
+    * text); `index` is [[nearDupIndex]]'s output. */
+  def nearDupPlan(arriving: DataFrame, index: DataFrame, nHash: Int = 12,
+      bandRows: Int = 2, threshold: Double = 0.5, ngram: Int = 3): DataFrame =
+    graft.operators.Dedup
+      .minhashBandRows(arriving, "doc_id", "text", nHash, bandRows, ngram)
+      .withColumnRenamed("doc_id", "doc_new")
+      .join(broadcast(index), Seq("band", "bkey"))
+      .withColumn("j",
+        size(array_intersect(col("s"), col("s_old"))).cast("double") /
+          size(array_distinct(concat(col("s"), col("s_old")))))
+      .filter(col("j") >= threshold)
+      .select(col("doc_new"), col("doc_old"), round(col("j"), 6).as("jaccard"))
 
   final case class Ev(user_id: Long, t: Long, ts: java.sql.Timestamp)
   final case class Session(user_id: Long, session_id: Long, session_start: Long,

@@ -198,4 +198,45 @@ class StreamSpec extends AnyFunSuite {
     assert(multi == expected, s"multi-batch outer join diverged: $multi")
     assert(single == expected, s"single-batch outer join diverged: $single")
   }
+
+  test("ingest near-dup: file-at-a-time arrival matches single-batch; band repeats compact") {
+    import spark.implicits._
+    // near-identical texts (one token changed out of 12) share most
+    // 3-gram shingles → several band collisions per pair; doc 30 is
+    // unrelated. Old corpus: 10, 11, 30; arrivals: 20 (≈10/11), 21
+    // (unrelated) — split across two micro-batches.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val oldDocs = Seq(
+      (10L, base),
+      (11L, base.replace("mu", "nu")),
+      (30L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val index = StreamOps.nearDupIndex(oldDocs)
+    val b0 = Seq((20L, base.replace("alpha", "omega")))
+    val b1 = Seq((21L, "cold warm hot cool mild damp dry wet icy calm"))
+    def run(batches: Seq[Seq[(Long, String)]], name: String) = {
+      val dir = Files.createTempDirectory(s"graft_streamspec_$name")
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        val f = dir.resolve(s"b$i.parquet")
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(f.toString)
+        Files.walk(f).forEach(p => p.toFile.setLastModified(1700000000000L + i * 60000L))
+      }
+      val schema = spark.read.parquet(dir.resolve("b0.parquet").toString).schema
+      val arriving = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString + "/*")
+      StreamOps.runToMemory(spark,
+          StreamOps.nearDupPlan(arriving, index, threshold = 0.5),
+          name, OutputMode.Append(), watermarkFlush = false)
+    }
+    val rawMulti = run(Seq(b0, b1), "t_nd_multi")
+    // pre-compaction, the near-identical pair collides in >1 band
+    assert(rawMulti.count() > rawMulti.distinct().count(),
+      "expected band-repeat rows before the post-sink DISTINCT")
+    def compact(df: DataFrame) = df.distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = compact(rawMulti)
+    val single = compact(run(Seq(b0 ++ b1), "t_nd_single"))
+    assert(multi == Set((20L, 10L), (20L, 11L)), s"got $multi")
+    assert(single == multi, s"single-batch diverged: $single vs $multi")
+  }
 }
