@@ -279,6 +279,34 @@ object Dedup {
     (perDoc, candRows)
   }
 
+  /** One banded-signature row per (document, band) — the row-local
+    * minhash chain of [[minhashLsh]] (same expression, same band keys)
+    * WITHOUT the candidate join or any persist, so it runs on a
+    * STREAMING frame as well as a batch one: every stage is a
+    * projection (signature expression → band explode). This is the
+    * per-arrival half of ingest-time near-dup
+    * ([[graft.streaming.StreamOps.streamingNearDup]]); the batch half
+    * builds the old-corpus band index with the same call. Output:
+    * (idCol, s — the shingle set for the verify step, band, bkey);
+    * documents shorter than `ngram` tokens vanish (NULL signature),
+    * exactly as in the batch operators. */
+  def minhashBandRows(docs: DataFrame, idCol: String, textCol: String,
+      nHash: Int = 12, bandRows: Int = 2, ngram: Int = 3): DataFrame = {
+    val perDoc = docs.select(col(idCol),
+        expr(s"graft_minhash_sig($textCol, $ngram, $nHash)").as("ms"))
+      .filter(col("ms").isNotNull)
+    val bandStructs = (0 until nHash / bandRows).map { b =>
+      val ks = (0 until bandRows).map(r =>
+        element_at(col("ms.sig"), b * bandRows + r + 1))
+      struct(lit(b).as("band"), concat_ws("_", ks: _*).as("bkey"))
+    }
+    perDoc
+      .select(col(idCol), col("ms.shs").as("s"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("s"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
   /** Connected components over an undirected edge list — the stage that
     * turns near-dup PAIRS (minhash/simhash/cosine output) into canonical
     * dedup CLUSTERS: every node is labeled with the smallest id reachable
@@ -503,6 +531,45 @@ object Dedup {
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("j"))
       .filter(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+
+  /** Directional n-gram CONTAINMENT pairs — the asymmetric overlap
+    * Jaccard is blind to: a document wholly quoted inside one 10×
+    * longer scores J ≈ 0.1 (union-normalized) but containment 1.0
+    * (smaller-set-normalized), and quote inclusion / page-plus-
+    * boilerplate supersets are a standard near-dup class in crawl
+    * corpora (the containment variant of Broder's resemblance, and the
+    * reason MinHash papers define both). C = inter / min(nA, nB); the
+    * pair is emitted with the CONTAINED (smaller-set) document first —
+    * ties by id — so "drop doc_sub, keep doc_sup" is one filter away.
+    *
+    * Same inverted-index candidate stage as [[ngramJaccard]]
+    * ([[ngramJaccardCandidates]] — Σ df² join volume, `maxDf` hot-
+    * shingle guard, same lower-bound semantics under the cap), so the
+    * incremental cost over a Jaccard pass is just the per-pair
+    * normalization. Block on attributes that survive sub/superset
+    * asymmetry (language — NOT length bands: a contained doc and its
+    * superset land in different bands by construction). Output:
+    * (doc_sub, doc_sup, containment, jaccard) — jaccard rides along so
+    * consumers can separate true near-dups (high C, high J) from
+    * asymmetric inclusions (high C, low J). */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double = 0.8, ngram: Int = 3,
+      maxDf: Option[Long] = None): DataFrame =
+    ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf)
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("c", col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("c") >= threshold)
+      .select(
+        when(col("na") < col("nb") ||
+          (col("na") === col("nb") && col("doc_a") < col("doc_b")),
+          col("doc_a")).otherwise(col("doc_b")).as("doc_sub"),
+        when(col("na") < col("nb") ||
+          (col("na") === col("nb") && col("doc_a") < col("doc_b")),
+          col("doc_b")).otherwise(col("doc_a")).as("doc_sup"),
+        round(col("c"), 6).as("containment"),
+        round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
 
   /** The inverted-index match stage of [[ngramJaccard]] alone: one row
     * per shared (shingle, block) occurrence between a doc pair —

@@ -226,4 +226,53 @@ object Diagnostics {
         round(sum(col("term").cast(dec)).cast("double"), 6).as("psi"))
       .withColumn("drifted", col("psi") > 0.2)
   }
+
+  /** Embedding-space drift monitor — the [[psiDrift]] analog for a
+    * VECTOR column ("is this source/snapshot embedded like the corpus
+    * we trained the index on"): each group's centroid is compared to
+    * the global centroid by cosine, plus the centroid-norm ratio
+    * (cosine catches direction shift, the norm ratio catches
+    * magnitude collapse — both move when a crawl snapshot's topic mix
+    * or an embedding-model version drifts).
+    *
+    * Shape: one posexplode pass feeds two (key, dim)-keyed aggregates
+    * (per-group and global — map-side combined; shuffle =
+    * (groups + 1) · dim rows, never corpus-sized); centroids are
+    * rebuilt as arrays on the group-count-bounded frame and the global
+    * row broadcasts. Determinism: per-dimension sums ride
+    * DECIMAL(28,12) ([[graft.functions.Deterministic.stableSum]] —
+    * order-invariant, oracle-replayable); the cosine is the native
+    * sequential fold (`graft_cosine`, dimension-ascending — the
+    * unrolled-chain order every oracle replays). `drifted` compares
+    * the ROUNDED cosine so both engines decide the flag on the same
+    * value. Output: (groupCol, n_vecs, cos_to_global, norm_ratio,
+    * drifted). */
+  def embeddingDrift(vectors: DataFrame, groupCol: String, vecCol: String,
+      dim: Int, minCos: Double = 0.99): DataFrame = {
+    import graft.functions.Deterministic.stableSum
+    val ex = CacheScope.persist(vectors
+      .select(col(groupCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x"))))
+    def centroid(keys: Seq[Column], out: DataFrame => DataFrame): DataFrame =
+      out(ex.groupBy(keys :+ col("__i"): _*)
+        .agg(stableSum(col("__x"), 12).as("__sx"), count(lit(1)).as("__n")))
+    val byGroup = centroid(Seq(col(groupCol)), g =>
+      g.groupBy(col(groupCol)).agg(max(col("__n")).as("n_vecs"),
+        expr("transform(array_sort(collect_list(struct(__i, __sx))), e -> e.__sx)")
+          .as("__sums"))
+        .select(col(groupCol), col("n_vecs"),
+          expr("transform(__sums, s -> s / n_vecs)").as("__cg")))
+    val global = centroid(Nil, g =>
+      g.groupBy().agg(max(col("__n")).as("__gn"),
+        expr("transform(array_sort(collect_list(struct(__i, __sx))), e -> e.__sx)")
+          .as("__sums"))
+        .select(expr("transform(__sums, s -> s / __gn)").as("__cglob")))
+    val dotG = Similarity.dotExpr("__cg", "__cg", dim)
+    val dotA = Similarity.dotExpr("__cglob", "__cglob", dim)
+    byGroup.crossJoin(broadcast(global))
+      .select(col(groupCol), col("n_vecs"),
+        round(expr("graft_cosine(__cg, __cglob)"), 6).as("cos_to_global"),
+        round(sqrt(expr(dotG)) / sqrt(expr(dotA)), 6).as("norm_ratio"))
+      .withColumn("drifted", col("cos_to_global") < minCos)
+  }
 }

@@ -316,6 +316,45 @@ object QScale {
         col("entropy"), col("eff_cats"))
       .orderBy("source"))
 
+  // --------------------------------------------- embedding drift
+  /** Embedding-space drift — operators.Diagnostics.embeddingDrift over
+    * the label groups of the embeddings table: per-group centroid vs
+    * the global centroid (cosine + norm ratio), the t16-PSI analog for
+    * vector columns. The oracle replays the DECIMAL(28,12) per-
+    * dimension sums, the divide-by-count means, and the dimension-
+    * ascending unrolled cosine/norm chains. */
+  private val edDim = 64
+  val embDrift = Q("diag_embedding_drift", Some {
+    def dotL(x: String, y: String) =
+      "(0" + (1 to edDim).map(i => s" + ($x[$i] * $y[$i])").mkString + ")"
+    s"""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT label, t.i, v[t.i] AS x
+           FROM e, LATERAL unnest(generate_series(1, $edDim)) AS t(i)),
+    gs AS (SELECT label, i, ${graft.functions.Deterministic.stableSumSql("x", 12)} AS sx,
+                  count(*) AS n
+           FROM ex GROUP BY 1, 2),
+    gc AS (SELECT label, max(n) AS n_vecs, list(sx / n ORDER BY i) AS cg
+           FROM gs GROUP BY 1),
+    asx AS (SELECT i, ${graft.functions.Deterministic.stableSumSql("x", 12)} AS sx,
+                   count(*) AS n
+            FROM ex GROUP BY 1),
+    ag AS (SELECT list(sx / n ORDER BY i) AS cglob FROM asx)
+    SELECT label, n_vecs,
+           round(${dotL("cg", "cglob")}
+             / (sqrt(${dotL("cg", "cg")}) * sqrt(${dotL("cglob", "cglob")})), 6)
+             AS cos_to_global,
+           round(sqrt(${dotL("cg", "cg")}) / sqrt(${dotL("cglob", "cglob")}), 6)
+             AS norm_ratio,
+           round(${dotL("cg", "cglob")}
+             / (sqrt(${dotL("cg", "cg")}) * sqrt(${dotL("cglob", "cglob")})), 6)
+             < 0.99 AS drifted
+    FROM gc, ag ORDER BY label"""
+  })((s, d) =>
+    graft.operators.Diagnostics.embeddingDrift(
+        Tables.embeddings(s, d), "label", "embedding", dim = edDim)
+      .orderBy("label"))
+
   // --------------------------------------------- bloom runtime filter
   private val bloomHashes = 3
   /** Bits per ALL orders rows (the filter keeps ~20%, so this is
@@ -683,5 +722,5 @@ object QScale {
       .orderBy("shard"))
 
   val all: Seq[Q] = Seq(sessBatch, cms, zorder, rolling, incMerge, keySkew,
-    snapDiff, scd2, entropy, bloom, joinSize, pagerank, triangles, hll, shards)
+    snapDiff, scd2, entropy, embDrift, bloom, joinSize, pagerank, triangles, hll, shards)
 }

@@ -321,6 +321,39 @@ object QSim {
       .orderBy("doc_a", "doc_b")
   })
 
+  // ------------------------------------------------ n-gram containment
+  /** Directional shingle CONTAINMENT — operators.Dedup.ngramContainment
+    * over language blocks, C = inter/min(nA,nB) ≥ 0.8: the quote-
+    * inclusion / page-plus-boilerplate near-dup class Jaccard's union
+    * normalization hides (a doc wholly inside a 10× longer one is
+    * J ≈ 0.1 but C = 1). Blocks deliberately DROP the length band the
+    * Jaccard query uses — contained doc and superset land in different
+    * bands by construction. Same inverted-index candidate stage; the
+    * oracle uses the result-identical all-pairs-in-block form (a pair
+    * with C ≥ 0.8 > 0 shares a shingle, so the index join surfaces
+    * it). */
+  val ngramContain = Q("dedup_ngram_containment", Some(s"""
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+               FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    shs AS (SELECT doc_id, lang, $shinglesSqlDuck AS s FROM w),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(a.s) AS na, len(b.s) AS nb,
+                 len(list_intersect(a.s, b.s)) AS inter
+          FROM shs a JOIN shs b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+    f AS (SELECT CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+                      THEN doc_a ELSE doc_b END AS doc_sub,
+                 CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+                      THEN doc_b ELSE doc_a END AS doc_sup,
+                 inter::DOUBLE / least(na, nb) AS c,
+                 inter::DOUBLE / (na + nb - inter) AS j
+          FROM p)
+    SELECT doc_sub, doc_sup, round(c, 6) AS containment, round(j, 6) AS jaccard
+    FROM f WHERE c >= 0.8 ORDER BY 1, 2"""
+  ))((s, d) =>
+    Dedup.ngramContainment(Tables.documentsP(s, d), "doc_id", "text",
+        blockCols = Seq("lang"), threshold = 0.8)
+      .orderBy("doc_sub", "doc_sup"))
+
   // ---------------------------------------------- embedding near-dup
   private def duckDot(x: String, y: String) =
     "(0" + (1 to 64).map(i => s" + ($x[$i] * $y[$i])").mkString + ")"
@@ -1295,6 +1328,6 @@ object QSim {
   val all: Seq[Q] =
     Seq(exact, minhashLsh, minhashInc, clusterCc, keepRank, funnel, simhash, ngramJaccard,
       embedNearDup, annTopk, annLsh, annIvf, annRecall, kmeansCells, scalarQuant,
-      pqError, adcTopk, ivfPq, substringRun, spanRewrite, randProj, semantic,
-      decontamFuzzy)
+      ngramContain, pqError, adcTopk, ivfPq, substringRun, spanRewrite, randProj,
+      semantic, decontamFuzzy)
 }

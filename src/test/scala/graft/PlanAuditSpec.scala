@@ -48,6 +48,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_pq_adc_topk",          // candidates × broadcast per-query ADC LUTs (bounded query set)
       "sim_ivfpq_topk",           // 1-row centroid-array broadcast cross (the IVF stage)
       "text_perplexity_bigram",   // 1-row vocab-size broadcast cross
+      "diag_embedding_drift",     // 1-row global-centroid broadcast cross
       "t16_psi_event_type")       // 1-row decile-cuts + ref-total broadcast crosses
     val offenders = Q.registry
       .filterNot(_.name.startsWith("stream_"))
