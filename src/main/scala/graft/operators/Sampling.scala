@@ -139,6 +139,58 @@ object Sampling {
         col("expected_tokens"))
   }
 
+  /** Epoch/repeat scheduling for a DATA-CONSTRAINED token budget — the
+    * planning step [[temperatureRates]] cannot express: when the
+    * training budget EXCEEDS the corpus (the standard modern regime),
+    * each domain must be repeated, and repeating past a few epochs
+    * stops helping (the Muennighoff et al. 2023 data-constrained
+    * scaling result — returns decay rapidly beyond ~4 epochs). Given
+    * temperature weights w_d ∝ T_d^τ and a budget of `budgetMult` ×
+    * total corpus tokens, each domain's target is w_d · budget; its
+    * epoch count target/T_d is CAPPED at `maxEpochs`, the shortfall is
+    * reported (not silently redistributed — rebalancing is a policy
+    * choice the caller iterates on), and `realized_weight` shows the
+    * mixture actually served after capping — the number that tells
+    * you whether the cap broke your target mixture.
+    *
+    * Same shape and determinism discipline as [[temperatureRates]]:
+    * one aggregate to domain totals, all schedule math on the
+    * domain-count frame (the unpartitioned window is bounded by the
+    * domain dimension), 6-dp-rounded weights over a DECIMAL
+    * normalizer. Output: (strataCol, n_tokens, weight, target_tokens,
+    * epochs, served_tokens, capped, realized_weight). */
+  def epochSchedule(df: DataFrame, strataCol: String, nTok: Column,
+      temperature: Double, budgetMult: Double,
+      maxEpochs: Double): DataFrame = {
+    require(temperature > 0.0 && temperature <= 1.0,
+      s"temperature in (0,1], got $temperature")
+    require(budgetMult > 0.0, s"budgetMult > 0, got $budgetMult")
+    require(maxEpochs >= 1.0, s"maxEpochs >= 1, got $maxEpochs")
+    val totals = df.groupBy(strataCol).agg(sum(nTok.cast("long")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    totals
+      .withColumn("pw", round(pow(col("n_tokens").cast("double"), temperature), 6))
+      .withColumn("norm",
+        sum(col("pw").cast(org.apache.spark.sql.types.DecimalType(28, 6))).over(w)
+          .cast("double"))
+      .withColumn("total", sum("n_tokens").over(w))
+      .withColumn("weight", col("pw") / col("norm"))
+      .withColumn("target_tokens",
+        round(lit(budgetMult) * col("total") * col("weight")).cast("long"))
+      .withColumn("cap", round(lit(maxEpochs) * col("n_tokens")).cast("long"))
+      .withColumn("served_tokens", least(col("target_tokens"), col("cap")))
+      .withColumn("tot_served", sum("served_tokens").over(w))
+      .select(col(strataCol), col("n_tokens"),
+        round(col("weight"), 6).as("weight"),
+        col("target_tokens"),
+        round(col("target_tokens").cast("double") / col("n_tokens"), 6).as("epochs"),
+        col("served_tokens"),
+        (col("target_tokens") > col("cap")).as("capped"),
+        round(col("served_tokens").cast("double") / col("tot_served"), 6)
+          .as("realized_weight"))
+  }
+
   /** Leak-free train/val/test split: the split coin is tossed per
     * GROUP (domain/host), never per document — all documents of a
     * group land in the same split, so near-duplicates and boilerplate

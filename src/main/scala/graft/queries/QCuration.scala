@@ -284,6 +284,52 @@ object QCuration {
         temperature = mixTau, budgetFrac = mixBudget)
       .orderBy("source"))
 
+  // ------------------------------------------------ Epoch scheduling
+  /** Data-constrained epoch planning — operators.Sampling.epochSchedule:
+    * when the training budget (2× the corpus here) exceeds the data,
+    * each domain repeats; epochs cap at 4 (the Muennighoff et al. 2023
+    * diminishing-returns point), shortfall is reported rather than
+    * silently redistributed, and realized_weight shows the mixture
+    * actually served after the cap. All math on the domain-count
+    * frame; weights ride the 6-dp/DECIMAL discipline of
+    * mix_temperature_rates. */
+  private val epMult = 2.0
+  private val epMax = 4.0
+  val epochs = Q("mix_epoch_schedule", Some(s"""
+    WITH t AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL GROUP BY 1),
+    p AS (
+      SELECT source, n_tokens,
+             round(pow(CAST(n_tokens AS DOUBLE), $mixTau), 6) AS pw
+      FROM t),
+    n AS (
+      SELECT CAST(SUM(CAST(pw AS DECIMAL(28,6))) AS DOUBLE) AS norm,
+             CAST(SUM(n_tokens) AS BIGINT) AS total
+      FROM p),
+    s AS (
+      SELECT source, n_tokens, pw / norm AS weight,
+             CAST(round($epMult * total * (pw / norm)) AS BIGINT) AS target_tokens,
+             CAST(round($epMax * n_tokens) AS BIGINT) AS cap
+      FROM p, n),
+    f AS (
+      SELECT source, n_tokens, weight, target_tokens,
+             LEAST(target_tokens, cap) AS served_tokens,
+             target_tokens > cap AS capped
+      FROM s),
+    g AS (SELECT CAST(SUM(served_tokens) AS BIGINT) AS tot_served FROM f)
+    SELECT source, n_tokens, round(weight, 6) AS weight, target_tokens,
+           round(CAST(target_tokens AS DOUBLE) / n_tokens, 6) AS epochs,
+           served_tokens, capped,
+           round(CAST(served_tokens AS DOUBLE) / tot_served, 6) AS realized_weight
+    FROM f, g ORDER BY source"""
+  ))((s, d) =>
+    graft.operators.Sampling.epochSchedule(
+        Tables.documentsP(s, d).filter(col("text").isNotNull),
+        "source", size(split(col("text"), " ")),
+        temperature = mixTau, budgetMult = epMult, maxEpochs = epMax)
+      .orderBy("source"))
+
   // ------------------------------------------------ Unigram surprisal
   /** Unigram-LM surprisal scoring (operators.TextOps.unigramLogprob):
     * the corpus is its own language model; each doc's score is the
@@ -633,6 +679,6 @@ object QCuration {
         coalesce(col("lang") === "en", lit(false)))
       .orderBy("doc_id"))
 
-  val all: Seq[Q] = Seq(pack, chunks, prisample, flags, qsketch, mixrates,
+  val all: Seq[Q] = Seq(pack, chunks, prisample, flags, qsketch, mixrates, epochs,
     unigram, ledger, qualityGate, gateLedger, tokenBudget, tokenBudgetBpe, domainCap, dsir)
 }

@@ -924,7 +924,10 @@ object QSim {
     * composes the two proven replays: the IVF probe/candidate CTEs of
     * sim_ann_recall restrict the per-subspace partial-dot scoring
     * CTEs of sim_pq_adc_topk. */
-  val ivfPq = Q("sim_ivfpq_topk", Some {
+  /** The CTE chain of the sim_ivfpq_topk oracle from the coarse
+    * quantizer through the ranked ADC scores (`r`), assuming `e` is
+    * already defined — shared verbatim with sim_ivfpq_recall. */
+  private lazy val ivfPqRankedCte: String = {
     def dotS(x: String, y: String) =
       "(0" + (1 to pqSub).map(i => s" + ($x[$i] * $y[$i])").mkString + ")"
     def cosS(x: String, y: String) =
@@ -942,9 +945,7 @@ object QSim {
              FROM pasg$n, LATERAL unnest(generate_series(1, $pqSub)) AS t(i)
              GROUP BY 1, 2, 3),
     pcb$n AS (SELECT j, cent_id, list(mn ORDER BY i) AS cv FROM pu$n GROUP BY 1, 2)"""
-    s"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+    s"""cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
              ORDER BY ${graft.functions.Deterministic.hrandSql("vec_id", ivfSeed)}, vec_id
              LIMIT $nList),
     ac AS (SELECT e.vec_id, cent.cent_id, round(${cosD("e.v", "cent.cv")}, 6) AS c
@@ -987,9 +988,14 @@ object QSim {
                             ELSE sxr / (qn * sqrt(srr)) END, 6) AS cos_adc
           FROM sc),
     r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_adc DESC, cand_id) AS rk
-          FROM f)
+          FROM f)"""
+  }
+
+  val ivfPq = Q("sim_ivfpq_topk", Some(s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    $ivfPqRankedCte
     SELECT query_id, rk, cand_id, cos_adc FROM r WHERE rk <= 3 ORDER BY 1, 2"""
-  })((s, d) => {
+  ))((s, d) => {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8), "vec_id", "v",
         k = 3, nList = nList, nProbe = nProbe, ivfSeed = ivfSeed,
@@ -997,6 +1003,48 @@ object QSim {
         numVectors = Some(Tables.rowCount(s, d, "embeddings")),
         memoKey = Some(graft.operators.Memo.corpusKey("pq", d)))
       .orderBy("query_id", "rk")
+  })
+
+  // -------------------------------------------- IVF-ADC recall report
+  /** Recall@3 of the composed IVF-ADC index against the exact
+    * brute-force top-3 — the acceptance test for the FULL compressed
+    * serving path: where sim_ann_recall isolates coarse-probe misses
+    * (IVF over raw vectors), this measures probe misses AND codebook
+    * quantization error together, the number that decides whether the
+    * 32× byte reduction is admissible. Same composition protocol as
+    * sim_ann_recall; the IVF-ADC side reuses the sim_ivfpq_topk oracle
+    * chain verbatim. */
+  val ivfPqRecall = Q("sim_ivfpq_recall", Some(s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bsc AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, round($cosDuck, 6) AS c
+            FROM e a JOIN e b ON a.vec_id < 8 AND a.vec_id <> b.vec_id),
+    b3 AS (SELECT query_id, cand_id FROM (
+             SELECT query_id, cand_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, cand_id) AS rk
+             FROM bsc) WHERE rk <= 3),
+    $ivfPqRankedCte,
+    i3 AS (SELECT query_id, cand_id FROM r WHERE rk <= 3)
+    SELECT b.query_id, count(i.cand_id) AS n_hit,
+           round(count(i.cand_id) / 3.0, 6) AS recall_at_3
+    FROM b3 b LEFT JOIN i3 i ON b.query_id = i.query_id AND b.cand_id = i.cand_id
+    GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "v", k = 3)
+      .select(col("query_id"), col("cand_id"))
+    val ivfpq = Similarity.ivfPqTopK(e, q, "vec_id", "v",
+        k = 3, nList = nList, nProbe = nProbe, ivfSeed = ivfSeed,
+        dim = kmDim, m = pqM, kCodes = pqK, pqSeed = pqSeed, iters = adcIters,
+        numVectors = Some(Tables.rowCount(s, d, "embeddings")),
+        memoKey = Some(graft.operators.Memo.corpusKey("pq", d)))
+      .select(col("query_id").as("iq"), col("cand_id").as("ic"))
+    brute.join(ivfpq,
+        brute("query_id") === ivfpq("iq") && brute("cand_id") === ivfpq("ic"), "left")
+      .groupBy("query_id")
+      .agg(count(col("ic")).as("n_hit"))
+      .withColumn("recall_at_3", round(col("n_hit") / lit(3.0), 6))
+      .orderBy("query_id")
   })
 
   // ------------------------------------------ substring-run near-dup
@@ -1328,6 +1376,6 @@ object QSim {
   val all: Seq[Q] =
     Seq(exact, minhashLsh, minhashInc, clusterCc, keepRank, funnel, simhash, ngramJaccard,
       embedNearDup, annTopk, annLsh, annIvf, annRecall, kmeansCells, scalarQuant,
-      ngramContain, pqError, adcTopk, ivfPq, substringRun, spanRewrite, randProj,
+      ngramContain, pqError, adcTopk, ivfPq, ivfPqRecall, substringRun, spanRewrite, randProj,
       semantic, decontamFuzzy)
 }

@@ -18,8 +18,9 @@ import graft.operators.{CacheScope, Dedup}
   * measures, on the exact candidate joins the operators run
   * ([[Dedup.simhashCandidates]], [[Dedup.embeddingNearDupCandidates]],
   * [[Dedup.minhashLshCandidates]], [[Dedup.minhashLshIncrementalCandidates]],
-  * [[Dedup.ngramJaccardCandidates]], [[Dedup.substringRunCandidates]] —
-  * all six near-dup generators):
+  * [[Dedup.ngramJaccardCandidates]] — under both the jaccard and the
+  * lang-only containment blockings — [[Dedup.substringRunCandidates]],
+  * plus the kmeans-cell semantic pass — all the near-dup generators):
   *
   *   - `candidates`: rows out of the blocked self-join (what the
   *     population guards bound — the only quantity a plan can waste),
@@ -79,6 +80,16 @@ object ScaleAccounting {
           Dedup.ngramJaccard(docs, "doc_id", "text",
             blockCols = Seq("lang", "lb"), threshold = 0.8).count())
       }
+      // n-gram containment: QSim.ngramContain's parameters (lang-only
+      // blocks — DIFFERENT candidate volume than the jaccard entry,
+      // which also blocks on the length band; C >= 0.8)
+      val (ctCand, ctEmit) = CacheScope.withScope {
+        val docs = Tables.documentsP(spark, sfDir)
+        (Dedup.ngramJaccardCandidates(
+            docs, "doc_id", "text", blockCols = Seq("lang")).count(),
+          Dedup.ngramContainment(docs, "doc_id", "text",
+            blockCols = Seq("lang"), threshold = 0.8).count())
+      }
       // exact-substring runs: QSim.substringRun's parameters
       // (k=6, minRun=2, maxDf=20)
       val (srCand, srEmit) = CacheScope.withScope {
@@ -121,7 +132,7 @@ object ScaleAccounting {
       }
       def blk(cand: Long, emit: Long) =
         f""""candidates":$cand,"emitted":$emit,"cand_per_emitted":${cand.toDouble / math.max(1L, emit)}%.2f"""
-      f"""{"sf":"$sfDir","simhash":{"n_docs":$nDocs,${blk(shCand, shEmit)}},"embedding_cosine":{"n_vecs":$nVecs,${blk(emCand, emEmit)}},"minhash_lsh":{${blk(mhCand, mhEmit)}},"incremental_minhash":{${blk(inCand, inEmit)}},"ngram_jaccard":{${blk(ngCand, ngEmit)}},"substring_run":{${blk(srCand, srEmit)}},"semantic":{${blk(smCand, smEmit)}}}"""
+      f"""{"sf":"$sfDir","simhash":{"n_docs":$nDocs,${blk(shCand, shEmit)}},"embedding_cosine":{"n_vecs":$nVecs,${blk(emCand, emEmit)}},"minhash_lsh":{${blk(mhCand, mhEmit)}},"incremental_minhash":{${blk(inCand, inEmit)}},"ngram_jaccard":{${blk(ngCand, ngEmit)}},"ngram_containment":{${blk(ctCand, ctEmit)}},"substring_run":{${blk(srCand, srEmit)}},"semantic":{${blk(smCand, smEmit)}}}"""
     }
     lines.foreach(println)
     val out = graft.queries.Q.repoRoot + "/SCALE_ACCOUNTING.json"

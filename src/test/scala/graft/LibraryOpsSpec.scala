@@ -1127,6 +1127,29 @@ class LibraryOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Sampling.epochSchedule: caps small domains, reports shortfall in realized weight") {
+    import spark.implicits._
+    // one big and one tiny domain; tau=0.5 pushes weight toward the
+    // tiny one, and a 3x budget forces it far past the 4-epoch cap
+    val d = Seq(("big", 90000L), ("tiny", 100L)).flatMap { case (s, n) =>
+      Seq((s, n)) }.toDF("source", "n")
+    val out = graft.operators.Sampling.epochSchedule(d, "source", col("n"),
+        temperature = 0.5, budgetMult = 3.0, maxEpochs = 4.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(4), r.getLong(5), r.getBoolean(6),
+          r.getDouble(7))).toMap
+    val (bn, bTarget, bEpochs, bServed, bCapped, bw) = out("big")
+    val (tn, tTarget, tEpochs, tServed, tCapped, tw) = out("tiny")
+    assert(bn == 90000L && tn == 100L)
+    // tiny domain: target far beyond 4 epochs -> capped at 4x tokens
+    assert(tCapped && tServed == 400L && tTarget > 400L && tEpochs > 4.0)
+    // big domain: target under the cap -> served in full
+    assert(!bCapped && bServed == bTarget)
+    assert(math.abs(bEpochs - bTarget.toDouble / bn) < 1e-6)
+    // realized weights renormalize over what was actually served
+    assert(math.abs(bw + tw - 1.0) < 1e-5 && bw > 0.99)
+  }
+
   test("Sampling.temperatureRates: tau=1 is natural proportions; lower tau flattens") {
     import spark.implicits._
     import graft.operators.Sampling

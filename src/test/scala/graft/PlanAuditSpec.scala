@@ -47,6 +47,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "t11_chi2_independence",    // category-bounded r×c grid + 1-row scalars
       "sim_pq_adc_topk",          // candidates × broadcast per-query ADC LUTs (bounded query set)
       "sim_ivfpq_topk",           // 1-row centroid-array broadcast cross (the IVF stage)
+      "sim_ivfpq_recall",         // composes sim_cosine_topk + sim_ivfpq_topk bounds
       "text_perplexity_bigram",   // 1-row vocab-size broadcast cross
       "diag_embedding_drift",     // 1-row global-centroid broadcast cross
       "t16_psi_event_type")       // 1-row decile-cuts + ref-total broadcast crosses
@@ -76,6 +77,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "curate_token_budget",     // Packing band-offset frame: ≤(score range/bandWidth)
       "curate_token_budget_bpe", //   bands, 10 here (Packing.scala:123)
       "mix_temperature_rates",   // domain-count totals frame (Sampling.scala:124)
+      "mix_epoch_schedule",      // same domain-count totals frame (epochSchedule)
       "p5_upper_triangle_hier",  // region-dimension totals frame (QGaps2.scala:336)
       "t15_bh_fdr",              // BH rank over the per-day hypothesis frame — one row
                                  //   per DAY (time dimension), and BH is definitionally
@@ -85,7 +87,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "graph_pagerank_copurchase", // rank over the 10-row post-LIMIT frame (QScale.scala)
       "sim_pq_adc_topk",         // LUT-position offsets over the m-row subspace frame
                                  //   (Similarity.pqLutPositions — codebook-bounded)
-      "sim_ivfpq_topk")          // same codebook-bounded LUT-position offsets
+      "sim_ivfpq_topk",          // same codebook-bounded LUT-position offsets
+      "sim_ivfpq_recall")        // same, via its IVF-ADC side
     val offenders = Q.registry
       .filterNot(_.name.startsWith("stream_"))
       .flatMap { q =>
