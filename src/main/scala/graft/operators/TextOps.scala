@@ -497,6 +497,80 @@ object TextOps {
         round(exp(round(col("avg_raw"), 6)), 4).as("ppl"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    * ranked retrieval lists — the standard way to combine a lexical
+    * (BM25) and a semantic (embedding-cosine) leg without score
+    * calibration: rrf(d) = Σ_lists 1/(k + rank_list(d)), documents
+    * absent from a list contribute 0 from it. Each input is
+    * (idCol, rankCol) ALREADY truncated to its own top-K, so the fused
+    * frame is at most Σ K rows — the final re-rank window is
+    * deliberately unpartitioned over that bounded frame (same shape as
+    * [[bm25Rank]]'s post-LIMIT rank), never corpus-scaled. Lists join
+    * by full outer equi-join on the id: N-1 tiny hash joins.
+    *
+    * Output: (rank, idCol, rrf, <name>_rank per input list). */
+  def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
+      rankCol: String, k: Int = 60, topK: Int = 10): DataFrame = {
+    require(lists.size >= 2, s"rrfFuse needs >= 2 lists, got ${lists.size}")
+    require(k >= 1 && topK >= 1, s"rrfFuse needs k, topK >= 1")
+    val legs = lists.map { case (nm, df) =>
+      df.select(col(idCol), col(rankCol).cast("long").as(s"${nm}_rank"))
+    }
+    val joined = legs.reduce(_.join(_, Seq(idCol), "full_outer"))
+    val rrf = lists.map { case (nm, _) =>
+      coalesce(lit(1.0) / (lit(k) + col(s"${nm}_rank")).cast("double"), lit(0.0))
+    }.reduce(_ + _)
+    joined.withColumn("rrf", round(rrf, 6))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank") +: col(idCol) +: col("rrf") +:
+        lists.map { case (nm, _) => col(s"${nm}_rank") }: _*)
+  }
+
+  /** CCNet-style per-domain perplexity pruning (Wenzek et al. 2020):
+    * bucket documents head/middle/tail WITHIN their domain by
+    * [[bigramLogprob]] perplexity terciles and flag the tail (most
+    * improbable third) for dropping. Per-domain cuts are the point —
+    * a global threshold discards whole low-resource domains that are
+    * merely unlike the majority.
+    *
+    * Tercile cuts use exact distributed-histogram selection (the
+    * f10_percentile_threshold pattern): counts per (domain, 6-dp
+    * avg_nll), a cumulative window over the value-domain-bounded
+    * DISTINCT-value frame partitioned by domain, cut = min value whose
+    * cumulative count reaches ceil(n/3) / ceil(2n/3). No corpus-scaled
+    * frame crosses an unpartitioned sort; the domain-bounded cuts
+    * frame broadcasts back. Bucketing compares VALUES, so ties land in
+    * the same bucket deterministically. Docs with < 2 tokens carry no
+    * bigram signal and are excluded, as in [[bigramLogprob]].
+    *
+    * Output: (idCol, domainCol, avg_nll, ppl, bucket, keep). */
+  def perplexityPrune(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLogprob(docs, idCol, textCol, alpha)
+      .join(docs.select(idCol, domainCol), Seq(idCol))
+    val wCum = Window.partitionBy(domainCol).orderBy("avg_nll")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = scored.groupBy(domainCol, "avg_nll").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy(domainCol)))
+      .groupBy(domainCol)
+      .agg(
+        min(when(col("cum") >= ceil(col("n") / lit(3.0)).cast("long"),
+          col("avg_nll"))).as("cut1"),
+        min(when(col("cum") >= ceil(col("n") * 2 / lit(3.0)).cast("long"),
+          col("avg_nll"))).as("cut2"))
+    scored.join(broadcast(cuts), Seq(domainCol))
+      .select(col(idCol), col(domainCol), col("avg_nll"), col("ppl"),
+        when(col("avg_nll") <= col("cut1"), "head")
+          .when(col("avg_nll") <= col("cut2"), "middle")
+          .otherwise("tail").as("bucket"),
+        (col("avg_nll") <= col("cut2")).as("keep"))
+  }
+
   // --------------------------------------------------- BPE tokenizer
   // Subword tokenization (Sennrich, Haddow & Birch 2016, "Neural
   // Machine Translation of Rare Words with Subword Units"): a text is

@@ -330,6 +330,53 @@ object QCuration {
         temperature = mixTau, budgetMult = epMult, maxEpochs = epMax)
       .orderBy("source"))
 
+  // ------------------------------------------- Perplexity pruning
+  /** CCNet-style per-domain perplexity pruning (Wenzek et al. 2020):
+    * documents are bucketed head/middle/tail WITHIN their source by
+    * bigram-LM perplexity terciles, and the tail (most improbable
+    * third) is dropped. Per-domain cuts matter — a global threshold
+    * would discard whole low-resource domains that are merely unlike
+    * the majority. Scoring reuses TextOps.bigramLogprob (the
+    * text_perplexity_bigram signal); the tercile cuts use the exact
+    * distributed-histogram selection of f10_percentile_threshold —
+    * groupBy (source, 6-dp avg_nll) counts, cumulative window over
+    * the value-domain-bounded DISTINCT-value frame partitioned by
+    * source, cut = min value whose cumulative count reaches
+    * ceil(n/3) / ceil(2n/3) — so no corpus-scaled frame ever crosses
+    * an unpartitioned sort, and the source-bounded cuts frame
+    * broadcasts back. Bucketing compares VALUES (tie-safe: equal
+    * scores land in the same bucket on both engines). Docs with < 2
+    * tokens have no bigram signal and are excluded, as in
+    * text_perplexity_bigram. */
+  val pplPrune = Q("curate_perplexity_prune", Some(s"""
+    WITH ${QText.pplDocCte},
+    d AS (SELECT p.doc_id, doc.source, round(avg_raw, 6) AS avg_nll,
+                 round(exp(round(avg_raw, 6)), 4) AS ppl
+          FROM p JOIN documents doc ON p.doc_id = doc.doc_id),
+    h AS (SELECT source, avg_nll, count(*) AS c FROM d GROUP BY 1, 2),
+    cm AS (SELECT source, avg_nll,
+                  CAST(sum(c) OVER (PARTITION BY source ORDER BY avg_nll
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                  CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+           FROM h),
+    ct AS (SELECT source,
+                  min(CASE WHEN cum >= CAST(CEIL(n / 3.0) AS BIGINT)
+                           THEN avg_nll END) AS cut1,
+                  min(CASE WHEN cum >= CAST(CEIL(2 * n / 3.0) AS BIGINT)
+                           THEN avg_nll END) AS cut2
+           FROM cm GROUP BY 1)
+    SELECT d.doc_id, d.source, d.avg_nll, d.ppl,
+           CASE WHEN d.avg_nll <= ct.cut1 THEN 'head'
+                WHEN d.avg_nll <= ct.cut2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           d.avg_nll <= ct.cut2 AS keep
+    FROM d JOIN ct USING (source) ORDER BY doc_id"""
+  ))((s, d) =>
+    graft.operators.TextOps.perplexityPrune(
+        Tables.documentsP(s, d), "doc_id", "text", "source", QText.ppxAlpha)
+      .select("doc_id", "source", "avg_nll", "ppl", "bucket", "keep")
+      .orderBy("doc_id"))
+
   // ------------------------------------------------ Unigram surprisal
   /** Unigram-LM surprisal scoring (operators.TextOps.unigramLogprob):
     * the corpus is its own language model; each doc's score is the
@@ -680,5 +727,6 @@ object QCuration {
       .orderBy("doc_id"))
 
   val all: Seq[Q] = Seq(pack, chunks, prisample, flags, qsketch, mixrates, epochs,
-    unigram, ledger, qualityGate, gateLedger, tokenBudget, tokenBudgetBpe, domainCap, dsir)
+    pplPrune, unigram, ledger, qualityGate, gateLedger, tokenBudget, tokenBudgetBpe,
+    domainCap, dsir)
 }

@@ -355,10 +355,10 @@ object QSim {
       .orderBy("doc_sub", "doc_sup"))
 
   // ---------------------------------------------- embedding near-dup
-  private def duckDot(x: String, y: String) =
+  private[queries] def duckDot(x: String, y: String) =
     "(0" + (1 to 64).map(i => s" + ($x[$i] * $y[$i])").mkString + ")"
 
-  private def cosD(x: String, y: String) =
+  private[queries] def cosD(x: String, y: String) =
     s"""${duckDot(x, y)} /
        (sqrt(${duckDot(x, x)}) * sqrt(${duckDot(y, y)}))"""
 

@@ -103,7 +103,12 @@ object QText {
   private val bmB = 0.75
   private val bmTopK = 20
 
-  val bm25 = Q("text_bm25_rank", Some {
+  /** The BM25 oracle CTE chain (everything after WITH, ending at the
+    * ranked frame `bmr` = (doc_id, score, rank)) — shared verbatim
+    * between text_bm25_rank and ret_hybrid_rrf so both replay the
+    * identical tf/df/idf arithmetic. CTE names are bm-prefixed to
+    * compose without collisions. */
+  private[queries] lazy val bm25RankedCte: String = {
     val tfCols = bmTerms.indices.map(i =>
       s"len(list_filter(w, x -> x = '${bmTerms(i)}'))::DOUBLE AS tf$i").mkString(", ")
     val dfCols = bmTerms.indices.map(i =>
@@ -112,18 +117,71 @@ object QText {
       s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * " +
         s"((tf$i * ${bmK1 + 1}) / (tf$i + $bmK1 * (${1 - bmB} + $bmB * (dl / avgdl))))")
       .mkString(" + ")
-    s"""
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    t AS (SELECT doc_id, len(w)::DOUBLE AS dl, $tfCols FROM d),
-    g AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl, $dfCols FROM t),
-    s AS (SELECT doc_id, round($scoreSum, 4) AS score FROM t, g),
-    r AS (SELECT doc_id, score,
-                 row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s)
-    SELECT rank, doc_id, score FROM r WHERE rank <= $bmTopK ORDER BY rank"""
-  })((s, d) =>
+    s"""bmd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bmt AS (SELECT doc_id, len(w)::DOUBLE AS dl, $tfCols FROM bmd),
+    bmg AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl, $dfCols FROM bmt),
+    bms AS (SELECT doc_id, round($scoreSum, 4) AS score FROM bmt, bmg),
+    bmr AS (SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bms)"""
+  }
+
+  val bm25 = Q("text_bm25_rank", Some(s"""
+    WITH $bm25RankedCte
+    SELECT rank, doc_id, score FROM bmr WHERE rank <= $bmTopK ORDER BY rank"""
+  ))((s, d) =>
     TextOps.bm25Rank(Tables.documentsP(s, d), "doc_id", "text",
       terms = bmTerms, k1 = bmK1, b = bmB, topK = bmTopK)
       .orderBy("rank"))
+
+  // --------------------------------------------- hybrid retrieval (RRF)
+  /** Reciprocal-rank fusion of the lexical and semantic retrieval legs
+    * — operators.TextOps.rrfFuse (Cormack et al. 2009): the BM25
+    * top-20 for the standing term query and the embedding-cosine
+    * top-20 for query vector 0 fuse as Σ 1/(60 + rank), no score
+    * calibration, absent-leg contributes 0. This is the serving-side
+    * composition the two index families exist for — and the dedup
+    * angle: a doc surfaced by BOTH legs is the strongest near-dup
+    * candidate for the query. Both legs replay their existing proven
+    * oracles (bm25RankedCte verbatim; the brute-cosine chain of
+    * sim_cosine_topk); the fused frame is ≤ 40 rows, so the re-rank
+    * window is bounded, never corpus-scaled. */
+  private val rrfK = 60
+  private val rrfOut = 10
+  private val rrfQv = 0
+
+  val hybridRrf = Q("ret_hybrid_rrf", Some {
+    val cosAb = QSim.cosD("a.v", "b.v")
+    s"""
+    WITH $bm25RankedCte,
+    lex AS (SELECT doc_id, rank AS lex_rank FROM bmr WHERE rank <= $bmTopK),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ssc AS (SELECT b.vec_id AS doc_id, round($cosAb, 6) AS c
+            FROM e a JOIN e b ON a.vec_id = $rrfQv AND b.vec_id <> $rrfQv),
+    sem AS (SELECT doc_id, sem_rank FROM (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY c DESC, doc_id) AS sem_rank
+              FROM ssc) WHERE sem_rank <= $bmTopK),
+    f AS (SELECT COALESCE(l.doc_id, m.doc_id) AS doc_id, l.lex_rank, m.sem_rank,
+                 round(coalesce(CAST(1.0 AS DOUBLE) / CAST($rrfK + l.lex_rank AS DOUBLE),
+                                CAST(0.0 AS DOUBLE))
+                     + coalesce(CAST(1.0 AS DOUBLE) / CAST($rrfK + m.sem_rank AS DOUBLE),
+                                CAST(0.0 AS DOUBLE)), 6) AS rrf
+          FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id),
+    fr AS (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM f)
+    SELECT rank, doc_id, rrf, lex_rank, sem_rank
+    FROM fr WHERE rank <= $rrfOut ORDER BY rank"""
+  })((s, d) => {
+    val lex = TextOps.bm25Rank(Tables.documentsP(s, d), "doc_id", "text",
+        terms = bmTerms, k1 = bmK1, b = bmB, topK = bmTopK)
+      .select(col("doc_id"), col("rank"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val sem = graft.operators.Similarity
+      .bruteTopK(e, e.filter(col("vec_id") === rrfQv), "vec_id", "v", k = bmTopK)
+      .select(col("cand_id").as("doc_id"), col("rk").as("rank"))
+    TextOps.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "doc_id", "rank",
+        k = rrfK, topK = rrfOut)
+      .orderBy("rank")
+  })
 
   // --------------------------------------------------- quality filter
   /** Gopher-style keep/drop gate — operators.TextOps.qualityFilter —
@@ -394,10 +452,14 @@ object QText {
     * too-probable → template. The oracle replays the bigram stream,
     * both count tables, the corpus vocab size, the rounded-then-
     * DECIMAL-summed per-position NLLs and the exp-of-rounded-mean. */
-  private val ppxAlpha = 0.5
+  private[queries] val ppxAlpha = 0.5
 
-  val perplexity = Q("text_perplexity_bigram", Some(s"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  /** The bigram-NLL oracle CTE chain (everything after WITH, ending at
+    * the per-doc frame `p` = (doc_id, n_bigrams, avg_raw)) — shared
+    * verbatim between text_perplexity_bigram and QCuration's
+    * curate_perplexity_prune so both replay the identical count
+    * tables, smoothing and rounded-term DECIMAL sums. */
+  private[queries] lazy val pplDocCte: String = s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
                WHERE len(string_split(text, ' ')) >= 2),
     bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
            FROM w, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)),
@@ -409,7 +471,10 @@ object QText {
           FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
     p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                  CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_raw
-          FROM s GROUP BY 1)
+          FROM s GROUP BY 1)"""
+
+  val perplexity = Q("text_perplexity_bigram", Some(s"""
+    WITH $pplDocCte
     SELECT doc_id, n_bigrams, round(avg_raw, 6) AS avg_nll,
            round(exp(round(avg_raw, 6)), 4) AS ppl
     FROM p ORDER BY doc_id"""
@@ -512,7 +577,7 @@ object QText {
         round(sum("n_chars").cast("double") / sum("n_pieces"), 6).as("chars_per_piece"))
       .orderBy("lang"))
 
-  val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25, qualityGate,
-    decontaminate, repetition, lengthOutliers, vocab, normalizeAudit, oov, novelty,
-    bpeVocab, perplexity, bpeFertility)
+  val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25, hybridRrf,
+    qualityGate, decontaminate, repetition, lengthOutliers, vocab, normalizeAudit,
+    oov, novelty, bpeVocab, perplexity, bpeFertility)
 }

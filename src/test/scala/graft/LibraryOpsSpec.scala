@@ -1127,6 +1127,70 @@ class LibraryOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TextOps.rrfFuse: absent legs contribute 0, both-leg docs outrank single-leg") {
+    import spark.implicits._
+    // lex top-3 and sem top-3 overlap only on doc 10
+    val lex = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rank")
+    val sem = Seq((10L, 3L), (20L, 1L), (21L, 2L)).toDF("doc_id", "rank")
+    val out = graft.operators.TextOps
+      .rrfFuse(Seq("lex" -> lex, "sem" -> sem), "doc_id", "rank", k = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(out.length == 5)
+    // doc 10 appears in both legs -> highest fused score, rank 1
+    val first = out.find(_._1 == 1L).get
+    assert(first._2 == 10L && first._4 == Some(1L) && first._5 == Some(3L))
+    assert(math.abs(first._3 - math.rint((1.0 / 61 + 1.0 / 63) * 1e6) / 1e6) < 1e-9)
+    // single-leg docs carry exactly their one reciprocal term
+    val d20 = out.find(_._2 == 20L).get
+    assert(d20._4 == None && d20._5 == Some(1L))
+    assert(math.abs(d20._3 - math.rint(1.0 / 61 * 1e6) / 1e6) < 1e-9)
+    // fused scores are non-increasing in rank; ties broken by doc_id
+    assert(out.sortBy(_._1).toSeq.sliding(2).forall { case Seq(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)
+    case _ => true })
+  }
+
+  test("TextOps.perplexityPrune: per-domain terciles, value-tied docs share a bucket") {
+    import spark.implicits._
+    // Domain A: 6 docs spanning repetitive (low ppl) to shuffled-rare
+    // (high ppl) under the corpus bigram LM; domain B: 3 docs. Cuts
+    // must be computed per domain, so B's docs bucket against B's own
+    // tercile boundaries even though all its scores differ from A's.
+    val docs = Seq(
+      ("a1", "A", "the cat sat on the mat the cat sat on the mat"),
+      ("a2", "A", "the cat sat on the mat the cat sat on the rug"),
+      ("a3", "A", "the dog sat on the mat near the cat"),
+      ("a4", "A", "a dog ran past the rug and the mat"),
+      ("a5", "A", "rare words appear here unlike anything else"),
+      ("a6", "A", "zq xv jk wm unique tokens never repeated"),
+      ("b1", "B", "the cat sat on the mat the cat sat"),
+      ("b2", "B", "a dog ran past the rug"),
+      ("b3", "B", "totally novel phrasing nobody uses")
+    ).toDF("doc_id", "source", "text")
+    val res = graft.operators.TextOps
+      .perplexityPrune(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getDouble(3), r.getString(4), r.getBoolean(5))).toMap
+    assert(res.size == 9)
+    // per-domain tercile counts: 6 docs -> 2/2/2, 3 docs -> 1/1/1
+    // (score ties would merge buckets; these corpora have distinct scores)
+    for ((dom, exp) <- Seq("A" -> 2, "B" -> 1)) {
+      val buckets = res.values.toSeq.filter(_._1 == dom).groupBy(_._3)
+      assert(buckets.keySet == Set("head", "middle", "tail"),
+        s"$dom buckets: ${buckets.keySet}")
+      assert(buckets.values.forall(_.size == exp), s"$dom sizes uneven")
+      // ordering: every head ppl <= every middle ppl <= every tail ppl
+      val h = buckets("head").map(_._2).max
+      val m = buckets("middle").map(_._2)
+      val t = buckets("tail").map(_._2).min
+      assert(h <= m.min && m.max <= t, s"$dom bucket order violated")
+    }
+    // keep flags exactly the non-tail buckets
+    assert(res.values.forall { case (_, _, b, k) => k == (b != "tail") })
+  }
+
   test("Sampling.epochSchedule: caps small domains, reports shortfall in realized weight") {
     import spark.implicits._
     // one big and one tiny domain; tau=0.5 pushes weight toward the

@@ -32,6 +32,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "l10_principal_angles",     // ≤ label-count subspace pairs
       "sim_cosine_topk",          // brute-force baseline, 8 broadcast queries
       "text_bm25_rank",           // 1-row corpus-stats broadcast cross
+      "ret_hybrid_rrf",           // both legs' bounded crosses (bm25 stats + 1 query vec)
       "sim_kmeans_cells",         // 1-row centroid-array broadcast cross (per iteration)
       "sketch_kmv_overlap",       // three 1-row sketch crosses
       "text_unigram_logprob",     // 1-row corpus-total broadcast cross
@@ -49,6 +50,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_ivfpq_topk",           // 1-row centroid-array broadcast cross (the IVF stage)
       "sim_ivfpq_recall",         // composes sim_cosine_topk + sim_ivfpq_topk bounds
       "text_perplexity_bigram",   // 1-row vocab-size broadcast cross
+      "curate_perplexity_prune",  // same vocab cross via bigramLogprob
       "diag_embedding_drift",     // 1-row global-centroid broadcast cross
       "t16_psi_event_type")       // 1-row decile-cuts + ref-total broadcast crosses
     val offenders = Q.registry
@@ -73,6 +75,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // by the corpus: these are each annotated at the definition site.
     val intentional = Set(
       "text_bm25_rank",          // rank over the ≤topK-row result frame (TextOps.scala:122)
+      "ret_hybrid_rrf",          // re-rank over the ≤ΣtopK fused frame (TextOps.rrfFuse)
+                                 //   + the bm25 leg's post-LIMIT rank
       "pack_sequences",          // bucket-offset frame: ≤numBuckets rows (Packing.scala:70)
       "curate_token_budget",     // Packing band-offset frame: ≤(score range/bandWidth)
       "curate_token_budget_bpe", //   bands, 10 here (Packing.scala:123)
