@@ -52,6 +52,44 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("cand_id"), col("c").as("cos"))
   }
 
+  /** Contrastive training-pair mining for embedding-model fine-tuning:
+    * per query, the top-`kPos` most-similar SAME-label candidates
+    * (positives) and the top-`kNeg` most-similar DIFFERENT-label
+    * candidates (hard negatives — high-similarity wrong-label
+    * neighbors, the pairs a contrastive loss learns most from; random
+    * negatives are trivially separable and teach nothing). One scoring
+    * pass, then one rank window per (query, kind): the pos/neg split
+    * is a column, not a second scan.
+    *
+    * Scoring here is the brute broadcast pass of [[bruteTopK]]
+    * (queries must be a small subset); at corpus scale swap the
+    * candidate generation for the IVF/PQ paths ([[ivfTopK]],
+    * [[ivfPqTopK]]) and keep the same label-split ranking — hard
+    * negatives are by definition high-cosine, so ANN candidate lists
+    * contain them.
+    *
+    * Output: (query_id, kind ∈ pos|neg, rk, cand_id, cos, label_q,
+    * label_c). */
+  def contrastivePairs(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, kPos: Int = 3, kNeg: Int = 3,
+      dim: Int = 64): DataFrame = {
+    require(kPos >= 1 && kNeg >= 1, s"contrastivePairs needs kPos, kNeg >= 1")
+    val sc = broadcast(queries.select(col(idCol), col(vecCol), col(labelCol))).as("a")
+      .join(vectors.as("b"), col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("query_id"), col(s"b.$idCol").as("cand_id"),
+        col(s"a.$labelCol").as("label_q"), col(s"b.$labelCol").as("label_c"),
+        round(cosine(s"a.$vecCol", s"b.$vecCol", dim), 6).as("cos"))
+      .withColumn("kind",
+        when(col("label_q") === col("label_c"), "pos").otherwise("neg"))
+    val w = Window.partitionBy("query_id", "kind")
+      .orderBy(col("cos").desc, col("cand_id"))
+    sc.withColumn("rk", row_number().over(w).cast("long"))
+      .filter((col("kind") === "pos" && col("rk") <= kPos) ||
+        (col("kind") === "neg" && col("rk") <= kNeg))
+      .select(col("query_id"), col("kind"), col("rk"), col("cand_id"),
+        col("cos"), col("label_q"), col("label_c"))
+  }
+
   /** Deterministic hyperplane sign for LSH bit j, dimension i (LCG —
     * plain integer arithmetic, replayable anywhere). */
   def lshSign(j: Int, i: Int): Double =

@@ -377,6 +377,51 @@ object QCuration {
       .select("doc_id", "source", "avg_nll", "ppl", "bucket", "keep")
       .orderBy("doc_id"))
 
+  // --------------------------------------- Reference quality classifier
+  /** CCNet/GPT-3-style reference classifier — operators.Classifier
+    * .logisticScore: logistic regression fit by 3 fixed Newton/IRLS
+    * steps to separate the reference slice (lang = 'en' here — in
+    * production, a trusted corpus like wiki) from the rest, then score
+    * every doc with the learned model. Features are row-local: the
+    * 'th'/'he' marker-bigram rates the lang-ID heuristic proves
+    * informative (text_lang_id), the en-stopword ratio, and mean word
+    * length — the hand-thresholded battery as a LEARNED score.
+    * Training is one decimal-summed aggregate pass per step with the
+    * 5×5 Newton solve inside the plan; β never touches the driver.
+    * Not SQL-expressible (matrix solve) → golden-fixture gate +
+    * independent numpy IRLS replay in tools/check_kernels.py
+    * (bit-exact: max|diff| = 0 at all three scales).
+    *
+    * Honesty note on the demo corpus: the synthetic generator assigns
+    * `lang` independently of the text, so NO text feature separates it
+    * and scores sit near the base rate — the gate pins the exact
+    * MATH; the operator's separation behavior is proven on a
+    * separable corpus in LibraryOpsSpec (pos.min > neg.max after 3
+    * steps). */
+  val qualityClf = Q("curate_quality_classifier",
+    Some(Q.fixtureOracle("curate_quality_classifier", "doc_id")))((s, d) => {
+    import graft.operators.TextOps.occurrences
+    val f = Tables.documentsP(s, d).filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).as("n_tok"),
+        occurrences("text", "th").as("n_th"),
+        occurrences("text", "he").as("n_he"),
+        size(expr("filter(toks, w -> w IN ('the','a','and','of','to'))"))
+          .as("n_stop"),
+        length(col("text")).as("n_chars"))
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        round(col("n_th").cast("double") / col("n_tok"), 6).as("x1"),
+        round(col("n_he").cast("double") / col("n_tok"), 6).as("x2"),
+        round(col("n_stop").cast("double") / col("n_tok"), 6).as("x3"),
+        round((col("n_chars") - col("n_tok") + 1).cast("double") /
+          (col("n_tok") * 10), 6).as("x4"))
+    graft.operators.Classifier.logisticScore(f, "doc_id",
+        Seq("x1", "x2", "x3", "x4"), "y", carry = Seq("y"), iters = 3)
+      .orderBy("doc_id")
+  })
+
   // ------------------------------------------------ Unigram surprisal
   /** Unigram-LM surprisal scoring (operators.TextOps.unigramLogprob):
     * the corpus is its own language model; each doc's score is the
@@ -727,6 +772,6 @@ object QCuration {
       .orderBy("doc_id"))
 
   val all: Seq[Q] = Seq(pack, chunks, prisample, flags, qsketch, mixrates, epochs,
-    pplPrune, unigram, ledger, qualityGate, gateLedger, tokenBudget, tokenBudgetBpe,
-    domainCap, dsir)
+    pplPrune, qualityClf, unigram, ledger, qualityGate, gateLedger, tokenBudget,
+    tokenBudgetBpe, domainCap, dsir)
 }

@@ -427,6 +427,36 @@ object QSim {
       .orderBy("query_id", "rk")
   })
 
+  // --------------------------------------- contrastive pair mining
+  /** Training-pair mining for embedding-model fine-tuning —
+    * operators.Similarity.contrastivePairs: per query, the top-3
+    * most-similar SAME-label vectors (positives) and the top-3
+    * most-similar WRONG-label vectors (hard negatives — the
+    * high-cosine confusions a contrastive loss learns most from).
+    * Same brute scoring pass as sim_cosine_topk with the label split
+    * as a column; at corpus scale the candidate generation swaps to
+    * the IVF/PQ paths, ranking unchanged. */
+  val hardNeg = Q("sim_hard_negatives", Some(s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    sc AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                  a.label AS label_q, b.label AS label_c,
+                  CASE WHEN a.label = b.label THEN 'pos' ELSE 'neg' END AS kind,
+                  round($cosDuck, 6) AS cos
+           FROM e a JOIN e b ON a.vec_id < 8 AND a.vec_id <> b.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id, kind
+                                       ORDER BY cos DESC, cand_id) AS rk
+          FROM sc)
+    SELECT query_id, kind, rk, cand_id, cos, label_q, label_c
+    FROM r WHERE (kind = 'pos' AND rk <= 3) OR (kind = 'neg' AND rk <= 3)
+    ORDER BY query_id, kind, rk"""
+  ))((s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+    Similarity.contrastivePairs(e, e.filter(col("vec_id") < 8),
+        "vec_id", "v", "label", kPos = 3, kNeg = 3)
+      .orderBy("query_id", "kind", "rk")
+  })
+
   // ------------------------------------------------- LSH-bucketed ANN
   /** Scale path 1: 8-bit random-hyperplane bucket —
     * operators.Similarity.lshBucket — then top-1 within the query's
@@ -1375,7 +1405,7 @@ object QSim {
 
   val all: Seq[Q] =
     Seq(exact, minhashLsh, minhashInc, clusterCc, keepRank, funnel, simhash, ngramJaccard,
-      embedNearDup, annTopk, annLsh, annIvf, annRecall, kmeansCells, scalarQuant,
+      embedNearDup, annTopk, hardNeg, annLsh, annIvf, annRecall, kmeansCells, scalarQuant,
       ngramContain, pqError, adcTopk, ivfPq, ivfPqRecall, substringRun, spanRewrite, randProj,
       semantic, decontamFuzzy)
 }

@@ -39,7 +39,9 @@ class FixtureSpec extends AnyFunSuite {
       "l12_variance_decomposition", "l15_rastermap_order",
       // t1 is SQL-oracled except its exact-t p column, which rides the
       // same committed-fixture contract
-      "t1_pearson_corr")
+      "t1_pearson_corr",
+      // logistic IRLS needs a matrix solve — not SQL-expressible
+      "curate_quality_classifier")
     assert(gated.map(_._1).toSet == expected)
   }
 

@@ -1127,6 +1127,64 @@ class LibraryOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Classifier.logisticScore: separates a separable slice, partition-invariant") {
+    import spark.implicits._
+    // y = 1 iff x1 is high; other features carry mild noise-free
+    // structure. 3 Newton steps must push every y=1 score above every
+    // y=0 score on this linearly separable set.
+    val rows = (0 until 40).map { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      val x1 = if (y > 0.5) 0.8 + 0.001 * i else 0.2 + 0.001 * i
+      (i.toLong, y, x1, 0.5, 0.3 + 0.002 * i, 0.7)
+    }
+    val f = rows.toDF("doc_id", "y", "x1", "x2", "x3", "x4")
+    def run(df: org.apache.spark.sql.DataFrame) = graft.operators.Classifier
+      .logisticScore(df, "doc_id", Seq("x1", "x2", "x3", "x4"), "y",
+        carry = Seq("y"), iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3))).toMap
+    val out = run(f)
+    assert(out.size == 40)
+    val pos = out.values.filter(_._1 > 0.5).map(_._2)
+    val neg = out.values.filter(_._1 < 0.5).map(_._2)
+    assert(pos.min > neg.max, s"not separated: pos min ${pos.min} <= neg max ${neg.max}")
+    // keep is score >= 0.5 on the ROUNDED score
+    assert(out.values.forall { case (_, s, k) => k == (s >= 0.5) })
+    // decimal-summed moments => identical betas and scores at any
+    // partition count (the golden-fixture requirement)
+    val out7 = run(f.repartition(7))
+    assert(out7 == out)
+  }
+
+  test("Similarity.contrastivePairs: label-split ranks, negatives are the wrong-label top") {
+    import spark.implicits._
+    // query q (label 0) plus: two same-label vectors, of which p1 is
+    // nearly parallel and p2 orthogonal-ish; two wrong-label vectors,
+    // of which n1 is MORE similar than p2 (the hard negative the
+    // operator exists to surface) and n2 is anti-parallel.
+    def vec(x: Double, y: Double) =
+      Array.tabulate(64)(i => if (i == 0) x else if (i == 1) y else 0.0)
+    val vs = Seq(
+      (0L, vec(1.0, 0.0), 0),  // query
+      (1L, vec(0.9, 0.1), 0),  // p1: cos ~0.994
+      (2L, vec(0.1, 0.9), 0),  // p2: cos ~0.110
+      (3L, vec(0.8, 0.3), 1),  // n1: cos ~0.936 — harder than p2
+      (4L, vec(-1.0, 0.0), 1)  // n2: cos -1
+    ).toDF("vec_id", "v", "label")
+    val out = graft.operators.Similarity
+      .contrastivePairs(vs, vs.filter($"vec_id" === 0L), "vec_id", "v", "label",
+        kPos = 2, kNeg = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(out.size == 4)
+    assert(out(("pos", 1L))._1 == 1L && out(("pos", 2L))._1 == 2L)
+    assert(out(("neg", 1L))._1 == 3L && out(("neg", 2L))._1 == 4L)
+    // the hard negative outscores the weak positive — the mining signal
+    assert(out(("neg", 1L))._2 > out(("pos", 2L))._2)
+    // ranking is within-kind: kinds never steal each other's slots
+    assert(out.keys.count(_._1 == "pos") == 2 && out.keys.count(_._1 == "neg") == 2)
+  }
+
   test("TextOps.rrfFuse: absent legs contribute 0, both-leg docs outrank single-leg") {
     import spark.implicits._
     // lex top-3 and sem top-3 overlap only on doc 10

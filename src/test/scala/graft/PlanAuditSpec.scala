@@ -31,6 +31,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "w4_custom_order_sort",     // 5-row ordering-table cross
       "l10_principal_angles",     // ≤ label-count subspace pairs
       "sim_cosine_topk",          // brute-force baseline, 8 broadcast queries
+      "sim_hard_negatives",       // same 8-query broadcast scoring pass
       "text_bm25_rank",           // 1-row corpus-stats broadcast cross
       "ret_hybrid_rrf",           // both legs' bounded crosses (bm25 stats + 1 query vec)
       "sim_kmeans_cells",         // 1-row centroid-array broadcast cross (per iteration)
@@ -51,6 +52,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_ivfpq_recall",         // composes sim_cosine_topk + sim_ivfpq_topk bounds
       "text_perplexity_bigram",   // 1-row vocab-size broadcast cross
       "curate_perplexity_prune",  // same vocab cross via bigramLogprob
+      "curate_quality_classifier", // 1-row β/moments crosses per IRLS step
       "diag_embedding_drift",     // 1-row global-centroid broadcast cross
       "t16_psi_event_type")       // 1-row decile-cuts + ref-total broadcast crosses
     val offenders = Q.registry

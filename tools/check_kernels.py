@@ -512,6 +512,64 @@ if glob.glob(f"{out_dir}/t11_chi2_independence/*.parquet"):
     check("t11_chi2_independence", rows, load("t11_chi2_independence"),
           ["n", "df", "chi2", "z", "p_upper", "cramers_v"])
 
+# ------------------------------- curate_quality_classifier (numpy IRLS)
+# Independent replay of Classifier.logisticScore: identical 6-dp feature
+# derivation (via DuckDB), 3 Newton steps from beta = 0 with per-row
+# 6-dp-rounded Hessian/gradient terms and ridge 1e-6, then sigmoid scores.
+if glob.glob(f"{out_dir}/curate_quality_classifier/*.parquet"):
+    feats = con.execute(f"""
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               round(((length(text) - length(replace(text, 'th', ''))) // 2)::DOUBLE
+                     / len(string_split(text, ' ')), 6) AS x1,
+               round(((length(text) - length(replace(text, 'he', ''))) // 2)::DOUBLE
+                     / len(string_split(text, ' ')), 6) AS x2,
+               round(len(list_filter(string_split(text, ' '),
+                     w -> w IN ('the','a','and','of','to')))::DOUBLE
+                     / len(string_split(text, ' ')), 6) AS x3,
+               round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+                     / (len(string_split(text, ' ')) * 10), 6) AS x4
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE text IS NOT NULL ORDER BY doc_id""").fetchall()
+    arr = np.array(feats, dtype=np.float64)
+    X = np.hstack([np.ones((len(arr), 1)), arr[:, 2:6]])
+    yv = arr[:, 1]
+
+    # Spark rounds a DOUBLE by converting Double.toString (the shortest
+    # round-trip decimal) to BigDecimal and quantizing HALF_UP; np.round
+    # is half-even on the binary value — they disagree on every product
+    # that lands on an exact 6-dp half (common in IRLS step 1, where
+    # w = 0.25 exactly). Replicate Spark: repr() is the same shortest
+    # string, decimal.quantize the same HALF_UP.
+    from decimal import Decimal, ROUND_HALF_UP
+    q6 = Decimal("0.000001")
+
+    def r6(v):
+        return np.array([float(Decimal(repr(float(t))).quantize(
+            q6, ROUND_HALF_UP)) for t in v])
+
+    beta = np.zeros(5)
+    for _ in range(3):
+        pr = 1.0 / (1.0 + np.exp(-(X @ beta)))
+        w = pr * (1.0 - pr)
+        H = np.zeros((5, 5))
+        g = np.zeros(5)
+        for i in range(5):
+            g[i] = np.sum(r6((yv - pr) * X[:, i]))
+            for j in range(i, 5):
+                v = np.sum(r6(w * X[:, i] * X[:, j]))
+                H[i, j] = v
+                H[j, i] = v
+        H += 1e-6 * np.eye(5)
+        beta = beta + np.linalg.solve(H, g)
+    score = r6(1.0 / (1.0 + np.exp(-(X @ beta))))
+    rows = [{"y": yv[i], "score": score[i],
+             "keep": 1.0 if score[i] >= 0.5 else 0.0}
+            for i in range(len(score))]
+    check("curate_quality_classifier", rows,
+          load("curate_quality_classifier").sort_values("doc_id"),
+          ["y", "score", "keep"])
+
 if failures:
     print("\nFAILED:\n  " + "\n  ".join(failures))
     sys.exit(1)

@@ -25,6 +25,8 @@ KERNELS = [
     "l12_variance_decomposition", "l15_rastermap_order",
     # SQL-oracled except p_exact, which rides the fixture contract
     "t1_pearson_corr",
+    # logistic IRLS (matrix solve) — not SQL-expressible
+    "curate_quality_classifier",
 ]
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
