@@ -211,6 +211,32 @@ object Similarity {
   def kmeans(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 2, seed: Long = 7L, dim: Int = 64,
       memoKey: Option[String] = None): DataFrame = {
+    val (pfx, assign, centFinal) =
+      kmeansParts(vectors, idCol, vecCol, k, iters, seed, dim, memoKey)
+    val out = assign(centFinal).select(col(idCol), col("cell"), col("c").as("cos"))
+    pfx.map(p => Memo.cached(s"$p/asgF")(out)).getOrElse(out)
+  }
+
+  /** The trained centroid table of [[kmeans]] — (cent_id, cv), the
+    * EXACT frame the final assignment runs against (same seeding, same
+    * per-iteration memo keys, so a memoKey'd caller reuses a sibling
+    * [[kmeans]]'s chain for free). For consumers that need the model,
+    * not the assignment: silhouette scoring, cell-boundary audits,
+    * centroid drift. */
+  def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2, seed: Long = 7L, dim: Int = 64,
+      memoKey: Option[String] = None): DataFrame =
+    kmeansParts(vectors, idCol, vecCol, k, iters, seed, dim, memoKey)._3
+
+  /** Shared guts of [[kmeans]]/[[kmeansCentroids]]: (memo prefix,
+    * assignment builder, final centroid frame). Memo keys are
+    * per-iteration (`cent$i`) so every consumer of the same
+    * (corpus, params) key shares ONE trained chain — intermediates are
+    * memoized because each is the direct input of the next iteration
+    * across consumers that stop at different depths. */
+  private def kmeansParts(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, seed: Long, dim: Int, memoKey: Option[String])
+      : (Option[String], DataFrame => DataFrame, DataFrame) = {
     import graft.functions.Deterministic.{hrand, stableSum}
     require(k >= 1, s"kmeans needs k >= 1, got $k")
     require(iters >= 1, s"kmeans needs iters >= 1, got $iters")
@@ -249,9 +275,40 @@ object Similarity {
     val centFinal = (1 to iters).foldLeft(cent0) {
       (cent, i) => memoC(s"cent$i") { update(assign(cent)) }
     }
-    memoC("asgF") {
-      assign(centFinal).select(col(idCol), col("cell"), col("c").as("cos"))
-    }
+    (pfx, assign, centFinal)
+  }
+
+  /** Centroid-based silhouette of a [[kmeans]] clustering — the
+    * clustering-quality acceptance metric (Rousseeuw 1987, the
+    * centroid simplification): per vector, a = cosine distance to its
+    * OWN centroid, b = distance to the best OTHER centroid, s =
+    * (b − a) / max(a, b) ∈ [−1, 1]; s near 0 means the vector sits on
+    * a cell boundary (clustering adds nothing), s near 1 means tight,
+    * well-separated cells — the number that decides whether the
+    * cell-based operators downstream (semantic dedup, IVF probing,
+    * cluster-balanced sampling) can trust their cells.
+    *
+    * Scale shape: both distances fall out of ONE `graft_top_cells`
+    * top-2 probe against the broadcast centroid array — the same
+    * shuffle-free per-row assignment [[kmeans]] uses, so the whole
+    * scoring pass is one corpus scan with no window, no n×k pair
+    * frame, no shuffle before the final per-cell aggregate. Degenerate
+    * guards: a single surviving cell (no alternative) and a both-zero
+    * distance tie score 0.
+    *
+    * Output: (idCol, cell, sil) per vector, sil rounded 6. */
+  def kmeansSilhouette(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2, seed: Long = 7L, dim: Int = 64,
+      memoKey: Option[String] = None): DataFrame = {
+    val cents = kmeansCentroids(vectors, idCol, vecCol, k, iters, seed, dim, memoKey)
+    val a = lit(1.0) - col("t2")(0)("c")
+    val b = lit(1.0) - col("t2")(1)("c")
+    vectors.select(col(idCol), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroidArray(cents)))
+      .select(col(idCol), expr("graft_top_cells(v, cents, 2)").as("t2"))
+      .select(col(idCol), col("t2")(0)("cent_id").as("cell"),
+        when(col("t2")(1).isNull || greatest(a, b) === 0.0, lit(0.0))
+          .otherwise(round((b - a) / greatest(a, b), 6)).as("sil"))
   }
 
   /** Int8 scalar quantization fidelity report — the compression step

@@ -675,4 +675,41 @@ object TextOps {
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
+
+  /** Zipf-law fit of the per-group token frequency spectrum: regress
+    * ln(count) on ln(rank) over each group's top-`topN` tokens and
+    * report the slope (Zipf exponent ≈ −1 for natural language — a
+    * corpus whose exponent drifts far off is boilerplate-heavy or
+    * deduplication-starved), intercept and R². The standard
+    * corpus-health diagnostic next to [[vocabStats]]'s type/token
+    * ratios.
+    *
+    * Scale shape: one token-keyed count (map-side combined), then the
+    * rank is a `row_number` window PARTITIONED by the group — each
+    * sort is bounded by one group's vocabulary, never the corpus —
+    * truncated to `topN` before the ln/regression pass, which runs on
+    * the (groups × topN)-row remainder. No unpartitioned window, no
+    * corpus-frame sort; the regression aggregates are map-side
+    * combinable. Double accumulation order varies per partitioning, so
+    * callers round regr outputs (the l13 convention, 4 dp).
+    *
+    * Output: (groupCol, n_types, slope, intercept, r2) — n_types ≤
+    * topN (smaller when the group's vocabulary is smaller). */
+  def zipfFit(docs: DataFrame, groupCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__cnt"))
+    val ranked = tc.withColumn("__rnk",
+        row_number().over(Window.partitionBy(col(groupCol))
+          .orderBy(col("__cnt").desc, col("__tok"))))
+      .filter(col("__rnk") <= topN)
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_types"),
+        round(regr_slope(log(col("__cnt")), log(col("__rnk"))), 4).as("slope"),
+        round(regr_intercept(log(col("__cnt")), log(col("__rnk"))), 4).as("intercept"),
+        round(regr_r2(log(col("__cnt")), log(col("__rnk"))), 4).as("r2"))
+  }
 }

@@ -771,7 +771,59 @@ object QCuration {
         coalesce(col("lang") === "en", lit(false)))
       .orderBy("doc_id"))
 
+  // ------------------------------------------- quality/cost skyline
+  /** Pareto frontier of the quality-vs-cost tradeoff: the documents no
+    * other document beats on BOTH axes (higher stopword-density
+    * quality, fewer tokens) — the skyline a budget-constrained
+    * curation run selects exemplars from ("best quality available at
+    * every length budget"). Domination is strict in at least one
+    * coordinate, so equal-(length, quality) docs co-survive.
+    *
+    * The skyline is computed WITHOUT any pairwise comparison: per-doc
+    * (n_tok, quality) is row-local, per-LENGTH max quality is a
+    * value-keyed aggregate (the frame is bounded by the token-length
+    * RANGE — a value dimension, not the corpus), the
+    * strictly-shorter-prefix max is one running-max window over that
+    * length frame (unpartitioned but length-bounded — allowlisted in
+    * PlanAuditSpec), and the verdict is a broadcast join back to the
+    * doc stream: doc on frontier ⇔ q = its length's max AND q > every
+    * shorter length's max. O(n) + O(L log L) instead of the naive
+    * O(n²) dominance test. */
+  val skyline = Q("curate_pareto_skyline", Some("""
+    WITH q AS (SELECT doc_id,
+                      len(string_split(text, ' ')) AS n_tok,
+                      round(len(list_filter(string_split(text, ' '),
+                            w -> w IN ('the','a','and','of','to')))::DOUBLE
+                        / len(string_split(text, ' ')), 6) AS qv
+               FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT n_tok, max(qv) AS qmax FROM q GROUP BY 1),
+    p AS (SELECT n_tok, qmax,
+                 max(qmax) OVER (ORDER BY n_tok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM g)
+    SELECT doc_id, q.n_tok, q.qv AS quality
+    FROM q JOIN p USING (n_tok)
+    WHERE q.qv = p.qmax AND (p.pmax IS NULL OR q.qv > p.pmax)
+    ORDER BY q.n_tok, doc_id"""
+  ))((s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val q = Tables.documentsP(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), size(toks).as("n_tok"),
+        round(size(expr("filter(split(text, ' '), w -> w IN ('the','a','and','of','to'))"))
+          .cast("double") / size(toks), 6).as("qv"))
+    val g = q.groupBy("n_tok").agg(max("qv").as("qmax"))
+    val p = g.withColumn("pmax",
+      max(col("qmax")).over(Window.orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    q.join(broadcast(p), "n_tok")
+      .filter(col("qv") === col("qmax") &&
+        (col("pmax").isNull || col("qv") > col("pmax")))
+      .select(col("doc_id"), col("n_tok"), col("qv").as("quality"))
+      .orderBy("n_tok", "doc_id")
+  })
+
   val all: Seq[Q] = Seq(pack, chunks, prisample, flags, qsketch, mixrates, epochs,
     pplPrune, qualityClf, unigram, ledger, qualityGate, gateLedger, tokenBudget,
-    tokenBudgetBpe, domainCap, dsir)
+    tokenBudgetBpe, domainCap, dsir, skyline)
 }

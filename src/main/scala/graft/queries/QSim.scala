@@ -201,6 +201,54 @@ object QSim {
       .orderBy("doc_id")
   })
 
+  // ---------------------------------------- dedup savings accounting
+  /** What would near-dedup actually buy? The cluster-size spectrum of
+    * the minhash near-dup graph with its cost in documents and tokens:
+    * for each cluster size, how many clusters exist, how many docs a
+    * min-id keeper rule would drop, and how many whitespace tokens
+    * those drops reclaim — the capacity-planning report a 100 TB
+    * curation run reads BEFORE committing to the dedup pass (dedup
+    * ROI per cluster-size band; a heavy tail of big clusters means
+    * boilerplate, a flat spectrum means organic duplication).
+    *
+    * Fourth consumer of the memo-shared minhash pair set. Plan: CC
+    * over the pairs (O(log² n) star rounds), one doc_id-keyed join to
+    * the token counts, two map-side-combinable aggregates (comp, then
+    * cluster_size). No window, no corpus sort. */
+  val savings = Q("dedup_savings_report", Some(s"""
+    WITH RECURSIVE $minhashPairsCte,
+    $ccLabelsCte,
+    tok AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+            FROM documents),
+    cs AS (SELECT c.comp, count(*) AS cluster_size,
+                  CAST(sum(CASE WHEN c.doc_id <> c.comp THEN t.n_tok ELSE 0 END)
+                    AS BIGINT) AS tok_rm
+           FROM compt c JOIN tok t USING (doc_id)
+           GROUP BY 1)
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS docs_removed,
+           CAST(sum(tok_rm) AS BIGINT) AS tokens_removed
+    FROM cs GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val pairs = Dedup.minhashLsh(Tables.documentsP(s, d), "doc_id", "text",
+      nHash = nHash, bandRows = bandRows, threshold = 0.5,
+      memoKey = Some(graft.operators.Memo.corpusKey("mh", d)))
+    val tok = Tables.documentsP(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+      .join(tok, "doc_id")
+      .groupBy("comp")
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(when(col("doc_id") =!= col("comp"), col("n_tok")).otherwise(0L))
+          .as("tok_rm"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size") - 1).as("docs_removed"),
+        sum(col("tok_rm")).as("tokens_removed"))
+      .orderBy("cluster_size")
+  })
+
   // ---------------------------------------------- incremental MinHash
   /** Incremental near-dup: today's crawl shards (sources src0–src3,
     * ~20% of the corpus) checked against the WHOLE corpus without
@@ -639,7 +687,12 @@ object QSim {
   private val kmSeed = 4242L
   private val kmDim = 64
 
-  val kmeansCells = Q("sim_kmeans_cells", Some {
+  /** Oracle twin of the registry kmeans chain (k=[[kmK]], 2 iterations,
+    * seed [[kmSeed]]): CTE list from `e` through the final all-centroid
+    * assignment frame `r3` (vec_id, v, cent_id, c, rn — rn=1 is the
+    * assigned cell, rn=2 the best alternative) with `asg3` = the rn=1
+    * slice. Shared by `sim_kmeans_cells` and `sim_kmeans_silhouette`. */
+  private val kmeansChainCte = {
     def assignCte(centCte: String, n: Int) = s"""
     ac$n AS (SELECT e.vec_id, e.v, c.cent_id, round(${cosD("e.v", "c.cv")}, 6) AS c
              FROM e CROSS JOIN $centCte c),
@@ -652,8 +705,7 @@ object QSim {
             FROM asg$n, LATERAL unnest(generate_series(1, $kmDim)) AS t(i)
             GROUP BY 1, 2),
     c$n AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM u$n GROUP BY 1)"""
-    s"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
            ORDER BY ${graft.functions.Deterministic.hrandSql("vec_id", kmSeed)}, vec_id
            LIMIT $kmK),
@@ -661,11 +713,15 @@ object QSim {
     ${updateCte(1)},
     ${assignCte("c1", 2)},
     ${updateCte(2)},
-    ${assignCte("c2", 3)}
+    ${assignCte("c2", 3)}"""
+  }
+
+  val kmeansCells = Q("sim_kmeans_cells", Some(s"""
+    WITH $kmeansChainCte
     SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec,
            round(CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_cos
     FROM asg3 GROUP BY 1 ORDER BY 1"""
-  })((s, d) => {
+  ))((s, d) => {
     import graft.functions.Deterministic.stableSum
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     Similarity.kmeans(e, "vec_id", "v", k = kmK, iters = 2, seed = kmSeed,
@@ -673,6 +729,44 @@ object QSim {
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"),
         round(stableSum(col("cos"), 6) / count(lit(1)), 6).as("mean_cos"))
+      .orderBy("cell")
+  })
+
+  // ------------------------------------------- clustering silhouette
+  /** Per-cell centroid silhouette of the registry kmeans clustering —
+    * operators.Similarity.kmeansSilhouette: a = cosine distance to own
+    * centroid, b = to the best other, s = (b−a)/max(a,b), rolled up
+    * per cell (n, mean, min) — the acceptance metric for every
+    * cell-trusting operator downstream (semantic dedup, IVF probing,
+    * cluster-balanced sampling). Same memo key as `sim_kmeans_cells`,
+    * so the trained chain is shared; the scoring pass itself is one
+    * top-2 probe against the broadcast centroid array (no window, no
+    * n×k frame). The oracle reads BOTH distances off the shared
+    * chain's r3 rank frame (rn=1 own, rn=2 alternative); a/b/s are
+    * IEEE-identical arithmetic on the 6-dp-rounded cosines, and the
+    * per-cell mean rides the DECIMAL stable-sum. */
+  val kmeansSil = Q("sim_kmeans_silhouette", Some(s"""
+    WITH $kmeansChainCte,
+    own AS (SELECT vec_id, cent_id AS cell, 1.0 - c AS a FROM r3 WHERE rn = 1),
+    alt AS (SELECT vec_id, 1.0 - c AS b FROM r3 WHERE rn = 2),
+    sil AS (SELECT o.cell,
+                   CASE WHEN al.b IS NULL OR greatest(o.a, al.b) = 0.0 THEN 0.0
+                        ELSE round((al.b - o.a) / greatest(o.a, al.b), 6) END AS s
+            FROM own o LEFT JOIN alt al USING (vec_id))
+    SELECT cell, count(*) AS n_vecs,
+           round(CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_sil,
+           min(s) AS min_sil
+    FROM sil GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    import graft.functions.Deterministic.stableSum
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    Similarity.kmeansSilhouette(e, "vec_id", "v", k = kmK, iters = 2,
+        seed = kmSeed, dim = kmDim,
+        memoKey = Some(graft.operators.Memo.corpusKey("km", d)))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(stableSum(col("sil"), 6) / count(lit(1)), 6).as("mean_sil"),
+        min("sil").as("min_sil"))
       .orderBy("cell")
   })
 
@@ -1404,8 +1498,8 @@ object QSim {
   })
 
   val all: Seq[Q] =
-    Seq(exact, minhashLsh, minhashInc, clusterCc, keepRank, funnel, simhash, ngramJaccard,
-      embedNearDup, annTopk, hardNeg, annLsh, annIvf, annRecall, kmeansCells, scalarQuant,
+    Seq(exact, minhashLsh, minhashInc, clusterCc, keepRank, savings, funnel, simhash, ngramJaccard,
+      embedNearDup, annTopk, hardNeg, annLsh, annIvf, annRecall, kmeansCells, kmeansSil, scalarQuant,
       ngramContain, pqError, adcTopk, ivfPq, ivfPqRecall, substringRun, spanRewrite, randProj,
       semantic, decontamFuzzy)
 }

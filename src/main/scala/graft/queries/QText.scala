@@ -577,7 +577,34 @@ object QText {
         round(sum("n_chars").cast("double") / sum("n_pieces"), 6).as("chars_per_piece"))
       .orderBy("lang"))
 
+  // ------------------------------------------------------ Zipf fit
+  /** Frequency-spectrum health check (operators.TextOps.zipfFit):
+    * per-source ln(count) ~ ln(rank) regression over the top-25
+    * tokens (25 of the corpus's ~31, so truncation is exercised) —
+    * the Zipf exponent a corpus-health dashboard watches next to the
+    * type/token ratio. Rank is a source-PARTITIONED window (each sort
+    * bounded by one source's vocabulary); regr outputs ride the l13
+    * rounding convention (4 dp absorbs double accumulation order). */
+  private val zipfN = 25
+
+  val zipf = Q("text_zipf_fit", Some(s"""
+    WITH tc AS (SELECT source, tok, count(*) AS c
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                      FROM documents WHERE text IS NOT NULL)
+                GROUP BY 1, 2),
+    top AS (SELECT source, c,
+                   row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rnk
+            FROM tc QUALIFY rnk <= $zipfN)
+    SELECT source, count(*) AS n_types,
+           round(regr_slope(ln(c), ln(rnk)), 4) AS slope,
+           round(regr_intercept(ln(c), ln(rnk)), 4) AS intercept,
+           round(regr_r2(ln(c), ln(rnk)), 4) AS r2
+    FROM top GROUP BY 1 ORDER BY 1"""
+  ))((s, d) =>
+    TextOps.zipfFit(Tables.documentsP(s, d), "source", "text", zipfN)
+      .orderBy("source"))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25, hybridRrf,
     qualityGate, decontaminate, repetition, lengthOutliers, vocab, normalizeAudit,
-    oov, novelty, bpeVocab, perplexity, bpeFertility)
+    oov, novelty, bpeVocab, perplexity, bpeFertility, zipf)
 }

@@ -1587,4 +1587,50 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(out(2L)._2 == out(2L)._3)    // seq_last == seq_first
     assert(out(3L)._1 == 4L)            // doc 2 consumed nothing
   }
+
+  test("TextOps.zipfFit recovers an exact Zipf law and truncates at topN") {
+    import spark.implicits._
+    // counts 12/r for ranks 1..4: ln c = ln 12 − ln r — slope −1, R² 1
+    val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    val d = Seq(("g1", text)).toDF("src", "body")
+    val full = TextOps.zipfFit(d, "src", "body", topN = 10).collect()
+    assert(full.length == 1)
+    val r = full.head
+    assert(r.getLong(1) == 4L, "4 types expected")
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-4, s"slope ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - math.log(12.0)) < 1e-4)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-4, "perfect fit expected")
+    // truncation: topN = 2 keeps ranks 1–2 only (still a perfect line)
+    val trunc = TextOps.zipfFit(d, "src", "body", topN = 2).collect().head
+    assert(trunc.getLong(1) == 2L)
+    assert(math.abs(trunc.getDouble(2) + 1.0) < 1e-4)
+  }
+
+  test("Similarity.kmeansSilhouette: separated clusters score high, k=1 scores 0") {
+    import spark.implicits._
+    // two tight direction-clusters (cosine affinity): near e1 and near e2
+    val vs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.99, 0.14)),
+      (3L, Array(0.0, 1.0)), (4L, Array(0.14, 0.99))).toDF("vid", "vec")
+    val out = Similarity.kmeansSilhouette(vs, "vid", "vec",
+        k = 2, iters = 2, seed = 11L, dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.size == 4)
+    assert(out.values.forall(s => s > 0.5 && s <= 1.0),
+      s"tight separated clusters must score high: $out")
+    // assignments agree with kmeans on the same seed/chain
+    val cells = Similarity.kmeans(vs, "vid", "vec", k = 2, iters = 2,
+        seed = 11L, dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val silCells = Similarity.kmeansSilhouette(vs, "vid", "vec",
+        k = 2, iters = 2, seed = 11L, dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(silCells == cells, "silhouette must score the kmeans assignment")
+    // k = 1: no alternative centroid → silhouette defined as 0
+    val k1 = Similarity.kmeansSilhouette(vs, "vid", "vec",
+        k = 1, iters = 1, seed = 11L, dim = 2)
+      .collect().map(_.getDouble(2))
+    assert(k1.forall(_ == 0.0), s"k=1 must score 0: ${k1.toSeq}")
+  }
 }

@@ -35,6 +35,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_bm25_rank",           // 1-row corpus-stats broadcast cross
       "ret_hybrid_rrf",           // both legs' bounded crosses (bm25 stats + 1 query vec)
       "sim_kmeans_cells",         // 1-row centroid-array broadcast cross (per iteration)
+      "sim_kmeans_silhouette",    // same chain + the 1-row top-2 scoring cross
       "sketch_kmv_overlap",       // three 1-row sketch crosses
       "text_unigram_logprob",     // 1-row corpus-total broadcast cross
       "curate_dsir_weights",      // 1-row two-LM-totals broadcast cross
@@ -91,6 +92,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "t2_wilcoxon_signed_rank", // documented single-group demonstrator (QStats.scala:192);
                                  //   the typed Aggregator legs are the scale path
       "graph_pagerank_copurchase", // rank over the 10-row post-LIMIT frame (QScale.scala)
+      "curate_pareto_skyline",   // running max over the distinct-LENGTH frame — bounded
+                                 //   by the token-length value range, not the corpus
+                                 //   (QCuration.skyline)
       "sim_pq_adc_topk",         // LUT-position offsets over the m-row subspace frame
                                  //   (Similarity.pqLutPositions — codebook-bounded)
       "sim_ivfpq_topk",          // same codebook-bounded LUT-position offsets
