@@ -142,6 +142,61 @@ object Diagnostics {
     * comparisons, one (group, bucket)-keyed aggregate. Output:
     * (groupCol, n_rows, psi, drifted) per group, reference group
     * included (psi = 0). */
+  /** EXACT per-group quantile values by rank — the [[psiDrift]]
+    * distributed-rank construction generalized to grouped quantile
+    * requests: for each group and each (name, q) in `qs`, the value at
+    * rank ceil(q·n) of the group's `valueCol` order (the f10/oracle
+    * rank convention; ties share a distinct-value row, so the selected
+    * VALUE is tie-order-independent).
+    *
+    * No corpus-scaled sort anywhere: the distinct-value histogram is
+    * one (group, value)-keyed aggregate; coarse range buckets give
+    * each value a bucket whose offset is folded WINDOW-FREE by the
+    * bounded sequence fan-out (≤256² rows per group); the only window
+    * is the within-bucket running rank, PARTITIONED by (group, bucket)
+    * — each sort is one bucket's distinct values, ~1/256 of a group.
+    * The rank grid (groups × qs rows) broadcasts into a theta join.
+    * Exactness matters when the quantile IS the contract (winsorize
+    * clips, SLA thresholds); use `percentile_approx` when ±ε is fine.
+    *
+    * Output: (groupCol, qname, qvalue), one row per group × request. */
+  def groupQuantilesByRank(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0.0 && q <= 1.0 },
+      s"quantile requests must lie in (0, 1], got $qs")
+    val coarseB = 256
+    val h = CacheScope.persist(df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c")))
+    val scal = h.groupBy(groupCol)
+      .agg(min("v").as("lo"), max("v").as("hi"), sum("c").as("n"))
+    val bucketed = CacheScope.persist(h.join(broadcast(scal), groupCol)
+      .withColumn("cb", when(col("hi") <= col("lo"), lit(0)).otherwise(
+        least(floor((col("v") - col("lo")) / (col("hi") - col("lo"))
+          * coarseB), lit(coarseB - 1))).cast("int"))
+      .select(col(groupCol), col("v"), col("c"), col("cb")))
+    val offs = bucketed.groupBy(col(groupCol), col("cb")).agg(sum("c").as("bc"))
+      .filter(col("cb") < coarseB - 1)
+      .select(col(groupCol),
+        explode(expr(s"sequence(cb + 1, ${coarseB - 1})")).as("cb"), col("bc"))
+      .groupBy(col(groupCol), col("cb")).agg(sum("bc").as("off"))
+    val ranked = bucketed.join(broadcast(offs), Seq(groupCol, "cb"), "left")
+      .withColumn("off", coalesce(col("off"), lit(0L)))
+      .withColumn("cum", col("off") + sum("c").over(
+        Window.partitionBy(col(groupCol), col("cb")).orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val ks = scal.select(col(groupCol).as("__g"), col("n"),
+        explode(array(qs.map { case (nm, q) =>
+          struct(lit(nm).as("qname"), lit(q).as("q")) }: _*)).as("e"))
+      .select(col("__g"), col("e.qname").as("qname"),
+        ceil(col("e.q") * col("n")).cast("long").as("k"))
+    ranked.join(broadcast(ks),
+        col(groupCol) === col("__g") &&
+          col("cum") - col("c") < col("k") && col("k") <= col("cum"))
+      .select(col(groupCol), col("qname"), col("v").as("qvalue"))
+  }
+
   def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
       refGroup: Column, bins: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -398,10 +398,14 @@ object QCuration {
     * MATH; the operator's separation behavior is proven on a
     * separable corpus in LibraryOpsSpec (pos.min > neg.max after 3
     * steps). */
-  val qualityClf = Q("curate_quality_classifier",
-    Some(Q.fixtureOracle("curate_quality_classifier", "doc_id")))((s, d) => {
+  /** The classifier's 6-dp feature frame — (doc_id, y, x1..x4) — shared
+    * by `curate_quality_classifier` and `curate_classifier_calibration`
+    * (identical derivation is what makes the calibration a pure
+    * composition; the numpy replay in tools/check_kernels.py re-derives
+    * the same columns via DuckDB). */
+  private def clfFeatures(s: org.apache.spark.sql.SparkSession, d: String) = {
     import graft.operators.TextOps.occurrences
-    val f = Tables.documentsP(s, d).filter(col("text").isNotNull)
+    Tables.documentsP(s, d).filter(col("text").isNotNull)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("lang"),
         size(col("toks")).as("n_tok"),
@@ -417,9 +421,44 @@ object QCuration {
         round(col("n_stop").cast("double") / col("n_tok"), 6).as("x3"),
         round((col("n_chars") - col("n_tok") + 1).cast("double") /
           (col("n_tok") * 10), 6).as("x4"))
-    graft.operators.Classifier.logisticScore(f, "doc_id",
+  }
+
+  val qualityClf = Q("curate_quality_classifier",
+    Some(Q.fixtureOracle("curate_quality_classifier", "doc_id")))((s, d) =>
+    graft.operators.Classifier.logisticScore(clfFeatures(s, d), "doc_id",
         Seq("x1", "x2", "x3", "x4"), "y", carry = Seq("y"), iters = 3)
-      .orderBy("doc_id")
+      .orderBy("doc_id"))
+
+  // -------------------------------------- classifier calibration / ECE
+  /** Reliability diagram + expected calibration error of the reference
+    * classifier — the acceptance check that decides whether
+    * `curate_quality_classifier`'s scores can be used as sampling
+    * WEIGHTS (calibrated probabilities) or only as a ranking: decile
+    * bins over the predicted probability, per-bin predicted-vs-observed
+    * positive rate and |gap|, plus the n-weighted mean gap (ECE,
+    * Naeini 2015) on every row. Binning is row-local (fixed-width on
+    * the score, NOT quantile — no sort anywhere), both per-bin means
+    * ride the DECIMAL stable-sum, and the ECE roll-up aggregates the
+    * ≤10-row bin frame. Scores come from the same IRLS solve as the
+    * classifier query (matrix step → fixture oracle + the numpy
+    * calibration replay in tools/check_kernels.py). */
+  val clfCalibration = Q("curate_classifier_calibration",
+    Some(Q.fixtureOracle("curate_classifier_calibration", "bin")))((s, d) => {
+    val scored = graft.operators.Classifier.logisticScore(clfFeatures(s, d),
+      "doc_id", Seq("x1", "x2", "x3", "x4"), "y", carry = Seq("y"), iters = 3)
+    val bins = scored
+      .withColumn("bin", least(floor(col("score") * 10).cast("long"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(stableSum(col("score")) / count(lit(1)), 6).as("conf"),
+        round(stableSum(col("y").cast("double")) / count(lit(1)), 6).as("acc"))
+      .withColumn("gap", round(abs(col("acc") - col("conf")), 6))
+    val tot = bins.agg(sum(col("n")).as("n_tot"),
+      stableSum(col("gap") * col("n")).as("wgap"))
+    bins.crossJoin(broadcast(tot))
+      .withColumn("ece", round(col("wgap") / col("n_tot"), 6))
+      .select("bin", "n", "conf", "acc", "gap", "ece")
+      .orderBy("bin")
   })
 
   // ------------------------------------------------ Unigram surprisal
@@ -824,6 +863,6 @@ object QCuration {
   })
 
   val all: Seq[Q] = Seq(pack, chunks, prisample, flags, qsketch, mixrates, epochs,
-    pplPrune, qualityClf, unigram, ledger, qualityGate, gateLedger, tokenBudget,
-    tokenBudgetBpe, domainCap, dsir, skyline)
+    pplPrune, qualityClf, clfCalibration, unigram, ledger, qualityGate, gateLedger,
+    tokenBudget, tokenBudgetBpe, domainCap, dsir, skyline)
 }

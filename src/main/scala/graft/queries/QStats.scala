@@ -873,6 +873,62 @@ object QStats {
         "event_type", "value", col("event_type") === "view", bins = psiBins)
       .orderBy("event_type"))
 
+  // -------------------------------------------- T17 winsorization
+  /** Per-group winsorization audit — clip `value` at the EXACT p05/p95
+    * (operators.Diagnostics.groupQuantilesByRank: the psiDrift
+    * distributed-rank construction, so the per-group quantile never
+    * funnels a group through one task) and report the clip thresholds,
+    * clip counts and the raw-vs-winsorized mean — the standard
+    * heavy-tail cleanup decision for numeric features before they
+    * enter a model or a z-score. Thresholds broadcast back; the clip
+    * itself is row-local; means ride the DECIMAL stable-sum. The
+    * oracle replays the rank convention directly (value at
+    * rank ceil(q·n)) — tie rows share a value, so row_number's
+    * arbitrary tie order cannot change the selected threshold. */
+  val t17 = Q("t17_winsorize", Some {
+    import graft.functions.Deterministic.stableSumSql
+    s"""
+    WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    r AS (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM e),
+    lov AS (SELECT event_type, value AS lo FROM r
+            WHERE rn = CAST(ceil(0.05 * n) AS BIGINT)),
+    hiv AS (SELECT event_type, value AS hi FROM r
+            WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)),
+    c AS (SELECT e.event_type, value, lo, hi,
+                 least(greatest(value, lo), hi) AS w
+          FROM e JOIN lov USING (event_type) JOIN hiv USING (event_type))
+    SELECT event_type, count(*) AS n, lo, hi,
+           CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           round(${stableSumSql("value")} / count(*), 6) AS mean_raw,
+           round(${stableSumSql("w")} / count(*), 6) AS mean_wins
+    FROM c GROUP BY event_type, lo, hi ORDER BY event_type"""
+  })((s, d) => {
+    import graft.functions.Deterministic.stableSum
+    val e = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val th = graft.operators.Diagnostics
+      .groupQuantilesByRank(e, "event_type", "value",
+        Seq("lo" -> 0.05, "hi" -> 0.95))
+      .groupBy("event_type")
+      .agg(max(when(col("qname") === "lo", col("qvalue"))).as("lo"),
+        max(when(col("qname") === "hi", col("qvalue"))).as("hi"))
+    e.join(broadcast(th), "event_type")
+      .withColumn("w", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy("event_type", "lo", "hi")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        round(stableSum(col("value")) / count(lit(1)), 6).as("mean_raw"),
+        round(stableSum(col("w")) / count(lit(1)), 6).as("mean_wins"))
+      .select(col("event_type"), col("n"), col("lo"), col("hi"),
+        col("n_clip_lo"), col("n_clip_hi"), col("mean_raw"), col("mean_wins"))
+      .orderBy("event_type")
+  })
+
   val all: Seq[Q] = Seq(l3, l4, l5, t1, t2, t2b, t2c, t4, t6, t7, t10, t11,
-    t12, t13, t14, t15, t16, l13, st1)
+    t12, t13, t14, t15, t16, t17, l13, st1)
 }

@@ -503,13 +503,14 @@ object QText {
     * E'\x02' literals), the same seeded regexp, the same replace per
     * merge in the same order. `replace` is non-overlapping
     * left-to-right in both engines, so the chains are byte-equal. */
-  private[queries] def bpeEncDuck(textExpr: String): String = {
+  private[queries] def bpeEncDuck(textExpr: String,
+      merges: Seq[(String, String)] = bpeMerges): String = {
     def w(x: String) = s"\\x01$x\\x02"
     // 's' (dotall) mirrors Spark's '(?s)(.)' seed: a newline character
     // must be wrapped as a symbol on BOTH engines (RE2's '.' skips it
     // without the flag — the one byte-equality hole in the replay)
     val seeded = s"regexp_replace($textExpr, '(.)', E'\\x01\\\\1\\x02', 'gs')"
-    bpeMerges.foldLeft(seeded) { case (acc, (x, y)) =>
+    merges.foldLeft(seeded) { case (acc, (x, y)) =>
       s"replace($acc, E'${w(x)}${w(y)}', E'${w(x + y)}')"
     }
   }
@@ -517,9 +518,10 @@ object QText {
   /** DuckDB replay of [[TextOps.bpeTokenCount]] — including the
     * empty-string edge: Spark's when-guard returns 0 there, while
     * len(string_split('', sep)) = 1, so the CASE mirrors the guard. */
-  private[queries] def bpeCountDuck(textExpr: String): String =
+  private[queries] def bpeCountDuck(textExpr: String,
+      merges: Seq[(String, String)] = bpeMerges): String =
     s"(CASE WHEN length($textExpr) = 0 THEN 0 ELSE " +
-      s"len(string_split(${bpeEncDuck(textExpr)}, E'\\x02\\x01'))" +
+      s"len(string_split(${bpeEncDuck(textExpr, merges)}, E'\\x02\\x01'))" +
       s" - (length($textExpr) - length(replace($textExpr, ' ', ''))) END)"
 
   /** Subword vocabulary audit — operators.TextOps.bpePieces over the
@@ -577,6 +579,62 @@ object QText {
         round(sum("n_chars").cast("double") / sum("n_pieces"), 6).as("chars_per_piece"))
       .orderBy("lang"))
 
+  // --------------------------------------- BPE compression curve
+  /** Vocab-size planning curve: corpus compression at PREFIXES of the
+    * committed merge chain (0, 6, 12, 18, 24 merges — BPE's merge
+    * order IS its training order, so depth-d prefixes are exactly the
+    * tokenizer at vocab size base+d). Reports token count, fertility
+    * (pieces/word) and chars/piece per depth — where the curve
+    * flattens is where additional vocab stops buying sequence length,
+    * the number that sizes a production tokenizer BEFORE the expensive
+    * full train. Depth 0 = character tokenization (pieces = chars)
+    * anchors the curve.
+    *
+    * Plan: ONE corpus scan computes all five depth counts as sibling
+    * codegen'd replace-chain columns (each depth's chain is a prefix
+    * of the next — Spark evaluates them independently but all
+    * row-local), one global aggregate, then a 5-element explode of the
+    * 1-row totals into curve rows. No shuffle except the scalar
+    * aggregate; depth fan-out never touches the corpus. */
+  private val bpeDepths = Seq(0, 6, 12, 18, 24)
+
+  val bpeCurve = Q("text_bpe_compression_curve", Some {
+    val perDoc = bpeDepths.map(n =>
+      s"${bpeCountDuck("text", bpeMerges.take(n))} AS p$n").mkString(", ")
+    val sums = bpeDepths.map(n => s"CAST(sum(p$n) AS BIGINT) AS s$n").mkString(", ")
+    val rows = bpeDepths.map(n => s"""
+      SELECT CAST($n AS BIGINT) AS n_merges, s$n AS pieces,
+             round(s$n::DOUBLE / w, 6) AS fertility,
+             round(c::DOUBLE / s$n, 6) AS chars_per_piece FROM a""")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                      CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+                      $perDoc
+               FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+    a AS (SELECT CAST(sum(n_words) AS BIGINT) AS w,
+                 CAST(sum(n_chars) AS BIGINT) AS c, $sums FROM d)
+    SELECT * FROM ($rows) ORDER BY n_merges"""
+  })((s, d) => {
+    val base = Tables.documentsP(s, d)
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(Seq(
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        length(replace(col("text"), lit(" "), lit(""))).cast("long").as("n_chars")) ++
+        bpeDepths.map(n =>
+          TextOps.bpeTokenCount(col("text"), bpeMerges.take(n)).as(s"p$n")): _*)
+    val agg = base.agg(
+      sum("n_words").as("w"),
+      sum("n_chars").as("c") +: bpeDepths.map(n => sum(s"p$n").as(s"s$n")): _*)
+    agg.select(col("w"), col("c"),
+        explode(array(bpeDepths.map(n =>
+          struct(lit(n.toLong).as("n_merges"), col(s"s$n").as("pieces"))): _*)).as("e"))
+      .select(col("e.n_merges").as("n_merges"), col("e.pieces").as("pieces"),
+        round(col("e.pieces").cast("double") / col("w"), 6).as("fertility"),
+        round(col("c").cast("double") / col("e.pieces"), 6).as("chars_per_piece"))
+      .orderBy("n_merges")
+  })
+
   // ------------------------------------------------------ Zipf fit
   /** Frequency-spectrum health check (operators.TextOps.zipfFit):
     * per-source ln(count) ~ ln(rank) regression over the top-25
@@ -606,5 +664,5 @@ object QText {
 
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25, hybridRrf,
     qualityGate, decontaminate, repetition, lengthOutliers, vocab, normalizeAudit,
-    oov, novelty, bpeVocab, perplexity, bpeFertility, zipf)
+    oov, novelty, bpeVocab, perplexity, bpeFertility, bpeCurve, zipf)
 }

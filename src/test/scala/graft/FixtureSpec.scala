@@ -41,7 +41,9 @@ class FixtureSpec extends AnyFunSuite {
       // same committed-fixture contract
       "t1_pearson_corr",
       // logistic IRLS needs a matrix solve — not SQL-expressible
-      "curate_quality_classifier")
+      "curate_quality_classifier",
+      // decile calibration of the same IRLS scores — same solve upstream
+      "curate_classifier_calibration")
     assert(gated.map(_._1).toSet == expected)
   }
 

@@ -1588,6 +1588,25 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(out(3L)._1 == 4L)            // doc 2 consumed nothing
   }
 
+  test("Diagnostics.groupQuantilesByRank: rank convention exact, ties share a value") {
+    import spark.implicits._
+    import graft.operators.Diagnostics
+    // group a: 1..10 → p05 rank ceil(0.5)=1 → 1.0; p50 rank 5 → 5.0;
+    // p95 rank ceil(9.5)=10 → 10.0. group b: heavy ties — value 7
+    // occupies ranks 2..9 of 10, so p50 (rank 5) must be 7 regardless
+    // of tie order.
+    val rows = (1 to 10).map(i => ("a", i.toDouble)) ++
+      (Seq(1.0) ++ Seq.fill(8)(7.0) ++ Seq(9.0)).map(("b", _))
+    val out = Diagnostics.groupQuantilesByRank(rows.toDF("g", "x"), "g", "x",
+        Seq("p05" -> 0.05, "p50" -> 0.50, "p95" -> 0.95))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("a", "p05")) == 1.0 && out(("a", "p50")) == 5.0 &&
+      out(("a", "p95")) == 10.0, s"group a: $out")
+    assert(out(("b", "p50")) == 7.0, s"tied median must be 7: $out")
+    assert(out(("b", "p95")) == 9.0)
+    assert(out.size == 6)
+  }
+
   test("TextOps.zipfFit recovers an exact Zipf law and truncates at topN") {
     import spark.implicits._
     // counts 12/r for ranks 1..4: ln c = ln 12 − ln r — slope −1, R² 1

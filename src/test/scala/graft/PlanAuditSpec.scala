@@ -54,6 +54,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_perplexity_bigram",   // 1-row vocab-size broadcast cross
       "curate_perplexity_prune",  // same vocab cross via bigramLogprob
       "curate_quality_classifier", // 1-row β/moments crosses per IRLS step
+      "curate_classifier_calibration", // same IRLS crosses + the 1-row ECE total
       "diag_embedding_drift",     // 1-row global-centroid broadcast cross
       "t16_psi_event_type")       // 1-row decile-cuts + ref-total broadcast crosses
     val offenders = Q.registry

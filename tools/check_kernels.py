@@ -570,6 +570,37 @@ if glob.glob(f"{out_dir}/curate_quality_classifier/*.parquet"):
           load("curate_quality_classifier").sort_values("doc_id"),
           ["y", "score", "keep"])
 
+    # -------- curate_classifier_calibration (same scores, binned) -----
+    # Replicates the Spark query bit-for-bit: fixed-width decile bins on
+    # the DOUBLE product score*10 (same IEEE floor), per-bin DECIMAL(,6)
+    # sums for conf/acc, HALF_UP rounding everywhere Spark rounds.
+    if glob.glob(f"{out_dir}/curate_classifier_calibration/*.parquet"):
+        import math
+        def r6s(v):  # one scalar, Spark round(x, 6)
+            return float(Decimal(repr(float(v))).quantize(q6, ROUND_HALF_UP))
+        def dsum6(vals):  # stableSum: per-term DECIMAL(28,6), exact sum
+            return float(sum(Decimal(repr(float(t))).quantize(
+                q6, ROUND_HALF_UP) for t in vals))
+        bins = {}
+        for i in range(len(score)):
+            b = min(int(math.floor(score[i] * 10.0)), 9)
+            bins.setdefault(b, []).append(i)
+        rows = []
+        for b in sorted(bins):
+            idx = bins[b]
+            n = len(idx)
+            conf = r6s(dsum6(score[j] for j in idx) / n)
+            acc = r6s(dsum6(yv[j] for j in idx) / n)
+            rows.append({"bin": float(b), "n": float(n), "conf": conf,
+                         "acc": acc, "gap": r6s(abs(acc - conf))})
+        n_tot = sum(r["n"] for r in rows)
+        ece = r6s(dsum6(r["gap"] * r["n"] for r in rows) / n_tot)
+        for r in rows:
+            r["ece"] = ece
+        check("curate_classifier_calibration", rows,
+              load("curate_classifier_calibration").sort_values("bin"),
+              ["bin", "n", "conf", "acc", "gap", "ece"])
+
 if failures:
     print("\nFAILED:\n  " + "\n  ".join(failures))
     sys.exit(1)

@@ -27,6 +27,8 @@ KERNELS = [
     "t1_pearson_corr",
     # logistic IRLS (matrix solve) — not SQL-expressible
     "curate_quality_classifier",
+    # decile calibration of the IRLS scores — same non-SQL solve upstream
+    "curate_classifier_calibration",
 ]
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
