@@ -38,13 +38,23 @@ import graft.functions.Deterministic.stableSum
 object Classifier {
 
   def logisticScore(feats: DataFrame, idCol: String, featCols: Seq[String],
-      labelCol: String, carry: Seq[String] = Nil, iters: Int = 3): DataFrame = {
+      labelCol: String, carry: Seq[String] = Nil, iters: Int = 3,
+      memoKey: Option[String] = None): DataFrame = {
     require(featCols.size == 4,
       s"logisticScore's moments unrolling is written for exactly 4 features, " +
         s"got ${featCols.size}")
     require(iters >= 1, s"logisticScore needs iters >= 1, got $iters")
     val spark = feats.sparkSession
     import spark.implicits._
+    // memoKey: session-wide share of the TRAINED MODEL (the 1-row β
+    // frame — the kmeans-chain discipline applied to the cheapest
+    // possible memo payload): curate_quality_classifier and
+    // curate_classifier_calibration fit the identical IRLS chain over
+    // the identical feature frame, so the second caller should pay one
+    // scoring scan, not `iters` training aggregates. Every training
+    // parameter folds into the key; carry does NOT (it never affects β).
+    val betaKey = memoKey.map(mk =>
+      s"$mk/clf/$idCol/${featCols.mkString("+")}/$labelCol/$iters/beta")
 
     val bCols = (0 to 4).map(i => s"b$i")
     val xs = Seq(lit(1.0)) ++ featCols.map(c => col(c).cast("double"))
@@ -52,6 +62,7 @@ object Classifier {
     // z = xᵀβ as a flat codegen chain over the broadcast 1-row β frame
     def zCol = bCols.zip(xs).map { case (b, x) => col(b) * x }.reduce(_ + _)
 
+    def train(): DataFrame = {
     var beta: DataFrame =
       spark.range(1).select(bCols.map(b => lit(0.0).as(b)): _*)
 
@@ -79,8 +90,11 @@ object Classifier {
         (bn(0), bn(1), bn(2), bn(3), bn(4))
       }.toDF(bCols: _*)
     }
+    beta
+    }
 
-    feats.crossJoin(broadcast(beta))
+    val betaF = betaKey.map(k => Memo.cached(k)(train())).getOrElse(train())
+    feats.crossJoin(broadcast(betaF))
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-zCol)), 6))
       .select((col(idCol) +: carry.map(col)) :+
         col("score") :+ (col("score") >= 0.5).as("keep"): _*)

@@ -426,7 +426,8 @@ object QCuration {
   val qualityClf = Q("curate_quality_classifier",
     Some(Q.fixtureOracle("curate_quality_classifier", "doc_id")))((s, d) =>
     graft.operators.Classifier.logisticScore(clfFeatures(s, d), "doc_id",
-        Seq("x1", "x2", "x3", "x4"), "y", carry = Seq("y"), iters = 3)
+        Seq("x1", "x2", "x3", "x4"), "y", carry = Seq("y"), iters = 3,
+        memoKey = Some(graft.operators.Memo.corpusKey("clf", d)))
       .orderBy("doc_id"))
 
   // -------------------------------------- classifier calibration / ECE
@@ -445,7 +446,8 @@ object QCuration {
   val clfCalibration = Q("curate_classifier_calibration",
     Some(Q.fixtureOracle("curate_classifier_calibration", "bin")))((s, d) => {
     val scored = graft.operators.Classifier.logisticScore(clfFeatures(s, d),
-      "doc_id", Seq("x1", "x2", "x3", "x4"), "y", carry = Seq("y"), iters = 3)
+      "doc_id", Seq("x1", "x2", "x3", "x4"), "y", carry = Seq("y"), iters = 3,
+      memoKey = Some(graft.operators.Memo.corpusKey("clf", d)))
     val bins = scored
       .withColumn("bin", least(floor(col("score") * 10).cast("long"), lit(9L)))
       .groupBy("bin")
