@@ -551,7 +551,8 @@ object QScale {
         struct((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst")),
         struct((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    graft.operators.Graphs.pageRank(edges, "src", "dst", prIters, prDamp)
+    graft.operators.Graphs.pageRank(edges, "src", "dst", prIters, prDamp,
+        memoKey = Some(graft.operators.Memo.corpusKey("prcp", d)))
       .filter(col("node") % 2 === 1)
       .select(col("node"), col("r"), col("dg").as("degree"))
       // top-10 via orderBy+limit (distributed TakeOrdered); the rank

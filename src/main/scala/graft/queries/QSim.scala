@@ -185,7 +185,8 @@ object QSim {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val pr = graft.operators.Graphs.pageRank(edges, "src", "dst",
-      iters = 3, damping = 0.85)
+      iters = 3, damping = 0.85,
+      memoKey = Some(graft.operators.Memo.corpusKey("prkr", d)))
     // prj feeds BOTH the keeper election and the final decision join —
     // scope-persisted so the CC + PageRank chains plan (and run) once
     val prj = graft.operators.CacheScope.persist(
