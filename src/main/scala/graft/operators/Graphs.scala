@@ -43,6 +43,21 @@ object Graphs {
     * Output: (node, r, dg) — the out-degree rides along from the frame
     * the operator already holds, so callers never rescan the edge list
     * for it. */
+  /** The shared materialized edge leaf of the iterative graph
+    * operators: (src, dst), pre-partitioned on src, lineage-truncated
+    * by an eager localCheckpoint (see [[pageRank]]'s header for why a
+    * persist alone is not enough), and — with a memoKey — held in the
+    * session memo tier so every iterative consumer of the SAME graph
+    * ([[pageRank]], [[labelPropagation]]) shares ONE materialization
+    * instead of re-checkpointing |E| rows each. */
+  def edgeLeaf(edges: DataFrame, srcCol: String, dstCol: String,
+      memoKey: Option[String]): DataFrame = {
+    def build = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    memoKey.map(mk => Memo.cached(s"$mk/graph/edges")(build)).getOrElse(build)
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85,
       memoKey: Option[String] = None): DataFrame = {
@@ -68,11 +83,7 @@ object Graphs {
     // once, every later evaluation starts from the partitioned leaf.
     def memoOr(kk: String, fallback: DataFrame => DataFrame)(b: => DataFrame) =
       memoKey.map(mk => Memo.cached(s"$mk/pr/$kk")(b)).getOrElse(fallback(b))
-    val e = memoOr("edges", identity) {
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .repartition(col("src"))
-        .localCheckpoint(true)
-    }
+    val e = edgeLeaf(edges, srcCol, dstCol, memoKey)
     // node set = src ∪ dst WITH out-degree in ONE shuffle (src rows
     // count 1, dst rows 0): a dst-only (dangling) node is a real node —
     // it holds rank, and its mass must re-enter the distribution below
@@ -189,5 +200,45 @@ object Graphs {
         round(when(col("d") < 2, lit(0.0)).otherwise(
           lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double") /
             (col("d") * (col("d") - 1)).cast("double")), 6).as("clustering"))
+  }
+
+  /** Synchronous label propagation (Raghavan 2007), a FIXED number of
+    * unrolled iterations with fully deterministic updates: every node
+    * starts labeled with its own id; each round a node adopts the most
+    * frequent label among its in-neighbors PLUS ITSELF (count desc,
+    * label asc tie-break). Including the node's own current label in
+    * the vote is the standard damping that keeps synchronous LPA from
+    * oscillating on bipartite structure — without it a two-sided graph
+    * (the co-purchase projection here) flips labels side-to-side every
+    * round. Fixed iterations + total-order tie-break = deterministic
+    * AND finitely SQL-replayable (the oracle unrolls each round as a
+    * CTE with the identical vote).
+    *
+    * Scale shape: per round, ONE |E|-row join (labels onto the shared
+    * pre-partitioned [[edgeLeaf]] — memo-shared with [[pageRank]] on
+    * the same graph) + a (node, label)-keyed count + a node-keyed
+    * `max(struct(cnt, −label))` argmax — all map-side combinable, no
+    * window, no corpus sort; the label frame stays node-sized and is
+    * scope-persisted per round so each round plans once.
+    *
+    * Output: (node, community) — community = the final label. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, memoKey: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"labelPropagation needs 1 <= iters <= 20, got $iters")
+    val e = edgeLeaf(edges, srcCol, dstCol, memoKey)
+    val l0 = CacheScope.persist(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct()
+        .select(col("node"), col("node").as("lbl")))
+    (1 to iters).foldLeft(l0) { (l, _) =>
+      val votes = e.join(l.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
+        .unionAll(l.select(col("node"), col("lbl")))
+      CacheScope.persist(votes
+        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl")))
+    }.select(col("node"), col("lbl").as("community"))
   }
 }

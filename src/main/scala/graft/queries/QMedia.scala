@@ -603,5 +603,83 @@ object QMedia {
       .orderBy("sample_rate")
   })
 
-  val all: Seq[Q] = Seq(decode, frames, resize, dhash, wav, wavFrames)
+  // --------------------------------- REAL codec: WAV 2× downsample
+  final case class WavResampled(doc_id: Long, rate_out: Long, n_out: Long,
+      amp_sum: Long, sq_sum: Long, peak: Long)
+
+  /** Decimate-by-2 with an anti-alias boxcar off the parsed PCM: each
+    * output sample is the floor mean of an input pair on the UNSIGNED
+    * byte scale ((u₂ᵢ + u₂ᵢ₊₁) >> 1 — the standard cheap low-pass
+    * before dropping every other sample), an odd trailing sample
+    * passes through (mean with itself). All integer; features then
+    * use the same bias-128 amplitude convention as the other WAV
+    * decoders. */
+  private def resampleWav(rows: Iterator[WavRow]): Iterator[WavResampled] =
+    rows.map { r =>
+      val (rate, samples) = parseWav(r.doc_id, r.payload)
+      val nOut = (samples.length + 1) / 2
+      var s = 0L; var sq = 0L; var pk = 0L
+      var i = 0
+      while (i < nOut) {
+        val a = samples(2 * i) & 0xff
+        val b = if (2 * i + 1 < samples.length) samples(2 * i + 1) & 0xff else a
+        val v = ((a + b) >> 1) - 128L
+        s += v; sq += v * v
+        if (math.abs(v) > pk) pk = math.abs(v)
+        i += 1
+      }
+      WavResampled(r.doc_id, rate.toLong / 2, nOut.toLong, s, sq, pk)
+    }
+
+  /** Audio downsampling over the REAL WAV path — the standard
+    * storage/throughput cut before feature extraction at scale (half
+    * the sample rate, half the bytes): same synth-ingest + genuine
+    * chunk-walking parser as mm_wav_decode, then the decimator above,
+    * rolled up per OUTPUT rate with the post-resample amplitude
+    * battery (the numbers that tell you whether the cut kept the
+    * signal). Row-local decode + one aggregate; everything integer
+    * until the final ratios, so the oracle re-derives every value
+    * exactly from the document characters (same byte/char contract as
+    * the sibling WAV queries). */
+  val wavResample = Q("mm_wav_resample", Some("""
+    WITH f AS (SELECT doc_id, 8000 * (1 + doc_id % 3) AS rate,
+                      string_split(text, '') AS cs
+               FROM documents WHERE length(text) > 0 AND strlen(text) = length(text)),
+    p AS (SELECT doc_id, rate, i, ascii(cs[2 * i - 1]) AS a,
+                 CASE WHEN 2 * i <= len(cs) THEN ascii(cs[2 * i]) END AS b
+          FROM f, LATERAL unnest(generate_series(1,
+                 CAST(ceil(len(cs) / 2.0) AS BIGINT))) t(i)),
+    v AS (SELECT doc_id, rate, ((a + coalesce(b, a)) // 2) - 128 AS v FROM p),
+    c AS (SELECT doc_id, rate // 2 AS rate_out, count(*) AS n_out,
+                 CAST(sum(v) AS BIGINT) AS amp_sum,
+                 CAST(sum(v * v) AS BIGINT) AS sq_sum,
+                 CAST(max(abs(v)) AS BIGINT) AS peak
+          FROM v GROUP BY 1, 2)
+    SELECT rate_out, count(*) AS n_clips,
+           CAST(sum(n_out) AS BIGINT) AS total_samples,
+           CAST(max(peak) AS BIGINT) AS peak_amp,
+           round(CAST(sum(amp_sum) AS DOUBLE) / sum(n_out), 6) AS mean_amp,
+           round(sqrt(CAST(sum(sq_sum) AS DOUBLE) / sum(n_out)), 6) AS rms
+    FROM c GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    import s.implicits._
+    val ingest = Tables.documents(s, d)
+      .filter(length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        WavRow(id, wavBytes(8000 * (1 + (id % 3)).toInt, raw))
+      })
+    ingest.mapPartitions(resampleWav).toDF()
+      .groupBy("rate_out")
+      .agg(count(lit(1)).as("n_clips"),
+        sum("n_out").as("total_samples"),
+        max("peak").as("peak_amp"),
+        round(sum("amp_sum").cast("double") / sum("n_out"), 6).as("mean_amp"),
+        round(sqrt(sum("sq_sum").cast("double") / sum("n_out")), 6).as("rms"))
+      .orderBy("rate_out")
+  })
+
+  val all: Seq[Q] = Seq(decode, frames, resize, dhash, wav, wavFrames, wavResample)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -539,19 +540,9 @@ object QScale {
     FROM r3 r JOIN deg ON r.node = deg.node
     WHERE r.node % 2 = 1
     ORDER BY rk LIMIT 10"""
-  })((s, d) => {
-    val raw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
-    // symmetrize in ONE pass (explode, not union — a union of two
-    // selects over `raw` would run the join+distinct pipeline twice)
-    val edges = raw.select(explode(array(
-        struct((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst")),
-        struct((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    graft.operators.Graphs.pageRank(edges, "src", "dst", prIters, prDamp,
+  })((s, d) =>
+    graft.operators.Graphs.pageRank(copurchaseEdges(s, d), "src", "dst",
+        prIters, prDamp,
         memoKey = Some(graft.operators.Memo.corpusKey("prcp", d)))
       .filter(col("node") % 2 === 1)
       .select(col("node"), col("r"), col("dg").as("degree"))
@@ -565,8 +556,70 @@ object QScale {
       .select(col("rk").cast("long").as("rk"),
         expr("node div 2").as("supp_key"),
         round(col("r") * lit(1e6), 6).as("rank_ppm"), col("degree"))
-      .orderBy("rk")
-  })
+      .orderBy("rk"))
+
+  /** The bipartite-encoded co-purchase graph shared by the iterative
+    * graph queries (customer keys even, supplier keys odd; symmetrized
+    * in ONE pass — explode, not union, so the join+distinct pipeline
+    * runs once). Both consumers pass the same corpus memo key, so the
+    * materialized Graphs.edgeLeaf is built once per session. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    raw.select(explode(array(
+        struct((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst")),
+        struct((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  // --------------------------------------- Label-propagation communities
+  /** Community detection over the co-purchase graph —
+    * operators.Graphs.labelPropagation (synchronous LPA, 3 unrolled
+    * rounds, self-vote damping, deterministic (count desc, label asc)
+    * tie-break) — the market-segmentation complement of the other
+    * graph primitives: CC answers reachability, PageRank centrality,
+    * triangles cliquishness, LPA answers "which densely-connected
+    * group does each node trade in". Reported as the community-size
+    * spectrum (size → how many communities, how many nodes) — the
+    * bounded histogram, not a per-node dump. Edge leaf memo-shared
+    * with `graph_pagerank_copurchase` (same corpus key → one
+    * materialization). The oracle unrolls the identical three rounds
+    * with the row_number twin of the argmax vote. */
+  val lpa = Q("graph_lpa_communities", Some {
+    def step(prev: String, out: String) = s"""
+    $out AS (SELECT node, lbl FROM (
+       SELECT v.node, v.lbl,
+              row_number() OVER (PARTITION BY v.node ORDER BY v.c DESC, v.lbl) AS rn
+       FROM (SELECT node, lbl, count(*) AS c FROM (
+               SELECT e.dst AS node, $prev.lbl FROM edges e JOIN $prev ON e.src = $prev.node
+               UNION ALL SELECT node, lbl FROM $prev) GROUP BY 1, 2) v)
+       WHERE rn = 1)"""
+    s"""
+    WITH raw AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+                 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM raw
+              UNION ALL SELECT s * 2 + 1, c * 2 FROM raw),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+    ${step("l0", "l1")},
+    ${step("l1", "l2")},
+    ${step("l2", "l3")},
+    cs AS (SELECT lbl, count(*) AS csize FROM l3 GROUP BY 1)
+    SELECT csize AS community_size, count(*) AS n_communities,
+           CAST(sum(csize) AS BIGINT) AS n_nodes
+    FROM cs GROUP BY 1 ORDER BY 1"""
+  })((s, d) =>
+    graft.operators.Graphs.labelPropagation(copurchaseEdges(s, d),
+        "src", "dst", iters = 3,
+        memoKey = Some(graft.operators.Memo.corpusKey("prcp", d)))
+      .groupBy("community").agg(count(lit(1)).as("csize"))
+      .groupBy("csize")
+      .agg(count(lit(1)).as("n_communities"), sum("csize").as("n_nodes"))
+      .select(col("csize").as("community_size"), col("n_communities"),
+        col("n_nodes"))
+      .orderBy("community_size"))
 
   // ------------------------------------------------ Triangle counting
   /** Per-part triangle counts over the co-purchase graph —
@@ -723,5 +776,5 @@ object QScale {
       .orderBy("shard"))
 
   val all: Seq[Q] = Seq(sessBatch, cms, zorder, rolling, incMerge, keySkew,
-    snapDiff, scd2, entropy, embDrift, bloom, joinSize, pagerank, triangles, hll, shards)
+    snapDiff, scd2, entropy, embDrift, bloom, joinSize, pagerank, lpa, triangles, hll, shards)
 }

@@ -1036,6 +1036,78 @@ object QSim {
       .orderBy("query_id")
   })
 
+  // ------------------------------------------------ ANN recall curve
+  /** Recall@k CURVE of the IVF path vs exact brute force (k = 1, 3, 5,
+    * 10) — `sim_ann_recall` generalized from the single k=3 point to
+    * the acceptance curve an ANN deployment actually reads (where does
+    * recall flatten, is the knee before or after the k the product
+    * serves). One brute top-10 and one IVF top-10 per query, LEFT
+    * joined once; every k reads off the SAME joined rank frame via a
+    * bounded explode (queries × 10 × |ks| rows — never corpus-scaled),
+    * so the curve costs the same two searches as the single point. */
+  private val recallKs = Seq(1, 3, 5, 10)
+
+  val annRecallCurve = Q("sim_ann_recall_curve", Some(s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bsc AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, round($cosDuck, 6) AS c
+            FROM e a JOIN e b ON a.vec_id < 8 AND a.vec_id <> b.vec_id),
+    b10 AS (SELECT query_id, cand_id, rk FROM (
+             SELECT query_id, cand_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, cand_id) AS rk
+             FROM bsc) WHERE rk <= 10),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+             ORDER BY ${graft.functions.Deterministic.hrandSql("vec_id", ivfSeed)}, vec_id
+             LIMIT $nList),
+    ac AS (SELECT e.vec_id, cent.cent_id, round(${cosD("e.v", "cent.cv")}, 6) AS c
+           FROM e CROSS JOIN cent),
+    asg AS (SELECT vec_id, cent_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+            FROM ac),
+    a1 AS (SELECT vec_id AS cand_id, cent_id FROM asg WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cent_id FROM asg WHERE rn <= $nProbe AND vec_id < 8),
+    cand AS (SELECT p.query_id, a.cand_id FROM probes p
+             JOIN a1 a ON p.cent_id = a.cent_id AND a.cand_id <> p.query_id),
+    isc AS (SELECT c.query_id, c.cand_id, round(${cosD("q.v", "x.v")}, 6) AS cs
+            FROM cand c JOIN e q ON c.query_id = q.vec_id
+                        JOIN e x ON c.cand_id = x.vec_id),
+    i10 AS (SELECT query_id, cand_id, rk FROM (
+             SELECT query_id, cand_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cand_id) AS rk
+             FROM isc) WHERE rk <= 10),
+    j AS (SELECT b.query_id, b.rk AS brk, i.rk AS irk
+          FROM b10 b LEFT JOIN i10 i
+            ON b.query_id = i.query_id AND b.cand_id = i.cand_id),
+    h AS (SELECT j.query_id, k.k,
+                 CAST(sum(CASE WHEN j.brk <= k.k AND coalesce(j.irk, 99) <= k.k
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          FROM j CROSS JOIN (SELECT unnest([${recallKs.mkString(", ")}]) AS k) k
+          GROUP BY 1, 2)
+    SELECT k, count(*) AS n_queries, CAST(sum(n_hit) AS BIGINT) AS n_hits,
+           round(CAST(sum(n_hit) AS DOUBLE) / (count(*) * k), 6) AS mean_recall
+    FROM h GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "v", k = 10)
+      .select(col("query_id"), col("rk").as("brk"), col("cand_id"))
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "v",
+        k = 10, nList = nList, nProbe = nProbe, seed = ivfSeed,
+        numVectors = Some(Tables.rowCount(s, d, "embeddings")))
+      .select(col("query_id").as("iq"), col("rk").as("irk"), col("cand_id").as("ic"))
+    brute.join(ivf,
+        brute("query_id") === ivf("iq") && brute("cand_id") === ivf("ic"), "left")
+      .select(col("query_id"), col("brk"), col("irk"),
+        explode(array(recallKs.map(k => lit(k.toLong)): _*)).as("k"))
+      .groupBy("query_id", "k")
+      .agg(sum(when(col("brk") <= col("k") &&
+          coalesce(col("irk"), lit(99L)) <= col("k"), 1L).otherwise(0L)).as("n_hit"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_queries"), sum("n_hit").as("n_hits"),
+        round(sum("n_hit").cast("double") / (count(lit(1)) * col("k")), 6)
+          .as("mean_recall"))
+      .orderBy("k")
+  })
+
   // ------------------------------------------------- IVF-ADC search
   /** The composed billion-scale ANN layout — operators.Similarity
     * .ivfPqTopK (Jégou et al. 2011 IVFADC): coarse inverted lists
@@ -1500,7 +1572,7 @@ object QSim {
 
   val all: Seq[Q] =
     Seq(exact, minhashLsh, minhashInc, clusterCc, keepRank, savings, funnel, simhash, ngramJaccard,
-      embedNearDup, annTopk, hardNeg, annLsh, annIvf, annRecall, kmeansCells, kmeansSil, scalarQuant,
+      embedNearDup, annTopk, hardNeg, annLsh, annIvf, annRecall, annRecallCurve, kmeansCells, kmeansSil, scalarQuant,
       ngramContain, pqError, adcTopk, ivfPq, ivfPqRecall, substringRun, spanRewrite, randProj,
       semantic, decontamFuzzy)
 }

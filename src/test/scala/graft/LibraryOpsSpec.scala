@@ -1588,6 +1588,29 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(out(3L)._1 == 4L)            // doc 2 consumed nothing
   }
 
+  test("Graphs.labelPropagation separates components and does not oscillate on bipartite graphs") {
+    import spark.implicits._
+    import graft.operators.Graphs
+    // two disjoint triangles (symmetrized) → two communities labeled by
+    // their min node; a 2×2 bipartite block would OSCILLATE under pure
+    // synchronous LPA — the self-vote damping must converge it instead
+    def sym(ps: (Long, Long)*) = ps.flatMap(p => Seq(p, p.swap)).toDF("s", "d")
+    val tri2 = sym((1L,2L),(2L,3L),(1L,3L),(10L,11L),(11L,12L),(10L,12L))
+    val out = Graphs.labelPropagation(tri2, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 6)
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, s"triangle 1 split: $out")
+    assert(Set(out(10L), out(11L), out(12L)).size == 1, s"triangle 2 split: $out")
+    assert(out(1L) != out(10L), "disjoint components must not merge")
+    val bip = sym((1L,10L),(1L,11L),(2L,10L),(2L,11L))
+    val b3 = Graphs.labelPropagation(bip, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b4 = Graphs.labelPropagation(bip, "s", "d", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b3 == b4, s"bipartite labels oscillate between rounds: $b3 vs $b4")
+    assert(b3.values.toSet.size == 1, s"connected bipartite block must converge to one community: $b3")
+  }
+
   test("Diagnostics.groupQuantilesByRank: rank convention exact, ties share a value") {
     import spark.implicits._
     import graft.operators.Diagnostics

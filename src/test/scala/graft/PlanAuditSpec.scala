@@ -43,6 +43,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "t13_mutual_information",   // 1-row entropy/MI report crosses (category-bounded)
       "inc_snapshot_diff",        // 1-row timeline-cut scalar bound
       "sim_ann_recall",           // composes sim_cosine_topk + sim_ann_ivf bounds
+      "sim_ann_recall_curve",     // same composition, top-10 + the bounded k explode
       "sketch_bloom_prune",       // two 1-row report-dimension crosses
       "diag_join_size_cms",       // 1-row est × 1-row exact report crosses
       "graph_pagerank_copurchase", // 1-row node-count cross per iteration
