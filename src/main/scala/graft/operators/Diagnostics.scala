@@ -142,6 +142,39 @@ object Diagnostics {
     * comparisons, one (group, bucket)-keyed aggregate. Output:
     * (groupCol, n_rows, psi, drifted) per group, reference group
     * included (psi = 0). */
+  /** Per-column data-quality profile in ONE aggregate pass: row count,
+    * NULL count and fraction, NaN count (numeric columns only — listed
+    * by the caller, isnan on non-numerics would not resolve), and the
+    * EXACT distinct cardinality — the first report a pipeline runs
+    * over a new snapshot (did a join key collapse, did a feed start
+    * sending NULLs, is a "unique" id actually unique).
+    *
+    * Scale shape: one aggregate whose multi-column `countDistinct`
+    * Catalyst plans as an Expand (input × profiled-column multiplier)
+    * — the standard exact-profile plan, linear with a constant factor
+    * of |cols|; the per-column output explode runs on the 1-row
+    * totals. At 100 TB swap `countDistinct` for HLL sketches if ±2 %
+    * is acceptable — exact is kept here because the oracle contract
+    * is hash equality, and uniqueness AUDITS need exact anyway. */
+  def missingnessProfile(df: DataFrame, numericCols: Set[String]): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"__null_$c"),
+        (if (numericCols(c)) count(when(isnan(col(c)), 1)) else lit(0L))
+          .as(s"__nan_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"))
+    } :+ count(lit(1)).as("__n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n"), explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"__null_$c").as("n_null"),
+          col(s"__nan_$c").as("n_nan"), col(s"__dist_$c").as("n_distinct"))): _*))
+        .as("e"))
+      .select(col("e.col_name").as("col_name"), col("__n").as("n_rows"),
+        col("e.n_null").as("n_null"), col("e.n_nan").as("n_nan"),
+        col("e.n_distinct").as("n_distinct"),
+        round(col("e.n_null").cast("double") / col("__n"), 6).as("null_frac"))
+  }
+
   /** EXACT per-group quantile values by rank — the [[psiDrift]]
     * distributed-rank construction generalized to grouped quantile
     * requests: for each group and each (name, q) in `qs`, the value at

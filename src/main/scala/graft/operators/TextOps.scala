@@ -676,6 +676,43 @@ object TextOps {
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Per-document TF-IDF keyword extraction: the `topK` terms that most
+    * distinguish each document from the corpus — tf · (ln((N+1)/(df+1))
+    * + 1), the smoothed-idf convention that keeps corpus-wide terms
+    * finite. The metadata-tagging staple (search facets, topic hints,
+    * weak labels) next to BM25's query-side ranking.
+    *
+    * Scale shape: term frequencies are one (doc, token)-keyed count,
+    * document frequencies one token-keyed count joined back on the
+    * token key (broadcast for a bounded vocab, shuffle for a web-scale
+    * one — Catalyst's choice), and the top-K rank window is PARTITIONED
+    * by document, so every sort is one document's vocabulary. Scores
+    * are rounded to 6 dp BEFORE ranking: the rounded value is the
+    * cross-engine parity layer (ln differs by ulps across libm
+    * implementations), and ties inside a 6-dp bucket break by token.
+    *
+    * Output: (idCol, rk, term, score), rk ∈ 1..topK. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val n = docs.filter(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("__n"))
+    val df = toks.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") *
+        (log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= topK)
+      .select(col(idCol), col("rk").cast("long").as("rk"),
+        col("term"), col("score"))
+  }
+
   /** Zipf-law fit of the per-group token frequency spectrum: regress
     * ln(count) on ln(rank) over each group's top-`topN` tokens and
     * report the slope (Zipf exponent ≈ −1 for natural language — a

@@ -254,6 +254,34 @@ object QScale {
       .reduce(_ unionByName _)
       .orderBy("keyspace"))
 
+  // --------------------------------------------- missingness profile
+  /** Per-column data-quality profile of the event log —
+    * operators.Diagnostics.missingnessProfile: NULL/NaN counts and
+    * fractions plus exact distinct cardinality for every column, one
+    * aggregate pass (the Expand-based multi-distinct plan — the
+    * report a pipeline runs FIRST over a new snapshot: did a feed
+    * start sending NULLs, is the id column still unique). `ts` is
+    * deliberately out of the profile: its distinct count would depend
+    * on the engine's ns→µs normalization, not the data. */
+  val missing = Q("diag_missingness_profile", Some {
+    def leg(c: String, nan: String) = s"""
+      SELECT '$c' AS col_name, count(*) AS n_rows,
+             CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_null,
+             CAST($nan AS BIGINT) AS n_nan,
+             CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             round(count(CASE WHEN $c IS NULL THEN 1 END)::DOUBLE / count(*), 6) AS null_frac
+      FROM events"""
+    Seq(leg("event_id", "0"), leg("event_type", "0"),
+      leg("props", "0"), leg("user_id", "0"),
+      leg("value", "count(CASE WHEN isnan(value) THEN 1 END)"))
+      .mkString("", " UNION ALL ", " ORDER BY col_name")
+  })((s, d) =>
+    graft.operators.Diagnostics.missingnessProfile(
+        Tables.events(s, d)
+          .select("event_id", "event_type", "props", "user_id", "value"),
+        numericCols = Set("value"))
+      .orderBy("col_name"))
+
   // --------------------------------------------- snapshot diff (CDC)
   /** Snapshot-diff audit (operators.Incremental.snapshotDiff) keyed by
     * (user, day): classify every user-day activity cell as added /
@@ -776,5 +804,5 @@ object QScale {
       .orderBy("shard"))
 
   val all: Seq[Q] = Seq(sessBatch, cms, zorder, rolling, incMerge, keySkew,
-    snapDiff, scd2, entropy, embDrift, bloom, joinSize, pagerank, lpa, triangles, hll, shards)
+    snapDiff, scd2, entropy, embDrift, bloom, joinSize, missing, pagerank, lpa, triangles, hll, shards)
 }

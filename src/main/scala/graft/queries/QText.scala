@@ -635,6 +635,29 @@ object QText {
       .orderBy("n_merges")
   })
 
+  // ---------------------------------------------- TF-IDF keywords
+  /** Per-document keyword extraction (operators.TextOps.tfidfKeywords):
+    * the top-3 smoothed-TF-IDF terms per document — the
+    * metadata-tagging staple beside BM25's query-side ranking. Scores
+    * round to 6 dp BEFORE the rank (the ln parity layer), the rank
+    * window is document-partitioned, and ties break by term. */
+  val keywords = Q("text_tfidf_keywords", Some("""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents WHERE text IS NOT NULL),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    n AS (SELECT count(*) AS nd FROM documents WHERE text IS NOT NULL),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    s AS (SELECT tf.doc_id, tf.term,
+                 round(tf.tf * (ln((n.nd + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, rk, term, score FROM (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM s) WHERE rk <= 3 ORDER BY doc_id, rk"""
+  ))((s, d) =>
+    TextOps.tfidfKeywords(Tables.documentsP(s, d), "doc_id", "text", topK = 3)
+      .orderBy("doc_id", "rk"))
+
   // ------------------------------------------------------ Zipf fit
   /** Frequency-spectrum health check (operators.TextOps.zipfFit):
     * per-source ln(count) ~ ln(rank) regression over the top-25
@@ -664,5 +687,5 @@ object QText {
 
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, bm25, hybridRrf,
     qualityGate, decontaminate, repetition, lengthOutliers, vocab, normalizeAudit,
-    oov, novelty, bpeVocab, perplexity, bpeFertility, bpeCurve, zipf)
+    oov, novelty, bpeVocab, perplexity, bpeFertility, bpeCurve, zipf, keywords)
 }
