@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_kmeans_cells",         // 1-row centroid-array broadcast cross (per iteration)
       "sim_kmeans_silhouette",    // same chain + the 1-row top-2 scoring cross
       "sketch_kmv_overlap",       // three 1-row sketch crosses
-      "text_unigram_logprob",     // 1-row corpus-total broadcast cross
+      "text_unigram_logprob",
+      "text_tfidf_keywords",      // 1-row doc-count total broadcast into the idf     // 1-row corpus-total broadcast cross
       "curate_dsir_weights",      // 1-row two-LM-totals broadcast cross
       "layout_shuffle_shards",    // 1-row corpus-token-total broadcast cross
       "t13_mutual_information",   // 1-row entropy/MI report crosses (category-bounded)
