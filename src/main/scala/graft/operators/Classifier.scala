@@ -51,7 +51,11 @@ object Classifier {
     // possible memo payload): curate_quality_classifier and
     // curate_classifier_calibration fit the identical IRLS chain over
     // the identical feature frame, so the second caller should pay one
-    // scoring scan, not `iters` training aggregates. Every training
+    // scoring scan, not `iters` training aggregates. The key CANNOT see
+    // the feature-frame DERIVATION — two callers passing the same tag
+    // with identically-named but differently-derived feature columns
+    // would silently share a wrong model, so the caller's tag must name
+    // the recipe (see QCuration.clfFeatures' "clf-thhe-v1"). Every training
     // parameter folds into the key; carry does NOT (it never affects β).
     val betaKey = memoKey.map(mk =>
       s"$mk/clf/$idCol/${featCols.mkString("+")}/$labelCol/$iters/beta")

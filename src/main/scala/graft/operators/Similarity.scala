@@ -307,7 +307,8 @@ object Similarity {
       .crossJoin(broadcast(centroidArray(cents)))
       .select(col(idCol), expr("graft_top_cells(v, cents, 2)").as("t2"))
       .select(col(idCol), col("t2")(0)("cent_id").as("cell"),
-        when(col("t2")(1).isNull || greatest(a, b) === 0.0, lit(0.0))
+        when(col("t2")(1).isNull || col("t2")(1)("c").isNull ||
+            greatest(a, b) === 0.0, lit(0.0))
           .otherwise(round((b - a) / greatest(a, b), 6)).as("sil"))
   }
 
@@ -413,14 +414,18 @@ object Similarity {
         when(col("sxx") === 0.0 || col("srr") === 0.0, lit(0.0))
           .otherwise(col("sxr") / (sqrt(col("sxx")) * sqrt(col("srr")))))
       .drop("sxr", "sxx", "srr")
-    // carry columns ride a broadcast side-map keyed by id (training is
+    // carry columns ride an id-keyed side-map join (training is
     // carry-free so its frames memo-share across differently-shaped
     // callers); carry is functionally dependent on the id, so joining
-    // after the per-id aggregate is exact.
+    // after the per-id aggregate is exact. NO broadcast hint: the
+    // side-map is one row per CORPUS vector (at 10⁹ vectors a
+    // broadcast would be a driver OOM) and both sides are id-keyed
+    // corpus frames — exactly the join to leave to Catalyst/AQE, which
+    // still broadcasts it at toy scale and shuffles it at 100 TB.
     if (carry.isEmpty) perId
     else {
       val side = vectors.select((idCol +: carry).map(col): _*)
-      perId.join(broadcast(side), idCol)
+      perId.join(side, idCol)
         .select(((idCol +: carry).map(col) :+ col("cos_pq")): _*)
     }
   }

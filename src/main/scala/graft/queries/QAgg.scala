@@ -314,8 +314,8 @@ object QAgg {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("r_name").as("region_s"))
     val base = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(cTax), o("o_custkey") === cTax("c_custkey"))
-      .join(broadcast(sTax), li("l_suppkey") === sTax("s_suppkey"))
+      .join(cTax, o("o_custkey") === cTax("c_custkey")) // cTax/sTax are customer/supplier-scaled
+      .join(sTax, li("l_suppkey") === sTax("s_suppkey"))
     val aggs = regions.map(r =>
       round(sum(when(col("region_s") === r,
         col("l_extendedprice").cast("decimal(28,6)"))).cast("double"), 4).as(mcol(r)))

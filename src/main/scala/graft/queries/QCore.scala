@@ -254,10 +254,10 @@ object QCore {
     val sup = Tables.supplier(s, d)
     val f = li
       .join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey")) // customer scales with SF: no hint, AQE decides
       .join(broadcast(n.select(col("n_nationkey").as("cnk"), col("n_name").as("cn"))),
         c("c_nationkey") === col("cnk"))
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(n.select(col("n_nationkey").as("snk"), col("n_name").as("sn"))),
         sup("s_nationkey") === col("snk"))
       .select(col("cn"), col("sn"),
@@ -322,8 +322,8 @@ object QCore {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("r_name").as("region_s"))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(cTax), o("o_custkey") === cTax("c_custkey"))
-      .join(broadcast(sTax2), li("l_suppkey") === sTax2("s_suppkey"))
+      .join(cTax, o("o_custkey") === cTax("c_custkey")) // cTax/sTax2 are customer/supplier-scaled
+      .join(sTax2, li("l_suppkey") === sTax2("s_suppkey"))
       .filter(col("region_c") =!= col("region_s"))
       .groupBy("region_c", "region_s")
       .agg(count(lit(1)).as("n"),

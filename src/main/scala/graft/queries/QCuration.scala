@@ -402,7 +402,11 @@ object QCuration {
     * by `curate_quality_classifier` and `curate_classifier_calibration`
     * (identical derivation is what makes the calibration a pure
     * composition; the numpy replay in tools/check_kernels.py re-derives
-    * the same columns via DuckDB). */
+    * the same columns via DuckDB). The memo tag below ("clf-thhe-v1")
+    * NAMES THIS RECIPE: Classifier's β key folds in idCol/featCols/
+    * labelCol/iters but not the feature DERIVATION, so any caller
+    * reusing the tag must feed byte-identical feature columns — a new
+    * recipe gets a new tag, never a reused one. */
   private def clfFeatures(s: org.apache.spark.sql.SparkSession, d: String) = {
     import graft.operators.TextOps.occurrences
     Tables.documentsP(s, d).filter(col("text").isNotNull)
@@ -427,7 +431,7 @@ object QCuration {
     Some(Q.fixtureOracle("curate_quality_classifier", "doc_id")))((s, d) =>
     graft.operators.Classifier.logisticScore(clfFeatures(s, d), "doc_id",
         Seq("x1", "x2", "x3", "x4"), "y", carry = Seq("y"), iters = 3,
-        memoKey = Some(graft.operators.Memo.corpusKey("clf", d)))
+        memoKey = Some(graft.operators.Memo.corpusKey("clf-thhe-v1", d)))
       .orderBy("doc_id"))
 
   // -------------------------------------- classifier calibration / ECE
@@ -447,7 +451,7 @@ object QCuration {
     Some(Q.fixtureOracle("curate_classifier_calibration", "bin")))((s, d) => {
     val scored = graft.operators.Classifier.logisticScore(clfFeatures(s, d),
       "doc_id", Seq("x1", "x2", "x3", "x4"), "y", carry = Seq("y"), iters = 3,
-      memoKey = Some(graft.operators.Memo.corpusKey("clf", d)))
+      memoKey = Some(graft.operators.Memo.corpusKey("clf-thhe-v1", d)))
     val bins = scored
       .withColumn("bin", least(floor(col("score") * 10).cast("long"), lit(9L)))
       .groupBy("bin")

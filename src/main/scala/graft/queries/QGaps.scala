@@ -115,8 +115,8 @@ object QGaps {
   ))((s, d) => {
     val f = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .filter(col("c_nationkey") < 6 && col("s_nationkey") < 6 &&
         col("c_nationkey") =!= col("s_nationkey"))
       .select(col("c_nationkey").as("ck"), col("s_nationkey").as("sk"),

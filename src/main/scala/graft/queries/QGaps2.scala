@@ -30,7 +30,7 @@ object QGaps2 {
     val stable = Tables.supplier(s, d)
       .filter(col("s_acctbal") >= 0.0).select("s_suppkey")
     Tables.lineitem(s, d)
-      .join(broadcast(stable), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(stable, col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), stableSum(col("l_quantity")).as("sum_qty"))
       .orderBy("l_returnflag")
@@ -249,8 +249,8 @@ object QGaps2 {
     val sreg = reg(Tables.supplier(s, d), "s_suppkey", "s_nationkey", "os", "rs")
     val f = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(creg), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sreg), col("l_suppkey") === col("s_suppkey"))
+      .join(creg, col("o_custkey") === col("c_custkey")) // customer/supplier-scaled sides
+      .join(sreg, col("l_suppkey") === col("s_suppkey"))
       .select(col("oc"), col("rc"), col("os"), col("rs"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
     val ut = when(col("os") > col("oc"), col("rev"))
@@ -320,8 +320,8 @@ object QGaps2 {
     // to the oracle's whole-fact ranking.
     val f = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(creg), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sreg), col("l_suppkey") === col("s_suppkey"))
+      .join(creg, col("o_custkey") === col("c_custkey")) // customer/supplier-scaled sides
+      .join(sreg, col("l_suppkey") === col("s_suppkey"))
       .select(col("rc"), col("rs"),
         expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)").as("rev4"))
     // scope-enrolled persist: the 25-row cell table feeds THREE plan

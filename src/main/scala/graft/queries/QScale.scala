@@ -748,8 +748,8 @@ object QScale {
     FROM ex JOIN est ON ex.g = est.g ORDER BY 1"""
   })((s, d) => {
     val it = Tables.lineitem(s, d).select(col("l_suppkey"), col("l_partkey").as("k"))
-      .join(broadcast(Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_nationkey").as("g"))),
+      .join(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").as("g")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("g"), col("k"))
     val est = Sketches.hyperLogLog(it, "g", "k", b = hllB)

@@ -317,13 +317,18 @@ object StreamOps {
     * standard over-population bucket guard, applied at INDEX BUILD
     * time: a boilerplate-flooded bucket is dropped whole before any
     * arrival can join it). Each micro-batch computes arriving docs'
-    * band rows with the identical expression and equi-joins the
-    * broadcast index on (band, bkey) — stateless, so no watermark and
-    * no state store; the Jaccard verify (exact shingle-set
-    * intersection over union, same as the batch verify) runs
-    * row-locally on the joined pair. At scale the index broadcast is
-    * replaced by a pre-partitioned index join — the plan is the same
-    * declarative equi-join either way.
+    * band rows with the identical expression and equi-joins the index
+    * on (band, bkey) — stateless, so no watermark and no state store;
+    * the Jaccard verify (exact shingle-set intersection over union,
+    * same as the batch verify) runs row-locally on the joined pair.
+    * The index side is one row per (band, doc) of the ENTIRE standing
+    * corpus, so the DEFAULT (`broadcastIndex = false`) pre-partitions
+    * it on (band, bkey) and plans a shuffled stream-static equi-join —
+    * the only shape that survives a 100 TB standing corpus (a
+    * broadcast there is a driver OOM). `broadcastIndex = true` opts a
+    * KNOWN-SMALL index (a per-tenant or per-day slice) into the
+    * classic map-side screen; both paths are the same declarative
+    * equi-join and produce identical rows.
     *
     * A pair that collides in several bands emits once per band inside
     * the stream (stateless operators cannot dedup across rows); the
@@ -334,13 +339,15 @@ object StreamOps {
   def streamingNearDup(spark: SparkSession, sfDir: String,
       newSources: Seq[String], nHash: Int = 12, bandRows: Int = 2,
       threshold: Double = 0.5, ngram: Int = 3,
-      maxBucket: Long = graft.operators.Dedup.defaultMaxBandBucket): DataFrame = {
+      maxBucket: Long = graft.operators.Dedup.defaultMaxBandBucket,
+      broadcastIndex: Boolean = false): DataFrame = {
     val docs = graft.Tables.documentsP(spark, sfDir)
     val isNew = coalesce(col("source").isin(newSources: _*), lit(false))
     val index = nearDupIndex(docs.filter(!isNew), nHash, bandRows, ngram, maxBucket)
     val arriving = docsStream(spark, sfDir).filter(isNew)
     runToMemory(spark,
-        nearDupPlan(arriving, index, nHash, bandRows, threshold, ngram),
+        nearDupPlan(arriving, index, nHash, bandRows, threshold, ngram,
+          broadcastIndex),
         "graft_stream_neardup", OutputMode.Append(), watermarkFlush = false)
       .distinct()
       .orderBy("doc_new", "doc_old")
@@ -366,11 +373,15 @@ object StreamOps {
     * for the multi-batch delivery tests. `arriving` needs (doc_id,
     * text); `index` is [[nearDupIndex]]'s output. */
   def nearDupPlan(arriving: DataFrame, index: DataFrame, nHash: Int = 12,
-      bandRows: Int = 2, threshold: Double = 0.5, ngram: Int = 3): DataFrame =
+      bandRows: Int = 2, threshold: Double = 0.5, ngram: Int = 3,
+      broadcastIndex: Boolean = false): DataFrame =
     graft.operators.Dedup
       .minhashBandRows(arriving, "doc_id", "text", nHash, bandRows, ngram)
       .withColumnRenamed("doc_id", "doc_new")
-      .join(broadcast(index), Seq("band", "bkey"))
+      .join(
+        if (broadcastIndex) broadcast(index)
+        else index.repartition(col("band"), col("bkey")),
+        Seq("band", "bkey"))
       .withColumn("j",
         size(array_intersect(col("s"), col("s_old"))).cast("double") /
           size(array_distinct(concat(col("s"), col("s_old")))))

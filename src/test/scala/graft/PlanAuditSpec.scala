@@ -37,8 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_kmeans_cells",         // 1-row centroid-array broadcast cross (per iteration)
       "sim_kmeans_silhouette",    // same chain + the 1-row top-2 scoring cross
       "sketch_kmv_overlap",       // three 1-row sketch crosses
-      "text_unigram_logprob",
-      "text_tfidf_keywords",      // 1-row doc-count total broadcast into the idf     // 1-row corpus-total broadcast cross
+      "text_unigram_logprob",     // 1-row corpus-total broadcast cross
+      "text_tfidf_keywords",      // 1-row doc-count total broadcast into the idf
       "curate_dsir_weights",      // 1-row two-LM-totals broadcast cross
       "layout_shuffle_shards",    // 1-row corpus-token-total broadcast cross
       "t13_mutual_information",   // 1-row entropy/MI report crosses (category-bounded)
@@ -117,6 +117,102 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected unpartitioned windows (corpus-scaled single-task sort?): " +
         s"${offenders -- intentional}; " +
         s"no longer windowed (update the list): ${intentional -- offenders}")
+  }
+
+  test("explicit broadcast() hints build only from cardinality-bounded frames") {
+    // The r10 regression class: an explicit broadcast() hint whose build
+    // side is corpus-scaled (one row per document/vector/event) is green
+    // at bench scale and a driver OOM at 100 TB — and unlike the
+    // nested-loop and window classes, Catalyst executes it without
+    // complaint. This audit walks every broadcast-HINTED join side in
+    // the optimized logical plan and requires the hinted frame to be
+    // provably bounded: a LIMIT / top-k, a global (empty-grouping)
+    // aggregate, or leaves that are dimension tables (region, nation) /
+    // literal frames. Conservatively UNBOUNDED: corpus parquet scans,
+    // cached/memoized frames (InMemoryRelation — the cache hides its
+    // producer), and GROUPED aggregates over corpus inputs (the key
+    // space may be corpus-scaled). Queries whose hinted frames are
+    // genuinely bounded but invisible to the walk are allowlisted with
+    // the bounding argument; anything else failing here is the
+    // stream_neardup_ingest / sim_pq_error class and must lose its hint.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dimTables = Set("region", "nation")
+    def boundedLeafScan(lr: LogicalRelation): Boolean = lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.forall { p =>
+        dimTables.exists(t => p.getName.startsWith(t + "."))
+      }
+      case _ => false
+    }
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case j: Join => j.joinType match {
+        case LeftSemi | LeftAnti => bounded(j.left)
+        case _ => bounded(j.left) && bounded(j.right)
+      }
+      case lr: LogicalRelation => boundedLeafScan(lr)
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => false
+      case l: LeafNode => true // LocalRelation / Range / OneRowRelation
+      case o => o.children.nonEmpty && o.children.forall(bounded)
+    }
+    val intentional = Set(
+      // 8-row query slices: an isin-filter over the embeddings scan —
+      // bounded by the literal query-id list, invisible to the walk.
+      "sim_cosine_topk", "sim_hard_negatives", "sim_ann_lsh_bucket",
+      "sim_ann_recall", "sim_ann_recall_curve",
+      // k-row centroid / m·kCodes codebook / LUT frames: grouped
+      // aggregates keyed by the codebook dimension (memoized, so the
+      // walk sees an InMemoryRelation or the grouped chain either way).
+      "sim_ann_ivf", "sim_pq_error", "sim_pq_adc_topk",
+      "sim_ivfpq_topk", "sim_ivfpq_recall",
+      // 1-row IRLS β memo frame (the memo leaf hides the global
+      // aggregate underneath).
+      "curate_quality_classifier", "curate_classifier_calibration",
+      // distributed-rank machinery: per-(group, coarse-bucket) offset
+      // and K-cut frames keyed by the 1024-cell value grid, built over
+      // persisted histograms.
+      "t16_psi_event_type", "t17_winsorize",
+      // grouped aggregates keyed by a bounded dimension the walk cannot
+      // prove bounded:
+      "text_length_outliers",   // per-group median/MAD histogram frames
+      "text_decontaminate",     // eval-set shingles (eval slice of docs)
+      "p5_upper_triangle_hier", // 5-row region rank over the persisted
+                                //   25-cell table (InMemoryRelation)
+      "pack_sequences",         // per-bucket offset frame (numBuckets)
+      "curate_token_budget",    // per-band offset frame (score bands)
+      "curate_token_budget_bpe", // same band-offset frame
+      "curate_perplexity_prune", // per-domain perplexity cut frame
+      "curate_pareto_skyline",  // per-token-length skyline frame
+      "ret_daily_cohorts",      // per-cohort-day size frame
+      "ret_hybrid_rrf",         // 1-row bm25 stats + 1 query vector
+      "sketch_cms_tokens",      // depth×width CMS cell frame
+      "sketch_bloom_prune",     // m-bit bloom bit-set rows
+      "t13_mutual_information", // category-dim margin frames
+      "c4_unit_heuristic",      // per-event-type max frame (category dim)
+      "j3_cross_condition_projection", // 20-row (user_id % 20) weights
+      "l4_minmax_norm",         // per-dimension min/max frame
+      "l10_principal_angles",   // label-dim subspace weight frame
+      "l14_stability_sweep",    // nation-dim moment frame
+      "sim_scalar_quant")       // 64-row per-dimension scale table
+    val offenders = Q.registry
+      .filterNot(_.name.startsWith("stream_"))
+      .flatMap { q =>
+        val plan = q.build(spark, s"${Q.testdataRoot}/sf0.001")
+          .queryExecution.optimizedPlan
+        val badSides = plan.collect { case j: Join =>
+          val sides = Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right)
+          sides.collect {
+            case (Some(h), side) if h.strategy.contains(BROADCAST) && !bounded(side) => side
+          }
+        }.flatten
+        if (badSides.nonEmpty) Some(q.name) else None
+      }.toSet
+    assert(offenders == intentional,
+      s"broadcast hints on unbounded (corpus-scaled?) frames: " +
+        s"${offenders -- intentional}; " +
+        s"no longer hint-flagged (update the list): ${intentional -- offenders}")
   }
 
   test("j1_skewed_segment joins on the deterministic salt") {

@@ -199,7 +199,7 @@ class StreamSpec extends AnyFunSuite {
     assert(single == expected, s"single-batch outer join diverged: $single")
   }
 
-  test("ingest near-dup: file-at-a-time arrival matches single-batch; band repeats compact") {
+  test("ingest near-dup: file-at-a-time arrival matches single-batch; band repeats compact; both index-join paths agree") {
     import spark.implicits._
     // near-identical texts (one token changed out of 12) share most
     // 3-gram shingles → several band collisions per pair; doc 30 is
@@ -213,7 +213,8 @@ class StreamSpec extends AnyFunSuite {
     val index = StreamOps.nearDupIndex(oldDocs)
     val b0 = Seq((20L, base.replace("alpha", "omega")))
     val b1 = Seq((21L, "cold warm hot cool mild damp dry wet icy calm"))
-    def run(batches: Seq[Seq[(Long, String)]], name: String) = {
+    def run(batches: Seq[Seq[(Long, String)]], name: String,
+        broadcastIndex: Boolean = false) = {
       val dir = Files.createTempDirectory(s"graft_streamspec_$name")
       batches.zipWithIndex.foreach { case (rows, i) =>
         val f = dir.resolve(s"b$i.parquet")
@@ -225,7 +226,8 @@ class StreamSpec extends AnyFunSuite {
       val arriving = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString + "/*")
       StreamOps.runToMemory(spark,
-          StreamOps.nearDupPlan(arriving, index, threshold = 0.5),
+          StreamOps.nearDupPlan(arriving, index, threshold = 0.5,
+            broadcastIndex = broadcastIndex),
           name, OutputMode.Append(), watermarkFlush = false)
     }
     val rawMulti = run(Seq(b0, b1), "t_nd_multi")
@@ -238,5 +240,9 @@ class StreamSpec extends AnyFunSuite {
     val single = compact(run(Seq(b0 ++ b1), "t_nd_single"))
     assert(multi == Set((20L, 10L), (20L, 11L)), s"got $multi")
     assert(single == multi, s"single-batch diverged: $single vs $multi")
+    // the opt-in broadcast path (known-small index) emits the same pairs
+    // as the default pre-partitioned shuffled stream-static join
+    val bcast = compact(run(Seq(b0, b1), "t_nd_bcast", broadcastIndex = true))
+    assert(bcast == multi, s"broadcast-index path diverged: $bcast vs $multi")
   }
 }
