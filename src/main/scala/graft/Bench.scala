@@ -28,12 +28,15 @@ import org.apache.spark.sql.SparkSession
   * Load robustness: min-of-N cannot filter SUSTAINED machine load (the
   * r5 recording was inflated 2–3× across its whole duration), so the
   * run brackets itself with a fixed CPU-bound canary job timed before
-  * the first query and after the last, plus ONE canary shot between
-  * passes ("canary_passes") that timestamps any mid-run excursion the
-  * endpoint canaries cannot see. "canary_ratio" (end/start) near
-  * 1.0 means a steady machine; either leg far off the historical band
-  * (~0.07 s at local[32], idle), a ratio outside [0.67, 1.5], or a
-  * pass canary far above its siblings marks the recording suspect —
+  * the first query and after the last, plus a settled median-of-3
+  * canary between passes ("canary_passes") that timestamps any
+  * mid-run excursion the endpoint canaries cannot see (the settle
+  * matters: an immediate raw shot reads the pass's trailing async
+  * unpersist/GC, ~3× the idle floor, so it used to flag every honest
+  * recording). "canary_ratio" (end/start) near 1.0 means a steady
+  * machine; either leg far off the historical band (~0.07 s at
+  * local[32], idle), a ratio outside [0.67, 1.5], or a pass canary
+  * far above both endpoints (≳1.5×) marks the recording suspect —
   * re-run rather than trust it.
   */
 object Bench {
@@ -146,10 +149,22 @@ object Bench {
         if (ok) acc(name) += (System.nanoTime() - t0) / 1e9
       }
       if (pass < math.max(1, reps)) {
-        val t0 = System.nanoTime()
-        spark.range(0L, 1L << 27, 1L, 32)
-          .selectExpr("sum(hash(id)) AS s").count()
-        passCanaries += (System.nanoTime() - t0) / 1e9
+        // A raw shot taken IMMEDIATELY after a pass's last query reads
+        // the pass's own trailing async unpersist/GC, not machine load
+        // (r11 judge: isolated probes on an idle host still read
+        // 0.23–0.28 s here vs 0.09–0.12 s at the settled endpoints —
+        // every honest recording tripped the bench's own suspicion
+        // rule). A short settle lets the cleanup drain, and the median
+        // of 3 rejects a residual one-off; the result is comparable to
+        // the endpoint canaries, so an out-of-band pass canary now
+        // really marks a mid-run load excursion.
+        Thread.sleep(1500)
+        passCanaries += median((1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.range(0L, 1L << 27, 1L, 32)
+            .selectExpr("sum(hash(id)) AS s").count()
+          (System.nanoTime() - t0) / 1e9
+        })
       }
     }
     val results = selected.map { case (name, _) => name -> acc(name).toSeq }

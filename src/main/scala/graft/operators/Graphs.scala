@@ -249,7 +249,21 @@ object Graphs {
     // reads one cached node-sized frame instead of re-running `iters`
     // |E|-row vote rounds. First-build cost stays visible in the bench
     // cold pass (`queries_cold`).
-    memoKey.map(mk => Memo.cached(s"$mk/lpa/$iters/labels")(build))
-      .getOrElse(build)
+    //
+    // The memoized frame MUST be its own materialized leaf: `build`'s
+    // result is a rename-only Project over the CacheScope-persisted
+    // final round, which Spark CANONICALIZES to the same cache key as
+    // the round frame itself — so when the building query's scope
+    // closes and unpersists the round, the memo entry's cache entry is
+    // removed with it, and every later evaluation re-runs all `iters`
+    // |E|-row vote rounds with NO per-round persists (each round's
+    // `votes` union references the previous label frame twice, so the
+    // un-cached recompute doubles per round). The eager
+    // localCheckpoint — the same lineage-truncation discipline as
+    // [[edgeLeaf]] — turns the entry into an independent node-sized
+    // LogicalRDD leaf that no scope close can touch.
+    memoKey.map(mk => Memo.cached(s"$mk/lpa/$iters/labels") {
+      build.localCheckpoint(true)
+    }).getOrElse(build)
   }
 }

@@ -39,7 +39,18 @@ object Memo {
   def cached(key: String)(build: => DataFrame): DataFrame = synchronized {
     val df0 = entries.get(key)
     df0 match {
-      case Some(df) if sameContext(df) => df
+      case Some(df) if sameContext(df) =>
+        // A hit whose cache was voided behind the memo's back must not
+        // be served cache-less. The known path: a CacheScope close
+        // unpersists a scoped frame whose plan CANONICALIZES to this
+        // entry's (Spark's CacheManager keys on canonicalized plans, so
+        // a rename-only Project over a scoped persist shares its cache
+        // entry — the r11 LPA regression). Re-persisting here means the
+        // next action rebuilds the cache once instead of silently
+        // re-running the full lineage on every evaluation.
+        if (df.storageLevel == StorageLevel.NONE)
+          df.persist(StorageLevel.MEMORY_AND_DISK)
+        df
       case _ =>
         val df = build
         val id = contextId(df)

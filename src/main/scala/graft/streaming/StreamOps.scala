@@ -322,13 +322,19 @@ object StreamOps {
     * the Jaccard verify (exact shingle-set intersection over union,
     * same as the batch verify) runs row-locally on the joined pair.
     * The index side is one row per (band, doc) of the ENTIRE standing
-    * corpus, so the DEFAULT (`broadcastIndex = false`) pre-partitions
-    * it on (band, bkey) and plans a shuffled stream-static equi-join —
-    * the only shape that survives a 100 TB standing corpus (a
-    * broadcast there is a driver OOM). `broadcastIndex = true` opts a
-    * KNOWN-SMALL index (a per-tenant or per-day slice) into the
-    * classic map-side screen; both paths are the same declarative
-    * equi-join and produce identical rows.
+    * corpus, so the DEFAULT (`broadcastIndex = false`) carries no
+    * broadcast hint and pre-partitions the index on (band, bkey) —
+    * prepositioning it for the shuffled stream-static equi-join that
+    * is the only shape surviving a 100 TB standing corpus (a
+    * broadcast there is a driver OOM). The JOIN STRATEGY itself stays
+    * stats-driven: streaming plans have no AQE, and at toy scale the
+    * planner may still broadcast the small static side (making the
+    * repartition an extra exchange it tolerates); what matters is
+    * that nothing FORCES a corpus-sized broadcast when the stats say
+    * otherwise. `broadcastIndex = true` opts a KNOWN-SMALL index (a
+    * per-tenant or per-day slice) into the classic map-side screen;
+    * both paths are the same declarative equi-join and produce
+    * identical rows.
     *
     * A pair that collides in several bands emits once per band inside
     * the stream (stateless operators cannot dedup across rows); the

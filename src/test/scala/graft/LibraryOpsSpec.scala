@@ -1463,6 +1463,48 @@ class LibraryOpsSpec extends AnyFunSuite {
     Memo.clear()
   }
 
+  test("Memo.cached re-persists a hit whose cache was voided externally") {
+    import spark.implicits._
+    import graft.operators.Memo
+    Memo.clear()
+    val built = Memo.cached("spec/memo/voided") { Seq(1, 2).toDF("x") }
+    built.count()
+    // void the cache behind the memo's back — the observable effect of
+    // a CacheScope close unpersisting a frame whose plan canonicalizes
+    // to the entry's (the r11 LPA regression class)
+    built.unpersist(blocking = true)
+    assert(built.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    val hit = Memo.cached("spec/memo/voided") { fail("hit must not rebuild") }
+    assert(hit.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "a cache-voided hit must be re-persisted, not served cache-less")
+    Memo.clear()
+  }
+
+  test("labelPropagation's memoized frame survives the building scope's close") {
+    import spark.implicits._
+    import graft.operators.{CacheScope, Graphs, Memo}
+    Memo.clear()
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (10L, 11L), (11L, 10L))
+      .toDF("s", "d")
+    // build inside a scope, exactly as Verify/Bench evaluate queries;
+    // the scope close unpersists every per-round label frame — the memo
+    // entry must be an INDEPENDENT leaf that keeps serving from cache
+    // (r11 shipped a memo whose cache died with the building scope)
+    CacheScope.withScope {
+      Graphs.labelPropagation(e, "s", "d", iters = 2,
+        memoKey = Some("spec/lpa-scope")).count()
+    }
+    val entry = Memo.lookup("spec/lpa-scope/lpa/2/labels")
+    assert(entry.isDefined, "the final label frame must be memoized")
+    assert(entry.get.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "the memo entry's cache must survive the building CacheScope's close")
+    // and it must still be the SAME labels (served, not silently wrong)
+    val labels = entry.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == Set(1L, 2L, 3L, 10L, 11L))
+    assert(labels(10L) == labels(11L), "the 10-11 pair must share a community")
+    Memo.clear()
+  }
+
   test("Graphs.pageRank conserves rank mass with a dangling node") {
     import spark.implicits._
     import graft.operators.Graphs

@@ -154,7 +154,13 @@ class PlanAuditSpec extends AnyFunSuite {
       }
       case lr: LogicalRelation => boundedLeafScan(lr)
       case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => false
-      case l: LeafNode => true // LocalRelation / Range / OneRowRelation
+      // LogicalRDD is a checkpoint/RDD leaf that HIDES its producer —
+      // the corpus-scaled edgeLeaf frames land here, so like
+      // InMemoryRelation it must count as unbounded; only the
+      // provably-literal leaves below pass.
+      case _: org.apache.spark.sql.execution.LogicalRDD => false
+      case _: LocalRelation | _: Range | _: OneRowRelation => true
+      case _: LeafNode => false // unknown leaf: conservative
       case o => o.children.nonEmpty && o.children.forall(bounded)
     }
     val intentional = Set(
