@@ -188,9 +188,23 @@ object Diagnostics {
     * bounded sequence fan-out (≤256² rows per group); the only window
     * is the within-bucket running rank, PARTITIONED by (group, bucket)
     * — each sort is one bucket's distinct values, ~1/256 of a group.
-    * The rank grid (groups × qs rows) broadcasts into a theta join.
+    * The boundary rank k = ceil(q·n) is computed ROW-LOCALLY (n rides
+    * on the bucketed frame; the qs are literals), so no rank-grid
+    * broadcast job exists.
     * Exactness matters when the quantile IS the contract (winsorize
     * clips, SLA thresholds); use `percentile_approx` when ±ε is fine.
+    *
+    * Toy-scale cost adjudication (shared with [[psiDrift]], measured
+    * r12 at sf0.1, 100 k rows, local[32]): one evaluation schedules 12
+    * AQE query-stage jobs (t16's psiDrift: 24) at a ~0.1 s scheduling
+    * floor each — that IS the warm wall-clock; the data work is
+    * microseconds. Each job is one exchange the construction needs
+    * (histogram shuffle, scalars/offs broadcasts, bucketed window,
+    * persist materializations, final joins). Halving the job count
+    * requires collapsing exchanges into global single-partition
+    * windows — exactly the corpus-funnel the construction exists to
+    * avoid; at cluster scale the same stages amortize over real data
+    * work, so the fixed floor is accepted rather than traded.
     *
     * Output: (groupCol, qname, qvalue), one row per group × request. */
   def groupQuantilesByRank(df: DataFrame, groupCol: String, valueCol: String,
@@ -204,11 +218,16 @@ object Diagnostics {
       .agg(count(lit(1)).as("c")))
     val scal = h.groupBy(groupCol)
       .agg(min("v").as("lo"), max("v").as("hi"), sum("c").as("n"))
+    // n rides along on every bucketed row (8 bytes) so the boundary
+    // rank k = ceil(q·n) is ROW-LOCAL below — computing it there
+    // removes what used to be a separate rank-grid broadcast job +
+    // theta join (the per-job floor dominates this operator, see the
+    // stage accounting on [[psiDrift]])
     val bucketed = CacheScope.persist(h.join(broadcast(scal), groupCol)
       .withColumn("cb", when(col("hi") <= col("lo"), lit(0)).otherwise(
         least(floor((col("v") - col("lo")) / (col("hi") - col("lo"))
           * coarseB), lit(coarseB - 1))).cast("int"))
-      .select(col(groupCol), col("v"), col("c"), col("cb")))
+      .select(col(groupCol), col("v"), col("c"), col("cb"), col("n")))
     val offs = bucketed.groupBy(col(groupCol), col("cb")).agg(sum("c").as("bc"))
       .filter(col("cb") < coarseB - 1)
       .select(col(groupCol),
@@ -219,17 +238,40 @@ object Diagnostics {
       .withColumn("cum", col("off") + sum("c").over(
         Window.partitionBy(col(groupCol), col("cb")).orderBy("v")
           .rowsBetween(Window.unboundedPreceding, 0)))
-    val ks = scal.select(col(groupCol).as("__g"), col("n"),
+    // the qs are compile-time literals, so the request fan-out is a
+    // row-local explode (≤|qs| rows per distinct value) instead of a
+    // broadcast theta join — identical selected rows: rank uniqueness
+    // per distinct value makes each (group, qname) match exactly once
+    ranked.select(col(groupCol), col("v"), col("c"), col("cum"),
         explode(array(qs.map { case (nm, q) =>
-          struct(lit(nm).as("qname"), lit(q).as("q")) }: _*)).as("e"))
-      .select(col("__g"), col("e.qname").as("qname"),
-        ceil(col("e.q") * col("n")).cast("long").as("k"))
-    ranked.join(broadcast(ks),
-        col(groupCol) === col("__g") &&
-          col("cum") - col("c") < col("k") && col("k") <= col("cum"))
-      .select(col(groupCol), col("qname"), col("v").as("qvalue"))
+          struct(lit(nm).as("qname"),
+            ceil(lit(q) * col("n")).cast("long").as("k")) }: _*)).as("e"))
+      .filter(col("cum") - col("c") < col("e.k") && col("e.k") <= col("cum"))
+      .select(col(groupCol), col("e.qname").as("qname"), col("v").as("qvalue"))
   }
 
+  /** Population-stability-index drift per group vs a reference slice —
+    * exact ntile cuts via the distributed-rank construction (see
+    * [[groupQuantilesByRank]]), then a second map-side-combined pass
+    * assigns every row a bucket against the 1-row broadcast cut array
+    * (shuffle = groups × bins, never corpus-sized) and the smoothed
+    * shares fold to one PSI per group.
+    *
+    * Toy-scale cost adjudication (r10 task 4, measured r12 at sf0.1 =
+    * 100 k rows, local[32]): a warm evaluation is ~2.6 s solo-bench =
+    * 24 AQE query-stage jobs × ~0.1 s scheduling floor; per-stage data
+    * work is microseconds. The r12 trims cut the two removable jobs —
+    * the boundary ranks are row-local (n on the bucketed frame, no
+    * ks broadcast/theta join) and the reference side folds to ONE
+    * 1-row (rn, bucket→count map) broadcast instead of refC + refN —
+    * worth ~8 % warm / 23 % cold; the remaining 24 stages are the
+    * exchanges the two-pass exact-quantile shape inherently needs
+    * (reference histogram, scalars/offs broadcasts, bucketed window,
+    * cut fold, assignment scan, counts/totals/grid joins, final agg).
+    * Going lower means single-partition global windows — the corpus
+    * funnel this construction exists to avoid — so the fixed floor is
+    * accepted: at cluster scale the same stages amortize over real
+    * data work. */
   def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
       refGroup: Column, bins: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -244,12 +286,15 @@ object Diagnostics {
     val scalars = vCnts.agg(min("v").as("lo"), max("v").as("hi"),
       sum("c").as("n"))
     // coarse bucket by value range — equal values always share a
-    // bucket, so within-bucket rank + bucket offset is a global rank
+    // bucket, so within-bucket rank + bucket offset is a global rank.
+    // n rides along (8 bytes/row) so the ntile boundary ranks are
+    // row-local below — one fewer broadcast job (see stage accounting
+    // in the header)
     val bucketed = CacheScope.persist(vCnts.crossJoin(broadcast(scalars))
       .withColumn("cb", when(col("hi") <= col("lo"), lit(0)).otherwise(
         least(floor((col("v") - col("lo")) / (col("hi") - col("lo"))
           * coarseB), lit(coarseB - 1))).cast("int"))
-      .select(col("v"), col("c"), col("cb")))
+      .select(col("v"), col("c"), col("cb"), col("n")))
     // bucket offsets WITHOUT any window: each bucket's total
     // contributes to every HIGHER bucket's offset (≤256² fan-out rows,
     // compile-time bounded), folded by an equi-groupBy — so no
@@ -266,15 +311,19 @@ object Diagnostics {
           .rowsBetween(Window.unboundedPreceding, 0)))
     // boundary ranks of the bins−1 interior ntile edges; tiles beyond
     // the row count (tiny reference) are empty in ntile and emit no
-    // cut, so keep only t with a nonzero tile size
-    val ks = scalars.select(col("n"),
+    // cut, so keep only t with a nonzero tile size. n is already on
+    // every ranked row, so the edge fan-out is a row-local explode
+    // (bins−1 rows per distinct value) + filter — identical selected
+    // rows to the former broadcast theta join (ranks are unique per
+    // distinct value, so each t matches exactly once), one fewer job
+    val cuts = ranked
+      .select(col("v"), col("c"), col("cum"), col("n"),
         explode(expr(s"sequence(1, ${bins - 1})")).as("t"))
-      .filter(expr(s"n DIV $bins") > 0 || col("t") <= col("n") % bins)
-      .select(col("t"),
+      .filter((expr(s"n DIV $bins") > 0 || col("t") <= col("n") % bins) &&
+        col("cum") - col("c") <
+          (col("t") * expr(s"n DIV $bins") + least(col("t"), col("n") % bins)) &&
         (col("t") * expr(s"n DIV $bins") + least(col("t"), col("n") % bins))
-          .as("k"))
-    val cuts = ranked.join(broadcast(ks),
-        col("cum") - col("c") < col("k") && col("k") <= col("cum"))
+          <= col("cum"))
       .groupBy()
       .agg(expr("transform(array_sort(collect_list(struct(t, v))), x -> x.v)")
         .as("cuts"))
@@ -291,23 +340,31 @@ object Diagnostics {
     val counts = CacheScope.persist(
       assigned.groupBy(col(groupCol), col("bucket")).agg(count(lit(1)).as("c")))
     val totals = counts.groupBy(col(groupCol)).agg(sum("c").as("n"))
-    val refC = counts.filter(refGroup)
-      .select(col("bucket"), col("c").as("rc"))
-    val refN = totals.filter(refGroup).select(col("n").as("rn"))
+    // the whole reference side folds to ONE 1-row broadcast (total rn
+    // + bucket→count map, ≤bins entries) instead of two separate
+    // broadcast jobs (refC per-bucket frame + refN scalar) — the
+    // grouped agg keeps the empty-reference behavior (zero groups →
+    // zero rows → empty crossJoin → empty output, same as before)
+    val refF = counts.filter(refGroup)
+      .groupBy(lit(true).as("__one"))
+      .agg(sum("c").as("rn"),
+        map_from_entries(collect_list(struct(col("bucket"), col("c"))))
+          .as("rcm"))
+      .select(col("rn"), col("rcm"))
     // fixed bucket frame per group: absent buckets still contribute via
     // the smoothed zero share
     val grid = totals.select(col(groupCol), col("n"))
-      .crossJoin(broadcast(refN))
-      .select(col(groupCol), col("n"), col("rn"),
+      .crossJoin(broadcast(refF))
+      .select(col(groupCol), col("n"), col("rn"), col("rcm"),
         explode(expr(s"sequence(1, $bins)")).as("bucket"))
+    val rc = element_at(col("rcm"), col("bucket"))
     val terms = grid
       .join(counts, Seq(groupCol, "bucket"), "left")
-      .join(broadcast(refC), Seq("bucket"), "left")
       .select(col(groupCol), col("n"),
         round(((coalesce(col("c"), lit(0L)) + lit(0.5)) / (col("n") + lit(bins / 2.0))
-            - (coalesce(col("rc"), lit(0L)) + lit(0.5)) / (col("rn") + lit(bins / 2.0)))
+            - (coalesce(rc, lit(0L)) + lit(0.5)) / (col("rn") + lit(bins / 2.0)))
           * log(((coalesce(col("c"), lit(0L)) + lit(0.5)) / (col("n") + lit(bins / 2.0)))
-            / ((coalesce(col("rc"), lit(0L)) + lit(0.5)) / (col("rn") + lit(bins / 2.0)))),
+            / ((coalesce(rc, lit(0L)) + lit(0.5)) / (col("rn") + lit(bins / 2.0)))),
           6).as("term"))
     terms.groupBy(col(groupCol))
       .agg(max(col("n")).as("n_rows"),
