@@ -592,16 +592,90 @@ object QScale {
     * runs once). Both consumers pass the same corpus memo key, so the
     * materialized Graphs.edgeLeaf is built once per session. */
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val raw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
+    val raw = copurchaseRaw(s, d)
     raw.select(explode(array(
         struct((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst")),
         struct((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
+
+  /** Distinct (customer, supplier) purchase pairs — the symmetric
+    * co-purchase graph above and the DIRECTED flow graph of
+    * `graph_pagerank_directed` both derive from this frame. */
+  private def copurchaseRaw(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+
+  // ------------------------------------ PageRank, directed + dangling
+  /** PageRank over the DIRECTED customer→supplier purchase-flow graph —
+    * the dangling-mass redistribution path of operators.Graphs.pageRank
+    * (`Graphs.scala` slow branch) exercised end-to-end: every supplier
+    * node is dst-only (out-degree 0), so each iteration folds the
+    * danglers' summed rank into a 1-row broadcast and hands it back
+    * uniformly — Σr stays 1 instead of leaking 85 % of the supplier
+    * mass per round. The symmetric co-purchase query keeps the
+    * fast no-dangling iteration; this one proves the slow path against
+    * an oracle that replays the identical per-round (contribution,
+    * dangling-sum) arithmetic. `n_dangling` rides on every row, so the
+    * correctness gate also pins that the fixture REALLY exercises the
+    * branch (n_dangling = supplier count > 0). */
+  val pagerankDirected = Q("graph_pagerank_directed", Some {
+    def step(prev: String, out: String) = s"""
+    ${prev}d AS (SELECT CAST(SUM(CAST($prev.r AS DECIMAL(28,12))) AS DOUBLE) AS dm
+         FROM $prev JOIN nd ON $prev.node = nd.node WHERE nd.dg = 0),
+    ${prev}m AS (SELECT e.dst AS node,
+           CAST(SUM(CAST(round($prev.r / nd.dg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS mass
+         FROM edges e JOIN $prev ON e.src = $prev.node JOIN nd ON e.src = nd.node
+         GROUP BY 1),
+    $out AS (SELECT nd.node,
+         round((CAST(1.0 AS DOUBLE) - CAST($prDamp AS DOUBLE)) / (SELECT nn FROM n)
+           + CAST($prDamp AS DOUBLE) * coalesce(m.mass, CAST(0 AS DOUBLE))
+           + CAST($prDamp AS DOUBLE)
+             * coalesce((SELECT dm FROM ${prev}d), CAST(0 AS DOUBLE))
+             / (SELECT nn FROM n), 12) AS r
+       FROM nd LEFT JOIN ${prev}m m ON nd.node = m.node)"""
+    s"""
+    WITH raw AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+                 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM raw),
+    nd AS (SELECT node, CAST(sum(o) AS BIGINT) AS dg
+           FROM (SELECT src AS node, 1 AS o FROM edges
+                 UNION ALL SELECT dst, 0 FROM edges) GROUP BY 1),
+    n AS (SELECT count(*) AS nn FROM nd),
+    dang AS (SELECT CAST(count(*) AS BIGINT) AS n_dangling FROM nd WHERE dg = 0),
+    r0 AS (SELECT node, round(CAST(1 AS DOUBLE) / (SELECT nn FROM n), 12) AS r FROM nd),
+    ${step("r0", "r1")},
+    ${step("r1", "r2")},
+    ${step("r2", "r3")}
+    SELECT row_number() OVER (ORDER BY r.r DESC, r.node) AS rk,
+           CASE WHEN r.node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS entity,
+           r.node // 2 AS entity_key, round(r.r * 1e6, 6) AS rank_ppm,
+           (SELECT n_dangling FROM dang) AS n_dangling
+    FROM r3 r ORDER BY rk LIMIT 10"""
+  })((s, d) => {
+    val pr = graft.operators.Graphs.pageRank(
+      copurchaseRaw(s, d)
+        .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst")),
+      "src", "dst", prIters, prDamp,
+      memoKey = Some(graft.operators.Memo.corpusKey("prdir", d)))
+    // the final round is scope-persisted inside pageRank, so this
+    // second consumer re-reads one node-sized cached frame
+    val nDang = pr.filter(col("dg") === 0L).agg(count(lit(1)).as("n_dangling"))
+    pr.orderBy(col("r").desc, col("node")).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("r").desc, col("node"))))
+      .crossJoin(broadcast(nDang))
+      .select(col("rk").cast("long").as("rk"),
+        when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("customer"))
+          .as("entity"),
+        expr("node div 2").as("entity_key"),
+        round(col("r") * lit(1e6), 6).as("rank_ppm"),
+        col("n_dangling"))
+      .orderBy("rk")
+  })
 
   // --------------------------------------- Label-propagation communities
   /** Community detection over the co-purchase graph —
@@ -804,5 +878,6 @@ object QScale {
       .orderBy("shard"))
 
   val all: Seq[Q] = Seq(sessBatch, cms, zorder, rolling, incMerge, keySkew,
-    snapDiff, scd2, entropy, embDrift, bloom, joinSize, missing, pagerank, lpa, triangles, hll, shards)
+    snapDiff, scd2, entropy, embDrift, bloom, joinSize, missing, pagerank,
+    pagerankDirected, lpa, triangles, hll, shards)
 }

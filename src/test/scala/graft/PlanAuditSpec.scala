@@ -48,6 +48,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "sketch_bloom_prune",       // two 1-row report-dimension crosses
       "diag_join_size_cms",       // 1-row est × 1-row exact report crosses
       "graph_pagerank_copurchase", // 1-row node-count cross per iteration
+      "graph_pagerank_directed",  // same + 1-row dangling-mass/n_dangling crosses
       "dedup_keep_rank",          // same pageRank 1-row node-count/dangling-mass crosses
       "t11_chi2_independence",    // category-bounded r×c grid + 1-row scalars
       "sim_pq_adc_topk",          // candidates × broadcast per-query ADC LUTs (bounded query set)
@@ -95,6 +96,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "t2_wilcoxon_signed_rank", // documented single-group demonstrator (QStats.scala:192);
                                  //   the typed Aggregator legs are the scale path
       "graph_pagerank_copurchase", // rank over the 10-row post-LIMIT frame (QScale.scala)
+      "graph_pagerank_directed",   // same 10-row post-LIMIT rank
       "curate_pareto_skyline",   // running max over the distinct-LENGTH frame — bounded
                                  //   by the token-length value range, not the corpus
                                  //   (QCuration.skyline)
