@@ -63,6 +63,24 @@ object Graphs {
       memoKey: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 20, s"pageRank needs 1 <= iters <= 20, got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
+    def build: DataFrame = buildRanks(edges, srcCol, dstCol, iters, damping, memoKey)
+    // The FINAL (node, r, dg) frame is node-sized and a pure function
+    // of (graph, iters, damping): with a memoKey it joins the session
+    // memo tier as its own eager-localCheckpoint leaf — the same
+    // lineage-truncation discipline as [[labelPropagation]]'s labels
+    // (a bare memo of the joined frame would die with the building
+    // scope via plan canonicalization; see that header). A hit also
+    // skips the whole build — including the build-time dangling probe
+    // action — so warm evaluations read one cached node-sized frame
+    // instead of re-running iters |E|-row power rounds. First-build
+    // cost stays visible in the bench cold pass (`queries_cold`).
+    memoKey.map(mk => Memo.cached(s"$mk/pr/$iters/$damping/ranks") {
+      build.localCheckpoint(true)
+    }).getOrElse(build)
+  }
+
+  private def buildRanks(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double, memoKey: Option[String]): DataFrame = {
     // Materialize the edge list PRE-PARTITIONED on the join key via an
     // eager localCheckpoint — the same lineage-truncation discipline as
     // connectedComponents' rounds, and for the same reason: a persist

@@ -1505,6 +1505,31 @@ class LibraryOpsSpec extends AnyFunSuite {
     Memo.clear()
   }
 
+  test("pageRank's memoized rank frame survives the building scope's close") {
+    import spark.implicits._
+    import graft.operators.{CacheScope, Graphs, Memo}
+    Memo.clear()
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("s", "d")
+    val inScope = CacheScope.withScope {
+      val df = Graphs.pageRank(e, "s", "d", iters = 2,
+        memoKey = Some("spec/pr-scope"))
+      df.count()
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val entry = Memo.lookup("spec/pr-scope/pr/2/0.85/ranks")
+    assert(entry.isDefined, "the final rank frame must be memoized")
+    assert(entry.get.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "the memo entry's cache must survive the building CacheScope's close")
+    // a hit must serve the SAME ranks without rebuilding
+    val hit = Graphs.pageRank(
+      spark.emptyDataFrame.select(lit(0L).as("s"), lit(0L).as("d")),
+      "s", "d", iters = 2, memoKey = Some("spec/pr-scope"))
+    val served = hit.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served == inScope,
+      "a memo hit must serve the built ranks (the key owns identity)")
+    Memo.clear()
+  }
+
   test("Graphs.pageRank conserves rank mass with a dangling node") {
     import spark.implicits._
     import graft.operators.Graphs

@@ -47,9 +47,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_ann_recall_curve",     // same composition, top-10 + the bounded k explode
       "sketch_bloom_prune",       // two 1-row report-dimension crosses
       "diag_join_size_cms",       // 1-row est × 1-row exact report crosses
-      "graph_pagerank_copurchase", // 1-row node-count cross per iteration
-      "graph_pagerank_directed",  // same + 1-row dangling-mass/n_dangling crosses
-      "dedup_keep_rank",          // same pageRank 1-row node-count/dangling-mass crosses
+      // (graph_pagerank_copurchase / dedup_keep_rank: their per-iteration
+      // 1-row node-count/dangling-mass crosses live INSIDE pageRank's
+      // memoized checkpoint build now, so the registered plans carry no
+      // nested loop; the directed variant keeps a query-level cross)
+      "graph_pagerank_directed",  // 1-row n_dangling report cross
       "t11_chi2_independence",    // category-bounded r×c grid + 1-row scalars
       "sim_pq_adc_topk",          // candidates × broadcast per-query ADC LUTs (bounded query set)
       "sim_ivfpq_topk",           // 1-row centroid-array broadcast cross (the IVF stage)
