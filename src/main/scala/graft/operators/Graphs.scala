@@ -178,8 +178,23 @@ object Graphs {
     * canonicalized and distinct'd first. Output: (node, degree,
     * triangles, clustering) for every node of the edge set; clustering
     * = 2T/(d(d−1)) rounded to 6 dp (0.0 where d < 2), all counts exact
-    * BIGINTs. */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    * BIGINTs.
+    *
+    * The output is node-sized and a pure function of the graph, so —
+    * like [[pageRank]]'s ranks and [[labelPropagation]]'s labels —
+    * a `memoKey` parks it in the session memo tier as an eager
+    * localCheckpoint leaf; first-build cost stays in the bench cold
+    * pass. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      memoKey: Option[String] = None): DataFrame = {
+    def build = buildTriangles(edges, srcCol, dstCol)
+    memoKey.map(mk => Memo.cached(s"$mk/tri/counts") {
+      build.localCheckpoint(true)
+    }).getOrElse(build)
+  }
+
+  private def buildTriangles(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
     val e = CacheScope.persist(edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))

@@ -775,7 +775,8 @@ object QScale {
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
       .select("src", "dst")
-    graft.operators.Graphs.triangleCounts(edges, "src", "dst")
+    graft.operators.Graphs.triangleCounts(edges, "src", "dst",
+        memoKey = Some(graft.operators.Memo.corpusKey("tricp", d)))
       .orderBy(col("triangles").desc, col("node")).limit(15)
       .orderBy(col("triangles").desc, col("node"))
   })
