@@ -467,9 +467,19 @@ object TextOps {
     * rounded once more — both engines evaluate identical operands.
     *
     * Output: (idCol, n_bigrams, avg_nll, ppl) for docs with ≥ 2
-    * tokens. */
+    * tokens.
+    *
+    * `memoKey` parks the TRAINED LM — the (w1, w2) → (c, c1, nv) count
+    * table, a bigram-TYPE-sized model frame, never doc-sized — in the
+    * session memo tier as an eager localCheckpoint leaf (the
+    * codebook/IRLS-β discipline): the two registry consumers
+    * (text_perplexity_bigram, curate_perplexity_prune) train the SAME
+    * corpus LM, and per-evaluation only the scoring pass (bigram
+    * stream ⋈ LM + per-doc fold) re-runs. The per-DOC scores are
+    * deliberately NOT memoized — they are corpus-sized, which the
+    * memo contract excludes. */
   def bigramLogprob(docs: DataFrame, idCol: String, textCol: String,
-      alpha: Double = 0.5): DataFrame = {
+      alpha: Double = 0.5, memoKey: Option[String] = None): DataFrame = {
     import graft.functions.Deterministic.stableSum
     require(alpha > 0.0, s"bigramLogprob needs alpha > 0, got $alpha")
     val w = docs
@@ -481,11 +491,20 @@ object TextOps {
           slice(col("w"), lit(1), size(col("w")) - 1),
           slice(col("w"), lit(2), size(col("w")) - 1))).as("pr"))
       .select(col(idCol), col("pr.0").as("w1"), col("pr.1").as("w2")))
-    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val c1 = cb.groupBy("w1").agg(sum("c").as("c1"))
-    val v = w.select(explode(col("w")).as("u")).agg(countDistinct("u").as("nv"))
-    val scored = bg.join(cb, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .crossJoin(broadcast(v))
+    // nv rides on every LM row (8 bytes) so scoring needs no separate
+    // 1-row vocab broadcast — the psiDrift job-count trick
+    def buildLm: DataFrame = {
+      val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val c1 = cb.groupBy("w1").agg(sum("c").as("c1"))
+      val v = w.select(explode(col("w")).as("u"))
+        .agg(countDistinct("u").as("nv"))
+      cb.join(c1, Seq("w1")).crossJoin(broadcast(v))
+        .select(col("w1"), col("w2"), col("c"), col("c1"), col("nv"))
+    }
+    val lm = memoKey.map(mk => Memo.cached(s"$mk/bigram-lm") {
+      buildLm.localCheckpoint(true)
+    }).getOrElse(buildLm)
+    val scored = bg.join(lm, Seq("w1", "w2"))
       .select(col(idCol),
         round(-log((col("c") + lit(alpha)) /
           (col("c1") + lit(alpha) * col("nv"))), 6).as("nll"))
@@ -548,9 +567,10 @@ object TextOps {
     *
     * Output: (idCol, domainCol, avg_nll, ppl, bucket, keep). */
   def perplexityPrune(docs: DataFrame, idCol: String, textCol: String,
-      domainCol: String, alpha: Double = 0.5): DataFrame = {
+      domainCol: String, alpha: Double = 0.5,
+      memoKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = bigramLogprob(docs, idCol, textCol, alpha)
+    val scored = bigramLogprob(docs, idCol, textCol, alpha, memoKey)
       .join(docs.select(idCol, domainCol), Seq(idCol))
     val wCum = Window.partitionBy(domainCol).orderBy("avg_nll")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -373,7 +373,8 @@ object QCuration {
     FROM d JOIN ct USING (source) ORDER BY doc_id"""
   ))((s, d) =>
     graft.operators.TextOps.perplexityPrune(
-        Tables.documentsP(s, d), "doc_id", "text", "source", QText.ppxAlpha)
+        Tables.documentsP(s, d), "doc_id", "text", "source", QText.ppxAlpha,
+        memoKey = Some(graft.operators.Memo.corpusKey("bglm", d)))
       .select("doc_id", "source", "avg_nll", "ppl", "bucket", "keep")
       .orderBy("doc_id"))
 

@@ -479,7 +479,8 @@ object QText {
            round(exp(round(avg_raw, 6)), 4) AS ppl
     FROM p ORDER BY doc_id"""
   ))((s, d) =>
-    TextOps.bigramLogprob(Tables.documentsP(s, d), "doc_id", "text", ppxAlpha)
+    TextOps.bigramLogprob(Tables.documentsP(s, d), "doc_id", "text", ppxAlpha,
+        memoKey = Some(graft.operators.Memo.corpusKey("bglm", d)))
       .orderBy("doc_id"))
 
   // ------------------------------------------------------ BPE tokenizer

@@ -56,8 +56,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_pq_adc_topk",          // candidates × broadcast per-query ADC LUTs (bounded query set)
       "sim_ivfpq_topk",           // 1-row centroid-array broadcast cross (the IVF stage)
       "sim_ivfpq_recall",         // composes sim_cosine_topk + sim_ivfpq_topk bounds
-      "text_perplexity_bigram",   // 1-row vocab-size broadcast cross
-      "curate_perplexity_prune",  // same vocab cross via bigramLogprob
+      // (text_perplexity_bigram / curate_perplexity_prune: the 1-row
+      // vocab cross moved INSIDE the memoized bigram-LM build, so the
+      // registered plans carry no nested loop)
       "curate_quality_classifier", // 1-row β/moments crosses per IRLS step
       "curate_classifier_calibration", // same IRLS crosses + the 1-row ECE total
       "diag_embedding_drift",     // 1-row global-centroid broadcast cross
