@@ -711,18 +711,32 @@ object TextOps {
     * cross-engine parity layer (ln differs by ulps across libm
     * implementations), and ties inside a 6-dp bucket break by token.
     *
-    * Output: (idCol, rk, term, score), rk ∈ 1..topK. */
+    * Output: (idCol, rk, term, score), rk ∈ 1..topK.
+    *
+    * `memoKey` parks the trained IDF side — the (term, df, N) table, a
+    * vocab-TYPE-sized model frame (the bigram-LM / codebook class) —
+    * in the session memo tier as an eager localCheckpoint leaf, with
+    * the doc count N riding per row so scoring needs no separate 1-row
+    * broadcast; per evaluation only the tf count + score join + per-doc
+    * rank re-run. */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
-      topK: Int): DataFrame = {
+      topK: Int, memoKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val n = docs.filter(col(textCol).isNotNull)
-      .agg(count(lit(1)).as("__n"))
-    val df = toks.select(col(idCol), col("term")).distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+    def buildIdf: DataFrame = {
+      val n = docs.filter(col(textCol).isNotNull)
+        .agg(count(lit(1)).as("__n"))
+      toks.select(col(idCol), col("term")).distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .select(col("term"), col("df"), col("__n"))
+    }
+    val idf = memoKey.map(mk => Memo.cached(s"$mk/tfidf-idf") {
+      buildIdf.localCheckpoint(true)
+    }).getOrElse(buildIdf)
+    val scored = tf.join(idf, "term")
       .withColumn("score", round(col("tf") *
         (log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
     scored.withColumn("rk", row_number().over(

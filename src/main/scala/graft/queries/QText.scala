@@ -656,7 +656,8 @@ object QText {
              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
       FROM s) WHERE rk <= 3 ORDER BY doc_id, rk"""
   ))((s, d) =>
-    TextOps.tfidfKeywords(Tables.documentsP(s, d), "doc_id", "text", topK = 3)
+    TextOps.tfidfKeywords(Tables.documentsP(s, d), "doc_id", "text", topK = 3,
+        memoKey = Some(graft.operators.Memo.corpusKey("tfidf", d)))
       .orderBy("doc_id", "rk"))
 
   // ------------------------------------------------------ Zipf fit

@@ -38,7 +38,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_kmeans_silhouette",    // same chain + the 1-row top-2 scoring cross
       "sketch_kmv_overlap",       // three 1-row sketch crosses
       "text_unigram_logprob",     // 1-row corpus-total broadcast cross
-      "text_tfidf_keywords",      // 1-row doc-count total broadcast into the idf
+      // (text_tfidf_keywords: the 1-row doc-count cross moved INSIDE
+      // the memoized IDF build — no nested loop in the registered plan)
       "curate_dsir_weights",      // 1-row two-LM-totals broadcast cross
       "layout_shuffle_shards",    // 1-row corpus-token-total broadcast cross
       "t13_mutual_information",   // 1-row entropy/MI report crosses (category-bounded)
