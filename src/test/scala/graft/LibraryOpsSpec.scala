@@ -1530,6 +1530,24 @@ class LibraryOpsSpec extends AnyFunSuite {
     Memo.clear()
   }
 
+  test("Graphs operators produce identical results under reliable checkpointing") {
+    import spark.implicits._
+    import graft.operators.Graphs
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("s", "d")
+    val local = Graphs.pageRank(e, "s", "d", iters = 2).collect().sortBy(_.getLong(0))
+    val reliable = Graphs.pageRank(e, "s", "d", iters = 2,
+      checkpointDir = Some(dir)).collect().sortBy(_.getLong(0))
+    assert(local.map(_.toSeq).toSeq == reliable.map(_.toSeq).toSeq,
+      "checkpoint mode must not change pageRank results")
+    val lpaL = Graphs.labelPropagation(e, "s", "d", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpaR = Graphs.labelPropagation(e, "s", "d", iters = 2,
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpaL == lpaR, "checkpoint mode must not change LPA labels")
+  }
+
   test("Graphs.pageRank conserves rank mass with a dangling node") {
     import spark.implicits._
     import graft.operators.Graphs
