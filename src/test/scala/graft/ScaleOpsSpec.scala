@@ -363,4 +363,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(Funnels.retentionCohorts(
       noTyped.select(col("u"), col("t")), "u", "t", 10L).count() == 0)
   }
+
+  test("graph_pagerank_directed's fixture really exercises the dangling branch") {
+    // the query exists to run pageRank's dangling-mass slow path
+    // end-to-end; if the fixture ever stopped containing out-degree-0
+    // nodes, the oracle would still agree (both engines on the fast
+    // path) and the branch would be silently untested again — so the
+    // dangling count is pinned here, not just reported
+    import graft.queries.Q
+    val rows = Q.registry.find(_.name == "graph_pagerank_directed").get
+      .build(spark, s"${Q.testdataRoot}/sf0.001")
+      .collect()
+    assert(rows.nonEmpty, "directed pagerank must produce rows")
+    val nDangling = rows.head.getAs[Long]("n_dangling")
+    assert(nDangling > 0L,
+      s"the directed graph must contain out-degree-0 nodes, got $nDangling")
+    assert(rows.forall(_.getAs[String]("entity") == "supplier"),
+      "suppliers (the dangling side) receive all inbound mass and must top the rank")
+  }
 }
