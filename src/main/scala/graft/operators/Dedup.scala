@@ -63,6 +63,59 @@ object Dedup {
   def mixA(i: Int): Long = 1103515245L + 2L * i * 7919L // odd
   def mixB(i: Int): Long = 104729L + 12345L * i
 
+  /** Per-document minhash SIGNATURE TABLE — the tokenize/shingle stage
+    * of the text-dedup family factored out once: (idCol, carry...,
+    * s: array<string> — the distinct shingle-md5 set, mh0..mh{nHash−1}
+    * — the affine-mix minima). Documents with fewer than `ngram`
+    * tokens are dropped (NULL signature), exactly as in the inline
+    * stages it replaces.
+    *
+    * Why it exists: the per-doc token/gram hashing is the single
+    * largest shared cost of the dedup family — at sf1 the five
+    * text-shingling queries re-deriving this frame from raw text per
+    * query were ~45 s of the 194.5 s total (r12 recording) — and `shs`
+    * is nHash-INVARIANT (the distinct shingle set does not depend on
+    * how many mixes run), so ONE nHash=12 table serves the Jaccard/
+    * containment consumers (which need only `s`) and the LSH/
+    * incremental consumers (which need `s` + the signature) alike.
+    * Each consumer's chain stays bit-identical: they read the same
+    * `graft_minhash_sig` columns they computed inline before.
+    *
+    * `memoKey`: when set, the table is memoized session-wide in the
+    * CORPUS tier ([[Memo.cachedCorpus]] — corpus-proportional by
+    * construction; at 100 TB this frame is the one you WRITE as a
+    * derived Parquet table instead of caching, see the Memo tier doc).
+    * `carry` columns ride along so consumers' block keys (lang,
+    * length bucket, source) need no join back to the raw table. */
+  def minhashSigTable(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil, ngram: Int = 3, nHash: Int = 12,
+      memoKey: Option[String] = None): DataFrame = {
+    def build: DataFrame = docs
+      .select((col(idCol) +: carry.map(col) :+
+        expr(s"graft_minhash_sig($textCol, $ngram, $nHash)").as("ms")): _*)
+      .filter(col("ms").isNotNull)
+      .select((col(idCol) +: carry.map(col) :+ col("ms.shs").as("s")) ++
+        (0 until nHash).map(i =>
+          element_at(col("ms.sig"), i + 1).as(s"mh$i")): _*)
+    memoKey match {
+      case Some(mk) => Memo.cachedCorpus(
+        s"$mk/sigTable/$idCol/$textCol/${carry.mkString(",")}/$ngram/$nHash")(build)
+      case None => build
+    }
+  }
+
+  /** Per-document simhash SIGNATURE TABLE — [[simhashSignatures]]
+    * memoized in the corpus tier under `memoKey` (same rationale as
+    * [[minhashSigTable]]; (id, simhash) is two narrow columns, the
+    * smallest corpus-tier frame). */
+  def simhashSigTable(docs: DataFrame, idCol: String, textCol: String,
+      memoKey: Option[String] = None): DataFrame =
+    memoKey match {
+      case Some(mk) => Memo.cachedCorpus(s"$mk/simhashSig/$idCol/$textCol")(
+        simhashSignatures(docs, idCol, textCol))
+      case None => simhashSignatures(docs, idCol, textCol)
+    }
+
   /** Default for [[minhashLsh]]'s `maxBucket`: a band bucket of 4096
     * docs caps the bucket's candidate output at ~8.4M pairs — one
     * shuffle partition of work — while sitting orders of magnitude above
@@ -95,13 +148,21 @@ object Dedup {
     * corpus, and the pairs frame is output-sized (never larger than
     * the near-dup mass the corpus owes), so one materialization serves
     * all. The caller's key must identify the corpus. */
+  /** `sigTable`: a pre-built [[minhashSigTable]] of the SAME docs /
+    * textCol / ngram with nHash ≥ this call's — the tokenize stage is
+    * then skipped and the per-doc frame is read straight from it
+    * (typically the memoized corpus-tier table five family members
+    * share). Results are bit-identical by construction: the table IS
+    * the inline stage's output. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       nHash: Int = 12, bandRows: Int = 2, threshold: Double = 0.5,
       ngram: Int = 3, maxBucket: Long = defaultMaxBandBucket,
-      memoKey: Option[String] = None): DataFrame = {
+      memoKey: Option[String] = None,
+      sigTable: Option[DataFrame] = None): DataFrame = {
     def build: DataFrame = {
       val (perDoc, candRows) =
-        minhashBandParts(docs, idCol, textCol, nHash, bandRows, ngram, maxBucket)
+        minhashBandParts(docs, idCol, textCol, nHash, bandRows, ngram, maxBucket,
+          sigTable)
       val cand = candRows.distinct()
       val sa = perDoc.select(col(idCol).as("doc_a"), col("s").as("s_a"))
       val sb = perDoc.select(col(idCol).as("doc_b"), col("s").as("s_b"))
@@ -134,8 +195,8 @@ object Dedup {
     * [[minhashLshCandidates]]: (perDoc signatures+shingles, pre-distinct
     * band pairs). */
   private def minhashBandParts(docs: DataFrame, idCol: String, textCol: String,
-      nHash: Int, bandRows: Int, ngram: Int,
-      maxBucket: Long): (DataFrame, DataFrame) = {
+      nHash: Int, bandRows: Int, ngram: Int, maxBucket: Long,
+      sigTable: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     require(maxBucket >= 2, s"minhashLsh needs maxBucket >= 2, got $maxBucket")
     // The whole shingle→md5→mix→min stage is per-document, so it runs
     // as ONE row-local native expression (functions.MinhashSig) — the
@@ -145,14 +206,20 @@ object Dedup {
     // bucketing. Bit-identical to that formulation (spec-pinned) and
     // to the DuckDB oracle's chain. The persist covers the three
     // consumers of the narrow per-doc frame (bands + both verify
-    // sides).
-    val perDoc = CacheScope.persist(
-      docs.select(col(idCol),
-          expr(s"graft_minhash_sig($textCol, $ngram, $nHash)").as("ms"))
-        .filter(col("ms").isNotNull) // < ngram tokens: no shingles
-        .select(col(idCol) +: col("ms.shs").as("s") +:
-          (0 until nHash).map(i =>
-            element_at(col("ms.sig"), i + 1).as(s"mh$i")): _*))
+    // sides) — with a caller-supplied sigTable the frame is a
+    // projection of an already-memoized table, so no scoped persist is
+    // layered on top (it would duplicate the cached bytes).
+    val perDoc = sigTable match {
+      case Some(st) => st.select(col(idCol) +: col("s") +:
+        (0 until nHash).map(i => col(s"mh$i")): _*)
+      case None => CacheScope.persist(
+        docs.select(col(idCol),
+            expr(s"graft_minhash_sig($textCol, $ngram, $nHash)").as("ms"))
+          .filter(col("ms").isNotNull) // < ngram tokens: no shingles
+          .select(col(idCol) +: col("ms.shs").as("s") +:
+            (0 until nHash).map(i =>
+              element_at(col("ms.sig"), i + 1).as(s"mh$i")): _*))
+    }
     // bands via ONE explode — a per-band union would recompute the
     // shingle→signature pipeline once per band
     val bandStructs = (0 until nHash / bandRows).map { b =>
@@ -206,12 +273,16 @@ object Dedup {
     * exactly as in [[minhashLsh]] (bucket population counted over ALL
     * docs — a flood of old boilerplate also disables its bucket).
     * Output: (doc_new, doc_other, other_is_new, jaccard). */
+  /** `sigTable`: as in [[minhashLsh]] — a pre-built [[minhashSigTable]]
+    * that additionally carries `isNewCol` (typically a projection the
+    * caller layers over the shared memoized table). */
   def minhashLshIncremental(docs: DataFrame, idCol: String, textCol: String,
       isNewCol: String, nHash: Int = 12, bandRows: Int = 2,
       threshold: Double = 0.5, ngram: Int = 3,
-      maxBucket: Long = defaultMaxBandBucket): DataFrame = {
+      maxBucket: Long = defaultMaxBandBucket,
+      sigTable: Option[DataFrame] = None): DataFrame = {
     val (perDoc, candRows) = minhashIncBandParts(docs, idCol, textCol,
-      isNewCol, nHash, bandRows, ngram, maxBucket)
+      isNewCol, nHash, bandRows, ngram, maxBucket, sigTable)
     val cand = candRows.distinct()
     val sa = perDoc.select(col(idCol).as("doc_new"), col("s").as("s_a"))
     val sb = perDoc.select(col(idCol).as("doc_other"), col("s").as("s_b"))
@@ -240,19 +311,25 @@ object Dedup {
     * candidate rows). */
   private def minhashIncBandParts(docs: DataFrame, idCol: String,
       textCol: String, isNewCol: String, nHash: Int, bandRows: Int,
-      ngram: Int, maxBucket: Long): (DataFrame, DataFrame) = {
+      ngram: Int, maxBucket: Long,
+      sigTable: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     require(maxBucket >= 2, s"minhashLshIncremental needs maxBucket >= 2, got $maxBucket")
     // NULL is_new coalesces to false (old corpus): left as-is it would
     // fail BOTH candidate predicates (filter(is_new) and !b.is_new each
     // evaluate NULL) and the row could never pair at all (r8 ADVICE).
-    val perDoc = CacheScope.persist(
-      docs.select(col(idCol),
-          coalesce(col(isNewCol).cast("boolean"), lit(false)).as("is_new"),
-          expr(s"graft_minhash_sig($textCol, $ngram, $nHash)").as("ms"))
-        .filter(col("ms").isNotNull)
-        .select(col(idCol) +: col("is_new") +: col("ms.shs").as("s") +:
-          (0 until nHash).map(i =>
-            element_at(col("ms.sig"), i + 1).as(s"mh$i")): _*))
+    val perDoc = sigTable match {
+      case Some(st) => st.select(col(idCol) +:
+        coalesce(col(isNewCol).cast("boolean"), lit(false)).as("is_new") +:
+        col("s") +: (0 until nHash).map(i => col(s"mh$i")): _*)
+      case None => CacheScope.persist(
+        docs.select(col(idCol),
+            coalesce(col(isNewCol).cast("boolean"), lit(false)).as("is_new"),
+            expr(s"graft_minhash_sig($textCol, $ngram, $nHash)").as("ms"))
+          .filter(col("ms").isNotNull)
+          .select(col(idCol) +: col("is_new") +: col("ms.shs").as("s") +:
+            (0 until nHash).map(i =>
+              element_at(col("ms.sig"), i + 1).as(s"mh$i")): _*))
+    }
     val bandStructs = (0 until nHash / bandRows).map { b =>
       val ks = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
       struct(lit(b).as("band"), concat_ws("_", ks: _*).as("bkey"))
@@ -523,8 +600,8 @@ object Dedup {
     * `docs` must already carry `blockCols`. Output: (doc_a, doc_b, jaccard). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double = 0.8, ngram: Int = 3,
-      maxDf: Option[Long] = None): DataFrame =
-    ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf)
+      maxDf: Option[Long] = None, sigTable: Option[DataFrame] = None): DataFrame =
+    ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf, sigTable)
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .select(col("doc_a"), col("doc_b"),
@@ -554,8 +631,8 @@ object Dedup {
     * asymmetric inclusions (high C, low J). */
   def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double = 0.8, ngram: Int = 3,
-      maxDf: Option[Long] = None): DataFrame =
-    ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf)
+      maxDf: Option[Long] = None, sigTable: Option[DataFrame] = None): DataFrame =
+    ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf, sigTable)
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("c", col("inter").cast("double") / least(col("na"), col("nb")))
@@ -579,7 +656,7 @@ object Dedup {
     * one row per matched shingle. */
   def ngramJaccardCandidates(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], ngram: Int = 3,
-      maxDf: Option[Long] = None): DataFrame = {
+      maxDf: Option[Long] = None, sigTable: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The distinct shingle set and its size are PER-DOCUMENT values, so
     // they come from the row-local native MinhashSig pass (shs is its
@@ -590,13 +667,22 @@ object Dedup {
     // window form re-shuffled the whole shingle stream twice just to
     // rebuild row-local facts; its "window beats broadcast" measurement
     // compared two post-shuffle variants, not this shuffle-free one.)
-    val base = docs
-      .select((col(idCol) +: blockCols.map(col) :+
-        expr(s"graft_minhash_sig($textCol, $ngram, 1)").as("ms")): _*)
-      .filter(col("ms").isNotNull)
-      .select((col(idCol) +: blockCols.map(col) :+
-        size(col("ms.shs")).cast("long").as("n") :+
-        explode(col("ms.shs")).as("sh")): _*)
+    // A caller-supplied sigTable (a [[minhashSigTable]] carrying
+    // blockCols — `shs` is nHash-invariant, so the shared nHash=12
+    // table serves this nHash-free consumer identically) replaces the
+    // text stage with a projection of the memoized frame.
+    val base = sigTable match {
+      case Some(st) => st.select((col(idCol) +: blockCols.map(col) :+
+        size(col("s")).cast("long").as("n") :+
+        explode(col("s")).as("sh")): _*)
+      case None => docs
+        .select((col(idCol) +: blockCols.map(col) :+
+          expr(s"graft_minhash_sig($textCol, $ngram, 1)").as("ms")): _*)
+        .filter(col("ms").isNotNull)
+        .select((col(idCol) +: blockCols.map(col) :+
+          size(col("ms.shs")).cast("long").as("n") :+
+          explode(col("ms.shs")).as("sh")): _*)
+    }
     val capped = maxDf match {
       case Some(cap) =>
         require(cap >= 1, s"ngramJaccard needs maxDf >= 1, got $cap")
@@ -801,8 +887,10 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 2, probeBits: Int = 16,
       targetBucketSize: Int = 256,
-      maxBucket: Long = defaultMaxBandBucket): DataFrame =
-    simhashCandidates(docs, idCol, textCol, probeBits, targetBucketSize, maxBucket)
+      maxBucket: Long = defaultMaxBandBucket,
+      sigTable: Option[DataFrame] = None): DataFrame =
+    simhashCandidates(docs, idCol, textCol, probeBits, targetBucketSize, maxBucket,
+      sigTable)
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair can meet in several probed buckets
 
@@ -813,11 +901,16 @@ object Dedup {
     * volume against emitted-pair volume on the exact join the operator
     * runs — candidate count is the number the population guards bound,
     * emitted count is the output the corpus actually owes. */
+  /** `sigTable`: a pre-built [[simhashSigTable]] of the same docs /
+    * textCol — the signature stage is then read from it (typically the
+    * memoized corpus-tier table) instead of re-hashing the text. */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       probeBits: Int = 16, targetBucketSize: Int = 256,
-      maxBucket: Long = defaultMaxBandBucket): DataFrame = {
+      maxBucket: Long = defaultMaxBandBucket,
+      sigTable: Option[DataFrame] = None): DataFrame = {
     require(maxBucket >= 2, s"simhash needs maxBucket >= 2, got $maxBucket")
-    val sh = CacheScope.persist(simhashSignatures(docs, idCol, textCol))
+    val sh = sigTable.getOrElse(
+      CacheScope.persist(simhashSignatures(docs, idCol, textCol)))
     val pr = CacheScope.persist(
       sh.crossJoin(broadcast(observedBucketWidth(sh, probeBits, targetBucketSize)))
         .withColumn("base", expr("simhash div CAST(pow(2, 32 - bw) AS BIGINT)"))

@@ -21,45 +21,91 @@ import org.apache.spark.storage.StorageLevel
   * queries reaching the same logical frame through different
   * projections share one materialization).
   *
+  * TIERS — two registration points with different size contracts,
+  * tracked separately so the footprint report can audit each against
+  * its own bound:
+  *
+  *  - [[cached]] (tier "bounded"): frames whose row count is bounded
+  *    by MODEL CONSTANTS or by the operator's OUTPUT, never by the
+  *    corpus — trained models (PQ codebooks: m·kCodes rows; IRLS β;
+  *    the bigram LM; the IDF table: vocabulary-sized), graph finals
+  *    (ranks/labels/triangles: near-dup-graph-node-sized), verified
+  *    near-dup pair sets (output-sized — never larger than the
+  *    near-dup mass the corpus owes).
+  *  - [[cachedCorpus]] (tier "corpus"): frames PROPORTIONAL to the
+  *    corpus — the per-document signature tables the dedup family
+  *    shares (minhash shingle sets + signatures, simhash fingerprints).
+  *    These are the S7 result-cache discipline applied to the
+  *    tokenize stage: five queries re-deriving the same per-doc
+  *    token/gram frames from raw text was the dominant sf1 cost
+  *    (~45 s of 194.5 s, r12 recording). At executor-cache scale they
+  *    persist MEMORY_AND_DISK like any scan cache; a 100 TB deployment
+  *    would WRITE them as derived Parquet tables (the S4 sink path)
+  *    rather than pin them in executor memory — the tier marks exactly
+  *    the entries that conversion applies to. MemoAuditSpec asserts
+  *    every corpus-tier key is on its annotated allowlist and every
+  *    bounded-tier entry stays node-sized.
+  *
   * Lifecycle: entries persist at MEMORY_AND_DISK OUTSIDE any
   * [[CacheScope]] (they must outlive per-query scopes) and live until
   * the SparkContext they were built on goes away — the map clears
   * itself when it sees a different context, so frames from a stopped
-  * context are never served. Memoized frames are small by construction
-  * (codebooks, sub-vector slices of a bounded embedding table); a
-  * 100 TB deployment memoizes the TRAINED frames (m·kCodes rows),
-  * not corpus-sized ones — see the `memoKey` call sites.
+  * context are never served.
   */
 object Memo {
 
   private var ctxId: String = null
-  private val entries = mutable.Map.empty[String, DataFrame]
+  private final case class Entry(df: DataFrame, tier: String, var hits: Long,
+    var repersists: Long)
+  private val entries = mutable.Map.empty[String, Entry]
 
-  /** The frame for `key`, building (and persisting) it on first use. */
-  def cached(key: String)(build: => DataFrame): DataFrame = synchronized {
-    val df0 = entries.get(key)
-    df0 match {
-      case Some(df) if sameContext(df) =>
-        // A hit whose cache was voided behind the memo's back must not
-        // be served cache-less. The known path: a CacheScope close
-        // unpersists a scoped frame whose plan CANONICALIZES to this
-        // entry's (Spark's CacheManager keys on canonicalized plans, so
-        // a rename-only Project over a scoped persist shares its cache
-        // entry — the r11 LPA regression). Re-persisting here means the
-        // next action rebuilds the cache once instead of silently
-        // re-running the full lineage on every evaluation.
-        if (df.storageLevel == StorageLevel.NONE)
+  /** The frame for `key`, building (and persisting) it on first use.
+    * BOUNDED tier: the frame's size must be bounded by model constants
+    * or operator output, never by corpus rows — corpus-proportional
+    * frames go through [[cachedCorpus]]. */
+  def cached(key: String)(build: => DataFrame): DataFrame =
+    cachedTier(key, "bounded")(build)
+
+  /** [[cached]] for corpus-PROPORTIONAL derived frames (per-doc
+    * signature tables). Same mechanics, separate tier label so the
+    * footprint report and MemoAuditSpec audit it against the corpus
+    * contract (annotated allowlist; disk-backed storage). */
+  def cachedCorpus(key: String)(build: => DataFrame): DataFrame =
+    cachedTier(key, "corpus")(build)
+
+  private def cachedTier(key: String, tier: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      entries.get(key) match {
+        case Some(e) if sameContext(e.df) =>
+          e.hits += 1
+          // A hit whose cache was voided behind the memo's back must not
+          // be served cache-less. The known path: a CacheScope close
+          // unpersists a scoped frame whose plan CANONICALIZES to this
+          // entry's (Spark's CacheManager keys on canonicalized plans, so
+          // a rename-only Project over a scoped persist shares its cache
+          // entry — the r11 LPA regression). Re-persisting here means the
+          // next action rebuilds the cache once instead of silently
+          // re-running the full lineage on every evaluation. The log line
+          // makes a RECURRING void/rebuild cycle (a caller pattern that
+          // voids the entry every evaluation) visible instead of just
+          // slow — one line per void, keyed, countable.
+          if (e.df.storageLevel == StorageLevel.NONE) {
+            e.repersists += 1
+            System.err.println(
+              s"[memo] re-persisting voided entry '$key' (void #${e.repersists})" +
+                " — a scoped cache canonicalized onto it and was closed")
+            e.df.persist(StorageLevel.MEMORY_AND_DISK)
+          }
+          e.df
+        case _ =>
+          val df = build
+          val id = contextId(df)
+          if (ctxId != id) { entries.clear(); ctxId = id }
           df.persist(StorageLevel.MEMORY_AND_DISK)
-        df
-      case _ =>
-        val df = build
-        val id = contextId(df)
-        if (ctxId != id) { entries.clear(); ctxId = id }
-        df.persist(StorageLevel.MEMORY_AND_DISK)
-        entries.put(key, df)
-        df
+          entries.put(key, Entry(df, tier, 0L, 0L))
+          df
+      }
     }
-  }
 
   /** The frame for `key` if (and only if) it is already memoized on
     * the live context — a read-only probe that never registers or
@@ -70,7 +116,10 @@ object Memo {
     * not stay pinned for the session (the r3 cache-accumulation
     * regression class). */
   def lookup(key: String): Option[DataFrame] = synchronized {
-    entries.get(key).filter(sameContext)
+    entries.get(key).filter(e => sameContext(e.df)).map { e =>
+      e.hits += 1
+      e.df
+    }
   }
 
   /** Corpus identity for memo keys: the source directory plus a
@@ -90,6 +139,32 @@ object Memo {
     s"$tag:$dir@$fp"
   }
 
+  /** One footprint row per live entry: (key, tier, hits, re-persist
+    * count, cached bytes). Bytes come from the optimized plan's
+    * statistics — once an entry is materialized, cache substitution
+    * rewrites its plan to the InMemoryRelation whose stats carry the
+    * ACCUMULATED cached size, so the number is the real footprint, not
+    * a cardinality estimate (an entry never yet materialized reports
+    * its pre-execution estimate instead — read alongside `hits`).
+    * Driver-side plan inspection only: no job runs, nothing collects.
+    * Bench folds this into its JSON artifact so memo cache pressure is
+    * observable against the ambient per-query band. */
+  def report: Seq[MemoEntryStat] = synchronized {
+    entries.toSeq.sortBy(_._1).flatMap { case (key, e) =>
+      if (!sameContext(e.df)) None
+      else {
+        val bytes =
+          try e.df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+          catch { case _: Throwable => -1L }
+        Some(MemoEntryStat(key, e.tier, e.hits, e.repersists, bytes,
+          e.df.storageLevel.toString))
+      }
+    }
+  }
+
+  final case class MemoEntryStat(key: String, tier: String, hits: Long,
+    repersists: Long, bytes: Long, storage: String)
+
   private def contextId(df: DataFrame): String = {
     val sc = df.sparkSession.sparkContext
     s"${sc.applicationId}@${sc.startTime}"
@@ -101,8 +176,8 @@ object Memo {
 
   /** Drop every entry (tests; a long-lived service rotating corpora). */
   def clear(): Unit = synchronized {
-    entries.values.foreach { df =>
-      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    entries.values.foreach { e =>
+      try e.df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     entries.clear()
     ctxId = null

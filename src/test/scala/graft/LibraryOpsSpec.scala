@@ -1760,4 +1760,67 @@ class LibraryOpsSpec extends AnyFunSuite {
       .collect().map(_.getDouble(2))
     assert(k1.forall(_ == 0.0), s"k=1 must score 0: ${k1.toSeq}")
   }
+
+  test("Dedup sigTable path is bit-identical to the inline text stage") {
+    import spark.implicits._
+    // The shared signature table replaces each operator's tokenize
+    // stage; every consumer must produce byte-identical rows whether it
+    // hashes the text inline or reads the pre-built table (the
+    // correctness contract of the r13 dedup-family memo).
+    val d = Seq(
+      (1L, "en", "srcA", "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "en", "srcA", "alpha beta gamma delta epsilon zeta theta"),
+      (3L, "en", "srcB", "one two three four five six seven"),
+      (4L, "fr", "srcB", "alpha beta gamma delta epsilon zeta eta"),
+      (5L, "en", "srcB", "xx"), // < ngram tokens: dropped in both paths
+      (6L, "en", "srcA", "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("id", "lang", "source", "body")
+    val st = Dedup.minhashSigTable(d, "id", "body",
+      carry = Seq("lang", "source"), ngram = 3, nHash = 8)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(Dedup.minhashLsh(d, "id", "body", nHash = 8, threshold = 0.3)) ==
+      rows(Dedup.minhashLsh(d, "id", "body", nHash = 8, threshold = 0.3,
+        sigTable = Some(st))))
+    assert(rows(Dedup.ngramJaccard(d, "id", "body", Seq("lang"), threshold = 0.3)) ==
+      rows(Dedup.ngramJaccard(d, "id", "body", Seq("lang"), threshold = 0.3,
+        sigTable = Some(st))))
+    assert(rows(Dedup.ngramContainment(d, "id", "body", Seq("lang"), threshold = 0.3)) ==
+      rows(Dedup.ngramContainment(d, "id", "body", Seq("lang"), threshold = 0.3,
+        sigTable = Some(st))))
+    val dNew = d.withColumn("is_new", col("source") === "srcB")
+    val stNew = st.withColumn("is_new", col("source") === "srcB")
+    val incInline = Dedup.minhashLshIncremental(dNew, "id", "body", "is_new",
+      nHash = 8, threshold = 0.3)
+    val incSig = Dedup.minhashLshIncremental(dNew, "id", "body", "is_new",
+      nHash = 8, threshold = 0.3, sigTable = Some(stNew))
+    assert(rows(incInline) == rows(incSig) && incInline.count() > 0)
+    val sh = Dedup.simhashSigTable(d, "id", "body")
+    assert(rows(Dedup.simhash(d, "id", "body", maxHamming = 8)) ==
+      rows(Dedup.simhash(d, "id", "body", maxHamming = 8, sigTable = Some(sh))))
+    // sanity: the family actually emits pairs on this fixture (an
+    // empty==empty comparison would prove nothing)
+    assert(Dedup.minhashLsh(d, "id", "body", nHash = 8, threshold = 0.3).count() > 0)
+  }
+
+  test("Memo tiers: report carries tier, hit counts, and materialized bytes") {
+    import spark.implicits._
+    import graft.operators.Memo
+    Memo.clear()
+    val t = Memo.cached("spec/report/trained") { Seq(1, 2, 3).toDF("x") }
+    Memo.cachedCorpus("spec/report/corpus") { Seq((1L, "a"), (2L, "b")).toDF("i", "s") }
+    t.count() // materialize the bounded entry so its stats are real bytes
+    Memo.cached("spec/report/trained") { fail("hit must not rebuild") }
+    Memo.cached("spec/report/trained") { fail("hit must not rebuild") }
+    val rep = Memo.report.map(e => e.key -> e).toMap
+    assert(rep.keySet == Set("spec/report/trained", "spec/report/corpus"))
+    assert(rep("spec/report/trained").tier == "bounded")
+    assert(rep("spec/report/corpus").tier == "corpus")
+    assert(rep("spec/report/trained").hits == 2L)
+    assert(rep("spec/report/corpus").hits == 0L)
+    assert(rep("spec/report/trained").bytes > 0L,
+      "a materialized entry must report its cached footprint")
+    assert(rep("spec/report/trained").repersists == 0L)
+    Memo.clear()
+    assert(Memo.report.isEmpty)
+  }
 }
