@@ -863,27 +863,50 @@ object Dedup {
     * in the bucket was invisible) — and stays complete at ANY bucket
     * width, which also makes the OUTPUT width-invariant (every
     * hamming ≤ 2 pair surfaces at every width; wider candidates are
-    * filtered by the verify). The width is therefore chosen from the
-    * OBSERVED bucket populations ([[observedBucketWidth]], in-plan, no
-    * driver collect): the candidate join's volume is Σ population², and
-    * an expected-population rule (n / 2^bits) under-sizes it badly on
+    * filtered by the verify). The width is chosen from the OBSERVED
+    * bucket populations ([[observedBucketWidth]], in-plan, no driver
+    * collect): the candidate join's volume is Σ population², and an
+    * expected-population rule (n / 2^bits) under-sizes it badly on
     * signature-CONCENTRATED corpora — same-distribution documents
     * cluster in signature space, and a replicated near-dup corpus at
     * 10× the rows measured 100× the join (the r7 sf1 scale curve)
     * under the old expected rule, against ~linear after this one.
-    * Output: (doc_a, doc_b, hamming). */
+    *
+    * CANONICAL-MEETING emission (r13): a pair within bucket-Hamming 2
+    * meets in SEVERAL probed buckets — identical bucket prefixes meet
+    * at the base and at every same-bit flip, bw + 1 = up to 29 times —
+    * and the r6–r12 form emitted every meeting and collapsed them with
+    * a distinct, which at sf1 meant materializing and shuffling 28.2M
+    * join rows to keep 2.4M pairs (profiled via tools.ProfileDedup;
+    * this predicate took the query 12.2 → ~6 s). The join now keeps
+    * exactly ONE meeting per pair, decided row-locally from the two
+    * carried base prefixes (D = base_a XOR base_b): if popcount(D) ≤ 1
+    * the canonical meeting is the one where `a` sits at its base
+    * (D = 0: both at base; D = one bit: a at base, b flipped); if
+    * popcount(D) = 2 it is the one where `a` is flipped at the LOWEST
+    * set bit of D (b flipped at the other). Every bucket-Hamming ≤ 2
+    * pair satisfies the predicate in exactly one surviving meeting, so
+    * the post-join distinct is gone and no pair is shuffled once per
+    * meeting. (A pigeonhole block scheme — Manku, Jain & Das Sarma,
+    * WWW 2007 — was measured as the alternative: its fixed 16-bit
+    * two-block keys admitted 27.4M mostly-false candidates on the same
+    * corpus, because concentration demands the ADAPTIVE key width.)
+    * Output: (doc_a, doc_b, hamming), one row per pair. */
   /** `maxBucket` is the degenerate-corpus guard (analog of
-    * [[minhashLsh]]'s cap): the width rule below keeps HONEST bucket
+    * [[minhashLsh]]'s cap): the width rule keeps HONEST bucket
     * populations near `targetBucketSize`, but IDENTICAL signatures
     * (10⁶ copies of one boilerplate doc) collapse into one bucket no
     * width can split — the one O(n²) path width adaptation cannot
     * close. A probed bucket holding more than `maxBucket` docs is
-    * dropped whole from candidate generation. Recall trade as for
-    * minhash: docs whose EVERY probed bucket is over-cap surface no
-    * pairs here, but a flood that big is exactly what upstream exact
-    * dedup removes; with no bucket over cap the result is bit-identical
-    * to the unguarded form (true of every committed corpus — the
-    * DuckDB oracle replays the same plan). */
+    * dropped whole from candidate generation. Recall trade, stated
+    * precisely for the canonical-meeting form: a pair whose CANONICAL
+    * meeting bucket is over-cap surfaces no row (under the old
+    * any-meeting form it could still surface through a sibling
+    * bucket), but a flood that big is exactly what upstream exact
+    * dedup removes; with no bucket over cap the result is
+    * bit-identical to the unguarded form. The DuckDB oracle replays
+    * the guard AND the canonical-meeting predicate, so the replay
+    * stays bit-exact at any corpus size. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 2, probeBits: Int = 16,
       targetBucketSize: Int = 256,
@@ -892,16 +915,17 @@ object Dedup {
     simhashCandidates(docs, idCol, textCol, probeBits, targetBucketSize, maxBucket,
       sigTable)
       .filter(col("hamming") <= maxHamming)
-      .distinct() // a pair can meet in several probed buckets
 
   /** The candidate stage of [[simhash]] alone: every (doc_a, doc_b,
-    * hamming) row the probed-bucket join emits, BEFORE the hamming
-    * filter and the meets-in-several-buckets distinct. Public so the
-    * scale accounting (tools.ScaleAccounting) can measure candidate
-    * volume against emitted-pair volume on the exact join the operator
-    * runs — candidate count is the number the population guards bound,
-    * emitted count is the output the corpus actually owes. */
-  /** `sigTable`: a pre-built [[simhashSigTable]] of the same docs /
+    * hamming) row the probed-bucket join emits — one row per candidate
+    * PAIR (canonical-meeting emission), BEFORE the hamming filter.
+    * Public so the scale accounting (tools.ScaleAccounting) can
+    * measure candidate volume against emitted-pair volume on the exact
+    * join the operator runs — candidate count is the number the
+    * population guards bound, emitted count is the output the corpus
+    * actually owes.
+    *
+    * `sigTable`: a pre-built [[simhashSigTable]] of the same docs /
     * textCol — the signature stage is then read from it (typically the
     * memoized corpus-tier table) instead of re-hashing the text. */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
@@ -914,7 +938,7 @@ object Dedup {
     val pr = CacheScope.persist(
       sh.crossJoin(broadcast(observedBucketWidth(sh, probeBits, targetBucketSize)))
         .withColumn("base", expr("simhash div CAST(pow(2, 32 - bw) AS BIGINT)"))
-        .select(col(idCol), col("simhash"),
+        .select(col(idCol), col("simhash"), col("base"),
           explode(expr("concat(array(base), " +
             "transform(sequence(0, bw - 1), k -> base ^ CAST(pow(2, k) AS BIGINT)))"))
             .as("bucket")))
@@ -925,8 +949,19 @@ object Dedup {
       .agg(count(lit(1)).as("bc")).filter(col("bc") > maxBucket)
       .select("bucket")
     val prG = pr.join(overCap, Seq("bucket"), "left_anti")
+    // canonical-meeting predicate (see the operator scaladoc): with
+    // D = base_a XOR base_b, keep the base-side meeting when the bases
+    // differ in ≤ 1 bit, else the meeting where `a` is flipped at D's
+    // lowest set bit — one surviving meeting per pair, all row-local
+    // arithmetic on the carried base prefixes.
+    val d = col("a.base").bitwiseXOR(col("b.base"))
+    val canonical =
+      (bit_count(d) <= 1 && col("a.bucket") === col("a.base")) ||
+        (bit_count(d) === 2 &&
+          col("a.bucket").bitwiseXOR(col("a.base")) === d.bitwiseAND(-d))
     prG.as("a").join(pr.as("b"),
-        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol") &&
+          canonical)
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
   }

@@ -334,14 +334,13 @@ object QSim {
 
   // ------------------------------------------------------------ SimHash
   /** Weighted 32-bit SimHash — operators.Dedup.simhash (observed-
-    * population bucket width with two-sided single-bit multi-probe,
-    * Hamming ≤ 2). The oracle replays the width rule exactly: 28-bit
-    * population histogram → max population per candidate width →
-    * narrowest width in [16, 28] with max ≤ 256, else 28 — then probes
-    * at that width. (The FINAL rows are width-invariant — multi-probe
-    * is Hamming-2-complete at any width and the verify filters the
-    * rest — so the mirrored rule pins candidate semantics, not the
-    * output.) */
+    * population bucket width with two-sided single-bit multi-probe and
+    * canonical-meeting single emission, Hamming ≤ 2). The oracle
+    * replays the width rule exactly (28-bit population histogram → max
+    * population per candidate width → narrowest width in [16, 28] with
+    * max ≤ 256, else 28), then the probes, the bucket population cap
+    * and the canonical-meeting predicate — bit-exact at ANY corpus
+    * size, including one where a degenerate flood trips the cap. */
   private def simhashDuck = {
     val bitSum = (0 until 32).map { b =>
       s"sum(CASE WHEN (strpos('0123456789abcdef', h[${b / 4 + 1}]) - 1) // ${Seq(8, 4, 2, 1)(b % 4)} % 2 = 1 THEN cnt ELSE -cnt END) AS b$b"
@@ -362,15 +361,21 @@ object QSim {
            FROM h28, LATERAL unnest(generate_series(16, 28)) AS t(w) GROUP BY 1, 2),
     wm AS (SELECT w, max(bpop) AS maxpop FROM wx GROUP BY 1),
     wsel AS (SELECT coalesce(min(CASE WHEN maxpop <= 256 THEN w END), 28) AS bw FROM wm),
-    pr AS (SELECT doc_id, simhash,
+    pr AS (SELECT doc_id, simhash, simhash // CAST(pow(2, 32 - bw) AS BIGINT) AS base,
                   unnest([simhash // CAST(pow(2, 32 - bw) AS BIGINT)] ||
                          [xor(simhash // CAST(pow(2, 32 - bw) AS BIGINT), CAST(pow(2, k) AS BIGINT))
                           for k in generate_series(0, bw - 1)]) AS bucket
            FROM sh, wsel),
-    p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    prc AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS bc FROM pr),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  bit_count(xor(a.simhash, b.simhash)) AS hamming
-          FROM pr a JOIN pr b
-            ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+          FROM prc a JOIN pr b
+            ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+           AND a.bc <= ${graft.operators.Dedup.defaultMaxBandBucket}
+           AND ((bit_count(xor(a.base, b.base)) <= 1 AND a.bucket = a.base)
+                OR (bit_count(xor(a.base, b.base)) = 2
+                    AND xor(a.bucket, a.base)
+                          = xor(a.base, b.base) & (-xor(a.base, b.base)))))
     SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 2 ORDER BY 1, 2"""
   ))((s, d) =>
     Dedup.simhash(Tables.documents(s, d), "doc_id", "text", maxHamming = 2,

@@ -37,15 +37,6 @@ object ProfileDedup {
       memoKey = Some(graft.operators.Memo.corpusKey("sh", sfDir)))
     sh.count() // memo-warm baseline
     time("simhash/signatures(memo-warm)")(sh.count())
-    time("simhash/bucketWidth")(
-      Dedup.observedBucketWidth(sh, 16, 256).count())
-    val pr = sh.crossJoin(broadcast(Dedup.observedBucketWidth(sh, 16, 256)))
-      .withColumn("base", expr("simhash div CAST(pow(2, 32 - bw) AS BIGINT)"))
-      .select(col("doc_id"), col("simhash"),
-        explode(expr("concat(array(base), " +
-          "transform(sequence(0, bw - 1), k -> base ^ CAST(pow(2, k) AS BIGINT)))"))
-          .as("bucket"))
-    time("simhash/probeRows")(pr.count())
     time("simhash/candidates")(
       Dedup.simhashCandidates(docs, "doc_id", "text",
         sigTable = Some(sh)).count())

@@ -176,10 +176,13 @@ class LibraryOpsSpec extends AnyFunSuite {
 
   test("Dedup.simhash multi-probe finds EVERY Hamming<=2 pair (vs brute force)") {
     // Near-identical long docs: single-token edits usually move only a
-    // few signature bits, including across the top-16 bucket boundary —
+    // few signature bits, including across the bucket boundary —
     // exactly the pairs the plain top-bits join missed. The guarantee
-    // under test: any pair within Hamming 2 differs in <= 2 bucket bits,
-    // and two-sided single-bit probing always joins such a pair.
+    // under test: any pair within Hamming 2 differs in <= 2 bucket
+    // bits, two-sided single-bit probing always joins such a pair, and
+    // the canonical-meeting predicate keeps exactly one of its
+    // meetings (a dropped-ALL-meetings bug would fail this recall
+    // check; a duplicate-emission bug fails the single-emission spec).
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val d = docs((0 until 12).map { i =>
       val body = if (i == 0) base else base.replace(s"tok$i", s"alt$i")
@@ -562,6 +565,29 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(capped.contains((900L, 901L)))
     // a cap above every population is bit-identical to unguarded
     assert(run(100000L).size == 200 * 199 / 2 + 1)
+  }
+
+  test("Dedup.simhashCandidates emits each pair exactly once (canonical meeting)") {
+    import spark.implicits._
+    // identical docs share the base bucket AND every flip bucket —
+    // bw + 1 meetings per pair; without the canonical-meeting predicate
+    // each pair would leave the join once per meeting and need a
+    // distinct (the r12 form's measured sf1 cost center). The
+    // single-emission contract is what lets simhash() skip that
+    // shuffle entirely.
+    val d = (1L to 30L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "body")
+    val cand = Dedup.simhashCandidates(d, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.length == 30 * 29 / 2, s"expected each pair once, got ${cand.length}")
+    assert(cand.distinct.length == cand.length)
+    // and pairs meeting only through FLIP buckets (bases differ in 1-2
+    // bits) still surface exactly once: craft signatures via docs whose
+    // brute-force hamming<=2 pairs straddle base buckets — covered by
+    // the recall spec above; here pin the zero-distinct invariant on
+    // the operator output itself
+    assert(Dedup.simhash(d, "id", "body", maxHamming = 2).count() == 30 * 29 / 2)
   }
 
   test("injected graft_* functions reject wrong arity with a clean AnalysisException") {
