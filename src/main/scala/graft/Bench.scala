@@ -37,7 +37,13 @@ import org.apache.spark.sql.SparkSession
   * machine; either leg far off the historical band (~0.07 s at
   * local[32], idle), a ratio outside [0.67, 1.5], or a pass canary
   * far above both endpoints (≳1.5×) marks the recording suspect —
-  * re-run rather than trust it.
+  * re-run rather than trust it. Reduced sensitivity, stated plainly:
+  * because the pass canary is a settled median-of-3, the ≳1.5× rule
+  * catches SUSTAINED load only — a short excursion that inflates a
+  * single shot, or ends during the 1.5 s settle, is absorbed by the
+  * median (the pre-r12 raw-shot rule had the inverse failure: it
+  * flagged every honest recording on the pass's own trailing
+  * cleanup).
   */
 object Bench {
 
@@ -170,6 +176,24 @@ object Bench {
     val results = selected.map { case (name, _) => name -> acc(name).toSeq }
     val canaryEnd = canarySec(spark)
     val canaryRatio = canaryEnd / canaryStart
+    // Memo-tier footprint ("memo" in the JSON): entry count, cached
+    // bytes (real accumulated size once materialized — Memo.report)
+    // and hit counts, per tier and per entry — the observable that
+    // ties (or exonerates) ambient per-query creep to memo cache
+    // pressure, and the committed record of what the memo-warm minima
+    // hold pinned for the session.
+    val memoJson = {
+      val rep = graft.operators.Memo.report
+      val detail = rep.map { e =>
+        s"""{"key":"${e.key}","tier":"${e.tier}","hits":${e.hits},""" +
+          s""""repersists":${e.repersists},"bytes":${e.bytes},"storage":"${e.storage}"}"""
+      }.mkString("[", ",", "]")
+      val byTier = rep.groupBy(_.tier).toSeq.sortBy(_._1).map { case (t, es) =>
+        s""""$t":{"entries":${es.size},"bytes":${es.map(_.bytes.max(0L)).sum},""" +
+          s""""hits":${es.map(_.hits).sum}}"""
+      }.mkString("{", ",", "}")
+      s"""{"entries":${rep.size},"by_tier":$byTier,"detail":$detail}"""
+    }
     def fmt(sel: Seq[Double] => Double) = results.map {
       case (k, ts) if ts.nonEmpty => "\"" + k + f"\":${sel(ts)}%.3f"
       case (k, _) => "\"" + k + "\":null"
@@ -185,7 +209,7 @@ object Bench {
     val nFailed = results.count(_._2.isEmpty)
     val cps = passCanaries.map(c => f"$c%.3f").mkString("[", ",", "]")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"total_median":$totalMed%.3f,"canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_ratio":$canaryRatio%.3f,"canary_passes":$cps,"queries":$qs,"queries_median":$qsMed,"queries_cold":$qsCold,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"total_median":$totalMed%.3f,"canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_ratio":$canaryRatio%.3f,"canary_passes":$cps,"queries":$qs,"queries_median":$qsMed,"queries_cold":$qsCold,"memo":$memoJson,"sf":"$sfDir"}"""
     println(full)
     // The full line (~3 KB at 86 queries) outgrows the harness's 2000-char
     // output tail, so per-query numbers also go to a FILE, and the very

@@ -434,10 +434,16 @@ object Dedup {
       maxIter: Int = 25, localFinishEdges: Long = 1L << 22,
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"connectedComponents needs maxIter >= 1, got $maxIter")
+    // checkpoint-dir semantics (context-global dir, file lifecycle):
+    // see Graphs.ckpt — same convention, same warning on a conflict
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         val sc = edges.sparkSession.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        else if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+          System.err.println(
+            s"[dedup] checkpointDir '$dir' requested but context already uses " +
+              s"'${sc.getCheckpointDir.get}' — keeping the existing dir")
         df => df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(true)
     }

@@ -344,8 +344,15 @@ object Diagnostics {
     // + bucket→count map, ≤bins entries) instead of two separate
     // broadcast jobs (refC per-bucket frame + refN scalar) — the
     // grouped agg keeps the empty-reference behavior (zero groups →
-    // zero rows → empty crossJoin → empty output, same as before)
+    // zero rows → empty crossJoin → empty output, same as before).
+    // Counts are summed BY BUCKET before map_from_entries: a refGroup
+    // predicate matching several groups repeats each bucket in the
+    // collect_list, and duplicate map keys THROW at runtime under the
+    // default spark.sql.mapKeyDedupPolicy=EXCEPTION — the pooled sum
+    // makes a multi-group reference well-defined (and is a no-op for
+    // the single-group predicates the registry uses)
     val refF = counts.filter(refGroup)
+      .groupBy("bucket").agg(sum("c").as("c"))
       .groupBy(lit(true).as("__one"))
       .agg(sum("c").as("rn"),
         map_from_entries(collect_list(struct(col("bucket"), col("c"))))

@@ -51,12 +51,28 @@ object Graphs {
     * context's checkpoint dir if none is set yet) — the cluster
     * deployment mode, where a lost executor must not void a memoized
     * graph frame derived from a 100 TB corpus. Results are identical
-    * either way; only fault tolerance and checkpoint IO differ. */
+    * either way; only fault tolerance and checkpoint IO differ.
+    *
+    * Checkpoint-dir semantics are CONTEXT-GLOBAL in Spark: if the
+    * context already has a different dir set, it is KEPT (a warning is
+    * logged — silently honoring one caller's dir over another's would
+    * scatter checkpoints unpredictably). Checkpoint FILES are not
+    * cleaned up by [[Memo.clear]]/unpersist (those release executor
+    * cache only); reliable checkpoint data lives until
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` collects
+    * it with the RDD or the operator of the directory deletes it — a
+    * long-lived session rotating corpora should do one or the other,
+    * or orphaned checkpoint directories accumulate on disk. */
   private def ckpt(checkpointDir: Option[String]): DataFrame => DataFrame =
     checkpointDir match {
       case Some(dir) => df => {
         val sc = df.sparkSession.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        else if (!sc.getCheckpointDir.contains(dir) &&
+            !sc.getCheckpointDir.exists(_.startsWith(dir)))
+          System.err.println(
+            s"[graphs] checkpointDir '$dir' requested but context already uses " +
+              s"'${sc.getCheckpointDir.get}' — keeping the existing dir")
         df.checkpoint(eager = true)
       }
       case None => _.localCheckpoint(true)

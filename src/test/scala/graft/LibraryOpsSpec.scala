@@ -1630,6 +1630,25 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(got("r")._2 == 0.0 && !got("r")._3)
   }
 
+  test("Diagnostics.psiDrift pools a MULTI-group reference instead of throwing") {
+    import spark.implicits._
+    import graft.operators.Diagnostics
+    // two reference groups: the same bucket appears once PER GROUP in
+    // the reference counts — un-pooled, map_from_entries hits duplicate
+    // keys and throws under spark.sql.mapKeyDedupPolicy=EXCEPTION.
+    // Pooled, the reference distribution is the groups' union, and a
+    // comparison group drawn from it reads PSI 0.
+    val d = ((1 to 10).map(v => ("r1", v.toDouble)) ++
+      (1 to 10).map(v => ("r2", v.toDouble)) ++
+      Seq(("g", 6.0), ("g", 7.0), ("g", 8.0))).toDF("grp", "v")
+    val got = Diagnostics.psiDrift(d, "grp", "v",
+        col("grp").startsWith("r"), bins = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set("r1", "r2", "g"))
+    assert(got("r1") == got("r2"), "identical groups must read identical PSI")
+    assert(got("g") > 0.0)
+  }
+
   test("TextOps.bigramLogprob matches a hand-computed add-alpha bigram LM") {
     import spark.implicits._
     // corpus: "a b a b" and "a c"; bigrams: (a,b)x2 (b,a)x1 (a,c)x1
