@@ -737,6 +737,97 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("cand_id"), col("c").as("cos_adc"))
   }
 
+  /** TRAIN/SERVE SPLIT of [[ivfPqTopK]], write half: train the coarse
+    * quantizer and the PQ codebooks, encode the corpus, and WRITE the
+    * whole index as three Parquet datasets under `dir` — the S4 sink
+    * discipline applied to the ANN index, which is the production
+    * shape at 100 TB: the index is built ONCE by a training job and
+    * every serving job loads it, instead of each search dragging the
+    * training lineage along.
+    *
+    *  - `centroids/` (cent_id, cv): the coarse quantizer — nCells rows.
+    *  - `codebooks/` (j, cent_id, cv): the trained PQ codebooks —
+    *    m·kCodes rows.
+    *  - `codes/` (cand_id, cell, i0..i{m−1}, srr): one row per corpus
+    *    vector — its coarse cell, its m codeword LUT positions and its
+    *    reconstruction norm. The ONLY corpus-sized dataset, m bytes of
+    *    codes per vector: the 32× compression that makes the store
+    *    servable.
+    *
+    * Everything the search path needs is IN the files (LUT positions
+    * re-derive deterministically from the codebook rows; doubles and
+    * floats round-trip Parquet exactly), so [[searchIvfPqIndex]] over
+    * the written index is row-identical to [[ivfPqTopK]] with the same
+    * parameters — spec-pinned, and proven through the oracle gate by
+    * the `sim_index_persist_search` registry query. */
+  def writeIvfPqIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      dir: String, nList: Int = 16, ivfSeed: Long = 2024L, dim: Int = 64,
+      m: Int = 8, kCodes: Int = 16, pqSeed: Long = 77L, iters: Int = 1,
+      targetCellSize: Int = 256, numVectors: Option[Long] = None,
+      memoKey: Option[String] = None): Unit = {
+    import graft.functions.Deterministic.hrand
+    val sub = dim / m
+    val nCells = autoNList(numVectors.getOrElse(vectors.count()), nList, targetCellSize)
+    val cent = vectors
+      .orderBy(hrand(col(idCol), ivfSeed), col(idCol))
+      .limit(nCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+    val cents = CacheScope.persist(centroidArray(cent))
+    val a1 = vectors.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol).as("cand_id"),
+        expr(s"element_at(graft_top_cells($vecCol, cents, 1), 1).cent_id").as("cell"))
+    val (trained, asgF) =
+      pqTrainParts(vectors, idCol, vecCol, dim, m, kCodes, pqSeed, iters, memoKey)
+    val pos = pqLutPositions(trained)
+    val codes = pqEncodeRows(asgF, trained, pos, idCol, sub, m).join(a1, "cand_id")
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    trained.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** TRAIN/SERVE SPLIT of [[ivfPqTopK]], serve half: answer top-k from
+    * an index written by [[writeIvfPqIndex]], reading ONLY the
+    * persisted files plus the caller's query vectors — no training
+    * lineage. Same probe chain (query vectors against the broadcast
+    * centroid array), same candidate restriction (probed cells' codes
+    * rows), same unrolled decimal ADC scoring and (cos DESC, cand_id)
+    * ranking as [[ivfPqTopK]] — row-identical by construction for the
+    * parameters the index was written with. `nProbe`, `k`, `dim`, `m`
+    * are SERVE-time choices (the index fixes nCells/kCodes/seeds).
+    * Output: (query_id, rk, cand_id, cos_adc), rk ≤ k. */
+  def searchIvfPqIndex(indexDir: String, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 3, nProbe: Int = 2, dim: Int = 64,
+      m: Int = 8): DataFrame = {
+    require(k >= 1, s"searchIvfPqIndex needs k >= 1, got $k")
+    val spark = queries.sparkSession
+    val sub = dim / m
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val trained = spark.read.parquet(s"$indexDir/codebooks")
+    // the codes dataset feeds the probe restriction AND the scoring
+    // scan — scope-persisted so the index is read once per search job
+    val codes = CacheScope.persist(spark.read.parquet(s"$indexDir/codes"))
+    val cents = CacheScope.persist(centroidArray(cent))
+    val probes = queries.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol).as("query_id"),
+        explode(topCells(vecCol, math.max(nProbe, 1))).as("pc"))
+      .select(col("query_id"), col("pc.cent_id").as("cell"))
+    val pairs = broadcast(probes)
+      .join(codes.select(col("cand_id"), col("cell")), "cell")
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id")
+    val pos = pqLutPositions(trained)
+    val lut = pqQueryLut(queries, trained, pos, idCol, vecCol, dim, m, sub)
+    val scored = adcScore(
+      codes.drop("cell").join(broadcast(pairs), "cand_id")
+        .join(broadcast(lut), "query_id"), m)
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("c").as("cos_adc"))
+  }
+
   /** Johnson–Lindenstrauss random projection: dim → outDim with a
     * seeded Rademacher (±1) matrix scaled by 1/√outDim — the Achlioptas
     * 2003 database-friendly construction; JL says pairwise distances

@@ -1287,6 +1287,42 @@ object QSim {
       .orderBy("query_id")
   })
 
+  // -------------------------------------- persisted-index train/serve
+  /** TRAIN/SERVE SPLIT of the IVF-PQ index (S4 discipline applied to
+    * ANN): the index — coarse centroids, PQ codebooks, per-vector
+    * codes — is WRITTEN once as Parquet (skip-if-exists, fingerprint-
+    * keyed like the s4 memo sink) and the top-k answer is served by
+    * [[graft.operators.Similarity.searchIvfPqIndex]] reading ONLY the
+    * persisted files plus the query vectors: the Spark side of this
+    * query carries no training lineage, which is the production shape
+    * at 100 TB (one training job, many serving jobs). The serve path
+    * is row-identical to sim_ivfpq_topk's by construction, so the
+    * oracle is that query's full train+search replay — passing the
+    * hash gate proves the files round-trip the index exactly. */
+  val ivfPqPersist = Q("sim_index_persist_search", Some(s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    $ivfPqRankedCte
+    SELECT query_id, rk, cand_id, cos_adc FROM r WHERE rk <= 3 ORDER BY 1, 2"""
+  ))((s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    // fingerprint-keyed index dir: regenerated data under the same path
+    // (the /tmp/sf1 workflow) is a clean miss, exactly like Memo keys
+    val idxDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_ann_index",
+      Integer.toHexString(
+        graft.operators.Memo.corpusKey("ivfpq", d).hashCode))
+    if (!java.nio.file.Files.exists(idxDir.resolve("codes").resolve("_SUCCESS")))
+      Similarity.writeIvfPqIndex(e, "vec_id", "v", idxDir.toString,
+        nList = nList, ivfSeed = ivfSeed, dim = kmDim, m = pqM, kCodes = pqK,
+        pqSeed = pqSeed, iters = adcIters,
+        numVectors = Some(Tables.rowCount(s, d, "embeddings")),
+        memoKey = Some(graft.operators.Memo.corpusKey("pq", d)))
+    Similarity.searchIvfPqIndex(idxDir.toString,
+        e.filter(col("vec_id") < 8), "vec_id", "v",
+        k = 3, nProbe = nProbe, dim = kmDim, m = pqM)
+      .orderBy("query_id", "rk")
+  })
+
   // ------------------------------------------ substring-run near-dup
   /** Contiguous verbatim-overlap pairs — operators.Dedup.substringRuns
     * (the Lee et al. 2022 exact-substring dedup, k-gram diagonal-run
@@ -1616,6 +1652,7 @@ object QSim {
   val all: Seq[Q] =
     Seq(exact, minhashLsh, minhashInc, clusterCc, keepRank, savings, funnel, simhash, ngramJaccard,
       embedNearDup, annTopk, hardNeg, annLsh, annIvf, annRecall, annRecallCurve, kmeansCells, kmeansSil, scalarQuant,
-      ngramContain, pqError, adcTopk, ivfPq, ivfPqRecall, substringRun, spanRewrite, randProj,
+      ngramContain, pqError, adcTopk, ivfPq, ivfPqRecall, ivfPqPersist,
+      substringRun, spanRewrite, randProj,
       semantic, decontamFuzzy)
 }

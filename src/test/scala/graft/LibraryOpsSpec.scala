@@ -1847,6 +1847,39 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(Dedup.minhashLsh(d, "id", "body", nHash = 8, threshold = 0.3).count() > 0)
   }
 
+  test("searchIvfPqIndex over a written index equals ivfPqTopK (train/serve split)") {
+    import spark.implicits._
+    // deterministic LCG vectors, custom schema/params (dim 16, m 4):
+    // the written index must round-trip EXACTLY — floats/doubles
+    // through Parquet, LUT positions re-derived from the codebook rows
+    def rng(seed: Long): Iterator[Double] = Iterator.iterate(
+      seed * 2862933555777941757L + 3037000493L)(
+      s => s * 2862933555777941757L + 3037000493L)
+      .map(s => (s >>> 33).toDouble / (1L << 31).toDouble - 0.5)
+    val dim = 16
+    val rows = (0 until 60).map(i =>
+      (i.toLong, rng(i + 1).take(dim).map(_.toFloat).toArray))
+    val df = rows.toDF("vid", "vec")
+    val q = df.filter(col("vid") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-idx").toString
+    Similarity.writeIvfPqIndex(df, "vid", "vec", dir,
+      nList = 4, ivfSeed = 11L, dim = dim, m = 4, kCodes = 8,
+      pqSeed = 13L, iters = 1)
+    val served = Similarity.searchIvfPqIndex(dir, q, "vid", "vec",
+      k = 3, nProbe = 2, dim = dim, m = 4)
+    val inline = Similarity.ivfPqTopK(df, q, "vid", "vec",
+      k = 3, nList = 4, nProbe = 2, ivfSeed = 11L, dim = dim, m = 4,
+      kCodes = 8, pqSeed = 13L, iters = 1)
+    assert(served.collect().map(_.toSeq).toSet ==
+      inline.collect().map(_.toSeq).toSet)
+    assert(served.count() == 15, "5 queries x top-3 expected")
+    // the serve plan must read the PERSISTED index, not the corpus:
+    // its scans are the three index datasets (+ the in-memory queries)
+    val scans = served.queryExecution.executedPlan.toString
+    assert(scans.contains("centroids") && scans.contains("codebooks") &&
+      scans.contains("codes"), s"serve plan does not read the index:\n$scans")
+  }
+
   test("Memo tiers: report carries tier, hit counts, and materialized bytes") {
     import spark.implicits._
     import graft.operators.Memo
