@@ -367,21 +367,36 @@ object Dedup {
     * (idCol, s — the shingle set for the verify step, band, bkey);
     * documents shorter than `ngram` tokens vanish (NULL signature),
     * exactly as in the batch operators. */
+  /** `sigTable`: as in [[minhashLsh]] — a pre-built [[minhashSigTable]]
+    * replaces the text stage (the static-index half of ingest-time
+    * near-dup reads the memoized corpus table this way; the STREAMING
+    * half keeps hashing inline — a memo cannot serve rows that have
+    * not arrived yet). */
   def minhashBandRows(docs: DataFrame, idCol: String, textCol: String,
-      nHash: Int = 12, bandRows: Int = 2, ngram: Int = 3): DataFrame = {
-    val perDoc = docs.select(col(idCol),
-        expr(s"graft_minhash_sig($textCol, $ngram, $nHash)").as("ms"))
-      .filter(col("ms").isNotNull)
-    val bandStructs = (0 until nHash / bandRows).map { b =>
-      val ks = (0 until bandRows).map(r =>
-        element_at(col("ms.sig"), b * bandRows + r + 1))
-      struct(lit(b).as("band"), concat_ws("_", ks: _*).as("bkey"))
-    }
-    perDoc
-      .select(col(idCol), col("ms.shs").as("s"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("s"),
-        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      nHash: Int = 12, bandRows: Int = 2, ngram: Int = 3,
+      sigTable: Option[DataFrame] = None): DataFrame = sigTable match {
+    case Some(st) =>
+      val bandStructs = (0 until nHash / bandRows).map { b =>
+        val ks = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
+        struct(lit(b).as("band"), concat_ws("_", ks: _*).as("bkey"))
+      }
+      st.select(col(idCol), col("s"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col(idCol), col("s"),
+          col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    case None =>
+      val perDoc = docs.select(col(idCol),
+          expr(s"graft_minhash_sig($textCol, $ngram, $nHash)").as("ms"))
+        .filter(col("ms").isNotNull)
+      val bandStructs = (0 until nHash / bandRows).map { b =>
+        val ks = (0 until bandRows).map(r =>
+          element_at(col("ms.sig"), b * bandRows + r + 1))
+        struct(lit(b).as("band"), concat_ws("_", ks: _*).as("bkey"))
+      }
+      perDoc
+        .select(col(idCol), col("ms.shs").as("s"),
+          explode(array(bandStructs: _*)).as("bb"))
+        .select(col(idCol), col("s"),
+          col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
   /** Connected components over an undirected edge list — the stage that

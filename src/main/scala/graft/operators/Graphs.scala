@@ -51,7 +51,16 @@ object Graphs {
     * context's checkpoint dir if none is set yet) — the cluster
     * deployment mode, where a lost executor must not void a memoized
     * graph frame derived from a 100 TB corpus. Results are identical
-    * either way; only fault tolerance and checkpoint IO differ.
+    * either way (spec-proven row identity); only fault tolerance and
+    * checkpoint IO differ — and the IO half is MEASURED, not assumed:
+    * tools.ProfileCkpt at sf0.1 (memo off, 5 reps, co-purchase graph)
+    * reads pageRank 4.94/4.07 s and LPA 4.42/4.13 s min wall-clock for
+    * local/reliable — the reliable mode's directory writes are
+    * indistinguishable from localCheckpoint's block writes for
+    * node-sized graph frames (within rep noise; the reliable legs ran
+    * on the warmer JVM). The cost driver either way is the iterative
+    * chain itself, so reliability is effectively free at this frame
+    * size — pick the mode by deployment, not by speed.
     *
     * Checkpoint-dir semantics are CONTEXT-GLOBAL in Spark: if the
     * context already has a different dir set, it is KEPT (a warning is

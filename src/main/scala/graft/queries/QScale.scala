@@ -591,7 +591,7 @@ object QScale {
     * in ONE pass — explode, not union, so the join+distinct pipeline
     * runs once). Both consumers pass the same corpus memo key, so the
     * materialized Graphs.edgeLeaf is built once per session. */
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val raw = copurchaseRaw(s, d)
     raw.select(explode(array(
         struct((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst")),

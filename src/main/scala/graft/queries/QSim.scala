@@ -63,7 +63,7 @@ object QSim {
     * containment blocks), source (incremental is_new), n_tok (jaccard
     * length band). First-build cost lands on the first consumer and
     * stays visible in the bench's queries_cold. */
-  private def sigTab(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[queries] def sigTab(s: org.apache.spark.sql.SparkSession, d: String) =
     Dedup.minhashSigTable(
       Tables.documentsP(s, d)
         .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),

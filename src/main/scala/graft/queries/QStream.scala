@@ -131,7 +131,11 @@ object QStream {
     SELECT doc_new, doc_old, round(j, 6) AS jaccard
     FROM ver WHERE j >= 0.5 ORDER BY 1, 2"""
   })((s, d) => StreamOps.streamingNearDup(s, d, QSim.incNewSources,
-    nHash = QSim.nHash, bandRows = QSim.bandRows, threshold = 0.5))
+    nHash = QSim.nHash, bandRows = QSim.bandRows, threshold = 0.5,
+    // static-index half served from the family-shared memoized
+    // signature table (QSim.sigTab); the arriving stream side keeps
+    // hashing inline — rows that have not arrived cannot be memoized
+    sigTable = Some(QSim.sigTab(s, d))))
 
   val all: Seq[Q] = Seq(wm, sess, ij, dedup, ijo, nearDup)
 }

@@ -287,7 +287,20 @@ object StreamOps {
     * horizon-bounded contract of live dedup; on bounded replay the
     * single-batch file source dedups exactly, which the DISTINCT
     * oracle replays. NULL user_ids are excluded on both sides (a
-    * NULL is a dedup key value but not a COUNT DISTINCT member). */
+    * NULL is a dedup key value but not a COUNT DISTINCT member).
+    *
+    * Replay cost floor, adjudicated (StreamProfile at sf0.1, warm,
+    * r13): ~1.1 s total = ~0.45 s micro-batch fixed cost (query
+    * planning 0.13, offset/WAL commits 0.12, stream start/stop +
+    * throwaway checkpoint setup/teardown ~0.2) + addBatch ~0.5 s —
+    * the genuine work of 100k rows through the watermarked dedup
+    * state store at 8 state partitions plus the memory-sink commit.
+    * Nothing here is removable without changing the live shape: the
+    * replay already runs Trigger.Once (no flush batch — first
+    * occurrences emit on arrival), minimal batch retention, and
+    * /dev/shm checkpoints. The fixed cost is per-STREAM-START, not
+    * per-batch — a live deployment pays it once, then per-batch cost
+    * is the addBatch component only. */
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame =
     runToMemory(spark, dedupPlan(eventsStream(spark, sfDir)),
         "graft_stream_dedup", OutputMode.Append(), watermarkFlush = false)
@@ -341,15 +354,34 @@ object StreamOps {
     * memory-sink read-back collapses them with one DISTINCT — the
     * same post-sink compaction discipline as [[sessionize]]. NULL
     * sources count as OLD corpus on both legs (the incremental-dedup
-    * convention). Output: (doc_new, doc_old, jaccard ≥ threshold). */
+    * convention). Output: (doc_new, doc_old, jaccard ≥ threshold).
+    *
+    * Replay cost floor, adjudicated (StreamProfile at sf0.1, warm,
+    * r13): ~1.9 s total = the ~0.45 s stream-start/commit fixed cost
+    * + addBatch ~1.2 s (arriving-side signature hashing — necessarily
+    * inline, see `sigTable` below — plus the index exchange, the
+    * band equi-join and the per-candidate exact-Jaccard verify over
+    * shingle arrays) + the post-sink DISTINCT. The static index's
+    * text hashing is already served from the memoized signature table
+    * when the caller passes one; what remains in addBatch is the
+    * work a live ingest screen performs per shard. */
+  /** `sigTable`: a pre-built [[graft.operators.Dedup.minhashSigTable]]
+    * of the WHOLE corpus carrying `source` — the static index half is
+    * then served from it (filtered to the old corpus) instead of
+    * re-hashing the standing corpus's text inside every micro-batch,
+    * which profiling showed was most of this replay's addBatch time
+    * (StreamProfile at sf0.1: addBatch 1.35 s with inline hashing; the
+    * arriving stream side necessarily keeps hashing inline). */
   def streamingNearDup(spark: SparkSession, sfDir: String,
       newSources: Seq[String], nHash: Int = 12, bandRows: Int = 2,
       threshold: Double = 0.5, ngram: Int = 3,
       maxBucket: Long = graft.operators.Dedup.defaultMaxBandBucket,
-      broadcastIndex: Boolean = false): DataFrame = {
+      broadcastIndex: Boolean = false,
+      sigTable: Option[DataFrame] = None): DataFrame = {
     val docs = graft.Tables.documentsP(spark, sfDir)
     val isNew = coalesce(col("source").isin(newSources: _*), lit(false))
-    val index = nearDupIndex(docs.filter(!isNew), nHash, bandRows, ngram, maxBucket)
+    val index = nearDupIndex(docs.filter(!isNew), nHash, bandRows, ngram,
+      maxBucket, sigTable.map(_.filter(!isNew)))
     val arriving = docsStream(spark, sfDir).filter(isNew)
     runToMemory(spark,
         nearDupPlan(arriving, index, nHash, bandRows, threshold, ngram,
@@ -364,9 +396,10 @@ object StreamOps {
     * build time. */
   def nearDupIndex(oldDocs: DataFrame, nHash: Int = 12, bandRows: Int = 2,
       ngram: Int = 3,
-      maxBucket: Long = graft.operators.Dedup.defaultMaxBandBucket): DataFrame = {
+      maxBucket: Long = graft.operators.Dedup.defaultMaxBandBucket,
+      sigTable: Option[DataFrame] = None): DataFrame = {
     val oldRows = graft.operators.Dedup.minhashBandRows(
-      oldDocs, "doc_id", "text", nHash, bandRows, ngram)
+      oldDocs, "doc_id", "text", nHash, bandRows, ngram, sigTable)
     val overCap = oldRows.groupBy("band", "bkey")
       .agg(count(lit(1)).as("bc")).filter(col("bc") > maxBucket)
       .select("band", "bkey")
@@ -420,7 +453,18 @@ object StreamOps {
     * returning after eviction re-sessionizes with session_ids restarting
     * at 0 — which is why the change-log compaction keys on
     * (user, session_id, session_start): starts are unique per real
-    * session, so a recycled id can never merge two sessions. */
+    * session, so a recycled id can never merge two sessions.
+    *
+    * Replay cost floor, adjudicated (StreamProfile at sf0.1, warm,
+    * r13): ~1.6 s total = the same ~0.45 s stream-start/commit fixed
+    * cost as [[streamingDedup]] + addBatch ~0.65 s (100k events
+    * through flatMapGroupsWithState: per-user state rows built,
+    * timed-out, committed at 8 state partitions) + ~0.4 s post-sink
+    * change-log compaction (the 95k snapshot rows' last-writer-wins
+    * groupBy — the price of the multi-batch-correct upsert contract,
+    * shared by any real pipeline reading a change-log sink). Already
+    * Trigger.Once (the timeout path emits nothing on replay); the
+    * remaining pieces are the live shape itself. */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame =
     sessionizeCompact(
       runToMemory(spark, sessionizePlan(spark, eventsStream(spark, sfDir)),

@@ -33,6 +33,9 @@ object StreamProfile {
         case "interval_join_outer" => graft.streaming.StreamOps.intervalJoinOuter(spark, sfDir)
         case "sessionize" => graft.streaming.StreamOps.sessionize(spark, sfDir)
         case "watermark" => graft.streaming.StreamOps.watermarkTumblingWindow(spark, sfDir)
+        case "dedup" => graft.streaming.StreamOps.streamingDedup(spark, sfDir)
+        case "neardup" => graft.streaming.StreamOps.streamingNearDup(
+          spark, sfDir, Seq("src0", "src1", "src2", "src3"))
         case other => sys.error(s"unknown op $other")
       }
       val n = graft.operators.CacheScope.withScope { df.count() }
