@@ -1105,13 +1105,20 @@ object Dedup {
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.cell") === col("b.cell") &&
         col(s"a.$idCol") < col(s"b.$idCol"))(_ && _)
-    // The pair cosine is evaluated once per SHARED probed cell (expected
-    // ~nProbe²/nList ≈ 2 evaluations/pair) and collapsed by distinct();
-    // deduping ids first would instead shuffle both 64-wide vectors per
-    // candidate to re-join them — more bytes moved than the duplicate
-    // codegen'd arithmetic costs. Threshold applies to the RAW cosine
-    // (rounding is display-only), matching the documented `cos >= τ`
-    // contract exactly.
+    // The pair cosine is evaluated once per SHARED probed cell and
+    // collapsed by distinct(); deduping ids first would instead shuffle
+    // both 64-wide vectors per candidate to re-join them — more bytes
+    // moved than the duplicate codegen'd arithmetic costs. A canonical-
+    // meeting predicate (the r13 simhash discipline: emit only at the
+    // smallest shared probed cell via array_intersect over carried
+    // probe arrays) was MEASURED A LOSS here and deliberately not
+    // taken: observed meeting multiplicity is only ~1.15× (4.37M
+    // candidate rows for 3.80M distinct pairs at the 10x bench scale —
+    // tools.ProfileDedup), so the per-match intersect cost exceeded
+    // the few duplicate cosines it saved (full query 5.3 → 7.3 s).
+    // simhash's predicate pays because its multiplicity is ~11×.
+    // Threshold applies to the RAW cosine (rounding is display-only),
+    // matching the documented `cos >= τ` contract exactly.
     asgC.as("a").join(asgC.as("b"), joinCond)
       .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
         Similarity.cosine(s"a.$vecCol", s"b.$vecCol", dim).as("c"))

@@ -69,6 +69,17 @@ object ProfileDedup {
       Dedup.ngramJaccard(docsP, "doc_id", "text", Seq("lang", "lb"),
         threshold = 0.8, sigTable = Some(stJ)).count())
 
+    // --- embedding near-dup ---------------------------------------------
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val nv = Tables.rowCount(spark, sfDir, "embeddings")
+    time("embedding/candidates")(
+      Dedup.embeddingNearDupCandidates(e, "vec_id", "v", Seq("label"),
+        numVectors = Some(nv)).count())
+    time("embedding/full")(
+      Dedup.embeddingNearDup(e, "vec_id", "v", Seq("label"),
+        threshold = 0.35, numVectors = Some(nv)).count())
+
     // --- incremental minhash ------------------------------------------
     val stInc = st.withColumn("is_new",
       col("source").isin("src0", "src1", "src2", "src3"))
