@@ -971,13 +971,22 @@ object Dedup {
     require(maxBucket >= 2, s"simhash needs maxBucket >= 2, got $maxBucket")
     val sh = sigTable.getOrElse(
       CacheScope.persist(simhashSignatures(docs, idCol, textCol)))
-    val pr = CacheScope.persist(
+    // The probe frame is deliberately NOT persisted: its three
+    // consumers (population aggregate, anti-join survivor side, join
+    // b-side) re-derive it from the CACHED signature frame with one
+    // row-local explode each — and since all three references share
+    // the same plan subtree, Spark's exchange/subquery reuse runs the
+    // width aggregate once. Materializing the (bw + 1)-fanned probe
+    // rows instead was measured ~1.1 s SLOWER per run at the 10x bench
+    // scale (cache write of 1.45M wide rows beats three cheap
+    // re-explodes — tools.ProfileDedup, r13).
+    val pr =
       sh.crossJoin(broadcast(observedBucketWidth(sh, probeBits, targetBucketSize)))
         .withColumn("base", expr("simhash div CAST(pow(2, 32 - bw) AS BIGINT)"))
         .select(col(idCol), col("simhash"), col("base"),
           explode(expr("concat(array(base), " +
             "transform(sequence(0, bw - 1), k -> base ^ CAST(pow(2, k) AS BIGINT)))"))
-            .as("bucket")))
+            .as("bucket"))
     // population guard BEFORE the self-join (minhashLsh's anti-join
     // shape: aggregate, anti-join and candidate join all key on
     // `bucket`, so the exchange is reused; guarding one side suffices)
