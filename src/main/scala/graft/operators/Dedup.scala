@@ -728,7 +728,15 @@ object Dedup {
           .filter(col("df") <= cap).drop("df")
       case None => base
     }
-    val ex = CacheScope.persist(capped)
+    // The exploded index is persisted only when the df-gate WINDOW is
+    // in the chain (running that twice would re-shuffle the whole
+    // shingle stream); the uncapped form is a pure row-local projection
+    // of the (cached) per-doc frame, and re-deriving it per join side
+    // measured faster than materializing 2.6M exploded rows at the 10x
+    // bench scale (jaccard 5.1 → 4.1 s, containment neutral —
+    // tools.ProfileDedup, r13; the simhash probe frame took the same
+    // treatment).
+    val ex = if (maxDf.isDefined) CacheScope.persist(capped) else capped
     val joinCond = (Seq("sh") ++ blockCols)
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
