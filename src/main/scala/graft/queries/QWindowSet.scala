@@ -271,8 +271,14 @@ object QWindowSet {
            CAST(sum(nt) AS BIGINT) AS n_tokens
     FROM a GROUP BY 1, 2 ORDER BY split, source"""
   })((s, d) =>
+    // RAW scan, not documentsP: the per-row work is one md5 + a token
+    // count — the light-operator class of the input-choice policy
+    // (SCALE.md §Dedup input choice), where the pre-repartition is a
+    // pure extra exchange wave. The r11–r13 creep on this query
+    // (0.27 → 0.36 → 0.44 s on untouched code) sat in that wave's
+    // scheduling noise; the first groupBy redistributes anyway.
     graft.operators.Sampling.groupSplit(
-        Tables.documentsP(s, d).filter(col("text").isNotNull),
+        Tables.documents(s, d).filter(col("text").isNotNull),
         "source", size(split(col("text"), " ")).cast("long"),
         Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)), seed = splitSeed)
       .orderBy("split", "source"))
