@@ -245,4 +245,26 @@ class StreamSpec extends AnyFunSuite {
     val bcast = compact(run(Seq(b0, b1), "t_nd_bcast", broadcastIndex = true))
     assert(bcast == multi, s"broadcast-index path diverged: $bcast vs $multi")
   }
+
+  test("nearDupIndex from a signature table equals the inline text stage") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.StreamOps
+    // the static-index half of ingest-time near-dup may be served from
+    // the family-shared signature table (r13) — rows must be identical
+    // to the inline hashing form, including the over-population guard
+    val docs = Seq(
+      (1L, "old", "alpha beta gamma delta epsilon zeta"),
+      (2L, "old", "alpha beta gamma delta epsilon eta"),
+      (3L, "old", "one two three four five six"),
+      (4L, "old", "xx")) // < ngram tokens: absent from both forms
+      .toDF("doc_id", "source", "text")
+    val st = Dedup.minhashSigTable(docs, "doc_id", "text",
+      carry = Seq("source"), ngram = 3, nHash = 8)
+    val inline = StreamOps.nearDupIndex(docs, nHash = 8)
+      .collect().map(_.toSeq).toSet
+    val fromSig = StreamOps.nearDupIndex(docs, nHash = 8,
+      sigTable = Some(st)).collect().map(_.toSeq).toSet
+    assert(inline == fromSig && inline.nonEmpty)
+  }
 }
