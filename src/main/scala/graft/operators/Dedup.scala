@@ -634,12 +634,24 @@ object Dedup {
     * 10x). Prefix filtering pays when candidates ≫ outputs (sparse
     * similarity); corpus DEDUP at t = 0.8 on crawl-shaped data is the
     * opposite regime. */
+  /** `pairStats`: a pre-built [[ngramPairStats]] frame replacing the
+    * candidate+count stage (typically the memoized table the jaccard
+    * and containment queries share). Caller contract: the stats were
+    * built with `minContainment <= threshold` (J <= C always — the
+    * union denominator dominates the min — so the C-prefilter loses no
+    * J-qualifying pair) and with blocking AT LEAST as fine as this
+    * call's `blockCols` (restrict a coarser-blocked table first: a
+    * finer per-document block key is a row filter on the carried
+    * `<key>_a`/`<key>_b` columns, because a pair's shared-shingle count
+    * is a pair property independent of which blocking surfaced it). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double = 0.8, ngram: Int = 3,
-      maxDf: Option[Long] = None, sigTable: Option[DataFrame] = None): DataFrame =
-    ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf, sigTable)
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+      maxDf: Option[Long] = None, sigTable: Option[DataFrame] = None,
+      pairStats: Option[DataFrame] = None): DataFrame =
+    pairStats.getOrElse(
+      ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf, sigTable)
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("inter")))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("j"))
       .filter(col("j") >= threshold)
@@ -665,12 +677,18 @@ object Dedup {
     * (doc_sub, doc_sup, containment, jaccard) — jaccard rides along so
     * consumers can separate true near-dups (high C, high J) from
     * asymmetric inclusions (high C, low J). */
+  /** `pairStats`: as in [[ngramJaccard]] — a pre-built
+    * [[ngramPairStats]] frame (same caller contract; containment needs
+    * the stats' blocking to EQUAL this call's, since C-qualifying pairs
+    * are exactly what the prefilter keeps). */
   def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double = 0.8, ngram: Int = 3,
-      maxDf: Option[Long] = None, sigTable: Option[DataFrame] = None): DataFrame =
-    ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf, sigTable)
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+      maxDf: Option[Long] = None, sigTable: Option[DataFrame] = None,
+      pairStats: Option[DataFrame] = None): DataFrame =
+    pairStats.getOrElse(
+      ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf, sigTable)
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("inter")))
       .withColumn("c", col("inter").cast("double") / least(col("na"), col("nb")))
       .filter(col("c") >= threshold)
       .select(
@@ -692,8 +710,11 @@ object Dedup {
     * one row per matched shingle. */
   def ngramJaccardCandidates(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], ngram: Int = 3,
-      maxDf: Option[Long] = None, sigTable: Option[DataFrame] = None): DataFrame = {
+      maxDf: Option[Long] = None, sigTable: Option[DataFrame] = None,
+      carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(carry.intersect(blockCols).isEmpty && !carry.contains(idCol),
+      s"carry columns must be distinct from blockCols/idCol, got $carry")
     // The distinct shingle set and its size are PER-DOCUMENT values, so
     // they come from the row-local native MinhashSig pass (shs is its
     // distinct-md5 set, first 8 hex chain identical to shingles()):
@@ -707,15 +728,16 @@ object Dedup {
     // blockCols — `shs` is nHash-invariant, so the shared nHash=12
     // table serves this nHash-free consumer identically) replaces the
     // text stage with a projection of the memoized frame.
+    val keep = blockCols ++ carry
     val base = sigTable match {
-      case Some(st) => st.select((col(idCol) +: blockCols.map(col) :+
+      case Some(st) => st.select((col(idCol) +: keep.map(col) :+
         size(col("s")).cast("long").as("n") :+
         explode(col("s")).as("sh")): _*)
       case None => docs
-        .select((col(idCol) +: blockCols.map(col) :+
+        .select((col(idCol) +: keep.map(col) :+
           expr(s"graft_minhash_sig($textCol, $ngram, 1)").as("ms")): _*)
         .filter(col("ms").isNotNull)
-        .select((col(idCol) +: blockCols.map(col) :+
+        .select((col(idCol) +: keep.map(col) :+
           size(col("ms.shs")).cast("long").as("n") :+
           explode(col("ms.shs")).as("sh")): _*)
     }
@@ -741,8 +763,54 @@ object Dedup {
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
     ex.as("a").join(ex.as("b"), joinCond)
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+      .select(Seq(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb")) ++
+        carry.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"),
+          col(s"b.$c").as(s"${c}_b"))): _*)
+  }
+
+  /** The shared per-pair STATS stage of [[ngramJaccard]] /
+    * [[ngramContainment]]: candidates aggregated to one row per
+    * document pair — (doc_a, doc_b, na, nb, inter, `<carry>_a/_b`…) —
+    * prefiltered at C = inter/min(na, nb) >= `minContainment`. This is
+    * the whole cost of both measures (the Σ df² index join plus the
+    * map-side-combinable count); the measures themselves are one
+    * projection each, so a corpus pays the stage ONCE for the family
+    * when the frame is memoized (`memoKey`, the [[minhashLsh]]
+    * pair-set discipline — bounded tier: the C-prefilter keeps the
+    * frame emitted-pair-sized, never candidate-sized).
+    *
+    * The prefilter is lossless for every downstream threshold >=
+    * `minContainment`: J <= C for any pair (union >= min), so a
+    * J-qualifying pair C-qualifies too. `carry` names per-DOCUMENT
+    * columns (on `docs`/`sigTable`) emitted per side — a consumer with
+    * a FINER per-document blocking (the jaccard query's length band)
+    * recovers it as the row filter `<key>_a == <key>_b`, exact because
+    * a pair's shared-shingle count does not depend on the blocking
+    * that surfaced the pair. */
+  def ngramPairStats(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], minContainment: Double = 0.8, ngram: Int = 3,
+      maxDf: Option[Long] = None, sigTable: Option[DataFrame] = None,
+      carry: Seq[String] = Nil, memoKey: Option[String] = None): DataFrame = {
+    require(minContainment > 0.0,
+      s"ngramPairStats needs minContainment > 0 (the prefilter bounds the " +
+        s"frame to emitted pairs), got $minContainment")
+    def build: DataFrame = {
+      val carryAB = carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b")))
+      ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf,
+          sigTable, carry)
+        .groupBy((Seq(col("doc_a"), col("doc_b"), col("na"), col("nb")) ++
+          carryAB): _*)
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter").cast("double") / least(col("na"), col("nb"))
+          >= minContainment)
+    }
+    memoKey match {
+      case Some(mk) => Memo.cached(
+        s"$mk/ngramPairStats/$idCol/$textCol/${blockCols.mkString(",")}/" +
+          s"$minContainment/$ngram/${maxDf.getOrElse(0L)}/${carry.mkString(",")}")(build)
+      case None => build
+    }
   }
 
   /** Contiguous substring-overlap pairs — the token-level exact-

@@ -71,6 +71,26 @@ object QSim {
       ngram = 3, nHash = nHash,
       memoKey = Some(graft.operators.Memo.corpusKey("tok", d)))
 
+  /** The n-gram family's shared PAIR-STATS table (memo BOUNDED tier —
+    * the verified-pair-set discipline `mh` set): lang-blocked candidate
+    * pairs aggregated to (doc_a, doc_b, na, nb, inter, lb_a, lb_b) and
+    * prefiltered at C >= 0.8, which keeps the frame emitted-pair-sized.
+    * The Σ df² index join + count — the whole cost of both n-gram
+    * measures — runs ONCE per corpus; `dedup_ngram_containment` is a
+    * projection of this frame and `dedup_ngram_jaccard` a row filter
+    * over it (lb_a == lb_b recovers its finer (lang, length-band)
+    * blocking, carried per-document; J <= C makes the C-prefilter
+    * lossless at the shared 0.8 threshold). First-build cost lands on
+    * the first consumer, visible in the bench's queries_cold. */
+  private[queries] def ngPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Dedup.ngramPairStats(Tables.documentsP(s, d), "doc_id", "text",
+      blockCols = Seq("lang"), minContainment = 0.8, carry = Seq("lb"),
+      // the length band derives from the carried token count — the
+      // same size(split).cast/divide/cast chain the docs frame uses
+      sigTable = Some(sigTab(s, d)
+        .withColumn("lb", col("n_tok").divide(lit(40)).cast("long"))),
+      memoKey = Some(graft.operators.Memo.corpusKey("ngp", d)))
+
   // (strpos hex parse) == conv(substring(sh,1,8),16,10): digit k of 8
   // scales by 16^(8-k) = 2^(4(8-k)); all terms integer-exact BIGINTs.
   private[queries] val h1Duck = "(" + (1 to 8).map(k =>
@@ -399,17 +419,15 @@ object QSim {
           FROM shs a JOIN shs b
             ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.8 ORDER BY 1, 2"""
-  ))((s, d) => {
-    val docs = Tables.documentsP(s, d).withColumn("lb",
-      (size(split(col("text"), " ")).cast("long").divide(lit(40))).cast("long"))
-    Dedup.ngramJaccard(docs, "doc_id", "text", blockCols = Seq("lang", "lb"),
-      threshold = 0.8,
-      // the length band derives from the carried token count — the
-      // same size(split).cast/divide/cast chain the docs frame used
-      sigTable = Some(sigTab(s, d)
-        .withColumn("lb", col("n_tok").divide(lit(40)).cast("long"))))
-      .orderBy("doc_a", "doc_b")
-  })
+  ))((s, d) =>
+    // the (lang, lb) blocking recovered from the coarser lang-blocked
+    // shared stats: lb is per-document (carried as lb_a/lb_b), so the
+    // finer block is exactly the lb_a == lb_b row filter — and the
+    // C >= 0.8 prefilter is lossless here because J <= C
+    Dedup.ngramJaccard(Tables.documentsP(s, d), "doc_id", "text",
+      blockCols = Seq("lang", "lb"), threshold = 0.8,
+      pairStats = Some(ngPairs(s, d).filter(col("lb_a") === col("lb_b"))))
+      .orderBy("doc_a", "doc_b"))
 
   // ------------------------------------------------ n-gram containment
   /** Directional shingle CONTAINMENT — operators.Dedup.ngramContainment
@@ -442,7 +460,7 @@ object QSim {
   ))((s, d) =>
     Dedup.ngramContainment(Tables.documentsP(s, d), "doc_id", "text",
         blockCols = Seq("lang"), threshold = 0.8,
-        sigTable = Some(sigTab(s, d)))
+        pairStats = Some(ngPairs(s, d)))
       .orderBy("doc_sub", "doc_sup"))
 
   // ---------------------------------------------- embedding near-dup

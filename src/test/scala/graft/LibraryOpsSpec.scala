@@ -1847,6 +1847,45 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(Dedup.minhashLsh(d, "id", "body", nHash = 8, threshold = 0.3).count() > 0)
   }
 
+  test("Dedup.ngramPairStats serves jaccard and containment bit-identically") {
+    import spark.implicits._
+    // The shared stats frame must reproduce each measure's inline
+    // output exactly — including the finer-blocking recovery: jaccard
+    // blocks on (grp, band) while the stats are grp-blocked with band
+    // CARRIED per-doc, so band_a == band_b is the recovery filter.
+    // Fixture places a near-dup pair within a band (1,2: emitted by
+    // both paths), an asymmetric containment pair ACROSS bands (3,4:
+    // containment sees it, jaccard's band filter must drop it), and a
+    // cross-grp near-dup (5 vs 1: blocked in both paths).
+    val d = Seq(
+      (1L, "en", 0L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "en", 0L, "alpha beta gamma delta epsilon zeta theta"),
+      (3L, "en", 1L, "one two three four"),
+      (4L, "en", 2L, "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen"),
+      (5L, "fr", 0L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("id", "grp", "band", "body")
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val stats = Dedup.ngramPairStats(d, "id", "body", blockCols = Seq("grp"),
+      minContainment = 0.3, carry = Seq("band"))
+    val jInline = Dedup.ngramJaccard(d, "id", "body",
+      blockCols = Seq("grp", "band"), threshold = 0.3)
+    val jStats = Dedup.ngramJaccard(d, "id", "body",
+      blockCols = Seq("grp", "band"), threshold = 0.3,
+      pairStats = Some(stats.filter(col("band_a") === col("band_b"))))
+    assert(rows(jInline) == rows(jStats) && jInline.count() > 0)
+    val cInline = Dedup.ngramContainment(d, "id", "body",
+      blockCols = Seq("grp"), threshold = 0.3)
+    val cStats = Dedup.ngramContainment(d, "id", "body",
+      blockCols = Seq("grp"), threshold = 0.3, pairStats = Some(stats))
+    assert(rows(cInline) == rows(cStats))
+    // the asymmetric (3,4) inclusion is containment-only: present via
+    // the stats path too, absent from jaccard's band-blocked output
+    assert(cStats.filter(col("doc_sub") === 3L && col("doc_sup") === 4L)
+      .count() == 1)
+    assert(jStats.filter(col("doc_a") === 3L).count() == 0)
+  }
+
   test("searchIvfPqIndex over a written index equals ivfPqTopK (train/serve split)") {
     import spark.implicits._
     // deterministic LCG vectors, custom schema/params (dim 16, m 4):

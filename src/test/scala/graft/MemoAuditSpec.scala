@@ -43,6 +43,7 @@ class MemoAuditSpec extends AnyFunSuite {
       "tok" -> "corpus",     // dedup-family minhash signature table: 1 row/doc
       "sh" -> "corpus",      // simhash fingerprint table: 1 row/doc
       "mh" -> "bounded",     // verified minhash pair set: output-sized
+      "ngp" -> "bounded",    // n-gram pair stats, C>=0.8 prefiltered: emitted-pair-sized
       "prcp" -> "bounded",   // co-purchase PageRank edges/ranks: graph-sized
       "prdir" -> "bounded",  // directed PageRank edges/ranks: graph-sized
       "prkr" -> "bounded",   // keep-rank PageRank edges/ranks: pair-graph-sized
