@@ -302,6 +302,34 @@ object TextOps {
     counted.withColumn("flagged", any)
   }
 
+  /** PII-class redaction — the REWRITE half of the [[patternFlags]]
+    * audit (detect → redact is the standard pre-training privacy pass:
+    * emails, phone numbers, IPs replaced by class tokens before the
+    * corpus ships). Each rule is (name, pattern, token); matches of
+    * `pattern` are replaced by `token`, rules applied in declaration
+    * order. Per-rule counts `n_<name>` are taken BEFORE any rewrite, so
+    * a rule whose matches an earlier rule consumed still reports what
+    * the raw text contained. Pattern hygiene as in [[patternFlags]]:
+    * the Java∩RE2 subset, and tokens must be literal (no `$n` group
+    * references — Java would expand them, RE2 oracles would not).
+    *
+    * Scale shape: counts and replacement are row-local codegen'd regex
+    * over the text column — zero shuffles, embarrassingly parallel; a
+    * corpus-scale scrub job is this projection plus a parquet write.
+    * Output: input columns + n_<name> per rule + `out` (the scrubbed
+    * text; NULL text stays NULL). */
+  def redact(docs: DataFrame, textCol: String, out: String,
+      rules: Seq[(String, String, String)]): DataFrame = {
+    require(rules.nonEmpty, "redact needs at least one rule")
+    val counted = rules.foldLeft(docs) { case (df, (name, pat, _)) =>
+      df.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
+    val scrubbed = rules.foldLeft(col(textCol)) { case (c, (_, pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+    counted.withColumn(out, scrubbed)
+  }
+
   /** Benchmark decontamination: the training docs sharing at least one
     * distinct word `ngram` with a held-out evaluation set — the standard
     * pre-training hygiene pass (eval n-grams must not leak into the

@@ -187,6 +187,76 @@ object QCuration {
         sum("n_brand_term").as("total_brand_term"))
       .orderBy("source"))
 
+  // ------------------------------------------------- PII redaction
+  /** PII scrub (operators.TextOps.redact) — the REWRITE half of the
+    * pattern audit above: emails/phones/IPs replaced by class tokens,
+    * reported per source with the per-class totals, the net character
+    * delta, and one exact redacted sample (min over redacted docs with
+    * an email hit) so the oracle verifies the REWRITTEN TEXT itself,
+    * not just counts. The corpus text is synthetic (structurally zero
+    * PII — the flags query proves that), so the query plants
+    * deterministic PII spans derived from doc_id (mod-7 email, mod-11
+    * phone, mod-13 IP — the mm_* family's deterministic-payload
+    * convention) and the oracle replays the identical augmentation:
+    * the redaction logic is exercised on real hits either way. */
+  private val piiRules = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  val piiRedact = Q("text_pii_redact", Some(s"""
+    WITH aug AS (
+      SELECT source,
+        text ||
+        CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 soon' ELSE '' END ||
+        CASE WHEN doc_id % 13 = 0
+             THEN ' host 10.0.' || (doc_id % 250) || '.7 up' ELSE '' END AS t
+      FROM documents WHERE text IS NOT NULL),
+    red AS (
+      SELECT source, t,
+        CAST(len(regexp_extract_all(t, '${piiRules(0)._2}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(t, '${piiRules(1)._2}')) AS BIGINT) AS n_phone,
+        CAST(len(regexp_extract_all(t, '${piiRules(2)._2}')) AS BIGINT) AS n_ip,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          '${piiRules(0)._2}', '<EMAIL>', 'g'),
+          '${piiRules(1)._2}', '<PHONE>', 'g'),
+          '${piiRules(2)._2}', '<IP>', 'g') AS tr
+      FROM aug)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_docs_pii,
+           CAST(sum(n_email) AS BIGINT) AS total_email,
+           CAST(sum(n_phone) AS BIGINT) AS total_phone,
+           CAST(sum(n_ip) AS BIGINT) AS total_ip,
+           CAST(sum(len(t) - len(tr)) AS BIGINT) AS chars_delta,
+           min(CASE WHEN n_email > 0 THEN tr END) AS sample_redacted
+    FROM red GROUP BY 1 ORDER BY 1"""
+  ))((s, d) => {
+    val aug = Tables.documentsP(s, d).filter(col("text").isNotNull)
+      .withColumn("t", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 555-867-5309 soon"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 250).cast("string"),
+            lit(".7 up"))).otherwise(lit(""))))
+    graft.operators.TextOps.redact(aug, "t", "tr", piiRules)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") + col("n_phone") + col("n_ip") > 0, 1L)
+          .otherwise(0L)).as("n_docs_pii"),
+        sum("n_email").as("total_email"),
+        sum("n_phone").as("total_phone"),
+        sum("n_ip").as("total_ip"),
+        sum((length(col("t")) - length(col("tr"))).cast("long")).as("chars_delta"),
+        min(when(col("n_email") > 0, col("tr"))).as("sample_redacted"))
+      .orderBy("source")
+  })
+
   // --------------------------------------------- Quantile sketch
   /** Distribution sketch by bottom-k hash sample: per group, the k rows
     * with the smallest deterministic hash are a uniform random sample
@@ -869,7 +939,7 @@ object QCuration {
       .orderBy("n_tok", "doc_id")
   })
 
-  val all: Seq[Q] = Seq(pack, chunks, prisample, flags, qsketch, mixrates, epochs,
-    pplPrune, qualityClf, clfCalibration, unigram, ledger, qualityGate, gateLedger,
-    tokenBudget, tokenBudgetBpe, domainCap, dsir, skyline)
+  val all: Seq[Q] = Seq(pack, chunks, prisample, flags, piiRedact, qsketch,
+    mixrates, epochs, pplPrune, qualityClf, clfCalibration, unigram, ledger,
+    qualityGate, gateLedger, tokenBudget, tokenBudgetBpe, domainCap, dsir, skyline)
 }

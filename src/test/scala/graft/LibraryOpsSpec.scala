@@ -1886,6 +1886,30 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(jStats.filter(col("doc_a") === 3L).count() == 0)
   }
 
+  test("TextOps.redact counts before rewrite and scrubs in rule order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail bob@x.io and 10.1.2.3 plus 555-123-4567"),
+      (2L, "clean"),
+      (3L, null.asInstanceOf[String])).toDF("id", "t")
+    val out = graft.operators.TextOps.redact(d, "t", "tr", Seq(
+      ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+      ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")))
+    val r1 = out.filter(col("id") === 1L)
+      .select("n_email", "n_phone", "n_ip", "tr").head
+    assert(r1.getLong(0) == 1 && r1.getLong(1) == 1 && r1.getLong(2) == 1)
+    assert(r1.getString(3) == "mail <EMAIL> and <IP> plus <PHONE>")
+    val r2 = out.filter(col("id") === 2L)
+      .select("n_email", "n_phone", "n_ip", "tr").head
+    assert(r2.getLong(0) == 0 && r2.getLong(1) == 0 && r2.getLong(2) == 0 &&
+      r2.getString(3) == "clean")
+    // NULL text: NULL counts and NULL scrubbed output (SQL semantics)
+    val r3 = out.filter(col("id") === 3L)
+      .select("n_email", "n_phone", "n_ip", "tr").head
+    assert((0 to 3).forall(r3.isNullAt))
+  }
+
   test("searchIvfPqIndex over a written index equals ivfPqTopK (train/serve split)") {
     import spark.implicits._
     // deterministic LCG vectors, custom schema/params (dim 16, m 4):
