@@ -176,4 +176,66 @@ class PropertySpec extends AnyFunSuite {
     assert(runSplit(one) == runSplit(many))
     assert(runDsir(one) == runDsir(many))
   }
+
+  test("ngramPairStats path equals inline jaccard/containment on random corpora (6 seeded cases)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // Small-vocab random corpora force real shingle collisions, so the
+    // shared-stats route (coarse-blocked stats + C-prefilter + the
+    // band-equality filter recovering jaccard's finer blocking) is
+    // exercised against the inline route on non-trivial pair sets.
+    for (caseSeed <- 1 to 6) {
+      val rnd = new scala.util.Random(4200L + caseSeed)
+      val vocab = (0 until 6).map(i => s"w$i")
+      val rows = (1L to 24L).map { i =>
+        (i, s"g${i % 2}", i % 3,
+          Seq.fill(4 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = rows.toDF("id", "grp", "band", "body")
+      def rset(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+      val t = 0.2 + 0.1 * (caseSeed % 3) // thresholds 0.2/0.3/0.4, minC <= all
+      val stats = Dedup.ngramPairStats(df, "id", "body", blockCols = Seq("grp"),
+        minContainment = 0.2, carry = Seq("band"))
+      assert(rset(Dedup.ngramJaccard(df, "id", "body", Seq("grp", "band"), t)) ==
+        rset(Dedup.ngramJaccard(df, "id", "body", Seq("grp", "band"), t,
+          pairStats = Some(stats.filter(col("band_a") === col("band_b"))))),
+        s"jaccard case $caseSeed (t=$t)")
+      assert(rset(Dedup.ngramContainment(df, "id", "body", Seq("grp"), t)) ==
+        rset(Dedup.ngramContainment(df, "id", "body", Seq("grp"), t,
+          pairStats = Some(stats))),
+        s"containment case $caseSeed (t=$t)")
+    }
+  }
+
+  test("redact counts match patternFlags and the rewrite is idempotent (8 seeded cases)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // Detect and rewrite are two halves of one contract: the counts
+    // redact() reports must equal what the detection battery counts on
+    // the same patterns, and re-redacting already-scrubbed text must be
+    // a no-op (class tokens never re-match the patterns).
+    val rules = Seq(
+      ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+    for (caseSeed <- 1 to 8) {
+      val rnd = new scala.util.Random(7700L + caseSeed)
+      val bits = Seq("plain words here", s"u${rnd.nextInt(99)}@ex.com",
+        s"10.${rnd.nextInt(250)}.0.${rnd.nextInt(250)}", "more filler")
+      val rows = (1L to 12L).map { i =>
+        (i, Seq.fill(2 + rnd.nextInt(4))(bits(rnd.nextInt(bits.size))).mkString(" "))
+      }
+      val df = rows.toDF("id", "t")
+      val red = TextOps.redact(df, "t", "tr", rules)
+      val flg = TextOps.patternFlags(df, "t", rules.map(r => (r._1, r._2)))
+      val a = red.select("id", "n_email", "n_ip").collect().map(_.toSeq).toSet
+      val b = flg.select("id", "n_email", "n_ip").collect().map(_.toSeq).toSet
+      assert(a == b, s"counts diverge from patternFlags, case $caseSeed")
+      val again = TextOps.redact(red.select(col("id"), col("tr").as("t")),
+        "t", "tr", rules)
+      assert(again.filter(col("n_email") > 0 || col("n_ip") > 0).count() == 0,
+        s"re-redaction found residual matches, case $caseSeed")
+      assert(red.filter(col("n_email") + col("n_ip") > 0).count() > 0,
+        s"case $caseSeed vacuous — no PII planted")
+    }
+  }
 }
