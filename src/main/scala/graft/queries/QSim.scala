@@ -89,7 +89,9 @@ object QSim {
       // same size(split).cast/divide/cast chain the docs frame uses
       sigTable = Some(sigTab(s, d)
         .withColumn("lb", col("n_tok").divide(lit(40)).cast("long"))),
-      memoKey = Some(graft.operators.Memo.corpusKey("ngp", d)))
+      // the band width shapes the CARRIED lb column, which the operator
+      // key records only by name — fold it in here (key-owns-identity)
+      memoKey = Some(graft.operators.Memo.corpusKey("ngp", d) + "/lbw40"))
 
   // (strpos hex parse) == conv(substring(sh,1,8),16,10): digit k of 8
   // scales by 16^(8-k) = 2^(4(8-k)); all terms integer-exact BIGINTs.
