@@ -639,11 +639,14 @@ object Dedup {
     * and containment queries share). Caller contract: the stats were
     * built with `minContainment <= threshold` (J <= C always — the
     * union denominator dominates the min — so the C-prefilter loses no
-    * J-qualifying pair) and with blocking AT LEAST as fine as this
-    * call's `blockCols` (restrict a coarser-blocked table first: a
-    * finer per-document block key is a row filter on the carried
-    * `<key>_a`/`<key>_b` columns, because a pair's shared-shingle count
-    * is a pair property independent of which blocking surfaced it). */
+    * J-qualifying pair) and with blocking at least as COARSE as this
+    * call's `blockCols`, restricted down to equality before passing:
+    * a finer per-document block key is recovered as a row filter on
+    * the carried `<key>_a`/`<key>_b` columns (exact because a pair's
+    * shared-shingle count is a pair property independent of which
+    * blocking surfaced it). Stats blocked FINER than the call are
+    * wrong the silent way — pairs this call's blocking admits were
+    * never candidates there. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double = 0.8, ngram: Int = 3,
       maxDf: Option[Long] = None, sigTable: Option[DataFrame] = None,

@@ -294,13 +294,21 @@ object TextOps {
   def patternFlags(docs: DataFrame, textCol: String,
       patterns: Seq[(String, String)]): DataFrame = {
     require(patterns.nonEmpty, "patternFlags needs at least one pattern")
-    val counted = patterns.foldLeft(docs) { case (df, (name, pat)) =>
-      df.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)).cast("long"))
-    }
+    val counted = countPatterns(docs, textCol, patterns)
     val any = patterns.map { case (name, _) => col(s"n_$name") > 0 }
       .reduce(_ || _)
     counted.withColumn("flagged", any)
   }
+
+  /** The shared counting stage of [[patternFlags]] and [[redact]]: one
+    * `n_<name>` long column per (name, pattern) — a single definition
+    * so the detect and rewrite halves cannot drift apart (the
+    * counts-match invariant PropertySpec pins). */
+  private def countPatterns(docs: DataFrame, textCol: String,
+      patterns: Seq[(String, String)]): DataFrame =
+    patterns.foldLeft(docs) { case (df, (name, pat)) =>
+      df.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
 
   /** PII-class redaction — the REWRITE half of the [[patternFlags]]
     * audit (detect → redact is the standard pre-training privacy pass:
@@ -321,9 +329,7 @@ object TextOps {
   def redact(docs: DataFrame, textCol: String, out: String,
       rules: Seq[(String, String, String)]): DataFrame = {
     require(rules.nonEmpty, "redact needs at least one rule")
-    val counted = rules.foldLeft(docs) { case (df, (name, pat, _)) =>
-      df.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)).cast("long"))
-    }
+    val counted = countPatterns(docs, textCol, rules.map(r => (r._1, r._2)))
     val scrubbed = rules.foldLeft(col(textCol)) { case (c, (_, pat, tok)) =>
       regexp_replace(c, pat, tok)
     }

@@ -157,17 +157,22 @@ object QCuration {
     * this corpus, proving the mechanism without manufactured hits) and
     * two term patterns with real populations. Patterns live in the
     * Java∩RE2 regex subset so both engines count identically. */
+  /** The one email pattern shared by the detect half (flags battery)
+    * and the rewrite half (piiRedact) — one definition so tightening
+    * it cannot make the two halves of the audit disagree. */
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
   private val flagPatterns = Seq(
-    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "email" -> emailPat,
     "banned_term" -> "\\bslow\\b",
     "brand_term" -> "\\bspark\\b")
 
-  val flags = Q("text_pattern_flags", Some("""
+  val flags = Q("text_pattern_flags", Some(s"""
     WITH f AS (
       SELECT source,
-        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-        CAST(len(regexp_extract_all(text, '\bslow\b')) AS BIGINT) AS n_banned_term,
-        CAST(len(regexp_extract_all(text, '\bspark\b')) AS BIGINT) AS n_brand_term
+        CAST(len(regexp_extract_all(text, '$emailPat')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text, '${flagPatterns(1)._2}')) AS BIGINT) AS n_banned_term,
+        CAST(len(regexp_extract_all(text, '${flagPatterns(2)._2}')) AS BIGINT) AS n_brand_term
       FROM documents WHERE text IS NOT NULL)
     SELECT source, count(*) AS n_docs,
            CAST(sum(CASE WHEN n_email > 0 OR n_banned_term > 0 OR n_brand_term > 0
@@ -200,7 +205,7 @@ object QCuration {
     * convention) and the oracle replays the identical augmentation:
     * the redaction logic is exercised on real hits either way. */
   private val piiRules = Seq(
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("email", emailPat, "<EMAIL>"),
     ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
 

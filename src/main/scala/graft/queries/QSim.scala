@@ -425,9 +425,13 @@ object QSim {
     // the (lang, lb) blocking recovered from the coarser lang-blocked
     // shared stats: lb is per-document (carried as lb_a/lb_b), so the
     // finer block is exactly the lb_a == lb_b row filter — and the
-    // C >= 0.8 prefilter is lossless here because J <= C
-    Dedup.ngramJaccard(Tables.documentsP(s, d), "doc_id", "text",
-      blockCols = Seq("lang", "lb"), threshold = 0.8,
+    // C >= 0.8 prefilter is lossless here because J <= C. The docs
+    // frame carries lb so the no-pairStats inline fallback stays live
+    // (the projection is lazy and unexecuted on the stats path).
+    Dedup.ngramJaccard(
+      Tables.documentsP(s, d).withColumn("lb",
+        (size(split(col("text"), " ")).cast("long").divide(lit(40))).cast("long")),
+      "doc_id", "text", blockCols = Seq("lang", "lb"), threshold = 0.8,
       pairStats = Some(ngPairs(s, d).filter(col("lb_a") === col("lb_b"))))
       .orderBy("doc_a", "doc_b"))
 
