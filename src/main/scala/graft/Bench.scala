@@ -182,11 +182,15 @@ object Bench {
     // ties (or exonerates) ambient per-query creep to memo cache
     // pressure, and the committed record of what the memo-warm minima
     // hold pinned for the session.
+    // memo keys and the sf field embed the user-supplied sfDir path —
+    // the only user-controlled strings on the JSON line; a quote or
+    // backslash in them must not produce a malformed artifact
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val memoJson = {
       val rep = graft.operators.Memo.report
       val detail = rep.map { e =>
-        s"""{"key":"${e.key}","tier":"${e.tier}","hits":${e.hits},""" +
-          s""""repersists":${e.repersists},"bytes":${e.bytes},"storage":"${e.storage}"}"""
+        s"""{"key":"${esc(e.key)}","tier":"${e.tier}","hits":${e.hits},""" +
+          s""""repersists":${e.repersists},"bytes":${e.bytes},"storage":"${esc(e.storage)}"}"""
       }.mkString("[", ",", "]")
       val byTier = rep.groupBy(_.tier).toSeq.sortBy(_._1).map { case (t, es) =>
         s""""$t":{"entries":${es.size},"bytes":${es.map(_.bytes.max(0L)).sum},""" +
@@ -209,7 +213,7 @@ object Bench {
     val nFailed = results.count(_._2.isEmpty)
     val cps = passCanaries.map(c => f"$c%.3f").mkString("[", ",", "]")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"total_median":$totalMed%.3f,"canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_ratio":$canaryRatio%.3f,"canary_passes":$cps,"queries":$qs,"queries_median":$qsMed,"queries_cold":$qsCold,"memo":$memoJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"total_median":$totalMed%.3f,"canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_ratio":$canaryRatio%.3f,"canary_passes":$cps,"queries":$qs,"queries_median":$qsMed,"queries_cold":$qsCold,"memo":$memoJson,"sf":"${esc(sfDir)}"}"""
     println(full)
     // The full line (~3 KB at 86 queries) outgrows the harness's 2000-char
     // output tail, so per-query numbers also go to a FILE, and the very
@@ -222,7 +226,7 @@ object Bench {
     val slowest = results.collect { case (k, ts) if ts.nonEmpty => (k, ts.min) }
       .sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"canary_ratio":$canaryRatio%.3f,"sf":"$sfDir","queries_file":"$outPath","slowest":$slowest}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"canary_ratio":$canaryRatio%.3f,"sf":"${esc(sfDir)}","queries_file":"${esc(outPath)}","slowest":$slowest}""")
     spark.stop()
   }
 }

@@ -90,11 +90,18 @@ object Dedup {
   def minhashSigTable(docs: DataFrame, idCol: String, textCol: String,
       carry: Seq[String] = Nil, ngram: Int = 3, nHash: Int = 12,
       memoKey: Option[String] = None): DataFrame = {
+    // provenance rides as column metadata on `s`: ngram and textCol are
+    // INVISIBLE in the data (shingles are hashes), so without this a
+    // consumer called with a mismatched ngram would silently compute
+    // the wrong-n measure — consumers require a match when present
+    val sMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft_ngram", ngram.toLong)
+      .putString("graft_text_col", textCol).build()
     def build: DataFrame = docs
       .select((col(idCol) +: carry.map(col) :+
         expr(s"graft_minhash_sig($textCol, $ngram, $nHash)").as("ms")): _*)
       .filter(col("ms").isNotNull)
-      .select((col(idCol) +: carry.map(col) :+ col("ms.shs").as("s")) ++
+      .select((col(idCol) +: carry.map(col) :+ col("ms.shs").as("s", sMeta)) ++
         (0 until nHash).map(i =>
           element_at(col("ms.sig"), i + 1).as(s"mh$i")): _*)
     memoKey match {
@@ -153,7 +160,12 @@ object Dedup {
     * then skipped and the per-doc frame is read straight from it
     * (typically the memoized corpus-tier table five family members
     * share). Results are bit-identical by construction: the table IS
-    * the inline stage's output. */
+    * the inline stage's output. The table is consumed by SEVERAL plan
+    * branches (bands + both verify sides) with no persist layered on
+    * top — the memoized table is already cached and a projection of it
+    * re-reads that cache; a RAW unpersisted table would re-run its
+    * text stage per branch, so persist it (or pass `memoKey` to
+    * [[minhashSigTable]]) before handing it in. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       nHash: Int = 12, bandRows: Int = 2, threshold: Double = 0.5,
       ngram: Int = 3, maxBucket: Long = defaultMaxBandBucket,
@@ -209,6 +221,7 @@ object Dedup {
     // sides) — with a caller-supplied sigTable the frame is a
     // projection of an already-memoized table, so no scoped persist is
     // layered on top (it would duplicate the cached bytes).
+    sigTable.foreach(requireSigProvenance(_, ngram, textCol))
     val perDoc = sigTable match {
       case Some(st) => st.select(col(idCol) +: col("s") +:
         (0 until nHash).map(i => col(s"mh$i")): _*)
@@ -314,6 +327,7 @@ object Dedup {
       ngram: Int, maxBucket: Long,
       sigTable: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     require(maxBucket >= 2, s"minhashLshIncremental needs maxBucket >= 2, got $maxBucket")
+    sigTable.foreach(requireSigProvenance(_, ngram, textCol))
     // NULL is_new coalesces to false (old corpus): left as-is it would
     // fail BOTH candidate predicates (filter(is_new) and !b.is_new each
     // evaluate NULL) and the row could never pair at all (r8 ADVICE).
@@ -450,15 +464,10 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"connectedComponents needs maxIter >= 1, got $maxIter")
     // checkpoint-dir semantics (context-global dir, file lifecycle):
-    // see Graphs.ckpt — same convention, same warning on a conflict
+    // see Graphs.ckpt — Graphs.ensureCheckpointDir IS that convention
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        val sc = edges.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        else if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
-          System.err.println(
-            s"[dedup] checkpointDir '$dir' requested but context already uses " +
-              s"'${sc.getCheckpointDir.get}' — keeping the existing dir")
+        Graphs.ensureCheckpointDir(edges.sparkSession.sparkContext, dir, "dedup")
         df => df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(true)
     }
@@ -732,6 +741,7 @@ object Dedup {
     // table serves this nHash-free consumer identically) replaces the
     // text stage with a projection of the memoized frame.
     val keep = blockCols ++ carry
+    sigTable.foreach(requireSigProvenance(_, ngram, textCol))
     val base = sigTable match {
       case Some(st) => st.select((col(idCol) +: keep.map(col) :+
         size(col("s")).cast("long").as("n") :+
@@ -753,15 +763,18 @@ object Dedup {
           .filter(col("df") <= cap).drop("df")
       case None => base
     }
-    // The exploded index is persisted only when the df-gate WINDOW is
-    // in the chain (running that twice would re-shuffle the whole
-    // shingle stream); the uncapped form is a pure row-local projection
-    // of the (cached) per-doc frame, and re-deriving it per join side
-    // measured faster than materializing 2.6M exploded rows at the 10x
-    // bench scale (jaccard 5.1 → 4.1 s, containment neutral —
-    // tools.ProfileDedup, r13; the simhash probe frame took the same
-    // treatment).
-    val ex = if (maxDf.isDefined) CacheScope.persist(capped) else capped
+    // The exploded index skips its own persist ONLY when it is a pure
+    // row-local projection of a caller-supplied (cached) per-doc
+    // frame: re-deriving that per join side measured faster than
+    // materializing 2.6M exploded rows at the 10x bench scale
+    // (jaccard 5.1 → 4.1 s, containment neutral — tools.ProfileDedup,
+    // r13; the simhash probe frame took the same treatment). The
+    // INLINE text path persists regardless — Catalyst does not CSE
+    // across self-join branches, so an unpersisted base would run the
+    // whole tokenize/md5 stage once PER SIDE — as does the df-gate
+    // WINDOW chain (running that twice re-shuffles the shingle stream).
+    val ex = if (maxDf.isDefined || sigTable.isEmpty) CacheScope.persist(capped)
+      else capped
     val joinCond = (Seq("sh") ++ blockCols)
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
@@ -1048,7 +1061,11 @@ object Dedup {
       maxBucket: Long = defaultMaxBandBucket,
       sigTable: Option[DataFrame] = None): DataFrame = {
     require(maxBucket >= 2, s"simhash needs maxBucket >= 2, got $maxBucket")
-    val sh = sigTable.getOrElse(
+    // a caller-supplied table is usually the memoized corpus-tier frame
+    // (already persisted); a RAW one would otherwise re-run the whole
+    // signature stage once per consumer (four below), so it gets the
+    // scoped persist the inline path always had
+    val sh = sigTable.map(scopedIfUncached).getOrElse(
       CacheScope.persist(simhashSignatures(docs, idCol, textCol)))
     // The probe frame is deliberately NOT persisted: its three
     // consumers (population aggregate, anti-join survivor side, join
@@ -1119,6 +1136,39 @@ object Dedup {
       .agg(coalesce(min(when(col("maxpop") <= targetBucketSize, col("w"))), lit(28))
         .cast("int").as("bw"))
   }
+
+  /** Scoped persist for a frame that is not already cached — the guard
+    * for caller-supplied signature tables consumed several times inside
+    * one operator: the memoized corpus-tier table arrives persisted
+    * (left untouched), a RAW table gets the scoped persist the inline
+    * path always had. NOTE: a bare PROJECTION of a cached frame also
+    * reads storageLevel NONE and would be double-cached here — callers
+    * layering projections should persist (or memoize) the projection
+    * themselves if they pass it to a multi-consumer operator. */
+  private def scopedIfUncached(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      CacheScope.persist(df)
+    else df
+
+  /** Pins the [[minhashSigTable]] provenance a consumer silently
+    * depends on: when the table carries the metadata the builder
+    * stamps on `s`, its ngram/textCol must match the call's (the
+    * shingle hashes themselves cannot reveal a mismatch — the failure
+    * mode is a silently wrong-n similarity measure). Tables built
+    * before the stamp (or hand-built frames) carry no metadata and
+    * pass unchecked, preserving the documented caller contract. */
+  private def requireSigProvenance(st: DataFrame, ngram: Int,
+      textCol: String): Unit =
+    st.schema.fields.find(_.name == "s").foreach { f =>
+      if (f.metadata.contains("graft_ngram"))
+        require(f.metadata.getLong("graft_ngram") == ngram.toLong,
+          s"sigTable was built with ngram=${f.metadata.getLong("graft_ngram")}, " +
+            s"this call expects ngram=$ngram")
+      if (f.metadata.contains("graft_text_col"))
+        require(f.metadata.getString("graft_text_col") == textCol,
+          s"sigTable was built over '${f.metadata.getString("graft_text_col")}', " +
+            s"this call expects '$textCol'")
+    }
 
   /** The signature stage of [[simhash]] alone: (idCol, simhash). Public
     * so recall tests can brute-force all-pairs hamming on the exact

@@ -72,16 +72,29 @@ object Graphs {
     * it with the RDD or the operator of the directory deletes it — a
     * long-lived session rotating corpora should do one or the other,
     * or orphaned checkpoint directories accumulate on disk. */
+  /** Sets `dir` as the context checkpoint dir if none is set; on a
+    * conflict keeps the existing one and logs a warning. ONE definition
+    * shared by every reliable-checkpoint site (this object's ckpt and
+    * [[Dedup.connectedComponents]]) so the convention cannot drift.
+    * The match is path-boundary-aware: Spark stores the requested dir
+    * plus a per-context UUID segment, so an existing `dir/<uuid>`
+    * matches, while a requested `/tmp/ck` does NOT silently claim an
+    * existing `/tmp/ckpt2/<uuid>` (a genuinely different directory a
+    * bare startsWith would accept). */
+  private[operators] def ensureCheckpointDir(
+      sc: org.apache.spark.SparkContext, dir: String, who: String): Unit = {
+    val existing = sc.getCheckpointDir
+    if (existing.isEmpty) sc.setCheckpointDir(dir)
+    else if (!existing.exists(p => p == dir || p.startsWith(dir + "/")))
+      System.err.println(
+        s"[$who] checkpointDir '$dir' requested but context already uses " +
+          s"'${existing.get}' — keeping the existing dir")
+  }
+
   private def ckpt(checkpointDir: Option[String]): DataFrame => DataFrame =
     checkpointDir match {
       case Some(dir) => df => {
-        val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        else if (!sc.getCheckpointDir.contains(dir) &&
-            !sc.getCheckpointDir.exists(_.startsWith(dir)))
-          System.err.println(
-            s"[graphs] checkpointDir '$dir' requested but context already uses " +
-              s"'${sc.getCheckpointDir.get}' — keeping the existing dir")
+        ensureCheckpointDir(df.sparkSession.sparkContext, dir, "graphs")
         df.checkpoint(eager = true)
       }
       case None => _.localCheckpoint(true)

@@ -34,7 +34,10 @@ import org.apache.spark.storage.StorageLevel
   *    near-dup mass the corpus owes).
   *  - [[cachedCorpus]] (tier "corpus"): frames PROPORTIONAL to the
   *    corpus — the per-document signature tables the dedup family
-  *    shares (minhash shingle sets + signatures, simhash fingerprints).
+  *    shares (minhash shingle sets + signatures, simhash fingerprints)
+  *    and the per-vector frames of the trained ANN chains (the kmeans
+  *    final assignment; PQ's sliced sub-vector table and final
+  *    assignment at the declared m-rows-per-vector factor).
   *    These are the S7 result-cache discipline applied to the
   *    tokenize stage: five queries re-deriving the same per-doc
   *    token/gram frames from raw text was the dominant sf1 cost
@@ -154,8 +157,14 @@ object Memo {
       if (!sameContext(e.df)) None
       else {
         val bytes =
-          try e.df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
-          catch { case _: Throwable => -1L }
+          // BigInt.toLong TRUNCATES silently: a never-materialized
+          // entry can carry a multiplicative join-size estimate past
+          // 2^63, which would wrap to plausible-looking garbage — mark
+          // such estimates as saturated instead
+          try {
+            val bi = e.df.queryExecution.optimizedPlan.stats.sizeInBytes
+            if (bi.isValidLong) bi.toLong else Long.MaxValue
+          } catch { case _: Throwable => -1L }
         Some(MemoEntryStat(key, e.tier, e.hits, e.repersists, bytes,
           e.df.storageLevel.toString))
       }

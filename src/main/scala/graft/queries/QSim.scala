@@ -1326,15 +1326,24 @@ object QSim {
   val ivfPqPersist = Q("sim_index_persist_search", Some(s"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     $ivfPqRankedCte
-    SELECT query_id, rk, cand_id, cos_adc FROM r WHERE rk <= 3 ORDER BY 1, 2"""
-  ))((s, d) => {
+    SELECT query_id, rk, cand_id, cos_adc FROM r WHERE rk <= 3 ORDER BY 1, 2"""),
+    // the one-off index WRITE runs inside build (skip-if-exists) — the
+    // plan/memo audit specs must not execute it as a side effect
+    buildExecutes = true
+  )((s, d) => {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     // fingerprint-keyed index dir: regenerated data under the same path
-    // (the /tmp/sf1 workflow) is a clean miss, exactly like Memo keys
+    // (the /tmp/sf1 workflow) is a clean miss, exactly like Memo keys —
+    // and every WRITE-time parameter is in the key (a changed constant
+    // must never serve a stale index), hashed with the full 128-bit md5
+    // (a 32-bit hashCode collision between corpora would silently share
+    // a directory)
+    val idxKey = graft.operators.Memo.corpusKey("ivfpq", d) +
+      s"/$nList/$ivfSeed/$kmDim/$pqM/$pqK/$pqSeed/$adcIters"
     val idxDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_ann_index",
-      Integer.toHexString(
-        graft.operators.Memo.corpusKey("ivfpq", d).hashCode))
+      new java.math.BigInteger(1, java.security.MessageDigest
+        .getInstance("MD5").digest(idxKey.getBytes("UTF-8"))).toString(16))
     if (!java.nio.file.Files.exists(idxDir.resolve("codes").resolve("_SUCCESS")))
       Similarity.writeIvfPqIndex(e, "vec_id", "v", idxDir.toString,
         nList = nList, ivfSeed = ivfSeed, dim = kmDim, m = pqM, kCodes = pqK,

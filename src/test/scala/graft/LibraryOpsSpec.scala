@@ -1886,6 +1886,29 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(jStats.filter(col("doc_a") === 3L).count() == 0)
   }
 
+  test("sigTable provenance metadata rejects a mismatched ngram/textCol") {
+    import spark.implicits._
+    // the shingle hashes cannot reveal which n built them — without the
+    // metadata pin a wrong-n table silently computes the wrong measure
+    val d = Seq((1L, "en", "alpha beta gamma delta epsilon"))
+      .toDF("id", "lang", "body")
+    val st3 = Dedup.minhashSigTable(d, "id", "body", carry = Seq("lang"),
+      ngram = 3, nHash = 4)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(d, "id", "body", Seq("lang"), ngram = 4,
+        sigTable = Some(st3))
+    }
+    assert(e1.getMessage.contains("ngram=3") && e1.getMessage.contains("ngram=4"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(d.withColumn("other", col("body")), "id", "other",
+        nHash = 4, sigTable = Some(st3))
+    }
+    assert(e2.getMessage.contains("'body'") && e2.getMessage.contains("'other'"))
+    // matching provenance (and metadata-free hand-built frames) pass
+    assert(Dedup.ngramJaccard(d, "id", "body", Seq("lang"), ngram = 3,
+      sigTable = Some(st3)).columns.nonEmpty)
+  }
+
   test("TextOps.redact counts before rewrite and scrubs in rule order") {
     import spark.implicits._
     val d = Seq(
@@ -1936,6 +1959,18 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(served.collect().map(_.toSeq).toSet ==
       inline.collect().map(_.toSeq).toSet)
     assert(served.count() == 15, "5 queries x top-3 expected")
+    // dim/m are STRUCTURAL: a mismatch must fail loudly (silently wrong
+    // cosines otherwise — half the LUT subspaces would be skipped)
+    val em = intercept[IllegalArgumentException] {
+      Similarity.searchIvfPqIndex(dir, q, "vid", "vec", k = 3, nProbe = 2,
+        dim = dim, m = 2)
+    }
+    assert(em.getMessage.contains("m="))
+    val ed = intercept[IllegalArgumentException] {
+      Similarity.searchIvfPqIndex(dir, q, "vid", "vec", k = 3, nProbe = 2,
+        dim = 8, m = 4)
+    }
+    assert(ed.getMessage.contains("sub-vectors"))
     // the serve plan must read the PERSISTED index, not the corpus:
     // its scans are the three index datasets (+ the in-memory queries)
     val scans = served.queryExecution.executedPlan.toString

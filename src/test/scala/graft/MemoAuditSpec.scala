@@ -14,11 +14,13 @@ import graft.operators.Memo
   *  - "bounded" entries ([[Memo.cached]]) are sized by model constants
   *    or operator output — trained models, graph finals, verified pair
   *    sets — never by corpus rows;
-  *  - "corpus" entries ([[Memo.cachedCorpus]]) are per-DOCUMENT derived
-  *    tables (the dedup signature tables): at most one row per corpus
-  *    document — memoizing an EXPLODED stream (per-token/per-shingle
-  *    rows) would blow the executor cache at scale and fails the row
-  *    bound here;
+  *  - "corpus" entries ([[Memo.cachedCorpus]]) are per-corpus-ROW
+  *    derived tables (the dedup signature tables over documents, the
+  *    PQ/kmeans per-vector frames over embeddings): at most a DECLARED
+  *    small per-row factor times the base table (1 for signatures,
+  *    m = 8 for PQ's sliced sub-vectors) — memoizing an EXPLODED
+  *    stream (per-token/per-shingle rows) would blow the executor
+  *    cache at scale and fails the row bound here;
   *  - every entry persists with a disk fallback (an OOM-safe storage
   *    level), since memo entries outlive per-query cache scopes.
   */
@@ -32,52 +34,70 @@ class MemoAuditSpec extends AnyFunSuite {
     // building a query is enough to REGISTER its memo entries (cached()
     // runs at plan-build time); streaming queries are excluded because
     // building them executes the stream (PlanAuditSpec convention)
-    Q.registry.filterNot(_.name.startsWith("stream_")).foreach { q =>
+    Q.registry.filterNot(q => q.name.startsWith("stream_") || q.buildExecutes).foreach { q =>
       try q.build(spark, sf)
       catch { case scala.util.control.NonFatal(_) => () }
     }
     val rep = Memo.report
     assert(rep.nonEmpty, "registry build must register memo entries")
-    // tag → tier, each with its size rationale:
-    val allow: Map[String, String] = Map(
-      "tok" -> "corpus",     // dedup-family minhash signature table: 1 row/doc
-      "sh" -> "corpus",      // simhash fingerprint table: 1 row/doc
-      "mh" -> "bounded",     // verified minhash pair set: output-sized
-      "ngp" -> "bounded",    // n-gram pair stats, C>=0.8 prefiltered: emitted-pair-sized
-      "prcp" -> "bounded",   // co-purchase PageRank edges/ranks: graph-sized
-      "prdir" -> "bounded",  // directed PageRank edges/ranks: graph-sized
-      "prkr" -> "bounded",   // keep-rank PageRank edges/ranks: pair-graph-sized
-      "tricp" -> "bounded",  // triangle counts: node-sized
-      "lpa" -> "bounded",    // LPA labels/edges: graph-sized
-      "km" -> "bounded",     // k-means centroids/assignment finals: k-bounded
-      "pq" -> "bounded",     // PQ codebooks/assignments: m·kCodes-bounded
-      "tfidf" -> "bounded",  // trained IDF table: vocabulary-sized
-      "bglm" -> "bounded",   // trained bigram LM: bigram-vocabulary-sized
-      "clf-thhe-v1" -> "bounded") // trained IRLS β: feature-count rows
+    // tag → allowed tiers, each with its size rationale. A tag may
+    // legitimately span both tiers when one trained chain produces a
+    // model AND a per-row frame (pq: codebooks are bounded, the sliced
+    // sub-vector table and final assignment are corpus-proportional;
+    // km: centroid chain bounded, final assignment corpus-proportional).
+    val allow: Map[String, Set[String]] = Map(
+      "tok" -> Set("corpus"),   // dedup-family minhash signature table: 1 row/doc
+      "sh" -> Set("corpus"),    // simhash fingerprint table: 1 row/doc
+      "mh" -> Set("bounded"),   // verified minhash pair set: output-sized
+      "ngp" -> Set("bounded"),  // n-gram pair stats, C>=0.8 prefiltered: emitted-pair-sized
+      "prcp" -> Set("bounded"), // co-purchase PageRank edges/ranks: graph-sized
+      "prdir" -> Set("bounded"),// directed PageRank edges/ranks: graph-sized
+      "prkr" -> Set("bounded"), // keep-rank PageRank edges/ranks: pair-graph-sized
+      "tricp" -> Set("bounded"),// triangle counts: node-sized
+      "lpa" -> Set("bounded"),  // LPA labels/edges: graph-sized
+      "km" -> Set("bounded", "corpus"),  // centroid chain / per-vector assignment
+      "pq" -> Set("bounded", "corpus"),  // m·kCodes codebooks / m-per-vector frames
+      "tfidf" -> Set("bounded"),// trained IDF table: vocabulary-sized
+      "bglm" -> Set("bounded"), // trained bigram LM: bigram-vocabulary-sized
+      "clf-thhe-v1" -> Set("bounded")) // trained IRLS β: feature-count rows
     val docsN = spark.read.parquet(s"$sf/documents.parquet").count()
+    val vecsN = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    // corpus-tier row bound per tag: (base row count, per-row factor).
+    // The factor is the DECLARED small constant a chain may emit per
+    // corpus row (pq slices each vector into m = 8 sub-vector rows);
+    // anything above it is the exploded-stream class the tier forbids.
+    val corpusBound: Map[String, (Long, Long)] = Map(
+      "tok" -> (docsN, 1L), "sh" -> (docsN, 1L),
+      "km" -> (vecsN, 1L), "pq" -> (vecsN, 8L))
     val offenders = rep.flatMap { e =>
       val tag = e.key.takeWhile(_ != ':')
       allow.get(tag) match {
         case None => Some(s"${e.key}: tag '$tag' not on the memo allowlist")
-        case Some(tier) if tier != e.tier =>
-          Some(s"${e.key}: registered in tier '${e.tier}', allowlisted as '$tier'")
+        case Some(tiers) if !tiers.contains(e.tier) =>
+          Some(s"${e.key}: registered in tier '${e.tier}', allowlisted as '$tiers'")
+        case Some(_) if e.tier == "corpus" && !corpusBound.contains(tag) =>
+          Some(s"${e.key}: corpus-tier tag '$tag' has no declared row bound")
         case _ if !e.storage.contains("disk") =>
           Some(s"${e.key}: storage '${e.storage}' has no disk fallback")
         case _ => None
       }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
-    // size contracts at the fixture scale. Corpus tier: at most one row
-    // per document — the sharp check against memoizing an exploded
-    // per-token stream. Bounded tier: a generous constant cap that
-    // catches the same blow-up class (an exploded or candidate-join
-    // frame sneaking into the memo); doc-proportionality of bounded
-    // entries is guarded by the tier allowlist above, not by the cap
-    // (at 50-doc fixture scale a row bound cannot separate the two).
+    // size contracts at the fixture scale. Corpus tier: at most the
+    // declared per-row factor times the base table — the sharp check
+    // against memoizing an exploded per-token stream. Bounded tier: a
+    // generous constant cap that catches the same blow-up class (an
+    // exploded or candidate-join frame sneaking into the memo);
+    // doc-proportionality of bounded entries is guarded by the tier
+    // allowlist above, not by the cap (at 50-doc fixture scale a row
+    // bound cannot separate the two).
     val sizeOffenders = rep.flatMap { e =>
+      val tag = e.key.takeWhile(_ != ':')
       val rows = Memo.lookup(e.key).map(_.count()).getOrElse(-1L)
-      if (e.tier == "corpus" && rows > docsN)
-        Some(s"${e.key}: corpus-tier entry has $rows rows > $docsN documents")
+      if (e.tier == "corpus") corpusBound.get(tag).collect {
+        case (base, factor) if rows > base * factor =>
+          s"${e.key}: corpus-tier entry has $rows rows > $factor x $base base rows"
+      }
       else if (e.tier == "bounded" && rows > 65536L)
         Some(s"${e.key}: bounded-tier entry has $rows rows (cap 65536)")
       else None

@@ -57,7 +57,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_pq_adc_topk",          // candidates × broadcast per-query ADC LUTs (bounded query set)
       "sim_ivfpq_topk",           // 1-row centroid-array broadcast cross (the IVF stage)
       "sim_ivfpq_recall",         // composes sim_cosine_topk + sim_ivfpq_topk bounds
-      "sim_index_persist_search", // same 1-row centroid-array cross, from the LOADED index
+      // (sim_index_persist_search: buildExecutes — the one-off index
+      // write runs inside build, so the audit skips it like stream_)
       // (text_perplexity_bigram / curate_perplexity_prune: the 1-row
       // vocab cross moved INSIDE the memoized bigram-LM build, so the
       // registered plans carry no nested loop)
@@ -66,7 +67,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "diag_embedding_drift",     // 1-row global-centroid broadcast cross
       "t16_psi_event_type")       // 1-row decile-cuts + ref-total broadcast crosses
     val offenders = Q.registry
-      .filterNot(_.name.startsWith("stream_"))
+      .filterNot(q => q.name.startsWith("stream_") || q.buildExecutes)
       .flatMap { q =>
         val plan = q.build(spark, s"${Q.testdataRoot}/sf0.001")
           .queryExecution.executedPlan.toString
@@ -108,11 +109,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_pq_adc_topk",         // LUT-position offsets over the m-row subspace frame
                                  //   (Similarity.pqLutPositions — codebook-bounded)
       "sim_ivfpq_topk",          // same codebook-bounded LUT-position offsets
-      "sim_ivfpq_recall",        // same, via its IVF-ADC side
-      "sim_index_persist_search") // same LUT-position offsets over the
-                                 //   LOADED m-row codebook dataset
+      "sim_ivfpq_recall")        // same, via its IVF-ADC side
+                                 // (sim_index_persist_search: skipped,
+                                 //   buildExecutes — see nested-loop list)
     val offenders = Q.registry
-      .filterNot(_.name.startsWith("stream_"))
+      .filterNot(q => q.name.startsWith("stream_") || q.buildExecutes)
       .flatMap { q =>
         val plan = q.build(spark, s"${Q.testdataRoot}/sf0.001")
           .queryExecution.sparkPlan
@@ -182,10 +183,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // walk sees an InMemoryRelation or the grouped chain either way).
       "sim_ann_ivf", "sim_pq_error", "sim_pq_adc_topk",
       "sim_ivfpq_topk", "sim_ivfpq_recall",
-      // persisted-index serve path: the hinted probe/pair/LUT frames
-      // are query-set-bounded but derive from the LOADED index parquet
-      // scans, which the walk cannot prove bounded.
-      "sim_index_persist_search",
+      // (sim_index_persist_search: skipped, buildExecutes — the one-off
+      // index write runs inside build)
       // 1-row IRLS β memo frame (the memo leaf hides the global
       // aggregate underneath).
       "curate_quality_classifier", "curate_classifier_calibration",
@@ -216,7 +215,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "l14_stability_sweep",    // nation-dim moment frame
       "sim_scalar_quant")       // 64-row per-dimension scale table
     val offenders = Q.registry
-      .filterNot(_.name.startsWith("stream_"))
+      .filterNot(q => q.name.startsWith("stream_") || q.buildExecutes)
       .flatMap { q =>
         val plan = q.build(spark, s"${Q.testdataRoot}/sf0.001")
           .queryExecution.optimizedPlan
