@@ -186,6 +186,7 @@ object Bench {
     // the only user-controlled strings on the JSON line; a quote or
     // backslash in them must not produce a malformed artifact
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
     val memoJson = {
       val rep = graft.operators.Memo.report
       val detail = rep.map { e =>
@@ -193,7 +194,12 @@ object Bench {
           s""""repersists":${e.repersists},"bytes":${e.bytes},"storage":"${esc(e.storage)}"}"""
       }.mkString("[", ",", "]")
       val byTier = rep.groupBy(_.tier).toSeq.sortBy(_._1).map { case (t, es) =>
-        s""""$t":{"entries":${es.size},"bytes":${es.map(_.bytes.max(0L)).sum},""" +
+        // BigInt sum, then saturate: per-entry bytes already saturate at
+        // Long.MaxValue for oversized pre-materialization estimates, so
+        // a plain Long sum could wrap negative
+        val bytes = es.map(e => BigInt(e.bytes.max(0L))).sum
+        val bytesL = if (bytes.isValidLong) bytes.toLong else Long.MaxValue
+        s""""$t":{"entries":${es.size},"bytes":$bytesL,""" +
           s""""hits":${es.map(_.hits).sum}}"""
       }.mkString("{", ",", "}")
       s"""{"entries":${rep.size},"by_tier":$byTier,"detail":$detail}"""

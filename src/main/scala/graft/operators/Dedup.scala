@@ -390,6 +390,7 @@ object Dedup {
       nHash: Int = 12, bandRows: Int = 2, ngram: Int = 3,
       sigTable: Option[DataFrame] = None): DataFrame = sigTable match {
     case Some(st) =>
+      requireSigProvenance(st, ngram, textCol)
       val bandStructs = (0 until nHash / bandRows).map { b =>
         val ks = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
         struct(lit(b).as("band"), concat_ws("_", ks: _*).as("bkey"))
@@ -1061,6 +1062,14 @@ object Dedup {
       maxBucket: Long = defaultMaxBandBucket,
       sigTable: Option[DataFrame] = None): DataFrame = {
     require(maxBucket >= 2, s"simhash needs maxBucket >= 2, got $maxBucket")
+    // textCol provenance pin, as in requireSigProvenance: the simhash
+    // value cannot reveal which column it hashed
+    sigTable.foreach(_.schema.fields.find(_.name == "simhash").foreach { f =>
+      if (f.metadata.contains("graft_text_col"))
+        require(f.metadata.getString("graft_text_col") == textCol,
+          s"sigTable was built over '${f.metadata.getString("graft_text_col")}', " +
+            s"this call expects '$textCol'")
+    })
     // a caller-supplied table is usually the memoized corpus-tier frame
     // (already persisted); a RAW one would otherwise re-run the whole
     // signature stage once per consumer (four below), so it gets the
@@ -1183,7 +1192,11 @@ object Dedup {
     // row-local values. Bit-identical to that formulation
     // (spec-pinned); the bucket join downstream is now the operator's
     // first shuffle.
-    docs.select(col(idCol), expr(s"graft_simhash($textCol)").as("simhash"))
+    docs.select(col(idCol), expr(s"graft_simhash($textCol)").as("simhash",
+        // provenance stamp, as on minhashSigTable's `s`: the fingerprint
+        // cannot reveal which column it hashed
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("graft_text_col", textCol).build()))
       // NULL text → NULL signature; the explode form simply emitted no
       // rows for such docs, so the filter preserves that contract
       .filter(col("simhash").isNotNull)

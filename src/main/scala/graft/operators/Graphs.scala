@@ -85,10 +85,21 @@ object Graphs {
       sc: org.apache.spark.SparkContext, dir: String, who: String): Unit = {
     val existing = sc.getCheckpointDir
     if (existing.isEmpty) sc.setCheckpointDir(dir)
-    else if (!existing.exists(p => p == dir || p.startsWith(dir + "/")))
-      System.err.println(
-        s"[$who] checkpointDir '$dir' requested but context already uses " +
-          s"'${existing.get}' — keeping the existing dir")
+    else {
+      // Spark stores the SCHEME-QUALIFIED path ('file:/tmp/ck/<uuid>'
+      // for a local '/tmp/ck'), so the request must be qualified the
+      // same way before comparing — a bare string match never matches
+      // and would log a spurious conflict on every same-dir checkpoint
+      val req = new org.apache.hadoop.fs.Path(dir)
+      val reqQ = try req.getFileSystem(sc.hadoopConfiguration)
+        .makeQualified(req).toString
+      catch { case scala.util.control.NonFatal(_) => dir }
+      if (!existing.exists(p => p == reqQ || p.startsWith(reqQ + "/") ||
+          p == dir || p.startsWith(dir + "/")))
+        System.err.println(
+          s"[$who] checkpointDir '$dir' requested but context already uses " +
+            s"'${existing.get}' — keeping the existing dir")
+    }
   }
 
   private def ckpt(checkpointDir: Option[String]): DataFrame => DataFrame =

@@ -824,7 +824,8 @@ object Similarity {
     val sub = dim / m
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val trained = spark.read.parquet(s"$indexDir/codebooks")
-    val codeCols = spark.read.parquet(s"$indexDir/codes").columns.toSet
+    val codesRaw = spark.read.parquet(s"$indexDir/codes")
+    val codeCols = codesRaw.columns.toSet
     require((0 until m).forall(j => codeCols.contains(s"i$j")) &&
         !codeCols.contains(s"i$m"),
       s"index at $indexDir was written with m=" +
@@ -836,7 +837,8 @@ object Similarity {
         s"this call's dim=$dim / m=$m expects $sub")
     // the codes dataset feeds the probe restriction AND the scoring
     // scan — scope-persisted so the index is read once per search job
-    val codes = CacheScope.persist(spark.read.parquet(s"$indexDir/codes"))
+    // (the same reader the m-validation used: one file listing)
+    val codes = CacheScope.persist(codesRaw)
     val cents = CacheScope.persist(centroidArray(cent))
     val probes = queries.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(cents))

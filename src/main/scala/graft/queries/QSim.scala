@@ -1323,6 +1323,10 @@ object QSim {
     * is row-identical to sim_ivfpq_topk's by construction, so the
     * oracle is that query's full train+search replay — passing the
     * hash gate proves the files round-trip the index exactly. */
+  // the index write's cell sizing (shapes nCells via autoNList) — in
+  // the directory key with every other write-time parameter
+  private val idxTcs = 256
+
   val ivfPqPersist = Q("sim_index_persist_search", Some(s"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     $ivfPqRankedCte
@@ -1339,7 +1343,7 @@ object QSim {
     // (a 32-bit hashCode collision between corpora would silently share
     // a directory)
     val idxKey = graft.operators.Memo.corpusKey("ivfpq", d) +
-      s"/$nList/$ivfSeed/$kmDim/$pqM/$pqK/$pqSeed/$adcIters"
+      s"/$nList/$ivfSeed/$kmDim/$pqM/$pqK/$pqSeed/$adcIters/$idxTcs"
     val idxDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_ann_index",
       new java.math.BigInteger(1, java.security.MessageDigest
@@ -1347,7 +1351,7 @@ object QSim {
     if (!java.nio.file.Files.exists(idxDir.resolve("codes").resolve("_SUCCESS")))
       Similarity.writeIvfPqIndex(e, "vec_id", "v", idxDir.toString,
         nList = nList, ivfSeed = ivfSeed, dim = kmDim, m = pqM, kCodes = pqK,
-        pqSeed = pqSeed, iters = adcIters,
+        pqSeed = pqSeed, iters = adcIters, targetCellSize = idxTcs,
         numVectors = Some(Tables.rowCount(s, d, "embeddings")),
         memoKey = Some(graft.operators.Memo.corpusKey("pq", d)))
     Similarity.searchIvfPqIndex(idxDir.toString,

@@ -1907,6 +1907,19 @@ class LibraryOpsSpec extends AnyFunSuite {
     // matching provenance (and metadata-free hand-built frames) pass
     assert(Dedup.ngramJaccard(d, "id", "body", Seq("lang"), ngram = 3,
       sigTable = Some(st3)).columns.nonEmpty)
+    // the band-rows consumer (ingest-time near-dup's static index) and
+    // the simhash family carry the same pin
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.minhashBandRows(d, "id", "body", nHash = 4, ngram = 4,
+        sigTable = Some(st3))
+    }
+    assert(e3.getMessage.contains("ngram=3"))
+    val sh = Dedup.simhashSigTable(d, "id", "body")
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.simhash(d.withColumn("other", col("body")), "id", "other",
+        sigTable = Some(sh))
+    }
+    assert(e4.getMessage.contains("'body'") && e4.getMessage.contains("'other'"))
   }
 
   test("TextOps.redact counts before rewrite and scrubs in rule order") {
