@@ -185,8 +185,13 @@ object Bench {
     // memo keys and the sf field embed the user-supplied sfDir path —
     // the only user-controlled strings on the JSON line; a quote or
     // backslash in them must not produce a malformed artifact
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    def esc(s: String) = {
+      val named = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+      // remaining C0 control chars (vertical tab, form feed, …) get the
+      // generic \u00XX escape — JSON forbids them raw
+      named.flatMap(c => if (c < 0x20) f"\\u${c.toInt}%04x" else c.toString)
+    }
     val memoJson = {
       val rep = graft.operators.Memo.report
       val detail = rep.map { e =>

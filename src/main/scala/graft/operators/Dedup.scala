@@ -660,7 +660,9 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double = 0.8, ngram: Int = 3,
       maxDf: Option[Long] = None, sigTable: Option[DataFrame] = None,
-      pairStats: Option[DataFrame] = None): DataFrame =
+      pairStats: Option[DataFrame] = None): DataFrame = {
+    pairStats.foreach(requirePairStatsProvenance(_, ngram, textCol, threshold,
+      blockCols, maxDf))
     pairStats.getOrElse(
       ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf, sigTable)
         .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
@@ -669,6 +671,7 @@ object Dedup {
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("j"))
       .filter(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+  }
 
   /** Directional n-gram CONTAINMENT pairs — the asymmetric overlap
     * Jaccard is blind to: a document wholly quoted inside one 10×
@@ -697,7 +700,9 @@ object Dedup {
   def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double = 0.8, ngram: Int = 3,
       maxDf: Option[Long] = None, sigTable: Option[DataFrame] = None,
-      pairStats: Option[DataFrame] = None): DataFrame =
+      pairStats: Option[DataFrame] = None): DataFrame = {
+    pairStats.foreach(requirePairStatsProvenance(_, ngram, textCol, threshold,
+      blockCols, maxDf))
     pairStats.getOrElse(
       ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf, sigTable)
         .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
@@ -714,6 +719,7 @@ object Dedup {
         round(col("c"), 6).as("containment"),
         round(col("inter").cast("double")
           / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+  }
 
   /** The inverted-index match stage of [[ngramJaccard]] alone: one row
     * per shared (shingle, block) occurrence between a doc pair —
@@ -814,11 +820,24 @@ object Dedup {
         s"frame to emitted pairs), got $minContainment")
     def build: DataFrame = {
       val carryAB = carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b")))
+      // provenance rides as column metadata on `inter`, mirroring the
+      // sig table's pins on `s`: every build parameter a consumer could
+      // silently violate (a higher minContainment drops its qualifying
+      // pairs; a finer blocking never generated them; a different
+      // ngram/textCol/maxDf computed a different measure) is INVISIBLE
+      // in the data, so consumers validate these when present
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("graft_ngram", ngram.toLong)
+        .putString("graft_text_col", textCol)
+        .putDouble("graft_min_containment", minContainment)
+        .putString("graft_block_cols", blockCols.mkString(","))
+        .putLong("graft_max_df", maxDf.getOrElse(0L))
+        .build()
       ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf,
           sigTable, carry)
         .groupBy((Seq(col("doc_a"), col("doc_b"), col("na"), col("nb")) ++
           carryAB): _*)
-        .agg(count(lit(1)).as("inter"))
+        .agg(count(lit(1)).as("inter", meta))
         .filter(col("inter").cast("double") / least(col("na"), col("nb"))
           >= minContainment)
     }
@@ -1166,6 +1185,49 @@ object Dedup {
     * mode is a silently wrong-n similarity measure). Tables built
     * before the stamp (or hand-built frames) carry no metadata and
     * pass unchecked, preserving the documented caller contract. */
+  /** Validates a caller-supplied [[ngramPairStats]] frame against the
+    * consuming call's parameters, via the provenance metadata stamped
+    * on `inter` (mirror of [[requireSigProvenance]]): the stats must
+    * cover every pair the call could emit — same ngram/textCol/maxDf,
+    * prefilter at or below the call's threshold (J <= C makes a
+    * <=-threshold C-prefilter lossless for Jaccard; containment IS the
+    * prefilter measure), and blocking no FINER than the call's (each
+    * stats block column must appear in the call's blockCols — a finer
+    * stats blocking never candidated pairs the call's blocking admits;
+    * the legal coarser-stats direction is the caller's documented
+    * row-filter-on-carried-columns contract, which metadata cannot
+    * observe). Frames without the pins (hand-built) pass unchecked. */
+  private def requirePairStatsProvenance(ps: DataFrame, ngram: Int,
+      textCol: String, threshold: Double, blockCols: Seq[String],
+      maxDf: Option[Long]): Unit =
+    ps.schema.fields.find(_.name == "inter").foreach { f =>
+      val m = f.metadata
+      if (m.contains("graft_ngram"))
+        require(m.getLong("graft_ngram") == ngram.toLong,
+          s"pairStats was built with ngram=${m.getLong("graft_ngram")}, " +
+            s"this call expects ngram=$ngram")
+      if (m.contains("graft_text_col"))
+        require(m.getString("graft_text_col") == textCol,
+          s"pairStats was built over '${m.getString("graft_text_col")}', " +
+            s"this call expects '$textCol'")
+      if (m.contains("graft_min_containment"))
+        require(m.getDouble("graft_min_containment") <= threshold,
+          s"pairStats was prefiltered at C >= " +
+            s"${m.getDouble("graft_min_containment")}, above this call's " +
+            s"threshold $threshold — qualifying pairs would be missing")
+      if (m.contains("graft_block_cols")) {
+        val sb = m.getString("graft_block_cols").split(",").filter(_.nonEmpty)
+        require(sb.forall(blockCols.contains),
+          s"pairStats was blocked on (${sb.mkString(", ")}) — FINER than " +
+            s"this call's (${blockCols.mkString(", ")}); pairs this call's " +
+            s"blocking admits were never candidates there")
+      }
+      if (m.contains("graft_max_df"))
+        require(m.getLong("graft_max_df") == maxDf.getOrElse(0L),
+          s"pairStats was built with maxDf=${m.getLong("graft_max_df")}, " +
+            s"this call expects maxDf=${maxDf.getOrElse(0L)}")
+    }
+
   private def requireSigProvenance(st: DataFrame, ngram: Int,
       textCol: String): Unit =
     st.schema.fields.find(_.name == "s").foreach { f =>

@@ -1922,6 +1922,58 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("'body'") && e4.getMessage.contains("'other'"))
   }
 
+  test("pairStats provenance metadata rejects a violating consumer") {
+    import spark.implicits._
+    // the same silent-wrong-result class the sigTable pins close: a
+    // stats frame built with a higher prefilter, finer blocking, or a
+    // different ngram/textCol/maxDf drops pairs the consumer's own
+    // parameters qualify — none of which is visible in the data
+    val d = Seq(
+      (1L, "en", 0L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "en", 0L, "alpha beta gamma delta epsilon zeta theta"))
+      .toDF("id", "grp", "band", "body")
+    val stats = Dedup.ngramPairStats(d, "id", "body", blockCols = Seq("grp"),
+      minContainment = 0.8)
+    // prefilter above the consumer's threshold
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(d, "id", "body", Seq("grp"), threshold = 0.3,
+        pairStats = Some(stats))
+    }
+    assert(e1.getMessage.contains("0.8") && e1.getMessage.contains("0.3"))
+    // finer stats blocking than the call's
+    val fine = Dedup.ngramPairStats(d, "id", "body",
+      blockCols = Seq("grp", "band"), minContainment = 0.3)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.ngramContainment(d, "id", "body", Seq("grp"), threshold = 0.8,
+        pairStats = Some(fine))
+    }
+    assert(e2.getMessage.contains("FINER"))
+    // mismatched ngram, textCol, maxDf
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(d, "id", "body", Seq("grp"), ngram = 4,
+        pairStats = Some(stats))
+    }
+    assert(e3.getMessage.contains("ngram=3") && e3.getMessage.contains("ngram=4"))
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(d.withColumn("other", col("body")), "id", "other",
+        Seq("grp"), pairStats = Some(stats))
+    }
+    assert(e4.getMessage.contains("'body'") && e4.getMessage.contains("'other'"))
+    val e5 = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(d, "id", "body", Seq("grp"), maxDf = Some(5L),
+        pairStats = Some(stats))
+    }
+    assert(e5.getMessage.contains("maxDf=0") && e5.getMessage.contains("maxDf=5"))
+    // the legal direction passes — coarser stats, lower prefilter, and
+    // the metadata survives the caller's restriction row filter
+    val carried = Dedup.ngramPairStats(d, "id", "body", blockCols = Seq("grp"),
+      minContainment = 0.3, carry = Seq("band"))
+    assert(Dedup.ngramJaccard(d, "id", "body", Seq("grp", "band"),
+      threshold = 0.3,
+      pairStats = Some(carried.filter(col("band_a") === col("band_b"))))
+      .count() > 0)
+  }
+
   test("TextOps.redact counts before rewrite and scrubs in rule order") {
     import spark.implicits._
     val d = Seq(
