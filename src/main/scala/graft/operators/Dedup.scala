@@ -123,6 +123,114 @@ object Dedup {
       case None => simhashSignatures(docs, idCol, textCol)
     }
 
+  /** TRAIN/SERVE SPLIT of the text-dedup signature stage, write half —
+    * the [[minhashSigTable]] written ONCE as a Parquet SIGNATURE STORE
+    * (the S4 sink discipline the ANN index got in
+    * [[Similarity.writeIvfPqIndex]], and exactly the conversion the
+    * corpus-tier memo doc prescribes at 100 TB: the per-document
+    * derived table is the one you WRITE instead of caching). Two
+    * datasets under `dir`:
+    *
+    *  - `sig/` (id, s, mh0..mh{nHash−1}): one row per corpus document —
+    *    its distinct shingle-md5 set and its minhash signature. The
+    *    only corpus-sized dataset; NO raw text rides along, so serving
+    *    jobs never touch the corpus text again.
+    *  - `meta/` (id_col, text_col, ngram, n_hash): one row of
+    *    structural parameters — they are INVISIBLE in the signature
+    *    data (shingles are hashes), so the store carries them
+    *    explicitly and [[searchMinhashSigStore]] validates/derives from
+    *    them instead of trusting the caller. Written LAST: a
+    *    `meta/_SUCCESS` marker implies the whole store landed, which is
+    *    what skip-if-exists callers should test.
+    *
+    * `sigTable`: a pre-built (typically memoized) [[minhashSigTable]]
+    * of the SAME docs/textCol/ngram with at least `nHash` minhashes —
+    * the text stage is then skipped and the store is a projection of
+    * it. Shingle sets and signatures round-trip Parquet exactly
+    * (strings and longs), so a serve over the store is row-identical
+    * to the inline incremental chain — proven through the oracle gate
+    * by the `dedup_sig_store_serve` registry query. */
+  def writeMinhashSigStore(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, ngram: Int = 3, nHash: Int = 12,
+      sigTable: Option[DataFrame] = None): Unit = {
+    val sig = sigTable match {
+      case Some(st) =>
+        requireSigProvenance(st, ngram, textCol)
+        require((0 until nHash).forall(i => st.columns.contains(s"mh$i")),
+          s"sigTable carries ${st.columns.count(c => c.startsWith("mh") &&
+            c.drop(2).forall(_.isDigit))} minhashes, the store needs nHash=$nHash")
+        st.select(col(idCol) +: col("s") +:
+          (0 until nHash).map(i => col(s"mh$i")): _*)
+      case None => minhashSigTable(docs, idCol, textCol, Nil, ngram, nHash)
+    }
+    sig.write.mode("overwrite").parquet(s"$dir/sig")
+    docs.sparkSession.range(1)
+      .select(lit(idCol).as("id_col"), lit(textCol).as("text_col"),
+        lit(ngram).as("ngram"), lit(nHash).as("n_hash"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** TRAIN/SERVE SPLIT of the text-dedup signature stage, serve half:
+    * incremental near-dup of a NEW document shard against a corpus
+    * whose signatures were written by [[writeMinhashSigStore]] —
+    * reading ONLY the persisted store plus the shard, with no raw-text
+    * lineage on the corpus side. This is the production shape for
+    * continuous corpus ingest at 100 TB: one signature-extraction job
+    * per corpus (or per landed shard, appending), and every subsequent
+    * shard check is a scan of the store joined on band keys — re-dedup
+    * cost scales with the INCREMENT.
+    *
+    * Mechanics: the shard's signatures are computed inline (they
+    * cannot pre-exist — the rows just arrived) with the STORE's
+    * ngram/nHash — structural properties read from `meta/`, never
+    * trusted from the caller (a mismatch would band against
+    * incomparable minima, silently surfacing nothing) — and unioned
+    * with the loaded store under an is_new flag; the chain from there
+    * is [[minhashLshIncremental]]'s own (band equi-join, over-cap
+    * bucket guard counted over store ∪ shard, exact-Jaccard verify on
+    * the stored shingle sets). Row-identical to running the inline
+    * incremental over (corpus ∪ shard) by construction. `textCol` must
+    * match the store's recorded text column — a different name is a
+    * wrong-corpus signal, not a convenience to paper over. Output as
+    * [[minhashLshIncremental]]: (doc_new, doc_other, other_is_new,
+    * jaccard); ids must be unique across store ∪ shard. */
+  def searchMinhashSigStore(storeDir: String, shard: DataFrame, idCol: String,
+      textCol: String, bandRows: Int = 2, threshold: Double = 0.5,
+      maxBucket: Long = defaultMaxBandBucket): DataFrame = {
+    val spark = shard.sparkSession
+    // 1-row structural fetch before the search jobs, as in
+    // searchIvfPqIndex — adjudicated driver-side read
+    val meta = spark.read.parquet(s"$storeDir/meta").head()
+    val storeId = meta.getAs[String]("id_col")
+    val storeText = meta.getAs[String]("text_col")
+    val ngram = meta.getAs[Int]("ngram")
+    val nHash = meta.getAs[Int]("n_hash")
+    require(storeText == textCol,
+      s"store at $storeDir was built over '$storeText', " +
+        s"this call serves '$textCol'")
+    val mhCols = (0 until nHash).map(i => s"mh$i")
+    val storeSig = spark.read.parquet(s"$storeDir/sig")
+    require(mhCols.forall(storeSig.columns.contains),
+      s"store sig/ at $storeDir lacks the $nHash minhash columns meta/ declares")
+    val store = storeSig.select(col(storeId).as(idCol) +:
+      lit(false).as("is_new") +: col("s") +: mhCols.map(col): _*)
+    // shard-sized only — scope-persisted because the unioned frame
+    // feeds three plan branches (bands + both verify sides); the STORE
+    // side deliberately stays an uncached scan per branch (at 100 TB
+    // the store is served from disk, not pinned in executor memory)
+    val shardSig = CacheScope.persist(
+      minhashSigTable(shard, idCol, textCol, Nil, ngram, nHash)
+        .select(col(idCol) +: lit(true).as("is_new") +:
+          col("s") +: mhCols.map(col): _*))
+    val sMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft_ngram", ngram.toLong)
+      .putString("graft_text_col", textCol).build()
+    val union = store.unionByName(shardSig)
+      .withColumn("s", col("s").as("s", sMeta))
+    minhashLshIncremental(shard, idCol, textCol, "is_new", nHash, bandRows,
+      threshold, ngram, maxBucket, sigTable = Some(union))
+  }
+
   /** Default for [[minhashLsh]]'s `maxBucket`: a band bucket of 4096
     * docs caps the bucket's candidate output at ~8.4M pairs — one
     * shuffle partition of work — while sitting orders of magnitude above

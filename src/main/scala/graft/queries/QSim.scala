@@ -307,7 +307,13 @@ object QSim {
     * first), new partners once via doc_new < doc_other. */
   private[queries] val incNewSources = Seq("src0", "src1", "src2", "src3")
 
-  val minhashInc = Q("dedup_incremental_minhash", Some {
+  /** Oracle body shared by `dedup_incremental_minhash` (inline chain)
+    * and `dedup_sig_store_serve` (persisted-store serve): the two are
+    * row-identical by construction — the store IS the inline chain's
+    * signature stage round-tripped through Parquet — so passing the
+    * same hash gate proves the files round-trip the signatures exactly
+    * (the sig-store analog of the ANN persist query's oracle choice). */
+  private val incMinhashSql: String = {
     val newIn = incNewSources.map(s => s"'$s'").mkString(", ")
     val mhCols = (0 until nHash).map(i =>
       s"min((h1 * ${graft.operators.Dedup.mixA(i)} + ${graft.operators.Dedup.mixB(i)}) " +
@@ -342,7 +348,9 @@ object QSim {
                         JOIN shs sb ON c.doc_other = sb.doc_id)
     SELECT doc_new, doc_other, other_is_new, round(j, 6) AS jaccard
     FROM ver WHERE j >= 0.5 ORDER BY 1, 2"""
-  })((s, d) =>
+  }
+
+  val minhashInc = Q("dedup_incremental_minhash", Some(incMinhashSql))((s, d) =>
     Dedup.minhashLshIncremental(
       Tables.documentsP(s, d)
         .withColumn("is_new", col("source").isin(incNewSources: _*)),
@@ -353,6 +361,51 @@ object QSim {
       sigTable = Some(sigTab(s, d)
         .withColumn("is_new", col("source").isin(incNewSources: _*))))
       .orderBy("doc_new", "doc_other"))
+
+  // ------------------------------------- persisted signature store
+  /** TRAIN/SERVE SPLIT of text dedup (the sig-store mirror of
+    * `sim_index_persist_search`): the corpus signature table — shingle
+    * sets + minhash signatures of every NON-shard document — is
+    * WRITTEN once as Parquet (skip-if-exists, fingerprint-keyed with
+    * every write-time parameter in the key), and incremental near-dup
+    * of the src0–src3 "new shard" is served by
+    * [[graft.operators.Dedup.searchMinhashSigStore]] reading ONLY the
+    * persisted store plus the shard: the corpus side of this query's
+    * Spark plan has NO raw-text lineage, which is the production shape
+    * for continuous corpus ingest at 100 TB (one signature-extraction
+    * job per corpus; every arriving shard checks against the store).
+    * Row-identical to `dedup_incremental_minhash` by construction, so
+    * the oracle is that query's full inline replay — passing the hash
+    * gate proves the store round-trips the signature stage exactly. */
+  val sigStoreServe = Q("dedup_sig_store_serve", Some(incMinhashSql),
+    // the one-off store WRITE runs inside build (skip-if-exists) — the
+    // plan/memo audit specs must not execute it as a side effect; the
+    // serve-half PLAN is audited separately over a fixture store
+    // (PlanAuditSpec "serve paths"), so splitting the flag costs no
+    // audit coverage
+    buildExecutes = true
+  )((s, d) => {
+    val isShard = col("source").isin(incNewSources: _*)
+    // every write-time parameter in the fingerprint key (ngram=3 is
+    // sigTab's), hashed with full md5 — the ivfpq-index discipline
+    val storeKey = graft.operators.Memo.corpusKey("sigstore", d) +
+      s"/doc_id/text/3/$nHash/not:${incNewSources.mkString(",")}"
+    val storeDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_sig_store",
+      new java.math.BigInteger(1, java.security.MessageDigest
+        .getInstance("MD5").digest(storeKey.getBytes("UTF-8"))).toString(16))
+    if (!java.nio.file.Files.exists(storeDir.resolve("meta").resolve("_SUCCESS")))
+      Dedup.writeMinhashSigStore(
+        Tables.documentsP(s, d).filter(!isShard), "doc_id", "text",
+        storeDir.toString, ngram = 3, nHash = nHash,
+        // projection of the memoized corpus table — the write job
+        // re-derives nothing when the family already built it
+        sigTable = Some(sigTab(s, d).filter(!isShard)))
+    Dedup.searchMinhashSigStore(storeDir.toString,
+        Tables.documentsP(s, d).filter(isShard), "doc_id", "text",
+        bandRows = bandRows, threshold = 0.5)
+      .orderBy("doc_new", "doc_other")
+  })
 
   // ------------------------------------------------------------ SimHash
   /** Weighted 32-bit SimHash — operators.Dedup.simhash (observed-
@@ -1687,7 +1740,7 @@ object QSim {
   })
 
   val all: Seq[Q] =
-    Seq(exact, minhashLsh, minhashInc, clusterCc, keepRank, savings, funnel, simhash, ngramJaccard,
+    Seq(exact, minhashLsh, minhashInc, sigStoreServe, clusterCc, keepRank, savings, funnel, simhash, ngramJaccard,
       embedNearDup, annTopk, hardNeg, annLsh, annIvf, annRecall, annRecallCurve, kmeansCells, kmeansSil, scalarQuant,
       ngramContain, pqError, adcTopk, ivfPq, ivfPqRecall, ivfPqPersist,
       substringRun, spanRewrite, randProj,

@@ -2043,6 +2043,50 @@ class LibraryOpsSpec extends AnyFunSuite {
       scans.contains("codes"), s"serve plan does not read the index:\n$scans")
   }
 
+  test("searchMinhashSigStore over a written store equals minhashLshIncremental") {
+    import spark.implicits._
+    // near-dup text crafted so the shard has both old and new partners
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven"),
+      (4L, "totally different words that match nothing else here"))
+      .toDF("id", "body")
+    val shard = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta kappa"),
+      (12L, "unrelated fresh content with no duplicate at all"))
+      .toDF("id", "body")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sig-store").toString
+    Dedup.writeMinhashSigStore(corpus, "id", "body", dir, ngram = 3, nHash = 8)
+    val served = Dedup.searchMinhashSigStore(dir, shard, "id", "body",
+      bandRows = 2, threshold = 0.4)
+    val inline = Dedup.minhashLshIncremental(
+      corpus.withColumn("is_new", lit(false))
+        .unionByName(shard.withColumn("is_new", lit(true))),
+      "id", "body", "is_new", nHash = 8, bandRows = 2, threshold = 0.4)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(served) == rows(inline) && served.count() >= 3,
+      "serve over the persisted store diverged from the inline incremental")
+    // new×old (10,1/2) and new×new (10,11) partners both present
+    assert(served.filter(col("doc_new") === 10L && !col("other_is_new"))
+      .count() >= 1)
+    assert(served.filter(col("doc_new") === 10L && col("doc_other") === 11L &&
+      col("other_is_new")).count() == 1)
+    // the serve plan reads the PERSISTED store on the corpus side — no
+    // raw-text lineage: the store parquet location appears, and the only
+    // signature expression runs over the shard's in-memory rows
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-sig-store"),
+      s"serve plan does not read the signature store:\n$plan")
+    // structural validation: mismatched text column fails loudly
+    val et = intercept[IllegalArgumentException] {
+      Dedup.searchMinhashSigStore(dir, shard.withColumnRenamed("body", "other"),
+        "id", "other")
+    }
+    assert(et.getMessage.contains("'body'") && et.getMessage.contains("'other'"))
+  }
+
   test("Memo tiers: report carries tier, hit counts, and materialized bytes") {
     import spark.implicits._
     import graft.operators.Memo

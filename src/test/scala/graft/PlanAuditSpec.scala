@@ -280,6 +280,81 @@ class PlanAuditSpec extends AnyFunSuite {
       s"text_repetition_signals lost its row-local stage:\n$rep")
   }
 
+  test("persisted-store serve plans stay audited (fixture stores, no registry side effects)") {
+    // The two buildExecutes queries (sim_index_persist_search,
+    // dedup_sig_store_serve) are skipped by the registry walks above —
+    // their one-off WRITE runs inside build. Their SERVE halves are
+    // pure plans, so they are audited here over tiny fixture stores
+    // written by the test itself: the same nested-loop / unpartitioned-
+    // window / memo-hygiene rules, applied to the plan a production
+    // serving job would run.
+    import spark.implicits._
+    import graft.operators.{Dedup, Similarity, Memo}
+    import org.apache.spark.sql.functions._
+    val memoBefore = Memo.report.map(_.key).toSet
+
+    // --- ANN index serve (searchIvfPqIndex) ---
+    def rng(seed: Long): Iterator[Double] = Iterator.iterate(
+      seed * 2862933555777941757L + 3037000493L)(
+      s => s * 2862933555777941757L + 3037000493L)
+      .map(s => (s >>> 33).toDouble / (1L << 31).toDouble - 0.5)
+    val dim = 16
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, rng(i + 1).take(dim).map(_.toFloat).toArray)).toDF("vid", "vec")
+    val annDir = java.nio.file.Files.createTempDirectory("graft-audit-ann").toString
+    Similarity.writeIvfPqIndex(vecs, "vid", "vec", annDir,
+      nList = 4, ivfSeed = 11L, dim = dim, m = 4, kCodes = 8, pqSeed = 13L)
+    val annServe = Similarity.searchIvfPqIndex(annDir,
+      vecs.filter(col("vid") < 4), "vid", "vec", k = 3, nProbe = 2,
+      dim = dim, m = 4)
+    val annPlan = annServe.queryExecution.sparkPlan
+    assert(!annPlan.toString.contains("CartesianProduct"),
+      s"ANN serve plans a cartesian product:\n$annPlan")
+    // nested loops: only the 1-row centroid-array broadcast cross (the
+    // IVF probe stage — same bound as the allowlisted sim_ivfpq_topk)
+    val annNl = annPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(annNl.size <= 2, // probe stage + query-LUT stage, both 1-row crosses
+      s"ANN serve grew unexpected nested loops (${annNl.size}):\n$annPlan")
+    // unpartitioned windows: only the codebook-bounded LUT-position
+    // offsets (m-row frame — the sim_ivfpq_topk allowlist entry)
+    val annW = annPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(annW.size <= 1,
+      s"ANN serve grew unpartitioned windows (${annW.size}):\n$annPlan")
+
+    // --- signature-store serve (searchMinhashSigStore) ---
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("id", "body")
+    val shard = Seq((10L, "alpha beta gamma delta epsilon eta")).toDF("id", "body")
+    val sigDir = java.nio.file.Files.createTempDirectory("graft-audit-sig").toString
+    Dedup.writeMinhashSigStore(corpus, "id", "body", sigDir, nHash = 8)
+    val sigServe = Dedup.searchMinhashSigStore(sigDir, shard, "id", "body",
+      bandRows = 2, threshold = 0.4)
+    val sigPlan = sigServe.queryExecution.sparkPlan
+    val sigStr = sigPlan.toString
+    assert(!sigStr.contains("CartesianProduct") &&
+      !sigStr.contains("BroadcastNestedLoopJoin"),
+      s"sig-store serve plans a nested loop:\n$sigStr")
+    assert(sigPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"sig-store serve grew a window:\n$sigStr")
+    // the over-cap bucket guard must stay an ANTI-join on the serve
+    // path too, and the corpus side must come from the persisted store
+    assert(sigStr.contains("LeftAnti"),
+      s"sig-store serve lost its band-bucket anti-join guard:\n$sigStr")
+    assert(sigStr.contains("graft-audit-sig"),
+      s"sig-store serve does not scan the persisted store:\n$sigStr")
+
+    // neither serve path registers session-memo entries (the
+    // MemoAuditSpec concern the buildExecutes skip would otherwise hide)
+    assert(Memo.report.map(_.key).toSet == memoBefore,
+      "a serve path registered a session-memo entry")
+  }
+
   test("filters and projections reach the parquet scans of the core filter queries") {
     for (name <- Seq("f1_equality_filter", "j1_event_window_segment")) {
       val plan = Q.registry.find(_.name == name).get
