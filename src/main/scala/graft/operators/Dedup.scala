@@ -286,10 +286,18 @@ object Dedup {
       val cand = candRows.distinct()
       val sa = perDoc.select(col(idCol).as("doc_a"), col("s").as("s_a"))
       val sb = perDoc.select(col(idCol).as("doc_b"), col("s").as("s_b"))
+      // |A∪B| as na+nb−inter, NOT array_distinct(concat(..)): `s` is a
+      // distinct set by construction, so the identity is exact and the
+      // integer division operands are identical — the concat form built
+      // and hashed a ~2·|s|-element array per candidate pair (a small
+      // measured win on the incremental path, r14: 4.09 → 3.83 s at
+      // 10x; the verify's real cost is the array-table joins, not the
+      // row-local set ops)
       cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("inter",
+          size(array_intersect(col("s_a"), col("s_b"))).cast("double"))
         .withColumn("j",
-          size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
-            size(array_distinct(concat(col("s_a"), col("s_b")))))
+          col("inter") / (size(col("s_a")) + size(col("s_b")) - col("inter")))
         .filter(col("j") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
     }
@@ -405,12 +413,37 @@ object Dedup {
     val (perDoc, candRows) = minhashIncBandParts(docs, idCol, textCol,
       isNewCol, nHash, bandRows, ngram, maxBucket, sigTable)
     val cand = candRows.distinct()
-    val sa = perDoc.select(col(idCol).as("doc_new"), col("s").as("s_a"))
+    // doc_new is ALWAYS an increment row, so the a-side verify join
+    // needs only the new docs' shingle sets — increment-sized, not
+    // corpus-sized (at a 20% increment this is the difference between
+    // AQE broadcasting the side and shuffling the full array table; at
+    // 100 TB it is the difference between a shard-sized and a
+    // corpus-sized exchange). The b-side spans old ∪ new and stays full.
+    val sa = perDoc.filter(col("is_new"))
+      .select(col(idCol).as("doc_new"), col("s").as("s_a"))
     val sb = perDoc.select(col(idCol).as("doc_other"), col("s").as("s_b"))
-    cand.join(sa, "doc_new").join(sb, "doc_other")
+    // Verify join shape is the scale lever here (measured r14, 10x
+    // scale: 4.09 → ~1.9 s in the query's recording): the corpus-wide
+    // b-side joins FIRST against the narrow pair frame UNDER A
+    // SHUFFLE_HASH HINT — without it, Catalyst's size estimate of the
+    // cached array table lands under the broadcast threshold and the
+    // whole corpus-sized shingle-set table serializes through the
+    // driver (measured 3.35 s vs 1.27 s for the hash-partitioned join;
+    // at 100 TB a corpus-side broadcast is an OOM, so the hint is also
+    // the honest cluster plan: both sides hash-partition on the doc
+    // key,
+    // and the arrays move once, in parallel). The increment-sized
+    // a-side joins LAST: the s_b payload then rides a map-side
+    // broadcast join (shard-sized build) instead of re-exchanging.
+    // The a-first order carried s_a arrays into the b-join's exchange —
+    // ~5 KB per candidate row of shuffle the arithmetic never needed.
+    // Union size as na+nb−inter (exact: `s` is a distinct set) — the
+    // concat/array_distinct form built a 2·|s|-element array per pair.
+    cand.join(sb.hint("shuffle_hash"), "doc_other").join(sa, "doc_new")
+      .withColumn("inter",
+        size(array_intersect(col("s_a"), col("s_b"))).cast("double"))
       .withColumn("j",
-        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
-          size(array_distinct(concat(col("s_a"), col("s_b")))))
+        col("inter") / (size(col("s_a")) + size(col("s_b")) - col("inter")))
       .filter(col("j") >= threshold)
       .select(col("doc_new"), col("doc_other"), col("other_is_new"),
         round(col("j"), 6).as("jaccard"))
@@ -423,9 +456,10 @@ object Dedup {
     * the scale accounting (tools.ScaleAccounting). */
   def minhashLshIncrementalCandidates(docs: DataFrame, idCol: String,
       textCol: String, isNewCol: String, nHash: Int = 12, bandRows: Int = 2,
-      ngram: Int = 3, maxBucket: Long = defaultMaxBandBucket): DataFrame =
+      ngram: Int = 3, maxBucket: Long = defaultMaxBandBucket,
+      sigTable: Option[DataFrame] = None): DataFrame =
     minhashIncBandParts(docs, idCol, textCol, isNewCol, nHash, bandRows,
-      ngram, maxBucket)._2
+      ngram, maxBucket, sigTable)._2
 
   /** Shared chain of [[minhashLshIncremental]] /
     * [[minhashLshIncrementalCandidates]]: (perDoc, pre-distinct
@@ -982,6 +1016,18 @@ object Dedup {
     * never fewer; the island window sorts only a pair's matches on one
     * diagonal. All-integer arithmetic end to end.
     *
+    * Cost floor, decomposed at the 10x bench scale (tools.ProfileDedup,
+    * r14 — the committed adjudication of the query's ~4.3 s): k-gram
+    * md5 pass 1.9 s (30M token-window hashes, row-local — the md5 is
+    * the oracle-portable contract), df window gate +0.75 s (one
+    * shuffle of the 2.5M-row gram stream), inverted-index join
+    * +0.3 s, island window + run aggregation +1.8 s (one sort of the
+    * 12M (pair, diag, ia) match rows). No stage moves data it does not
+    * consume, the join was verified hash-partitioned (not a driver
+    * broadcast), and the two windows key on (g) and (pair, diag) —
+    * each stage is at its volume's floor, so further cuts require
+    * changing the measure (coarser k, tighter df cap), not the plan.
+    *
     * Output: (doc_a, doc_b, n_shared_grams, max_run_grams,
     * max_run_tokens), max_run_grams ≥ minRun. */
   def substringRuns(docs: DataFrame, idCol: String, textCol: String,
@@ -1236,7 +1282,14 @@ object Dedup {
       (bit_count(d) <= 1 && col("a.bucket") === col("a.base")) ||
         (bit_count(d) === 2 &&
           col("a.bucket").bitwiseXOR(col("a.base")) === d.bitwiseAND(-d))
-    prG.as("a").join(pr.as("b"),
+    // SHUFFLE_HASH on the b side (r14): Catalyst's estimate of the
+    // probe frame lands under the broadcast threshold and the whole
+    // (bw+1)-fanned probe stream serializes through the driver —
+    // measured 5.5 s vs 2.5 s for the hash-partitioned join at the 10x
+    // scale, and at 100 TB a corpus-side broadcast is an OOM. All three
+    // probe-frame consumers still key on `bucket`, so the exchange this
+    // hint forces is the same one the aggregate and anti-join reuse.
+    prG.as("a").join(pr.hint("shuffle_hash").as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol") &&
           canonical)
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
@@ -1455,7 +1508,13 @@ object Dedup {
     // simhash's predicate pays because its multiplicity is ~11×.
     // Threshold applies to the RAW cosine (rounding is display-only),
     // matching the documented `cos >= τ` contract exactly.
-    asgC.as("a").join(asgC.as("b"), joinCond)
+    // SHUFFLE_HASH on the b side (r14, the dedup-family discipline):
+    // the assignment frame carries the full vectors, and Catalyst's
+    // under-threshold estimate of the cached frame would serialize all
+    // of them through one driver broadcast; hash-partitioned on the
+    // (cell, blocks) key both sides exchange once, in parallel — the
+    // only plan that survives a corpus-sized vector table.
+    asgC.as("a").join(asgC.hint("shuffle_hash").as("b"), joinCond)
       .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
         Similarity.cosine(s"a.$vecCol", s"b.$vecCol", dim).as("c"))
   }

@@ -421,9 +421,12 @@ object StreamOps {
         if (broadcastIndex) broadcast(index)
         else index.repartition(col("band"), col("bkey")),
         Seq("band", "bkey"))
+      // union size as na+nb−inter (exact: shingle sets are distinct) —
+      // the minhashLsh verify identity, r14
+      .withColumn("inter",
+        size(array_intersect(col("s"), col("s_old"))).cast("double"))
       .withColumn("j",
-        size(array_intersect(col("s"), col("s_old"))).cast("double") /
-          size(array_distinct(concat(col("s"), col("s_old")))))
+        col("inter") / (size(col("s")) + size(col("s_old")) - col("inter")))
       .filter(col("j") >= threshold)
       .select(col("doc_new"), col("doc_old"), round(col("j"), 6).as("jaccard"))
 

@@ -83,9 +83,39 @@ object ProfileDedup {
     // --- incremental minhash ------------------------------------------
     val stInc = st.withColumn("is_new",
       col("source").isin("src0", "src1", "src2", "src3"))
+    time("incremental/candidates")(
+      Dedup.minhashLshIncrementalCandidates(docsP, "doc_id", "text", "is_new",
+        sigTable = Some(stInc)).count())
+    time("incremental/distinct")(
+      Dedup.minhashLshIncrementalCandidates(docsP, "doc_id", "text", "is_new",
+        sigTable = Some(stInc)).distinct().count())
+    time("incremental/verify_a")(
+      Dedup.minhashLshIncrementalCandidates(docsP, "doc_id", "text", "is_new",
+        sigTable = Some(stInc)).distinct()
+        .join(stInc.filter(col("is_new"))
+          .select(col("doc_id").as("doc_new"), col("s").as("s_a")), "doc_new")
+        .count())
     time("incremental/full")(
       Dedup.minhashLshIncremental(docsP, "doc_id", "text", "is_new",
         sigTable = Some(stInc)).count())
+
+    // --- substring runs (r14 tail split) --------------------------------
+    // stage 1: the row-local k-gram first-position pass alone
+    val occ = docs
+      .select(col("doc_id"), explode(expr("graft_kgram_first_pos(text, 6)")).as("z"))
+      .select(col("doc_id"), col("z.g").as("g"), col("z.i").as("i"))
+    time("substr/kgrams")(occ.count())
+    // stage 2: + the df window gate (the corpus-wide gram shuffle)
+    time("substr/dfgate")(occ
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("df").between(2L, 20L)).count())
+    // stage 3: + the inverted-index self-join (candidate volume)
+    time("substr/candidates")(
+      Dedup.substringRunCandidates(docs, "doc_id", "text").count())
+    // stage 4: + the (pair, diagonal) island window and run aggregation
+    time("substr/full")(
+      Dedup.substringRuns(docs, "doc_id", "text").count())
 
     spark.stop()
   }
