@@ -1723,9 +1723,14 @@ object QSim {
         k = kCells, iters = 2, seed = kmSeed, dim = kmDim,
         memoKey = Some(graft.operators.Memo.corpusKey("km", d)))
       .select(col("vec_id"), col("cell"))
-    // the pair join consumes the (vec_id, cell, v) frame on both sides
+    // the pair join consumes the (vec_id, cell, v) frame on both sides;
+    // SHUFFLE_HASH (r14, the dedup-family discipline): the frame
+    // carries the full vectors, and Catalyst's under-threshold estimate
+    // would serialize them all through one driver broadcast — the
+    // cell-keyed parallel exchange is the plan that survives a
+    // corpus-sized vector table
     val withV = CacheScope.persist(asg.join(e, "vec_id"))
-    val pairs = withV.as("a").join(withV.as("b"),
+    val pairs = withV.as("a").join(withV.hint("shuffle_hash").as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(Similarity.cosine("a.v", "b.v", kmDim) >= semTau)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
