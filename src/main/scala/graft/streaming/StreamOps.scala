@@ -467,7 +467,20 @@ object StreamOps {
     * groupBy — the price of the multi-batch-correct upsert contract,
     * shared by any real pipeline reading a change-log sink). Already
     * Trigger.Once (the timeout path emits nothing on replay); the
-    * remaining pieces are the live shape itself. */
+    * remaining pieces are the live shape itself.
+    *
+    * sf1 watch (r14 re-profile): steady-state addBatch 2.4 s for 1M
+    * events → 954k session snapshots — data-proportional per-user
+    * state work, consistent with the r13 floor decomposition scaled
+    * 10×; the r12→r13 recording drift was bench-pass placement, not
+    * plan change. At cluster scale the state store is the knob, not
+    * the plan: `spark.sql.streaming.stateStore.providerClass` →
+    * RocksDBStateStoreProvider moves per-user state off the executor
+    * heap (HDFSBackedStateStore holds the full map in memory —
+    * per-partition state must fit the heap; RocksDB spills and
+    * incrementally checkpoints), with the identical query. The replay
+    * keeps the default provider: at bounded-replay sizes RocksDB's
+    * per-batch SST/compaction overhead only adds fixed cost. */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame =
     sessionizeCompact(
       runToMemory(spark, sessionizePlan(spark, eventsStream(spark, sfDir)),
