@@ -278,6 +278,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val rep = plan("text_repetition_signals")
     assert(rep.contains("graft_repetition"),
       s"text_repetition_signals lost its row-local stage:\n$rep")
+    // the r14 join-strategy pins: the dedup family's corpus-sized
+    // self-join sides must stay hash-partitioned exchanges. Without the
+    // shuffle_hash hints, Catalyst's under-threshold size estimate of
+    // the cached array/vector/probe frames serializes a corpus-sized
+    // join side through ONE driver broadcast — measured 2-3× the
+    // hash-partitioned cost at the 10× bench scale and an OOM shape at
+    // real corpus sizes. The hint renders as ShuffledHashJoin in the
+    // static plan at every scale.
+    // (dedup_semantic's hinted pair join is not pinnable here: it sits
+    // inside the eagerly-executed connected-components build, so the
+    // registered plan only shows the final labeling join over the
+    // checkpointed leaf — the embeddingNearDup pin covers the same
+    // vector-payload construct.)
+    for (name <- Seq("dedup_simhash", "dedup_embedding_cosine",
+        "dedup_incremental_minhash")) {
+      val p = plan(name)
+      assert(p.contains("ShuffledHashJoin"),
+        s"$name lost its hash-partitioned candidate/verify join " +
+          s"(driver-broadcast regression):\n$p")
+    }
   }
 
   test("persisted-store serve plans stay audited (fixture stores, no registry side effects)") {
