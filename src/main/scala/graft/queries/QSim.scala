@@ -93,6 +93,25 @@ object QSim {
       // key records only by name — fold it in here (key-owns-identity)
       memoKey = Some(graft.operators.Memo.corpusKey("ngp", d) + "/lbw40"))
 
+  /** CC labels (node, comp) over the memo-shared minhash pair set —
+    * memoized once (BOUNDED tier: one row per clustered doc, a subset
+    * of the pair set's endpoints) for its FOUR consumers: the cluster
+    * report, the keep-rank election, the savings spectrum and the
+    * curation funnel each ran the identical alternating-star rounds on
+    * the identical pairs every rep (r14: ~0.5-0.7 s each at the 10x
+    * scale). The star rounds EXECUTE eagerly at first build (the
+    * checkpointed-loop shape), so the memo converts three re-runs into
+    * cache reads — the same discipline the Graphs family's finals use. */
+  private[queries] def mhCc(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val pairs = Dedup.minhashLsh(Tables.documentsP(s, d), "doc_id", "text",
+      nHash = nHash, bandRows = bandRows, threshold = 0.5,
+      memoKey = Some(graft.operators.Memo.corpusKey("mh", d)),
+      sigTable = Some(sigTab(s, d)))
+    graft.operators.Memo.cached(
+      graft.operators.Memo.corpusKey("mhcc", d) + s"/$nHash/$bandRows/0.5")(
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b"))
+  }
+
   // (strpos hex parse) == conv(substring(sh,1,8),16,10): digit k of 8
   // scales by 16^(8-k) = 2^(4(8-k)); all terms integer-exact BIGINTs.
   private[queries] val h1Duck = "(" + (1 to 8).map(k =>
@@ -164,13 +183,9 @@ object QSim {
     FROM compt ORDER BY doc_id"""
   ))((s, d) => {
     import org.apache.spark.sql.expressions.Window
-    // shared memo with dedup_minhash_lsh / pipeline_curation_funnel:
-    // all three verify the identical pair set on this corpus
-    val pairs = Dedup.minhashLsh(Tables.documentsP(s, d), "doc_id", "text",
-      nHash = nHash, bandRows = bandRows, threshold = 0.5,
-      memoKey = Some(graft.operators.Memo.corpusKey("mh", d)),
-      sigTable = Some(sigTab(s, d)))
-    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    // shared memos: the pair set (mh) with dedup_minhash_lsh / the
+    // funnel, and the CC labels (mhcc) with keep-rank/savings/funnel
+    mhCc(s, d)
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("comp")))
       .select(col("node").as("doc_id"), col("comp"), col("cluster_size"))
       .orderBy("doc_id")
@@ -236,7 +251,7 @@ object QSim {
     // prj feeds BOTH the keeper election and the final decision join —
     // scope-persisted so the CC + PageRank chains plan (and run) once
     val prj = graft.operators.CacheScope.persist(
-      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      mhCc(s, d)
         .join(pr.select(col("node"), col("r")), "node"))
     val keepers = prj.groupBy("comp")
       .agg(max(struct(col("r"), (-col("node")).as("nid"))).as("m"))
@@ -277,13 +292,9 @@ object QSim {
            CAST(sum(tok_rm) AS BIGINT) AS tokens_removed
     FROM cs GROUP BY 1 ORDER BY 1"""
   ))((s, d) => {
-    val pairs = Dedup.minhashLsh(Tables.documentsP(s, d), "doc_id", "text",
-      nHash = nHash, bandRows = bandRows, threshold = 0.5,
-      memoKey = Some(graft.operators.Memo.corpusKey("mh", d)),
-      sigTable = Some(sigTab(s, d)))
     val tok = Tables.documentsP(s, d)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    mhCc(s, d)
       .withColumnRenamed("node", "doc_id")
       .join(tok, "doc_id")
       .groupBy("comp")
@@ -763,22 +774,23 @@ object QSim {
     // The four funnel branches union into ONE job, and each later stage
     // builds on the earlier ones — without persists the quality scan
     // and the dedup joins would be recomputed once per branch (measured
-    // 5.4 s vs 2.4 s at sf0.1). Both persisted frames are
-    // survivor-sized (narrow rows, ≤ corpus), scope-released.
-    val th = graft.operators.CacheScope.persist(
-      q.filter(col("keep"))
-        .select(col("doc_id"), col("n_tok"), md5(encode(col("text"), "UTF-8")).as("th")))
+    // 5.4 s vs 2.4 s at sf0.1). ONE text pass serves all stages (r14):
+    // the raw-token stage, the quality gate and the content hash come
+    // out of the same scan — the earlier survivor-only persist paid a
+    // SECOND full tokenize scan for the raw branch (md5 on the
+    // quality-dropped docs is far cheaper than re-splitting every
+    // text). Persisted frames are narrow (≤ 50 B/doc), scope-released.
+    val q0 = graft.operators.CacheScope.persist(
+      q.select(col("doc_id"), col("n_tok"), col("keep"),
+        md5(encode(col("text"), "UTF-8")).as("th")))
+    val th = q0.filter(col("keep")).select("doc_id", "n_tok", "th")
     val k2 = th.groupBy("th").agg(min("doc_id").as("keep_id"))
       .withColumnRenamed("th", "th2")
     val s2 = th.join(k2, col("th") === col("th2") && col("doc_id") === col("keep_id"))
       .select("doc_id", "n_tok")
-    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
-      nHash = nHash, bandRows = bandRows, threshold = 0.5,
-      memoKey = Some(graft.operators.Memo.corpusKey("mh", d)),
-      sigTable = Some(sigTab(s, d)))
     val lbl = graft.operators.CacheScope.persist(
       s2.join(
-          Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+          mhCc(s, d)
             .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
         .withColumn("comp", coalesce(col("comp"), col("doc_id"))))
     val k3 = lbl.groupBy("comp").agg(min("doc_id").as("keep3"))
@@ -788,8 +800,7 @@ object QSim {
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
         .select(lit(name).as("stage"), col("n_docs"), col("total_tokens"))
-    val raw = docs.select(size(split(col("text"), " ")).cast("long").as("n_tok"))
-    stage("0_raw", raw)
+    stage("0_raw", q0.select("n_tok"))
       .unionAll(stage("1_quality", th.select("n_tok")))
       .unionAll(stage("2_exact_dedup", s2.select("n_tok")))
       .unionAll(stage("3_near_dedup", s3.select("n_tok")))

@@ -49,6 +49,7 @@ class MemoAuditSpec extends AnyFunSuite {
       "tok" -> Set("corpus"),   // dedup-family minhash signature table: 1 row/doc
       "sh" -> Set("corpus"),    // simhash fingerprint table: 1 row/doc
       "mh" -> Set("bounded"),   // verified minhash pair set: output-sized
+      "mhcc" -> Set("bounded"), // CC labels over that pair set: one row per clustered doc
       "ngp" -> Set("bounded"),  // n-gram pair stats, C>=0.8 prefiltered: emitted-pair-sized
       "prcp" -> Set("bounded"), // co-purchase PageRank edges/ranks: graph-sized
       "prdir" -> Set("bounded"),// directed PageRank edges/ranks: graph-sized
