@@ -170,6 +170,39 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** APPEND half of the signature store — the continuous-ingest
+    * lifecycle's middle step: once a checked shard is ADMITTED to the
+    * corpus, its signatures join the store so the NEXT shard's serve
+    * sees it, without rewriting the corpus-sized `sig/` dataset. Each
+    * appended shard lands as its own dataset under
+    * `sig_append/<shardId>/` (overwrite mode → re-appending the same
+    * shardId is idempotent, the skip-if-exists discipline per shard),
+    * and [[searchMinhashSigStore]] reads `sig/` plus every completed
+    * append — so store + appends is ALWAYS the current corpus. The
+    * shard's signatures are computed with the STORE's ngram/nHash
+    * (from `meta/`, never the caller), keeping every append
+    * band-comparable with the base. `shardId` must be unique per
+    * admitted shard (a crawl-batch id; reusing one replaces that
+    * shard's rows — the correction path). At 100 TB a compaction job
+    * periodically folds `sig_append/` into `sig/`; both layouts serve
+    * identically. */
+  def appendMinhashSigStore(storeDir: String, shard: DataFrame,
+      idCol: String, textCol: String, shardId: String): Unit = {
+    require(shardId.nonEmpty && shardId.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"shardId must be a path-safe token, got '$shardId'")
+    val spark = shard.sparkSession
+    val meta = spark.read.parquet(s"$storeDir/meta").head()
+    val storeText = meta.getAs[String]("text_col")
+    require(storeText == textCol,
+      s"store at $storeDir was built over '$storeText', " +
+        s"this append carries '$textCol'")
+    minhashSigTable(shard, idCol, textCol, Nil,
+        meta.getAs[Int]("ngram"), meta.getAs[Int]("n_hash"))
+      .withColumnRenamed(idCol, meta.getAs[String]("id_col"))
+      .write.mode("overwrite").parquet(s"$storeDir/sig_append/$shardId")
+  }
+
   /** TRAIN/SERVE SPLIT of the text-dedup signature stage, serve half:
     * incremental near-dup of a NEW document shard against a corpus
     * whose signatures were written by [[writeMinhashSigStore]] —
@@ -209,7 +242,16 @@ object Dedup {
       s"store at $storeDir was built over '$storeText', " +
         s"this call serves '$textCol'")
     val mhCols = (0 until nHash).map(i => s"mh$i")
-    val storeSig = spark.read.parquet(s"$storeDir/sig")
+    // the current corpus = the base store plus every COMPLETED append
+    // ([[appendMinhashSigStore]] — admitted shards; an append without
+    // its _SUCCESS marker is an in-flight write and is not served)
+    val appendDirs = Option(
+        new java.io.File(s"$storeDir/sig_append").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists)
+      .map(_.getPath).sorted
+    val storeSig = spark.read.parquet(
+      (s"$storeDir/sig" +: appendDirs.toSeq): _*)
     require(mhCols.forall(storeSig.columns.contains),
       s"store sig/ at $storeDir lacks the $nHash minhash columns meta/ declares")
     val store = storeSig.select(col(storeId).as(idCol) +:

@@ -324,8 +324,8 @@ object QSim {
     * signature stage round-tripped through Parquet — so passing the
     * same hash gate proves the files round-trip the signatures exactly
     * (the sig-store analog of the ANN persist query's oracle choice). */
-  private val incMinhashSql: String = {
-    val newIn = incNewSources.map(s => s"'$s'").mkString(", ")
+  private def incMinhashSqlFor(newSources: Seq[String]): String = {
+    val newIn = newSources.map(s => s"'$s'").mkString(", ")
     val mhCols = (0 until nHash).map(i =>
       s"min((h1 * ${graft.operators.Dedup.mixA(i)} + ${graft.operators.Dedup.mixB(i)}) " +
         s"% ${graft.operators.Dedup.mixM}) AS mh$i").mkString(", ")
@@ -360,6 +360,7 @@ object QSim {
     SELECT doc_new, doc_other, other_is_new, round(j, 6) AS jaccard
     FROM ver WHERE j >= 0.5 ORDER BY 1, 2"""
   }
+  private val incMinhashSql: String = incMinhashSqlFor(incNewSources)
 
   val minhashInc = Q("dedup_incremental_minhash", Some(incMinhashSql))((s, d) =>
     Dedup.minhashLshIncremental(
@@ -414,6 +415,55 @@ object QSim {
         sigTable = Some(sigTab(s, d).filter(!isShard)))
     Dedup.searchMinhashSigStore(storeDir.toString,
         Tables.documentsP(s, d).filter(isShard), "doc_id", "text",
+        bandRows = bandRows, threshold = 0.5)
+      .orderBy("doc_new", "doc_other")
+  })
+
+  /** The FULL continuous-ingest lifecycle of the signature store: the
+    * base corpus is written once, an ADMITTED shard (src0+src1) is
+    * APPENDED ([[graft.operators.Dedup.appendMinhashSigStore]] — its
+    * signatures land as an idempotent per-shard dataset under
+    * sig_append/, no corpus rewrite), and the NEXT shard (src2+src3)
+    * is served against store+appends — so each day's check sees every
+    * previously admitted day. Corpus at serve time = all docs except
+    * the probe shard, hence the oracle is the inline incremental
+    * replay with is_new = src2+src3 over the whole table: passing the
+    * hash gate proves the appended dataset is band- and
+    * verify-identical to a store that had contained the shard from
+    * the start. */
+  private val appendShardSrcs = Seq("src0", "src1")
+  private val probeShardSrcs = Seq("src2", "src3")
+
+  val sigStoreAppend = Q("dedup_sig_store_append_serve",
+    Some(incMinhashSqlFor(probeShardSrcs)),
+    buildExecutes = true
+  )((s, d) => {
+    val docs = Tables.documentsP(s, d)
+    val isAppend = col("source").isin(appendShardSrcs: _*)
+    val isProbe = col("source").isin(probeShardSrcs: _*)
+    // a SEPARATE store from dedup_sig_store_serve's (different base
+    // corpus → different fingerprint key): base = everything except
+    // the two shards
+    val storeKey = graft.operators.Memo.corpusKey("sigstore-app", d) +
+      s"/doc_id/text/3/$nHash/base-not:${(appendShardSrcs ++ probeShardSrcs).mkString(",")}"
+    val storeDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_sig_store",
+      new java.math.BigInteger(1, java.security.MessageDigest
+        .getInstance("MD5").digest(storeKey.getBytes("UTF-8"))).toString(16))
+    if (!java.nio.file.Files.exists(storeDir.resolve("meta").resolve("_SUCCESS")))
+      Dedup.writeMinhashSigStore(
+        docs.filter(!isAppend && !isProbe), "doc_id", "text",
+        storeDir.toString, ngram = 3, nHash = nHash,
+        sigTable = Some(sigTab(s, d).filter(!isAppend && !isProbe)))
+    // admit day 1: idempotent per-shard append (overwrite of its own
+    // sig_append/<shardId> dataset — re-running replaces, never dups)
+    if (!java.nio.file.Files.exists(
+        storeDir.resolve("sig_append").resolve("day1").resolve("_SUCCESS")))
+      Dedup.appendMinhashSigStore(storeDir.toString,
+        docs.filter(isAppend), "doc_id", "text", shardId = "day1")
+    // check day 2 against base + day 1
+    Dedup.searchMinhashSigStore(storeDir.toString,
+        docs.filter(isProbe), "doc_id", "text",
         bandRows = bandRows, threshold = 0.5)
       .orderBy("doc_new", "doc_other")
   })
@@ -1756,7 +1806,7 @@ object QSim {
   })
 
   val all: Seq[Q] =
-    Seq(exact, minhashLsh, minhashInc, sigStoreServe, clusterCc, keepRank, savings, funnel, simhash, ngramJaccard,
+    Seq(exact, minhashLsh, minhashInc, sigStoreServe, sigStoreAppend, clusterCc, keepRank, savings, funnel, simhash, ngramJaccard,
       embedNearDup, annTopk, hardNeg, annLsh, annIvf, annRecall, annRecallCurve, kmeansCells, kmeansSil, scalarQuant,
       ngramContain, pqError, adcTopk, ivfPq, ivfPqRecall, ivfPqPersist,
       substringRun, spanRewrite, randProj,

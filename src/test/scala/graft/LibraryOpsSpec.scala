@@ -2085,6 +2085,34 @@ class LibraryOpsSpec extends AnyFunSuite {
         "id", "other")
     }
     assert(et.getMessage.contains("'body'") && et.getMessage.contains("'other'"))
+
+    // APPEND lifecycle: admitting the first shard and serving a second
+    // equals the inline incremental over (corpus ∪ shard1 ∪ shard2
+    // with is_new = shard2); re-appending the same shardId is
+    // idempotent (overwrite of its own dataset, never duplicate rows)
+    val shard2 = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta mu"),
+      (21L, "unrelated fresh content with no duplicate at all"))
+      .toDF("id", "body")
+    Dedup.appendMinhashSigStore(dir, shard, "id", "body", shardId = "s1")
+    Dedup.appendMinhashSigStore(dir, shard, "id", "body", shardId = "s1")
+    val served2 = Dedup.searchMinhashSigStore(dir, shard2, "id", "body",
+      bandRows = 2, threshold = 0.4)
+    val inline2 = Dedup.minhashLshIncremental(
+      corpus.unionByName(shard).withColumn("is_new", lit(false))
+        .unionByName(shard2.withColumn("is_new", lit(true))),
+      "id", "body", "is_new", nHash = 8, bandRows = 2, threshold = 0.4)
+    assert(rows(served2) == rows(inline2),
+      "serve after append diverged from the inline incremental")
+    // the appended shard's docs ARE corpus now: doc 20 pairs with the
+    // appended 10/11 as old partners
+    assert(served2.filter(col("doc_new") === 20L && col("doc_other") === 10L &&
+      !col("other_is_new")).count() == 1)
+    // shardId path-safety gate
+    val ei = intercept[IllegalArgumentException] {
+      Dedup.appendMinhashSigStore(dir, shard2, "id", "body", shardId = "../x")
+    }
+    assert(ei.getMessage.contains("path-safe"))
   }
 
   test("Memo tiers: report carries tier, hit counts, and materialized bytes") {
