@@ -328,14 +328,20 @@ object Dedup {
       val cand = candRows.distinct()
       val sa = perDoc.select(col(idCol).as("doc_a"), col("s").as("s_a"))
       val sb = perDoc.select(col(idCol).as("doc_b"), col("s").as("s_b"))
+      // Verify join shape (r14, the incremental-verify discipline —
+      // measured 4.3 → 3.1 s on the memo build at the 10x scale): the
+      // narrow pair frame joins each corpus-wide shingle-set side under
+      // a SHUFFLE_HASH hint — without it Catalyst's under-threshold
+      // estimate of the cached array table serializes the whole corpus
+      // side through one driver broadcast (an OOM shape at real corpus
+      // sizes); hash-partitioned on the doc key, AQE broadcasts the
+      // pair frame instead and the arrays move once, in parallel.
       // |A∪B| as na+nb−inter, NOT array_distinct(concat(..)): `s` is a
       // distinct set by construction, so the identity is exact and the
       // integer division operands are identical — the concat form built
-      // and hashed a ~2·|s|-element array per candidate pair (a small
-      // measured win on the incremental path, r14: 4.09 → 3.83 s at
-      // 10x; the verify's real cost is the array-table joins, not the
-      // row-local set ops)
-      cand.join(sa, "doc_a").join(sb, "doc_b")
+      // and hashed a ~2·|s|-element array per candidate pair.
+      cand.join(sb.hint("shuffle_hash"), "doc_b")
+        .join(sa.hint("shuffle_hash"), "doc_a")
         .withColumn("inter",
           size(array_intersect(col("s_a"), col("s_b"))).cast("double"))
         .withColumn("j",
@@ -358,8 +364,10 @@ object Dedup {
     * waste, emitted count is what the corpus owes. */
   def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
       nHash: Int = 12, bandRows: Int = 2, ngram: Int = 3,
-      maxBucket: Long = defaultMaxBandBucket): DataFrame =
-    minhashBandParts(docs, idCol, textCol, nHash, bandRows, ngram, maxBucket)._2
+      maxBucket: Long = defaultMaxBandBucket,
+      sigTable: Option[DataFrame] = None): DataFrame =
+    minhashBandParts(docs, idCol, textCol, nHash, bandRows, ngram, maxBucket,
+      sigTable)._2
 
   /** Shared signature/banding/candidate chain of [[minhashLsh]] /
     * [[minhashLshCandidates]]: (perDoc signatures+shingles, pre-distinct
