@@ -149,7 +149,14 @@ object Dedup {
     * it. Shingle sets and signatures round-trip Parquet exactly
     * (strings and longs), so a serve over the store is row-identical
     * to the inline incremental chain — proven through the oracle gate
-    * by the `dedup_sig_store_serve` registry query. */
+    * by the `dedup_sig_store_serve` registry query.
+    *
+    * REWRITE protocol: on an overwrite of an existing store the old
+    * `meta/_SUCCESS` is deleted FIRST — otherwise the marker-last
+    * invariant holds only for the first write, and a skip-if-exists
+    * gate (or a concurrent serve) observing the stale marker would
+    * read a half-rewritten `sig/`. With the marker bracketing the
+    * rewrite, `meta/_SUCCESS` ⇒ the whole store landed, always. */
   def writeMinhashSigStore(docs: DataFrame, idCol: String, textCol: String,
       dir: String, ngram: Int = 3, nHash: Int = 12,
       sigTable: Option[DataFrame] = None): Unit = {
@@ -163,6 +170,7 @@ object Dedup {
           (0 until nHash).map(i => col(s"mh$i")): _*)
       case None => minhashSigTable(docs, idCol, textCol, Nil, ngram, nHash)
     }
+    StoreFs.deleteMarker(docs.sparkSession, s"$dir/meta")
     sig.write.mode("overwrite").parquet(s"$dir/sig")
     docs.sparkSession.range(1)
       .select(lit(idCol).as("id_col"), lit(textCol).as("text_col"),
@@ -183,24 +191,75 @@ object Dedup {
     * (from `meta/`, never the caller), keeping every append
     * band-comparable with the base. `shardId` must be unique per
     * admitted shard (a crawl-batch id; reusing one replaces that
-    * shard's rows — the correction path). At 100 TB a compaction job
+    * shard's rows — the correction path). [[compactMinhashSigStore]]
     * periodically folds `sig_append/` into `sig/`; both layouts serve
-    * identically. */
+    * identically.
+    *
+    * The shard is STAGED then promoted: written complete under
+    * `sig_append_tmp/<shardId>/`, then renamed over any previous
+    * `sig_append/<shardId>/`. An in-place overwrite would delete the
+    * old shard's `_SUCCESS` and recreate it file-by-file — a concurrent
+    * serve that listed appends just before the rewrite would read a
+    * partially-deleted dataset. With staging, the re-append correction
+    * path exposes only complete datasets (modulo the directory-rename
+    * instant); the staging dir lives OUTSIDE `sig_append/` so an
+    * in-flight stage is invisible to the serve-side listing. */
   def appendMinhashSigStore(storeDir: String, shard: DataFrame,
       idCol: String, textCol: String, shardId: String): Unit = {
     require(shardId.nonEmpty && shardId.forall(c =>
         c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"shardId must be a path-safe token, got '$shardId'")
     val spark = shard.sparkSession
+    require(StoreFs.datasetComplete(spark, s"$storeDir/meta"),
+      s"store at $storeDir is incomplete (no meta/_SUCCESS marker) — " +
+        "appends need a landed base store")
     val meta = spark.read.parquet(s"$storeDir/meta").head()
     val storeText = meta.getAs[String]("text_col")
     require(storeText == textCol,
       s"store at $storeDir was built over '$storeText', " +
         s"this append carries '$textCol'")
+    val tmp = s"$storeDir/sig_append_tmp/$shardId"
     minhashSigTable(shard, idCol, textCol, Nil,
         meta.getAs[Int]("ngram"), meta.getAs[Int]("n_hash"))
       .withColumnRenamed(idCol, meta.getAs[String]("id_col"))
-      .write.mode("overwrite").parquet(s"$storeDir/sig_append/$shardId")
+      .write.mode("overwrite").parquet(tmp)
+    StoreFs.promote(spark, tmp, s"$storeDir/sig_append/$shardId")
+  }
+
+  /** COMPACTION of the signature store: folds every completed
+    * `sig_append/<shardId>/` dataset into the base `sig/`, so the
+    * serve-side scan goes back to ONE dataset — the maintenance job
+    * the append lifecycle owes at 100 TB, where thousands of daily
+    * shard datasets would otherwise degrade the union-of-paths read
+    * (per-dataset footer reads, small-file pressure, listing cost).
+    * Returns true when a compaction ran; false = no appends, store
+    * untouched — so re-running compaction is a no-op, not a rewrite.
+    *
+    * Protocol (marker-bracketed, as [[writeMinhashSigStore]]'s
+    * rewrite): the folded dataset is written complete BESIDE the live
+    * one (`sig_compact/`), then `meta/_SUCCESS` is deleted, `sig/` is
+    * promoted from the staged fold, the consumed appends are removed,
+    * and the marker is restored LAST — an observer either sees the
+    * old layout, or an incomplete store (no marker), or the compacted
+    * one; never a half-fold. Serving is layout-blind by construction:
+    * [[searchMinhashSigStore]] reads base ∪ completed appends, and
+    * compaction changes only which side of that union holds the rows
+    * — proven row-identical by `LibraryOpsSpec`'s compaction spec. */
+  def compactMinhashSigStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Boolean = {
+    val appends = StoreFs.completedChildren(spark, s"$storeDir/sig_append")
+    if (appends.isEmpty) return false
+    require(StoreFs.datasetComplete(spark, s"$storeDir/meta"),
+      s"store at $storeDir is incomplete (no meta/_SUCCESS) — refusing to compact")
+    spark.read.parquet((s"$storeDir/sig" +: appends): _*)
+      .write.mode("overwrite").parquet(s"$storeDir/sig_compact")
+    StoreFs.deleteMarker(spark, s"$storeDir/meta")
+    StoreFs.promote(spark, s"$storeDir/sig_compact", s"$storeDir/sig")
+    appends.foreach(StoreFs.delete(spark, _))
+    StoreFs.delete(spark, s"$storeDir/sig_append")
+    StoreFs.delete(spark, s"$storeDir/sig_append_tmp")
+    StoreFs.createMarker(spark, s"$storeDir/meta")
+    true
   }
 
   /** TRAIN/SERVE SPLIT of the text-dedup signature stage, serve half:
@@ -231,6 +290,12 @@ object Dedup {
       textCol: String, bandRows: Int = 2, threshold: Double = 0.5,
       maxBucket: Long = defaultMaxBandBucket): DataFrame = {
     val spark = shard.sparkSession
+    // gate on the commit marker FIRST: meta/_SUCCESS is written last
+    // (and deleted first on rewrite/compaction), so its presence is
+    // the one test that implies the whole store is readable
+    require(StoreFs.datasetComplete(spark, s"$storeDir/meta"),
+      s"store at $storeDir is incomplete (no meta/_SUCCESS marker) — " +
+        "mid-rewrite, mid-compaction, or a crashed write")
     // 1-row structural fetch before the search jobs, as in
     // searchIvfPqIndex — adjudicated driver-side read
     val meta = spark.read.parquet(s"$storeDir/meta").head()
@@ -244,14 +309,15 @@ object Dedup {
     val mhCols = (0 until nHash).map(i => s"mh$i")
     // the current corpus = the base store plus every COMPLETED append
     // ([[appendMinhashSigStore]] — admitted shards; an append without
-    // its _SUCCESS marker is an in-flight write and is not served)
-    val appendDirs = Option(
-        new java.io.File(s"$storeDir/sig_append").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists)
-      .map(_.getPath).sorted
+    // its _SUCCESS marker is an in-flight write and is not served).
+    // Discovery goes through the Hadoop FileSystem API (StoreFs), the
+    // same abstraction the appends were WRITTEN with: a java.io.File
+    // listing resolves only local POSIX paths, so an hdfs:// or s3a://
+    // store — the production deployment — would list null → "no
+    // appends" and silently miss every admitted shard's duplicates
+    val appendDirs = StoreFs.completedChildren(spark, s"$storeDir/sig_append")
     val storeSig = spark.read.parquet(
-      (s"$storeDir/sig" +: appendDirs.toSeq): _*)
+      (s"$storeDir/sig" +: appendDirs): _*)
     require(mhCols.forall(storeSig.columns.contains),
       s"store sig/ at $storeDir lacks the $nHash minhash columns meta/ declares")
     val store = storeSig.select(col(storeId).as(idCol) +:
@@ -886,15 +952,17 @@ object Dedup {
     * consumers can separate true near-dups (high C, high J) from
     * asymmetric inclusions (high C, low J). */
   /** `pairStats`: as in [[ngramJaccard]] — a pre-built
-    * [[ngramPairStats]] frame (same caller contract; containment needs
-    * the stats' blocking to EQUAL this call's, since C-qualifying pairs
-    * are exactly what the prefilter keeps). */
+    * [[ngramPairStats]] frame, except containment VALIDATES the stats'
+    * blocking EQUALS this call's (when the pins are present), not
+    * merely no-finer: this consumer applies no further row filter, so
+    * C-qualifying pairs are exactly what the prefilter keeps and
+    * coarser-blocked stats would silently add cross-block pairs. */
   def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double = 0.8, ngram: Int = 3,
       maxDf: Option[Long] = None, sigTable: Option[DataFrame] = None,
       pairStats: Option[DataFrame] = None): DataFrame = {
     pairStats.foreach(requirePairStatsProvenance(_, ngram, textCol, threshold,
-      blockCols, maxDf))
+      blockCols, maxDf, equalBlocking = true))
     pairStats.getOrElse(
       ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf, sigTable)
         .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
@@ -1029,7 +1097,9 @@ object Dedup {
         .putString("graft_text_col", textCol)
         .putDouble("graft_min_containment", minContainment)
         .putString("graft_block_cols", blockCols.mkString(","))
-        .putLong("graft_max_df", maxDf.getOrElse(0L))
+        // -1 = "no df cap": a 0 sentinel would conflate maxDf=None with
+        // an (illegal, but then unchecked) explicit Some(0)
+        .putLong("graft_max_df", maxDf.getOrElse(-1L))
         .build()
       ngramJaccardCandidates(docs, idCol, textCol, blockCols, ngram, maxDf,
           sigTable, carry)
@@ -1042,7 +1112,7 @@ object Dedup {
     memoKey match {
       case Some(mk) => Memo.cached(
         s"$mk/ngramPairStats/$idCol/$textCol/${blockCols.mkString(",")}/" +
-          s"$minContainment/$ngram/${maxDf.getOrElse(0L)}/${carry.mkString(",")}")(build)
+          s"$minContainment/$ngram/${maxDf.getOrElse(-1L)}/${carry.mkString(",")}")(build)
       case None => build
     }
   }
@@ -1413,10 +1483,16 @@ object Dedup {
     * stats blocking never candidated pairs the call's blocking admits;
     * the legal coarser-stats direction is the caller's documented
     * row-filter-on-carried-columns contract, which metadata cannot
-    * observe). Frames without the pins (hand-built) pass unchecked. */
+    * observe). `equalBlocking` tightens that to set EQUALITY — for
+    * consumers like [[ngramContainment]] whose output is exactly the
+    * prefiltered pair set: coarser-blocked stats would smuggle in
+    * cross-block pairs the call's own blocking would never emit (the
+    * Jaccard consumers are immune — their row filter re-applies the
+    * finer key — but containment applies no further filter). Frames
+    * without the pins (hand-built) pass unchecked. */
   private def requirePairStatsProvenance(ps: DataFrame, ngram: Int,
       textCol: String, threshold: Double, blockCols: Seq[String],
-      maxDf: Option[Long]): Unit =
+      maxDf: Option[Long], equalBlocking: Boolean = false): Unit =
     ps.schema.fields.find(_.name == "inter").foreach { f =>
       val m = f.metadata
       if (m.contains("graft_ngram"))
@@ -1438,11 +1514,17 @@ object Dedup {
           s"pairStats was blocked on (${sb.mkString(", ")}) — FINER than " +
             s"this call's (${blockCols.mkString(", ")}); pairs this call's " +
             s"blocking admits were never candidates there")
+        if (equalBlocking)
+          require(blockCols.forall(sb.contains),
+            s"pairStats was blocked on (${sb.mkString(", ")}) — COARSER than " +
+              s"this call's (${blockCols.mkString(", ")}); this consumer " +
+              "applies no further row filter, so coarser stats would emit " +
+              "cross-block pairs the call's own blocking never generates")
       }
       if (m.contains("graft_max_df"))
-        require(m.getLong("graft_max_df") == maxDf.getOrElse(0L),
+        require(m.getLong("graft_max_df") == maxDf.getOrElse(-1L),
           s"pairStats was built with maxDf=${m.getLong("graft_max_df")}, " +
-            s"this call expects maxDf=${maxDf.getOrElse(0L)}")
+            s"this call expects maxDf=${maxDf.getOrElse(-1L)}")
     }
 
   private def requireSigProvenance(st: DataFrame, ngram: Int,

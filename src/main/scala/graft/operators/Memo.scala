@@ -131,12 +131,22 @@ object Memo {
     * same path is regenerated mid-session (this repo's /tmp/sf1
     * workflow does exactly that); folding the listing into the key
     * makes regeneration a clean miss. Driver-side metadata only —
-    * never reads file contents. */
+    * never reads file contents. The listing goes through the Hadoop
+    * FileSystem API so the fingerprint observes regeneration on
+    * cluster filesystems too — a java.io.File listing of an hdfs://
+    * corpus is null, which would degrade every corpus key to
+    * path-only (the stale-serve class StoreFs documents). */
   def corpusKey(tag: String, dir: String): String = {
-    val files = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val hfs = p.getFileSystem(conf)
+    val files = (if (hfs.exists(p)) hfs.listStatus(p).toSeq else Seq.empty)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map(st => s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}")
     val fp = java.util.UUID.nameUUIDFromBytes(
       files.mkString("|").getBytes("UTF-8")).toString.take(8)
     s"$tag:$dir@$fp"

@@ -375,7 +375,9 @@ object QGaps {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
         stableSum(col("o_totalprice")).as("total"))
-    if (!java.nio.file.Files.exists(memoDir.resolve("_SUCCESS")))
+    // skip-if-exists through the Hadoop FS API — the gate keeps working
+    // when the memo dir is an hdfs:// / s3a:// URI (see StoreFs)
+    if (!graft.operators.StoreFs.datasetComplete(s, memoDir.toString))
       agg.write.mode("overwrite").parquet(memoDir.toString)
     s.read.parquet(memoDir.toString).orderBy("o_orderpriority")
   })

@@ -406,7 +406,10 @@ object QSim {
       System.getProperty("java.io.tmpdir"), "graft_sig_store",
       new java.math.BigInteger(1, java.security.MessageDigest
         .getInstance("MD5").digest(storeKey.getBytes("UTF-8"))).toString(16))
-    if (!java.nio.file.Files.exists(storeDir.resolve("meta").resolve("_SUCCESS")))
+    // skip-if-exists gate through the Hadoop FS API (StoreFs) — the
+    // same filesystem the store is written with, so the gate keeps
+    // working when storeDir is an hdfs:// / s3a:// URI in production
+    if (!graft.operators.StoreFs.datasetComplete(s, s"$storeDir/meta"))
       Dedup.writeMinhashSigStore(
         Tables.documentsP(s, d).filter(!isShard), "doc_id", "text",
         storeDir.toString, ngram = 3, nHash = nHash,
@@ -450,15 +453,16 @@ object QSim {
       System.getProperty("java.io.tmpdir"), "graft_sig_store",
       new java.math.BigInteger(1, java.security.MessageDigest
         .getInstance("MD5").digest(storeKey.getBytes("UTF-8"))).toString(16))
-    if (!java.nio.file.Files.exists(storeDir.resolve("meta").resolve("_SUCCESS")))
+    if (!graft.operators.StoreFs.datasetComplete(s, s"$storeDir/meta"))
       Dedup.writeMinhashSigStore(
         docs.filter(!isAppend && !isProbe), "doc_id", "text",
         storeDir.toString, ngram = 3, nHash = nHash,
         sigTable = Some(sigTab(s, d).filter(!isAppend && !isProbe)))
-    // admit day 1: idempotent per-shard append (overwrite of its own
-    // sig_append/<shardId> dataset — re-running replaces, never dups)
-    if (!java.nio.file.Files.exists(
-        storeDir.resolve("sig_append").resolve("day1").resolve("_SUCCESS")))
+    // admit day 1: idempotent per-shard append (staged + promoted into
+    // its own sig_append/<shardId> dataset — re-running replaces,
+    // never dups); gated through the same Hadoop FS API as the serve
+    if (!graft.operators.StoreFs.datasetComplete(
+        s, s"$storeDir/sig_append/day1"))
       Dedup.appendMinhashSigStore(storeDir.toString,
         docs.filter(isAppend), "doc_id", "text", shardId = "day1")
     // check day 2 against base + day 1
@@ -1462,7 +1466,7 @@ object QSim {
       System.getProperty("java.io.tmpdir"), "graft_ann_index",
       new java.math.BigInteger(1, java.security.MessageDigest
         .getInstance("MD5").digest(idxKey.getBytes("UTF-8"))).toString(16))
-    if (!java.nio.file.Files.exists(idxDir.resolve("codes").resolve("_SUCCESS")))
+    if (!graft.operators.StoreFs.datasetComplete(s, s"$idxDir/codes"))
       Similarity.writeIvfPqIndex(e, "vec_id", "v", idxDir.toString,
         nList = nList, ivfSeed = ivfSeed, dim = kmDim, m = pqM, kCodes = pqK,
         pqSeed = pqSeed, iters = adcIters, targetCellSize = idxTcs,

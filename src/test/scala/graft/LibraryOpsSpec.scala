@@ -1963,7 +1963,21 @@ class LibraryOpsSpec extends AnyFunSuite {
       Dedup.ngramJaccard(d, "id", "body", Seq("grp"), maxDf = Some(5L),
         pairStats = Some(stats))
     }
-    assert(e5.getMessage.contains("maxDf=0") && e5.getMessage.contains("maxDf=5"))
+    // no-cap pin is -1 (a 0 sentinel would conflate None with Some(0))
+    assert(e5.getMessage.contains("maxDf=-1") && e5.getMessage.contains("maxDf=5"))
+    // containment requires EQUAL blocking: coarser stats contain
+    // cross-block pairs its own blocking never emits (jaccard's
+    // row-filter contract recovers finer keys; containment can't)
+    val coarse = Dedup.ngramPairStats(d, "id", "body", blockCols = Seq(),
+      minContainment = 0.3)
+    val e6 = intercept[IllegalArgumentException] {
+      Dedup.ngramContainment(d, "id", "body", Seq("grp"), threshold = 0.8,
+        pairStats = Some(coarse))
+    }
+    assert(e6.getMessage.contains("COARSER"))
+    // ...while the jaccard consumer legally row-filters the same frame
+    assert(Dedup.ngramJaccard(d, "id", "body", Seq(), threshold = 0.3,
+      pairStats = Some(coarse)).count() > 0)
     // the legal direction passes — coarser stats, lower prefilter, and
     // the metadata survives the caller's restriction row filter
     val carried = Dedup.ngramPairStats(d, "id", "body", blockCols = Seq("grp"),
@@ -2113,6 +2127,73 @@ class LibraryOpsSpec extends AnyFunSuite {
       Dedup.appendMinhashSigStore(dir, shard2, "id", "body", shardId = "../x")
     }
     assert(ei.getMessage.contains("path-safe"))
+
+    // COMPACTION: folding sig_append/* into sig/ serves row-identically
+    // (the serve is layout-blind: base ∪ appends before, one dataset
+    // after), the appends are gone, and re-running is a no-op
+    val preCompact = rows(served2)
+    assert(Dedup.compactMinhashSigStore(spark, dir),
+      "compaction with pending appends must report it ran")
+    assert(graft.operators.StoreFs
+      .completedChildren(spark, s"$dir/sig_append").isEmpty,
+      "compaction left append datasets behind")
+    assert(graft.operators.StoreFs.datasetComplete(spark, s"$dir/meta"),
+      "compaction did not restore the meta/_SUCCESS marker")
+    val servedC = Dedup.searchMinhashSigStore(dir, shard2, "id", "body",
+      bandRows = 2, threshold = 0.4)
+    assert(rows(servedC) == preCompact,
+      "serve over the compacted store diverged from store+appends")
+    assert(!Dedup.compactMinhashSigStore(spark, dir),
+      "re-running compaction with no appends must be a no-op")
+    assert(rows(Dedup.searchMinhashSigStore(dir, shard2, "id", "body",
+      bandRows = 2, threshold = 0.4)) == preCompact)
+  }
+
+  test("signature store lifecycle works through a scheme-qualified (non-POSIX-path) URI") {
+    import spark.implicits._
+    // The production store lives on hdfs:// or s3a:// — java.io.File /
+    // java.nio.file resolve NEITHER, and the r14 append discovery
+    // (java.io.File.listFiles) returned null there, silently serving
+    // ZERO appends. No HDFS minicluster in this environment, so the
+    // regression pin uses a scheme-qualified file: URI: java.io.File
+    // can't list "file:/..." either (it reads it as a relative path),
+    // so every step below passes ONLY through the Hadoop FileSystem API.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven"))
+      .toDF("id", "body")
+    val shard = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta kappa"))
+      .toDF("id", "body")
+    val probe = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta mu"))
+      .toDF("id", "body")
+    val local = java.nio.file.Files.createTempDirectory("graft-sig-uri")
+    val dir = "file:" + local.toString // scheme-qualified, not a POSIX path
+    assert(!new java.io.File(dir).exists,
+      "precondition: java.io.File must NOT resolve the qualified URI " +
+        "(otherwise this test no longer pins the FileSystem-API path)")
+    Dedup.writeMinhashSigStore(corpus, "id", "body", dir, ngram = 3, nHash = 8)
+    assert(graft.operators.StoreFs.datasetComplete(spark, s"$dir/meta"))
+    Dedup.appendMinhashSigStore(dir, shard, "id", "body", shardId = "day1")
+    // the appended shard MUST be discovered: the (20, 10) pair exists
+    // only if sig_append/ is listed — with the r14 java.io.File
+    // discovery the serve still "works" (20 pairs with base doc 1)
+    // while silently missing every appended partner
+    val served = Dedup.searchMinhashSigStore(dir, probe, "id", "body",
+      bandRows = 2, threshold = 0.4)
+    // snapshot BEFORE compaction — the lazy frame's file listing dies
+    // with the fold, exactly the mid-rewrite state the marker protocol
+    // exists to gate against
+    val servedRows = served.collect().map(_.toSeq).toSet
+    assert(servedRows.exists(r => r(0) == 20L && r(1) == 10L && r(2) == false),
+      "append written through a qualified URI was not served — the " +
+        "silent-append-loss regression")
+    // and the whole lifecycle closes: compaction over the URI store
+    assert(Dedup.compactMinhashSigStore(spark, dir))
+    val servedC = Dedup.searchMinhashSigStore(dir, probe, "id", "body",
+      bandRows = 2, threshold = 0.4)
+    assert(servedC.collect().map(_.toSeq).toSet == servedRows)
   }
 
   test("Memo tiers: report carries tier, hit counts, and materialized bytes") {

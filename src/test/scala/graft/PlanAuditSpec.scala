@@ -368,6 +368,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sig-store serve lost its band-bucket anti-join guard:\n$sigStr")
     assert(sigStr.contains("graft-audit-sig"),
       s"sig-store serve does not scan the persisted store:\n$sigStr")
+    // r15 join-strategy pin: the STORE side must never be the build
+    // side of a driver broadcast. The r14 pathology trigger was
+    // estimate-blind cached frames, but a plain Parquet scan's stats
+    // flip with store size — at corpus scale a broadcast of the store
+    // is the OOM shape. The band/verify joins over store-derived rows
+    // must stay partitioned exchanges (ShuffledHashJoin/SortMergeJoin).
+    assert(sigStr.contains("ShuffledHashJoin") || sigStr.contains("SortMergeJoin"),
+      s"sig-store serve lost its partitioned band/verify joins:\n$sigStr")
+    // "store side" = a direct FileScan of the store parquet inside a
+    // broadcast build subtree. (An InMemoryTableScan build whose CACHE
+    // lineage mentions the store is legal when runtime-filtered to
+    // is_new — that broadcast carries only the increment's band rows,
+    // the correct small side; a plain .toString match would flag it.)
+    val bcastOverStore = sigPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        (j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        }).collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(
+                _.toString.contains("graft-audit-sig")) => f
+        }
+    }.flatten
+    assert(bcastOverStore.isEmpty,
+      s"sig-store serve broadcasts a store scan " +
+        s"(${bcastOverStore.size} scans) — the corpus-side-OOM shape:\n$sigStr")
 
     // neither serve path registers session-memo entries (the
     // MemoAuditSpec concern the buildExecutes skip would otherwise hide)
