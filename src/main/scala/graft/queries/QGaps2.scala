@@ -271,8 +271,19 @@ object QGaps2 {
     * 25-cell exact-sum table (scope-persisted — it feeds the pivot and
     * both broadcast copies of the rank table); everything downstream
     * operates on those 25 rows.
-    * Ref: cross_trial_type_cca_analysis.py:2996-3129 (hierarchical
-    * variant of 1966-2664). */
+    *
+    * Cost floor, decomposed (tools.ProfileP5, r15 — the adjudication of
+    * the r13→r14 1.46→1.59 s sf0.1 / 2.98→3.20 s sf1 watch item): warm,
+    * fact→cells alone = 1.4 s sf0.1 / 2.6 s sf1 across 17 jobs — the
+    * one data-proportional stage, sub-linear (1.8× on 10× data) and the
+    * SAME 4-table join the un-watched p5_upper_triangle_matrix runs
+    * (its full query: 1.6 / 2.5 s); everything after the 25-row cell
+    * table = ~0.5-0.6 s FLAT across 12 more jobs (persist touch, rank
+    * window, two 5-row broadcast builds, pivot, orderBy — pure
+    * scheduling floor at ~40-50 ms/job). The recorded creep therefore
+    * lives in the shared fact join's ambient spread, not in new work:
+    * no stage moves data it does not consume, and reclaiming the floor
+    * would mean fusing 25-row stages — measure changes, not plan wins. */
   val p5h = Q("p5_upper_triangle_hier", Some("""
     WITH creg AS (SELECT c_custkey, r.r_name AS rc FROM customer
                   JOIN nation ON c_nationkey = n_nationkey

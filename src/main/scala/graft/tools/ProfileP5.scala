@@ -1,0 +1,67 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted}
+import org.apache.spark.sql.functions._
+
+/** Stage/job decomposition of `p5_upper_triangle_hier` (the r14 verdict
+  * watch item: 1.46→1.59 s sf0.1 / 2.98→3.20 s sf1 across two rounds of
+  * recordings on untouched code). Separates the query's one data-
+  * proportional stage — the 4-table fact join into the 25-cell exact
+  * aggregate — from everything downstream of the 25 rows (rank window,
+  * two broadcast joins, pivot), so creep can be attributed to data work
+  * vs job-scheduling floor. Not part of the driver contract; run:
+  * `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.ProfileP5"`. */
+object ProfileP5 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local(32)
+    import graft.operators.CacheScope
+    import graft.Tables
+
+    val jobs = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        stages.incrementAndGet()
+    })
+
+    def run(tag: String)(f: => Unit): Unit = {
+      val (j0, s0) = (jobs.get(), stages.get())
+      val t0 = System.nanoTime()
+      CacheScope.withScope(f)
+      println(f"PROF $tag%-18s ${(System.nanoTime() - t0) / 1e9}%.3f s  " +
+        s"jobs=${jobs.get() - j0} stages=${stages.get() - s0}")
+    }
+
+    def reg2(dim: org.apache.spark.sql.DataFrame, key: String, nk: String, out: String) =
+      dim.join(Tables.nation(spark, sfDir), col(nk) === col("n_nationkey"))
+        .join(Tables.region(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+        .select(col(key), col("r_name").as(out))
+    def cells = {
+      val creg = reg2(Tables.customer(spark, sfDir), "c_custkey", "c_nationkey", "rc")
+      val sreg = reg2(Tables.supplier(spark, sfDir), "s_suppkey", "s_nationkey", "rs")
+      Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+        .join(creg, col("o_custkey") === col("c_custkey"))
+        .join(sreg, col("l_suppkey") === col("s_suppkey"))
+        .select(col("rc"), col("rs"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)").as("rev4"))
+        .groupBy("rc", "rs")
+        .agg(sum(col("rev4")).as("s4"), count(lit(1)).as("c"))
+    }
+
+    val full = graft.queries.Q.registry.find(_.name == "p5_upper_triangle_hier").get
+    val fullStatic = graft.queries.Q.registry.find(_.name == "p5_upper_triangle_matrix").get
+    for (rep <- 1 to 3) {
+      println(s"--- rep $rep")
+      run("fact->cells only") { cells.collect() }
+      run("p5h full") { full.build(spark, sfDir).collect() }
+      run("p5 static full") { fullStatic.build(spark, sfDir).collect() }
+    }
+    spark.stop()
+  }
+}

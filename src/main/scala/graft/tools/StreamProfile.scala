@@ -15,6 +15,13 @@ object StreamProfile {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-stream-profile"),
       cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb measures the cluster-scale
+    // state-store knob's per-batch overhead against the default
+    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb")) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      println("state store: RocksDBStateStoreProvider")
+    }
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.streams.addListener(new StreamingQueryListener {

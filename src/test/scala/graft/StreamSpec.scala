@@ -78,6 +78,38 @@ class StreamSpec extends AnyFunSuite {
     assert(single == expected, s"single-batch sessionize diverged: $single")
   }
 
+  test("sessionize is provider-identical under the RocksDB state store") {
+    // The sessionize scaladoc names RocksDBStateStoreProvider as the
+    // cluster-scale knob (per-user state off the executor heap; the
+    // default HDFSBackedStateStore holds each partition's full map in
+    // memory). This turns the documented config into a regression-
+    // guarded one: a typo'd class name or a provider incompatibility
+    // with flatMapGroupsWithState/EventTimeTimeout fails HERE, not on
+    // the cluster. Multi-batch delivery so state genuinely round-trips
+    // the store between micro-batches; output must be identical.
+    def run(name: String) =
+      StreamOps.sessionizeCompact(
+        StreamOps.runToMemory(spark,
+          StreamOps.sessionizePlan(spark,
+            fileAtATimeStream(name, Seq(batch0, batch1))),
+          s"t_$name", OutputMode.Append()))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    val default = run("sess_prov_dflt")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = run("sess_prov_rocks")
+      assert(rocks.nonEmpty && rocks == default,
+        s"RocksDB-provider sessionize diverged from the default provider: $rocks")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sessionize evicts state past the watermark horizon (timed-out user re-sessionizes)") {
     // b0 opens user 1's session (ends t0+600; gap horizon t0+2400).
     // b1/b2 are user-2-only batches far in the future: b1's max ts
