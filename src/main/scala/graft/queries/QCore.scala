@@ -208,7 +208,8 @@ object QCore {
             FROM e WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1, 2),
     ser AS (SELECT user_id, t, value FROM e WHERE event_type = 'click' AND user_id IS NOT NULL)
     SELECT CAST(FLOOR((ser.t - trg.t) / 600.0) AS BIGINT) AS lag_bucket,
-           count(*) AS n, round(avg(ser.value), 4) AS avg_value
+           count(*) AS n,
+           round(${stableSumSql("ser.value")} / count(ser.value), 4) AS avg_value
     FROM ser ASOF JOIN trg ON ser.user_id = trg.user_id AND ser.t >= trg.t
     GROUP BY 1 ORDER BY 1"""
   ))((s, d) => {
@@ -222,7 +223,13 @@ object QCore {
       .latestPreceding(ser, trg, Seq("user_id"), "t", "t", Seq("trig_id", "trig_t"))
       .filter(col("trig_id").isNotNull) // inner as-of: drop unattributed clicks
       .groupBy(floor((col("t") - col("trig_t")) / 600.0).cast("long").as("lag_bucket"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      // bucket mean via the exact decimal sum, NOT avg(): at sf0.1 six
+      // bucket means land ON a .xxxx5 4-dp boundary, and the two
+      // engines' double-avg accumulation orders put the pre-round value
+      // on opposite sides — the order-invariant sum makes both sides
+      // round the SAME IEEE double (the s4/s5 stableSum discipline)
+      .agg(count(lit(1)).as("n"),
+        round(stableSum(col("value")) / count(col("value")), 4).as("avg_value"))
       .orderBy("lag_bucket")
   })
 

@@ -326,6 +326,101 @@ object QKernels {
       .repartition(1).sortWithinPartitions("label", "component")
   })
 
+  // ------------------------------------------- end-to-end composition
+  /** The Oxford ENTRY-POINT composition in one plan — the §2 rows are
+    * all individually green, this proves they compose the way the
+    * reference's driver runs them (run_cross_trial_type_cca_analysis.py:543-587:
+    * segment → gate trials/units → per-session CCA → cross-session
+    * roll-up → region matrix):
+    *
+    *  1. J1  — RangeJoin.segment: every purchase is a trial trigger;
+    *     non-purchase events with a value are the observation series,
+    *     windowed 12 h pre / 8 h post per user (the testdata's events
+    *     span ~30 days at ~2 events/user/day, so day-scale windows are
+    *     this corpus's analog of the reference's ±1 s at 50 Hz).
+    *  2. C6-style binning — rel_off → five 4 h bins (−3..1), per-trial
+    *     bin means via order-invariant decimal sums (run-stable input
+    *     to the kernel, the fixture-pin discipline).
+    *  3. F6 — min-count HAVING gate: trials with ≥ 2 observations.
+    *  4. F4 — stable-unit semi join: users with ≥ 3 qualifying trials.
+    *  5. J9 — broadcast taxonomy attach: user → customer → nation →
+    *     region (the "session group" of the CCA).
+    *  6. L7 — CCA per region between the 3 pre-bins (X) and 2
+    *     post-bins (Y), sufficient-statistics path: one MomentsAgg row
+    *     per region, scatter blocks, LinAlg.ccaFromMoments — no task
+    *     ever materializes a region's trials.
+    *  7. A4 — across-region rollup appended as the 'ALL (mean)' row
+    *     (exact decimal mean of the already-6dp-rounded per-region rs).
+    *  8. P1-style component pivot: output is the region × component
+    *     matrix (region, n_trials, r_1, r_2).
+    *
+    * Not SQL-expressible (CCA) → fixture-gated like l6/l7, with the
+    * independent numpy leg in tools/check_kernels.py re-running the
+    * whole chain (segmentation re-derived in SQL, CCA in numpy). */
+  val e2e = Q("pipeline_region_cca",
+    Some(Q.fixtureOracle("pipeline_region_cca", "region")))((s, d) => {
+    import s.implicits._
+    import graft.functions.Deterministic
+    val binW = 14400L; val pre = 43200L; val post = 28799L
+    val dims = 5; val xs = 0 until 3; val ys = 3 until 5
+    val e = Tables.events(s, d).withColumn(
+      "t", (unix_micros(col("ts")) / lit(1000000L)).cast("long"))
+    val trg = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("trig_id"), col("user_id"), col("t").as("trig_t"))
+    val ser = e.filter(col("event_type") =!= "purchase" && col("value").isNotNull)
+      .select(col("user_id"), col("t").as("obs_t"), col("value"))
+    val seg = graft.operators.RangeJoin
+      .segment(trg, ser, Seq("user_id"), "trig_t", "obs_t", pre, post)
+      .withColumn("rel_bin", floor(col("rel_off") / lit(binW.toDouble)).cast("long"))
+    // per-trial bin-mean vector + observation count, one hash aggregate;
+    // bin index i ∈ [0, 5) ↔ rel_bin i − 3
+    def binMean(i: Int) = {
+      val v = when(col("rel_bin") === (i - 3), col("value"))
+      coalesce(Deterministic.stableSumGuarded(v) / count(v), lit(0.0)).as(s"bb$i")
+    }
+    val trials = seg.groupBy("trig_id", "user_id")
+      .agg(count(lit(1)).as("n_obs"), (0 until dims).map(binMean): _*)
+      .filter(col("n_obs") >= 2) // F6
+    // persisted: the qualifying-trial frame feeds both the stable-unit
+    // build side and the probe side (no CSE across join branches)
+    val trialsP = graft.operators.CacheScope.persist(trials)
+    val stable = trialsP.groupBy("user_id")
+      .agg(count(lit(1)).as("nt")).filter(col("nt") >= 3).select("user_id")
+    val kept = trialsP.join(stable, Seq("user_id"), "left_semi") // F4
+    val reg = Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey").as("user_id"), col("r_name").as("region"))
+    val magg = udaf(new graft.functions.MomentsAgg(dims),
+      implicitly[org.apache.spark.sql.Encoder[Seq[Double]]])
+    // persisted: the 5-row region matrix feeds the output union AND the
+    // rollup aggregate — without it the whole upstream chain runs twice
+    val perRegion = graft.operators.CacheScope.persist(
+      kept.join(broadcast(reg), "user_id") // J9
+        .groupBy("region")
+        .agg(magg(array((0 until dims).map(i => col(s"bb$i")): _*)).as("mm"))
+        .select(col("region"), col("mm.n"), col("mm.s"), col("mm.m"))
+        .as[(String, Long, Seq[Double], Seq[Double])]
+        .map { case (region, n, sv, m) => // L7 kernel on the moment row
+          val cc = LinAlg.ccaFromMoments(n,
+            scatterBlock(n, sv, m, dims, xs, xs),
+            scatterBlock(n, sv, m, dims, xs, ys),
+            scatterBlock(n, sv, m, dims, ys, ys), 2)
+          def rAt(c: Int) = if (c < cc.r.length) cc.r(c) else 0.0
+          (region, n, r6(rAt(0)), r6(rAt(1)))
+        }.toDF("region", "n_trials", "r_1", "r_2"))
+    val rollup = perRegion.agg( // A4: across-region second level
+        sum(col("n_trials")).as("n_trials"),
+        (round(Deterministic.stableSumGuarded(col("r_1"))
+          / count(lit(1)), 6)).as("r_1"),
+        (round(Deterministic.stableSumGuarded(col("r_2"))
+          / count(lit(1)), 6)).as("r_2"))
+      .select(lit("ALL (mean)").as("region"), col("n_trials"),
+        col("r_1"), col("r_2"))
+    perRegion.unionByName(rollup)
+      .repartition(1).sortWithinPartitions("region")
+  })
+
   /** L7 companion: CCA A-side weights long table for L11 — from the
     * label moments, no group materialization. */
   private def ccaWeights(s: SparkSession, d: String): DataFrame = {
@@ -574,5 +669,5 @@ object QKernels {
       .repartition(1).sortWithinPartitions("label")
   })
 
-  val all: Seq[Q] = Seq(l6, l7, l7ref, l8, l9, l10, l11, l12)
+  val all: Seq[Q] = Seq(l6, l7, l7ref, l8, l9, l10, l11, l12, e2e)
 }

@@ -43,7 +43,9 @@ class FixtureSpec extends AnyFunSuite {
       // logistic IRLS needs a matrix solve — not SQL-expressible
       "curate_quality_classifier",
       // decile calibration of the same IRLS scores — same solve upstream
-      "curate_classifier_calibration")
+      "curate_classifier_calibration",
+      // the end-to-end entry-point composition ends in a CCA solve
+      "pipeline_region_cca")
     assert(gated.map(_._1).toSet == expected)
   }
 

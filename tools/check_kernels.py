@@ -601,6 +601,56 @@ if glob.glob(f"{out_dir}/curate_quality_classifier/*.parquet"):
               load("curate_classifier_calibration").sort_values("bin"),
               ["bin", "n", "conf", "acc", "gap", "ece"])
 
+# ------------------------------------ pipeline_region_cca (end-to-end)
+# The entry-point composition: segmentation + gates re-derived in SQL
+# (the stages ARE relational), the per-region CCA in numpy — fully
+# independent of the engine's RangeJoin/MomentsAgg/Breeze path.
+trial_rows = con.execute(f"""
+    WITH e AS (SELECT *, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t
+               FROM read_parquet('{sf_dir}/events.parquet')),
+    trg AS (SELECT event_id AS trig_id, user_id, t AS trig_t FROM e
+            WHERE event_type = 'purchase'),
+    ser AS (SELECT user_id, t AS obs_t, value FROM e
+            WHERE event_type <> 'purchase' AND value IS NOT NULL),
+    seg AS (SELECT trg.trig_id, trg.user_id, ser.value,
+                   CAST(FLOOR((ser.obs_t - trg.trig_t) / 14400.0) AS BIGINT) + 3 AS bi
+            FROM ser JOIN trg ON ser.user_id = trg.user_id
+             AND ser.obs_t >= trg.trig_t - 43200 AND ser.obs_t <= trg.trig_t + 28799),
+    tri AS (SELECT trig_id, user_id,
+                   {", ".join(f"coalesce(avg(CASE WHEN bi = {i} THEN value END), 0.0) AS bb{i}" for i in range(5))},
+                   count(*) AS n_obs
+            FROM seg GROUP BY 1, 2 HAVING count(*) >= 2),
+    stab AS (SELECT user_id FROM tri GROUP BY 1 HAVING count(*) >= 3),
+    tri2 AS (SELECT tri.* FROM tri SEMI JOIN stab ON tri.user_id = stab.user_id),
+    cust AS (SELECT * FROM read_parquet('{sf_dir}/customer.parquet')),
+    nat AS (SELECT * FROM read_parquet('{sf_dir}/nation.parquet')),
+    regn AS (SELECT * FROM read_parquet('{sf_dir}/region.parquet')),
+    reg AS (SELECT c_custkey, r_name FROM cust
+            JOIN nat ON c_nationkey = n_nationkey
+            JOIN regn ON n_regionkey = r_regionkey)
+    SELECT r_name, bb0, bb1, bb2, bb3, bb4
+    FROM tri2 JOIN reg ON tri2.user_id = reg.c_custkey
+    ORDER BY r_name, trig_id""").fetchall()
+by_region = {}
+for r_name, *bb in trial_rows:
+    by_region.setdefault(r_name, []).append(bb)
+exp = {}
+for r_name in sorted(by_region):
+    m = np.asarray(by_region[r_name], dtype=np.float64)
+    a, b, r, lam = cca(m[:, :3], m[:, 3:], 2)
+    exp[r_name] = (float(len(m)),
+                   r[0] if len(r) > 0 else 0.0, r[1] if len(r) > 1 else 0.0)
+# A4 rollup row: mean of the (6dp-rounded, but we tolerate 5e-7) rs
+exp["ALL (mean)"] = (float(sum(v[0] for v in exp.values())),
+                     float(np.mean([v[1] for v in exp.values()])),
+                     float(np.mean([v[2] for v in exp.values()])))
+got_e2e = load("pipeline_region_cca").sort_values("region")
+rows = [{"n_trials": exp[rn][0], "r_1": exp[rn][1], "r_2": exp[rn][2]}
+        for rn in got_e2e["region"]]
+assert sorted(got_e2e["region"]) == sorted(exp), (
+    f"pipeline_region_cca regions {list(got_e2e['region'])} != {sorted(exp)}")
+check("pipeline_region_cca", rows, got_e2e, ["n_trials", "r_1", "r_2"])
+
 if failures:
     print("\nFAILED:\n  " + "\n  ".join(failures))
     sys.exit(1)

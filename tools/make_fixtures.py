@@ -29,6 +29,9 @@ KERNELS = [
     "curate_quality_classifier",
     # decile calibration of the IRLS scores — same non-SQL solve upstream
     "curate_classifier_calibration",
+    # end-to-end entry-point composition (segment -> gates -> region CCA
+    # -> rollup) — ends in a CCA solve, not SQL-expressible
+    "pipeline_region_cca",
 ]
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
