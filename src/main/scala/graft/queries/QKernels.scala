@@ -387,16 +387,20 @@ object QKernels {
     val stable = trialsP.groupBy("user_id")
       .agg(count(lit(1)).as("nt")).filter(col("nt") >= 3).select("user_id")
     val kept = trialsP.join(stable, Seq("user_id"), "left_semi") // F4
+    // J9 taxonomy attach: nation/region are true broadcast taxonomies;
+    // customer is a SCALING dimension (1.5B rows at 100 TB), so the
+    // trials ⋈ customer attach stays an AQE-decided equi-join — at
+    // bench scales AQE broadcasts it, at corpus scale it exchanges
     val reg = Tables.customer(s, d)
-      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
-      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey").as("user_id"), col("r_name").as("region"))
     val magg = udaf(new graft.functions.MomentsAgg(dims),
       implicitly[org.apache.spark.sql.Encoder[Seq[Double]]])
     // persisted: the 5-row region matrix feeds the output union AND the
     // rollup aggregate — without it the whole upstream chain runs twice
     val perRegion = graft.operators.CacheScope.persist(
-      kept.join(broadcast(reg), "user_id") // J9
+      kept.join(reg, "user_id") // J9
         .groupBy("region")
         .agg(magg(array((0 until dims).map(i => col(s"bb$i")): _*)).as("mm"))
         .select(col("region"), col("mm.n"), col("mm.s"), col("mm.m"))
