@@ -579,7 +579,23 @@ object Dedup {
 
   /** Shared chain of [[minhashLshIncremental]] /
     * [[minhashLshIncrementalCandidates]]: (perDoc, pre-distinct
-    * candidate rows). */
+    * candidate rows).
+    *
+    * Scale note on the `bandsAll` persist: the exploded band frame is
+    * CORPUS-proportional (nHash/bandRows narrow rows per document) and
+    * feeds three consumers (the over-cap aggregate, the new-side
+    * anti-join probe, the candidate join's b-side), so one
+    * materialization replaces three re-derivations — on the serve path
+    * three extra SCANS of the persisted signature store, since
+    * Catalyst does not CSE across join branches. MEMORY_AND_DISK keeps
+    * the trade disk-IO-shaped when the frame outgrows executor memory
+    * (it spills, it does not OOM), and the scope unpersists it with
+    * the consuming action. At full corpus scale the alternative —
+    * re-deriving bands per consumer from the columnar store scan — is
+    * the knob to flip if executor-local disk is scarcer than store
+    * read bandwidth: drop this persist and the plan re-scans instead
+    * of spilling; both shapes are correct, the choice is a storage
+    * economics call this comment exists to make visible. */
   private def minhashIncBandParts(docs: DataFrame, idCol: String,
       textCol: String, isNewCol: String, nHash: Int, bandRows: Int,
       ngram: Int, maxBucket: Long,

@@ -356,7 +356,15 @@ object QKernels {
     *
     * Not SQL-expressible (CCA) → fixture-gated like l6/l7, with the
     * independent numpy leg in tools/check_kernels.py re-running the
-    * whole chain (segmentation re-derived in SQL, CCA in numpy). */
+    * whole chain (segmentation re-derived in SQL, CCA in numpy).
+    *
+    * Cost shape (tools.ProfileP5, r15, sf0.1 warm): the data stage —
+    * segment join + trial aggregate — is 0.6–0.9 s across 4 jobs;
+    * everything downstream of the qualifying-trial frame is 17 more
+    * jobs of 5-row work (stable-unit gate, region attach, moment
+    * aggregate, solve, rollup, sort) — the p5h-class scheduling floor.
+    * Recorded 1.53 s sf0.1 / 2.86 s sf1 (1.87×, sub-linear: only the
+    * segment join and two hash aggregates grow with events). */
   val e2e = Q("pipeline_region_cca",
     Some(Q.fixtureOracle("pipeline_region_cca", "region")))((s, d) => {
     import s.implicits._

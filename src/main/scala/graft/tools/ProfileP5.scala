@@ -56,11 +56,31 @@ object ProfileP5 {
 
     val full = graft.queries.Q.registry.find(_.name == "p5_upper_triangle_hier").get
     val fullStatic = graft.queries.Q.registry.find(_.name == "p5_upper_triangle_matrix").get
+    // pipeline_region_cca's data stage alone: segment join + trial agg
+    // (the same decomposition discipline — everything past this is
+    // 5-row kernel/rollup work)
+    val e2e = graft.queries.Q.registry.find(_.name == "pipeline_region_cca").get
+    def e2eTrials = {
+      val e = Tables.events(spark, sfDir).withColumn(
+        "t", (unix_micros(col("ts")) / lit(1000000L)).cast("long"))
+      val trg = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("trig_id"), col("user_id"), col("t").as("trig_t"))
+      val ser = e.filter(col("event_type") =!= "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("t").as("obs_t"), col("value"))
+      graft.operators.RangeJoin
+        .segment(trg, ser, Seq("user_id"), "trig_t", "obs_t", 43200L, 28799L)
+        .withColumn("rel_bin", floor(col("rel_off") / lit(14400.0)).cast("long"))
+        .groupBy("trig_id", "user_id")
+        .agg(count(lit(1)).as("n_obs"))
+        .filter(col("n_obs") >= 2)
+    }
     for (rep <- 1 to 3) {
       println(s"--- rep $rep")
       run("fact->cells only") { cells.collect() }
       run("p5h full") { full.build(spark, sfDir).collect() }
       run("p5 static full") { fullStatic.build(spark, sfDir).collect() }
+      run("e2e seg+trials") { e2eTrials.collect() }
+      run("e2e full") { e2e.build(spark, sfDir).collect() }
     }
     spark.stop()
   }
