@@ -213,6 +213,14 @@ object Dedup {
     require(StoreFs.datasetComplete(spark, s"$storeDir/meta"),
       s"store at $storeDir is incomplete (no meta/_SUCCESS marker) — " +
         "appends need a landed base store")
+    // a shardId already FOLDED into sig/ by compaction cannot be
+    // re-appended: its old rows are indistinguishable inside the base,
+    // so an overwrite-correction would DUPLICATE the shard instead of
+    // replacing it — fail loudly, the one honest answer left
+    require(!compactedShards(spark, storeDir).contains(shardId),
+      s"shard '$shardId' was already compacted into $storeDir/sig — " +
+        "re-appending would duplicate its rows; corrections after " +
+        "compaction require rebuilding the base store")
     val meta = spark.read.parquet(s"$storeDir/meta").head()
     val storeText = meta.getAs[String]("text_col")
     require(storeText == textCol,
@@ -237,30 +245,72 @@ object Dedup {
     *
     * Protocol (marker-bracketed, as [[writeMinhashSigStore]]'s
     * rewrite): the folded dataset is written complete BESIDE the live
-    * one (`sig_compact/`), then `meta/_SUCCESS` is deleted, `sig/` is
-    * promoted from the staged fold, the consumed appends are removed,
-    * and the marker is restored LAST — an observer either sees the
-    * old layout, or an incomplete store (no marker), or the compacted
-    * one; never a half-fold. Serving is layout-blind by construction:
-    * [[searchMinhashSigStore]] reads base ∪ completed appends, and
-    * compaction changes only which side of that union holds the rows
-    * — proven row-identical by `LibraryOpsSpec`'s compaction spec. */
+    * one (`sig_compact/`), and a FOLDED-SHARD LEDGER
+    * (`shards_compacted/`: one shard_id row per ever-folded append,
+    * old ledger ∪ this fold) is staged the same way; then
+    * `meta/_SUCCESS` is deleted, both datasets are promoted, the
+    * consumed appends are removed, and the marker is restored LAST —
+    * an observer either sees the old layout, or an incomplete store
+    * (no marker), or the compacted one; never a half-fold.
+    *
+    * The ledger is what keeps the per-shard lifecycle meaningful after
+    * the fold erases `sig_append/<id>/`: "is this shard admitted?"
+    * remains answerable ([[minhashShardAdmitted]] — appended OR
+    * folded), and [[appendMinhashSigStore]] refuses a folded shardId
+    * loudly (its rows are indistinguishable inside `sig/`, so an
+    * overwrite-"correction" would silently DUPLICATE the shard —
+    * exactly the skip-if-exists caller bug this ledger prevents).
+    *
+    * Serving is layout-blind by construction: [[searchMinhashSigStore]]
+    * reads base ∪ completed appends, and compaction changes only which
+    * side of that union holds the rows — proven row-identical by
+    * `LibraryOpsSpec`'s compaction spec and the
+    * `dedup_sig_store_compact_serve` oracle row. */
   def compactMinhashSigStore(spark: org.apache.spark.sql.SparkSession,
       storeDir: String): Boolean = {
     val appends = StoreFs.completedChildren(spark, s"$storeDir/sig_append")
     if (appends.isEmpty) return false
     require(StoreFs.datasetComplete(spark, s"$storeDir/meta"),
       s"store at $storeDir is incomplete (no meta/_SUCCESS) — refusing to compact")
+    import spark.implicits._
     spark.read.parquet((s"$storeDir/sig" +: appends): _*)
       .write.mode("overwrite").parquet(s"$storeDir/sig_compact")
+    val foldedIds = appends
+      .map(p => new org.apache.hadoop.fs.Path(p).getName) ++
+      compactedShards(spark, storeDir)
+    foldedIds.distinct.sorted.toDF("shard_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$storeDir/shards_compacted_tmp")
     StoreFs.deleteMarker(spark, s"$storeDir/meta")
     StoreFs.promote(spark, s"$storeDir/sig_compact", s"$storeDir/sig")
+    StoreFs.promote(spark, s"$storeDir/shards_compacted_tmp",
+      s"$storeDir/shards_compacted")
     appends.foreach(StoreFs.delete(spark, _))
     StoreFs.delete(spark, s"$storeDir/sig_append")
     StoreFs.delete(spark, s"$storeDir/sig_append_tmp")
     StoreFs.createMarker(spark, s"$storeDir/meta")
     true
   }
+
+  /** The folded-shard ledger of `storeDir`: every shardId
+    * [[compactMinhashSigStore]] has ever folded into `sig/`. Empty for
+    * a store never compacted. Driver-side read of a shard-count-sized
+    * dataset (the 1-row structural-fetch class). */
+  private def compactedShards(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Set[String] =
+    if (!StoreFs.datasetComplete(spark, s"$storeDir/shards_compacted"))
+      Set.empty
+    else spark.read.parquet(s"$storeDir/shards_compacted")
+      .collect().map(_.getString(0)).toSet
+
+  /** True iff `shardId` is ADMITTED to the store's corpus: landed as a
+    * completed `sig_append/<shardId>/` dataset, or already folded into
+    * `sig/` by compaction. THE gate skip-if-exists append callers must
+    * use — testing the append dataset alone re-admits (and therefore
+    * duplicates) every shard a compaction has folded. */
+  def minhashShardAdmitted(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, shardId: String): Boolean =
+    StoreFs.datasetComplete(spark, s"$storeDir/sig_append/$shardId") ||
+      compactedShards(spark, storeDir).contains(shardId)
 
   /** TRAIN/SERVE SPLIT of the text-dedup signature stage, serve half:
     * incremental near-dup of a NEW document shard against a corpus

@@ -460,12 +460,59 @@ object QSim {
         sigTable = Some(sigTab(s, d).filter(!isAppend && !isProbe)))
     // admit day 1: idempotent per-shard append (staged + promoted into
     // its own sig_append/<shardId> dataset — re-running replaces,
-    // never dups); gated through the same Hadoop FS API as the serve
-    if (!graft.operators.StoreFs.datasetComplete(
-        s, s"$storeDir/sig_append/day1"))
+    // never dups). Gated on ADMISSION (appended OR compaction-folded),
+    // not on the append dataset alone: after a compaction the dataset
+    // is gone but the shard is still in the corpus, and re-appending
+    // it would duplicate its rows
+    if (!Dedup.minhashShardAdmitted(s, storeDir.toString, "day1"))
       Dedup.appendMinhashSigStore(storeDir.toString,
         docs.filter(isAppend), "doc_id", "text", shardId = "day1")
     // check day 2 against base + day 1
+    Dedup.searchMinhashSigStore(storeDir.toString,
+        docs.filter(isProbe), "doc_id", "text",
+        bandRows = bandRows, threshold = 0.5)
+      .orderBy("doc_new", "doc_other")
+  })
+
+  /** The MAINTENANCE step of the signature-store lifecycle: base
+    * written once, day-1 shard appended, then
+    * [[graft.operators.Dedup.compactMinhashSigStore]] folds the append
+    * into `sig/` (write-beside + marker-bracketed promote + the
+    * folded-shard ledger), and day 2 is served against the COMPACTED
+    * store. The oracle is the same inline incremental replay as
+    * `dedup_sig_store_append_serve` — by construction compaction only
+    * moves rows from the append side of the serve union into the base,
+    * so passing the hash gate proves the fold is serve-invisible: same
+    * bands, same verify, same rows. Re-runs are idempotent end to end:
+    * the store exists (skip write), day1 stays admitted through the
+    * ledger (skip append — re-appending a folded shard would duplicate
+    * it, the bug [[graft.operators.Dedup.minhashShardAdmitted]]
+    * exists to prevent), and compaction with no appends is a no-op. */
+  val sigStoreCompact = Q("dedup_sig_store_compact_serve",
+    Some(incMinhashSqlFor(probeShardSrcs)),
+    buildExecutes = true
+  )((s, d) => {
+    val docs = Tables.documentsP(s, d)
+    val isAppend = col("source").isin(appendShardSrcs: _*)
+    val isProbe = col("source").isin(probeShardSrcs: _*)
+    // a store of its OWN (compaction mutates the layout in place; the
+    // append-serve query's store must keep its sig_append/ form)
+    val storeKey = graft.operators.Memo.corpusKey("sigstore-cmp", d) +
+      s"/doc_id/text/3/$nHash/base-not:${(appendShardSrcs ++ probeShardSrcs).mkString(",")}"
+    val storeDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_sig_store",
+      new java.math.BigInteger(1, java.security.MessageDigest
+        .getInstance("MD5").digest(storeKey.getBytes("UTF-8"))).toString(16))
+    if (!graft.operators.StoreFs.datasetComplete(s, s"$storeDir/meta"))
+      Dedup.writeMinhashSigStore(
+        docs.filter(!isAppend && !isProbe), "doc_id", "text",
+        storeDir.toString, ngram = 3, nHash = nHash,
+        sigTable = Some(sigTab(s, d).filter(!isAppend && !isProbe)))
+    if (!Dedup.minhashShardAdmitted(s, storeDir.toString, "day1"))
+      Dedup.appendMinhashSigStore(storeDir.toString,
+        docs.filter(isAppend), "doc_id", "text", shardId = "day1")
+    // fold day 1 into the base (no-op when already folded)
+    Dedup.compactMinhashSigStore(s, storeDir.toString)
     Dedup.searchMinhashSigStore(storeDir.toString,
         docs.filter(isProbe), "doc_id", "text",
         bandRows = bandRows, threshold = 0.5)
@@ -1810,7 +1857,7 @@ object QSim {
   })
 
   val all: Seq[Q] =
-    Seq(exact, minhashLsh, minhashInc, sigStoreServe, sigStoreAppend, clusterCc, keepRank, savings, funnel, simhash, ngramJaccard,
+    Seq(exact, minhashLsh, minhashInc, sigStoreServe, sigStoreAppend, sigStoreCompact, clusterCc, keepRank, savings, funnel, simhash, ngramJaccard,
       embedNearDup, annTopk, hardNeg, annLsh, annIvf, annRecall, annRecallCurve, kmeansCells, kmeansSil, scalarQuant,
       ngramContain, pqError, adcTopk, ivfPq, ivfPqRecall, ivfPqPersist,
       substringRun, spanRewrite, randProj,

@@ -2147,6 +2147,27 @@ class LibraryOpsSpec extends AnyFunSuite {
       "re-running compaction with no appends must be a no-op")
     assert(rows(Dedup.searchMinhashSigStore(dir, shard2, "id", "body",
       bandRows = 2, threshold = 0.4)) == preCompact)
+
+    // post-compaction lifecycle: the folded shard stays ADMITTED
+    // through the ledger, and re-appending it fails LOUDLY — its rows
+    // are indistinguishable inside sig/, so an overwrite-"correction"
+    // would duplicate the shard (the skip-if-exists caller bug the
+    // ledger exists to prevent)
+    assert(Dedup.minhashShardAdmitted(spark, dir, "s1"),
+      "compaction lost the folded shard's admission")
+    assert(!Dedup.minhashShardAdmitted(spark, dir, "s2"))
+    val ec = intercept[IllegalArgumentException] {
+      Dedup.appendMinhashSigStore(dir, shard, "id", "body", shardId = "s1")
+    }
+    assert(ec.getMessage.contains("compacted"))
+    // a NEW shard still appends after compaction, and a second
+    // compaction folds it while the ledger ACCUMULATES (s1 ∪ s2)
+    Dedup.appendMinhashSigStore(dir, shard2, "id", "body", shardId = "s2")
+    assert(Dedup.minhashShardAdmitted(spark, dir, "s2"))
+    assert(Dedup.compactMinhashSigStore(spark, dir))
+    assert(Dedup.minhashShardAdmitted(spark, dir, "s1") &&
+      Dedup.minhashShardAdmitted(spark, dir, "s2"),
+      "the folded-shard ledger must accumulate across compactions")
   }
 
   test("signature store lifecycle works through a scheme-qualified (non-POSIX-path) URI") {
