@@ -191,6 +191,23 @@ class StreamSpec extends AnyFunSuite {
     val single = run(oneBatchStream("dedup_single", b0 ++ b1), "t_dedup_single")
     assert(multi == Map("click" -> 2L, "buy" -> 1L), s"got $multi")
     assert(single == multi)
+    // provider pin for the SECOND stateful shape: the
+    // dropDuplicatesWithinWatermark key state rides a different
+    // state-store access path than flatMapGroupsWithState — guard it
+    // under RocksDB too (same rationale as the sessionize pin)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = run(
+        fileAtATimeStream("dedup_rocks", Seq(b0, b1)), "t_dedup_rocks")
+      assert(rocks == multi,
+        s"RocksDB-provider watermarked dedup diverged: $rocks")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("outer interval join: null row emits only once the watermark closes the window") {
