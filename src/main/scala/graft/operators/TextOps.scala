@@ -43,12 +43,17 @@ object TextOps {
         size(col("toks")).as("n_tok"),
         size(expr(s"filter(toks, w -> w IN ($stopList))")).as("n_stop"),
         length(col(textCol)).as("n_chars"))
+    // ratio means via the exact decimal sum (the j10 boundary class):
+    // avg(double)'s accumulation order differs between engines, and a
+    // 6-dp .xxxxxx5 boundary mean flips sides at some corpus size
+    import graft.functions.Deterministic.stableSum
     q.groupBy(groupCol)
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("n_stop").cast("double") / col("n_tok")), 6).as("stopword_ratio"),
-        round(avg((col("n_chars") - col("n_tok") + 1).cast("double") / col("n_tok")), 6)
-          .as("mean_word_len"),
+        round(stableSum(col("n_stop").cast("double") / col("n_tok"), 12)
+          / count(lit(1)), 6).as("stopword_ratio"),
+        round(stableSum((col("n_chars") - col("n_tok") + 1).cast("double") / col("n_tok"), 12)
+          / count(lit(1)), 6).as("mean_word_len"),
         sum(when(col("n_tok") < shortDocTokens, 1L).otherwise(0L)).as("n_short"))
   }
 

@@ -39,24 +39,45 @@ object QAgg {
   /** Two-level roll-up with SEM: per-entity means, then cross-entity
     * mean/std/SEM — mirrors trial→session→population aggregation.
     * Ref: cross_trial_type_cca_analysis.py:1013-1164. */
-  val a4 = Q("a4_two_level_rollup", Some("""
+  /** Both aggregation levels run on the exact decimal sum (j10 boundary
+    * class, closed round 16): a per-user or per-type double mean whose
+    * 4-dp rounding lands on a .xxxx5 boundary flips sides between the
+    * engines' accumulation orders at SOME scale factor. Level-1 means,
+    * the level-2 mean, and the std/SEM (via stable first/second moments
+    * — identical decimal sums ⇒ identical IEEE doubles ⇒ identical
+    * rounding) are all order-invariant now. */
+  val a4 = Q("a4_two_level_rollup", Some(s"""
     WITH l1 AS (
-      SELECT user_id, event_type, avg(value) AS uavg, count(*) AS nu
-      FROM events GROUP BY 1, 2)
+      SELECT user_id, event_type,
+             ${stableSumSql("value")} / count(value) AS uavg,
+             count(*) AS nu
+      FROM events GROUP BY 1, 2),
+    l2 AS (
+      SELECT event_type,
+             ${stableSumSql("uavg", 10)} AS sx,
+             ${stableSumSql("uavg * uavg", 10)} AS sxx,
+             count(*) AS n,
+             CAST(SUM(nu) AS BIGINT) AS n_rows
+      FROM l1 GROUP BY 1)
     SELECT event_type,
-      round(avg(uavg), 4) AS mean_val,
-      round(stddev(uavg), 4) AS std_val,
-      round(stddev(uavg) / sqrt(count(*)), 4) AS sem_val,
-      count(*) AS n_users,
-      CAST(SUM(nu) AS BIGINT) AS n_rows
-    FROM l1 GROUP BY 1 ORDER BY 1"""
+      round(sx / n, 4) AS mean_val,
+      round(CASE WHEN n > 1 THEN sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) END, 4) AS std_val,
+      round(CASE WHEN n > 1 THEN sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) / sqrt(n) END, 4) AS sem_val,
+      n AS n_users,
+      n_rows
+    FROM l2 ORDER BY 1"""
   ))((s, d) => {
     val l1 = Tables.events(s, d).groupBy("user_id", "event_type")
-      .agg(avg("value").as("uavg"), count(lit(1)).as("nu"))
+      .agg((stableSum(col("value")) / count(col("value"))).as("uavg"),
+        count(lit(1)).as("nu"))
+    val sx = stableSum(col("uavg"), 10)
+    val sxx = stableSum(col("uavg") * col("uavg"), 10)
+    val n = count(lit(1)).cast("double")
+    val std = sqrt(greatest((sxx - sx * sx / n) / (n - lit(1.0)), lit(0.0)))
     l1.groupBy("event_type").agg(
-      round(avg("uavg"), 4).as("mean_val"),
-      round(stddev("uavg"), 4).as("std_val"),
-      round(stddev(col("uavg")) / sqrt(count(lit(1))), 4).as("sem_val"),
+      round(sx / n, 4).as("mean_val"),
+      round(when(n > 1, std), 4).as("std_val"),
+      round(when(n > 1, std / sqrt(n)), 4).as("sem_val"),
       count(lit(1)).as("n_users"),
       sum("nu").cast("long").as("n_rows"))
       .orderBy("event_type")
@@ -245,7 +266,7 @@ object QAgg {
   /** NaN/Inf audit (data-quality flags per group); NaN injected via a
     * predicate to exercise isnan semantics.
     * Ref: Matlab_part/segment_mdl_to_trials.m:259-272. */
-  val c8 = Q("c8_nan_audit", Some("""
+  val c8 = Q("c8_nan_audit", Some(s"""
     WITH x AS (
       SELECT event_type,
              CASE WHEN value < 1.0 THEN 'NaN'::DOUBLE ELSE value END AS v
@@ -253,16 +274,21 @@ object QAgg {
     SELECT event_type,
       CAST(SUM(CASE WHEN isnan(v) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
       count(*) AS n,
-      round(avg(CASE WHEN NOT isnan(v) THEN v END), 4) AS avg_clean
+      round(${stableSumSql("CASE WHEN NOT isnan(v) THEN v END")}
+            / count(CASE WHEN NOT isnan(v) THEN v END), 4) AS avg_clean
     FROM x GROUP BY 1 ORDER BY 1"""
   ))((s, d) =>
     Tables.events(s, d)
       .select(col("event_type"),
         when(col("value") < 1.0, lit(Double.NaN)).otherwise(col("value")).as("v"))
       .groupBy("event_type")
+      // clean mean via the exact decimal sum (j10 boundary class): the
+      // NaN rows are already NULL under the CASE, and DECIMAL cast of
+      // the surviving finite doubles is engine-exact
       .agg(sum(when(isnan(col("v")), 1L).otherwise(0L)).as("n_nan"),
         count(lit(1)).as("n"),
-        round(avg(when(!isnan(col("v")), col("v"))), 4).as("avg_clean"))
+        round(stableSum(when(!isnan(col("v")), col("v")))
+          / count(when(!isnan(col("v")), col("v"))), 4).as("avg_clean"))
       .orderBy("event_type"))
 
   // ------------------------------------------------------------- JSON

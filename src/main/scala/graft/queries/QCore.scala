@@ -140,7 +140,7 @@ object QCore {
     ser AS (SELECT user_id, t AS obs_t, value FROM e WHERE event_type = 'click')
     SELECT CAST(FLOOR((ser.obs_t - trg.trig_t) / 60.0) AS BIGINT) AS rel_bin,
            count(*) AS n,
-           round(avg(ser.value), 4) AS avg_value,
+           round(${stableSumSql("ser.value")} / count(ser.value), 4) AS avg_value,
            count(DISTINCT trg.trig_id) AS n_trials
     FROM ser JOIN trg ON ser.user_id = trg.user_id
       AND ser.obs_t >= trg.trig_t - 600 AND ser.obs_t <= trg.trig_t + 300
@@ -153,8 +153,12 @@ object QCore {
     RangeJoin.segment(trg, ser, Seq("user_id"), "trig_t", "obs_t", 600, 300)
       .withColumn("rel_bin", floor(col("rel_off") / lit(60.0)).cast("long"))
       .groupBy("rel_bin")
+      // bin mean via the exact decimal sum, NOT avg(): the j10 boundary
+      // class — a double-avg whose 4-dp rounding can land on a .xxxx5
+      // boundary at SOME scale, where the two engines' accumulation
+      // orders disagree. stableSum makes both round the same double.
       .agg(count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("avg_value"),
+        round(stableSum(col("value")) / count(col("value")), 4).as("avg_value"),
         countDistinct(col("trig_id")).as("n_trials"))
       .orderBy("rel_bin")
   })

@@ -83,26 +83,46 @@ object QGaps2 {
     * coarser taxonomy level, contributing rows pooled, mean/std/SEM
     * recomputed over the pooled N, min-membership gate applied.
     * Ref: cross_trial_type_cca_analysis.py:1770-1819. */
-  val a5 = Q("a5_hierarchical_pooled", Some("""
-    WITH sess AS (SELECT c_nationkey, avg(c_acctbal) AS v FROM customer GROUP BY 1),
+  /** Pooled stats run on exact stable moments (j10 boundary class,
+    * closed round 16): level-1 means are forced to ONE shared double
+    * (exact decimal sum / count — Spark's avg(decimal) stays decimal
+    * while DuckDB's goes double, so the raw avg()s are not even the
+    * same representation), and the pooled mean/std/SEM are computed
+    * from order-invariant decimal first/second moments of those
+    * doubles, making both engines round the identical IEEE value. */
+  val a5 = Q("a5_hierarchical_pooled", Some(s"""
+    WITH sess AS (SELECT c_nationkey,
+                         CAST(SUM(c_acctbal) AS DOUBLE) / count(c_acctbal) AS v
+                  FROM customer GROUP BY 1),
     h AS (SELECT r_name, v FROM sess
           JOIN nation ON c_nationkey = n_nationkey
-          JOIN region ON n_regionkey = r_regionkey)
-    SELECT r_name, count(*) AS n_pooled, round(avg(v), 4) AS mean_v,
-           round(stddev_samp(v), 4) AS std_v,
-           round(stddev_samp(v) / sqrt(count(*)), 4) AS sem_v
-    FROM h GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1"""
+          JOIN region ON n_regionkey = r_regionkey),
+    l2 AS (SELECT r_name,
+                  ${stableSumSql("v", 10)} AS sx,
+                  ${stableSumSql("v * v", 10)} AS sxx,
+                  count(*) AS n
+           FROM h GROUP BY 1 HAVING count(*) >= 3)
+    SELECT r_name, n AS n_pooled,
+           round(sx / n, 4) AS mean_v,
+           round(sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)), 4) AS std_v,
+           round(sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) / sqrt(n), 4) AS sem_v
+    FROM l2 ORDER BY 1"""
   ))((s, d) => {
     val sess = Tables.customer(s, d)
-      .groupBy("c_nationkey").agg(avg("c_acctbal").as("v"))
+      .groupBy("c_nationkey")
+      .agg((sum(col("c_acctbal")).cast("double") / count(col("c_acctbal"))).as("v"))
+    val sx = stableSum(col("v"), 10)
+    val sxx = stableSum(col("v") * col("v"), 10)
+    val n = count(lit(1)).cast("double")
+    val std = sqrt(greatest((sxx - sx * sx / n) / (n - lit(1.0)), lit(0.0)))
     sess
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
       .agg(count(lit(1)).as("n_pooled"),
-        round(avg("v"), 4).as("mean_v"),
-        round(stddev_samp(col("v")), 4).as("std_v"),
-        round(stddev_samp(col("v")) / sqrt(count(lit(1))), 4).as("sem_v"))
+        round(sx / n, 4).as("mean_v"),
+        round(std, 4).as("std_v"),
+        round(std / sqrt(n), 4).as("sem_v"))
       .filter(col("n_pooled") >= 3)
       .orderBy("r_name")
   })

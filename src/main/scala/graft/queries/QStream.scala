@@ -41,13 +41,13 @@ object QStream {
   /** Stream-stream interval join (watermarked both sides) vs the same
     * oracle as the batch range join j1 — identical window semantics,
     * streaming execution. */
-  val ij = Q("stream_interval_join", Some("""
+  val ij = Q("stream_interval_join", Some(s"""
     WITH e AS (SELECT *, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t FROM events),
     trg AS (SELECT event_id AS trig_id, user_id, t AS trig_t FROM e WHERE event_type = 'purchase'),
     ser AS (SELECT user_id, t AS obs_t, value FROM e WHERE event_type = 'click')
     SELECT CAST(FLOOR((ser.obs_t - trg.trig_t) / 60.0) AS BIGINT) AS rel_bin,
            count(*) AS n,
-           round(avg(ser.value), 4) AS avg_value,
+           round(${graft.functions.Deterministic.stableSumSql("ser.value")} / count(ser.value), 4) AS avg_value,
            count(DISTINCT trg.trig_id) AS n_trials
     FROM ser JOIN trg ON ser.user_id = trg.user_id
       AND ser.obs_t >= trg.trig_t - 600 AND ser.obs_t <= trg.trig_t + 300

@@ -32,7 +32,7 @@ object QText {
   // ------------------------------------------------------ quality score
   /** Quality scoring per language — operators.TextOps.qualityStats
     * (stopword ratio, mean word length, short-doc count). */
-  val quality = Q("text_quality_score", Some("""
+  val quality = Q("text_quality_score", Some(s"""
     WITH q AS (
       SELECT lang,
              len(string_split(text, ' ')) AS n_tok,
@@ -41,8 +41,10 @@ object QText {
              length(text) AS n_chars
       FROM documents)
     SELECT lang, count(*) AS n_docs,
-           round(avg(CAST(n_stop AS DOUBLE) / n_tok), 6) AS stopword_ratio,
-           round(avg(CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok), 6) AS mean_word_len,
+           round(${graft.functions.Deterministic.stableSumSql("CAST(n_stop AS DOUBLE) / n_tok", 12)}
+                 / count(*), 6) AS stopword_ratio,
+           round(${graft.functions.Deterministic.stableSumSql("CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok", 12)}
+                 / count(*), 6) AS mean_word_len,
            CAST(sum(CASE WHEN n_tok < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
     FROM q GROUP BY 1 ORDER BY 1"""
   ))((s, d) =>

@@ -181,8 +181,12 @@ object StreamOps {
     runToMemory(spark, intervalJoinPlan(eventsStream(spark, sfDir)),
         "graft_stream_ij", OutputMode.Append(), watermarkFlush = false)
       .groupBy(floor(col("rel_off") / lit(60.0)).cast("long").as("rel_bin"))
+      // bin mean via the exact decimal sum (j10 boundary class): avg()'s
+      // accumulation order differs between Spark and the oracle, and a
+      // 4-dp .xxxx5 boundary mean flips sides at some scale.
       .agg(count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("avg_value"),
+        round(graft.functions.Deterministic.stableSum(col("value"))
+          / count(col("value")), 4).as("avg_value"),
         countDistinct(col("trig_id")).as("n_trials"))
       .orderBy("rel_bin")
 
