@@ -201,9 +201,20 @@ object Dedup {
     * old shard's `_SUCCESS` and recreate it file-by-file — a concurrent
     * serve that listed appends just before the rewrite would read a
     * partially-deleted dataset. With staging, the re-append correction
-    * path exposes only complete datasets (modulo the directory-rename
-    * instant); the staging dir lives OUTSIDE `sig_append/` so an
-    * in-flight stage is invisible to the serve-side listing. */
+    * path exposes only complete datasets; the staging dir lives OUTSIDE
+    * `sig_append/` so an in-flight stage is invisible to the serve-side
+    * listing.
+    *
+    * The promotion itself is MARKER-BRACKETED, not rename-trusted:
+    * `rename` is atomic on `file:`/HDFS but a copy+delete on object
+    * stores, where `_SUCCESS` (sorting before `part-*`) could land
+    * while data files are still copying — exactly the half-written
+    * serve the marker discipline exists to rule out. So the stage's
+    * own `_SUCCESS` is stripped before the rename and recreated only
+    * after it returns: a lister trusts the shard strictly after every
+    * data file is in place, on any filesystem. A crash inside the
+    * bracket leaves an unmarked (ignored) shard dir; the retry's
+    * re-stage-and-promote replaces it wholesale. */
   def appendMinhashSigStore(storeDir: String, shard: DataFrame,
       idCol: String, textCol: String, shardId: String): Unit = {
     require(shardId.nonEmpty && shardId.forall(c =>
@@ -231,7 +242,10 @@ object Dedup {
         meta.getAs[Int]("ngram"), meta.getAs[Int]("n_hash"))
       .withColumnRenamed(idCol, meta.getAs[String]("id_col"))
       .write.mode("overwrite").parquet(tmp)
-    StoreFs.promote(spark, tmp, s"$storeDir/sig_append/$shardId")
+    val dest = s"$storeDir/sig_append/$shardId"
+    StoreFs.deleteMarker(spark, tmp) // stage carries no commit marker
+    StoreFs.promote(spark, tmp, dest)
+    StoreFs.createMarker(spark, dest) // marker lands after ALL data files
   }
 
   /** COMPACTION of the signature store: folds every completed
@@ -269,7 +283,14 @@ object Dedup {
   def compactMinhashSigStore(spark: org.apache.spark.sql.SparkSession,
       storeDir: String): Boolean = {
     val appends = StoreFs.completedChildren(spark, s"$storeDir/sig_append")
-    if (appends.isEmpty) return false
+    if (appends.isEmpty) {
+      // a compaction that crashed between its promotes and the marker
+      // restore left a fully consistent store gated off forever (this
+      // early exit used to run before any marker logic could) — repair
+      // that one distinguishable crash state instead of refusing
+      restorePostPromoteMarker(spark, storeDir)
+      return false
+    }
     require(StoreFs.datasetComplete(spark, s"$storeDir/meta"),
       s"store at $storeDir is incomplete (no meta/_SUCCESS) — refusing to compact")
     import spark.implicits._
@@ -284,11 +305,56 @@ object Dedup {
     StoreFs.promote(spark, s"$storeDir/sig_compact", s"$storeDir/sig")
     StoreFs.promote(spark, s"$storeDir/shards_compacted_tmp",
       s"$storeDir/shards_compacted")
+    // remove ONLY the shards this fold consumed — never the whole
+    // sig_append/ tree: an append admitted after the listing above
+    // (its meta gate passed before our deleteMarker; its promote landed
+    // during the fold write) is not in `appends`, not folded, not in
+    // the ledger — blanket-deleting the tree would silently destroy it,
+    // the fire-and-forget data loss this lifecycle exists to prevent.
+    // Its rows simply stay on the append side of the serve union until
+    // the next compaction folds them. Each folded shard's leftover
+    // staging dir (a crashed re-append of the same id — live stages of
+    // OTHER ids are untouched) goes with it: the ledger now refuses
+    // that shardId anyway.
     appends.foreach(StoreFs.delete(spark, _))
-    StoreFs.delete(spark, s"$storeDir/sig_append")
-    StoreFs.delete(spark, s"$storeDir/sig_append_tmp")
+    appends.foreach(p => StoreFs.delete(spark,
+      s"$storeDir/sig_append_tmp/${new org.apache.hadoop.fs.Path(p).getName}"))
     StoreFs.createMarker(spark, s"$storeDir/meta")
     true
+  }
+
+  /** Crash repair for [[compactMinhashSigStore]]'s one self-healable
+    * state: every promote landed (folded `sig/` complete, ledger
+    * complete), the consumed appends are gone, but the crash hit
+    * before `meta/_SUCCESS` was recreated — the store is fully
+    * consistent yet every gate refuses it. That state is
+    * distinguishable from a crashed BASE write (there `sig/` or the
+    * meta parquet is incomplete, or no ledger exists — compaction is
+    * the only ledger writer) by checking all three datasets AND that
+    * the meta actually describes `sig/` (id column + exact minhash
+    * count in the sig schema — a base REWRITE that crashed mid-flight
+    * with changed nHash/idCol fails this and keeps refusing).
+    * Residual, documented: a crashed base rewrite of a previously
+    * compacted store that changed ONLY ngram/textCol is structurally
+    * indistinguishable — parameter-changing rebuilds must target a
+    * fresh directory (they already must: the old store's appends are
+    * incomparable with the new parameters). */
+  private def restorePostPromoteMarker(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String): Unit = {
+    if (StoreFs.datasetComplete(spark, s"$storeDir/meta")) return
+    if (!StoreFs.datasetComplete(spark, s"$storeDir/sig")) return
+    if (!StoreFs.datasetComplete(spark, s"$storeDir/shards_compacted")) return
+    if (!StoreFs.dataFilesPresent(spark, s"$storeDir/meta")) return
+    val meta =
+      try spark.read.parquet(s"$storeDir/meta").head()
+      catch { case scala.util.control.NonFatal(_) => return }
+    val sigCols = spark.read.parquet(s"$storeDir/sig").columns.toSet
+    val n = meta.getAs[Int]("n_hash")
+    if (sigCols.contains(meta.getAs[String]("id_col")) &&
+        sigCols.contains("s") &&
+        (0 until n).forall(i => sigCols.contains(s"mh$i")) &&
+        !sigCols.contains(s"mh$n"))
+      StoreFs.createMarker(spark, s"$storeDir/meta")
   }
 
   /** The folded-shard ledger of `storeDir`: every shardId

@@ -59,13 +59,21 @@ object StoreFs {
   def delete(spark: SparkSession, dir: String): Boolean =
     fs(spark, dir).delete(new Path(dir), true)
 
-  /** Atomically promote `src` over `dest`: remove any existing `dest`
-    * and rename `src` into place. The delete+rename pair is the
-    * standard committer promotion — the window where `dest` is absent
-    * is a directory-level metadata operation, not a file-by-file
-    * rewrite, and callers bracket it with a marker invalidation (see
-    * [[Dedup.writeMinhashSigStore]]'s rewrite protocol) so an observer
-    * can never mistake the mid-promotion state for a complete store. */
+  /** Promote `src` over `dest`: remove any existing `dest` and rename
+    * `src` into place. The rename is atomic ONLY on rename-native
+    * filesystems (`file:`, HDFS); on object stores (s3a) it is a
+    * copy+delete that materializes `dest` file-by-file — and since
+    * `_SUCCESS` sorts before `part-*`, a marker written inside `src`
+    * could become visible while data files are still copying. Callers
+    * must therefore never let a trusted marker ride through the
+    * rename: either the promotion happens inside a store-level marker
+    * bracket (the [[Dedup.compactMinhashSigStore]] protocol — readers
+    * gate on `meta/_SUCCESS`, deleted before and recreated after), or
+    * the staged `src` is stripped of its own `_SUCCESS` first and the
+    * marker is created fresh after the rename returns (the
+    * [[Dedup.appendMinhashSigStore]] shard promotion). Under either
+    * bracket an observer sees the old layout, an incomplete (ignored)
+    * dataset, or the new one — on any filesystem. */
   def promote(spark: SparkSession, src: String, dest: String): Unit = {
     val f = fs(spark, dest)
     val d = new Path(dest)
@@ -89,4 +97,14 @@ object StoreFs {
     * readers see the dataset as incomplete for the whole rewrite. */
   def deleteMarker(spark: SparkSession, dir: String): Unit =
     fs(spark, dir).delete(new Path(dir, "_SUCCESS"), false)
+
+  /** True iff `dir` holds at least one committer data file (`part-*`) —
+    * regardless of marker state. Crash-repair checks use it to tell
+    * "dataset written but marker stripped" from "nothing there". */
+  def dataFilesPresent(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val f = fs(spark, dir)
+    f.exists(p) && f.listStatus(p).exists(st =>
+      st.isFile && st.getPath.getName.startsWith("part-"))
+  }
 }

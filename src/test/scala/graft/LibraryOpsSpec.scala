@@ -2217,6 +2217,77 @@ class LibraryOpsSpec extends AnyFunSuite {
     assert(servedC.collect().map(_.toSeq).toSet == servedRows)
   }
 
+  test("compaction consumes only the appends it folded and repairs the post-promote crash state") {
+    import spark.implicits._
+    import graft.operators.StoreFs
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven"))
+      .toDF("id", "body")
+    val shard = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta kappa"))
+      .toDF("id", "body")
+    val probe = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta mu"))
+      .toDF("id", "body")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sig-race").toString
+    Dedup.writeMinhashSigStore(corpus, "id", "body", dir, ngram = 3, nHash = 8)
+    Dedup.appendMinhashSigStore(dir, shard, "id", "body", shardId = "day1")
+
+    // an append that lands AFTER compaction's listing is, to the delete
+    // phase, any sig_append/ child NOT in the folded set — modeled here
+    // as a mid-copy (markerless, so unlisted) shard dir plus a live
+    // staging dir of another shard. The old blanket tree-delete
+    // destroyed both silently; now only the folded day1 may go.
+    val fs = StoreFs.fs(spark, dir)
+    def touch(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      fs.mkdirs(path.getParent)
+      fs.create(path, true).close()
+    }
+    touch(s"$dir/sig_append/day2-midcopy/part-00000.parquet")
+    touch(s"$dir/sig_append_tmp/day3-staging/part-00000.parquet")
+
+    assert(Dedup.compactMinhashSigStore(spark, dir))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sig_append/day1")),
+      "the folded shard must be consumed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sig_append/day2-midcopy")),
+      "compaction destroyed an append it did not fold — the concurrent-" +
+        "admission data-loss shape")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sig_append_tmp/day3-staging")),
+      "compaction destroyed another shard's live staging dir")
+    assert(Dedup.minhashShardAdmitted(spark, dir, "day1"))
+    val preRows = Dedup.searchMinhashSigStore(dir, probe, "id", "body",
+      bandRows = 2, threshold = 0.4).collect().map(_.toSeq).toSet
+    assert(preRows.exists(r => r(0) == 20L && r(1) == 10L))
+
+    // post-promote crash: both promotes landed, consumed appends gone,
+    // marker not yet restored. Re-running compaction must repair the
+    // marker (it used to early-exit false forever), after which the
+    // store serves identically.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/sig_append/day2-midcopy"), true)
+    StoreFs.deleteMarker(spark, s"$dir/meta")
+    assert(!StoreFs.datasetComplete(spark, s"$dir/meta"))
+    assert(!Dedup.compactMinhashSigStore(spark, dir),
+      "repair path must still report that no compaction ran")
+    assert(StoreFs.datasetComplete(spark, s"$dir/meta"),
+      "post-promote crash state was not repaired")
+    assert(Dedup.searchMinhashSigStore(dir, probe, "id", "body",
+      bandRows = 2, threshold = 0.4).collect().map(_.toSeq).toSet == preRows)
+
+    // the repair must NOT fire when the store is genuinely incomplete:
+    // strip the marker AND the sig dataset's own commit marker — that
+    // is a crashed base write, not a post-promote crash
+    StoreFs.deleteMarker(spark, s"$dir/meta")
+    StoreFs.deleteMarker(spark, s"$dir/sig")
+    assert(!Dedup.compactMinhashSigStore(spark, dir))
+    assert(!StoreFs.datasetComplete(spark, s"$dir/meta"),
+      "repair fired on an incomplete sig/ — it must refuse")
+    StoreFs.createMarker(spark, s"$dir/sig") // restore for any later walk
+    assert(!Dedup.compactMinhashSigStore(spark, dir))
+    assert(StoreFs.datasetComplete(spark, s"$dir/meta"))
+  }
+
   test("Memo tiers: report carries tier, hit counts, and materialized bytes") {
     import spark.implicits._
     import graft.operators.Memo

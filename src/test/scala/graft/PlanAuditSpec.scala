@@ -381,20 +381,49 @@ class PlanAuditSpec extends AnyFunSuite {
     // lineage mentions the store is legal when runtime-filtered to
     // is_new — that broadcast carries only the increment's band rows,
     // the correct small side; a plain .toString match would flag it.)
-    val bcastOverStore = sigPlan.collect {
-      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
-        (j.buildSide match {
-          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
-          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
-        }).collect {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec
-              if f.relation.location.rootPaths.exists(
-                _.toString.contains("graft-audit-sig")) => f
-        }
-    }.flatten
+    // Checked on BOTH plans: the static sparkPlan catches planning-time
+    // stats-driven broadcasts, and the POST-EXECUTION adaptive final
+    // plan catches AQE's runtime shuffled→broadcast conversion — the
+    // actual mechanism behind the r14 driver-broadcast pathology, which
+    // the static plan alone would wave through. The descent crosses
+    // query-stage and reused-exchange boundaries, which plain
+    // SparkPlan#collect does not.
+    def flattenExec(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(flattenExec)
+    }
+    def storeScansUnderBroadcast(
+        root: org.apache.spark.sql.execution.SparkPlan) =
+      flattenExec(root).collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          flattenExec(j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          }).collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.relation.location.rootPaths.exists(
+                  _.toString.contains("graft-audit-sig")) => f
+          }
+      }.flatten
+    val bcastOverStore = storeScansUnderBroadcast(sigPlan)
     assert(bcastOverStore.isEmpty,
       s"sig-store serve broadcasts a store scan " +
         s"(${bcastOverStore.size} scans) — the corpus-side-OOM shape:\n$sigStr")
+    sigServe.collect() // materialize so AQE finalizes every stage
+    val sigFinal = sigServe.queryExecution.executedPlan
+    val bcastOverStoreFinal = storeScansUnderBroadcast(sigFinal)
+    assert(bcastOverStoreFinal.isEmpty,
+      s"AQE converted a store-side join to broadcast at runtime " +
+        s"(${bcastOverStoreFinal.size} scans) — the corpus-side-OOM shape:\n$sigFinal")
 
     // neither serve path registers session-memo entries (the
     // MemoAuditSpec concern the buildExecutes skip would otherwise hide)
