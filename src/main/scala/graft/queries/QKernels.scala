@@ -433,6 +433,79 @@ object QKernels {
       .repartition(1).sortWithinPartitions("region")
   })
 
+  // ---------------------------------------------- pipeline (entry point C)
+  /** End-to-end GLM-sensitivity lifecycle — the reference's OTHER
+    * entry-point composition, run as ONE Spark DAG where the reference
+    * crosses two `.mat` process boundaries: GLM coefficient extraction
+    * (`Matlab_part/oxford_GLM_CCA_coefficients_extract.m:402-485`),
+    * the top-|β| removal sweep (`Oxford_glm_sensitivity.m:256-314` —
+    * rank by |β| desc, drop round(N·ρ/100), refit, n_keep ≥ 2 guard),
+    * and the summary's encoding-concentration metric
+    * C = R²(ρ=0) − R²(first ρ ≥ 50) pooled across sessions by mean
+    * (`Oxford_GLM_summary.m:7-20,217-250,336-511`).
+    *
+    * §2 rows exercised in one plan: F6 (min-n gate on the moment rows),
+    * L8 (sufficient-statistics OLS), W1 (rank by |β| desc), W3
+    * (percent-removal slice), L9 (refit sweep ρ = 0:5:90), W5
+    * (first-match: smallest ρ whose refit R² falls to ≤ half baseline),
+    * P4 (concentration pivot), A4 (pooled "ALL (mean)" rollup).
+    *
+    * SCALE SHAPE: identical to l9 — the entire per-label lifecycle
+    * (base fit + 19 refits) runs on ONE hash-aggregated moment row per
+    * label (O(dims²) state, map-side combined; group size never
+    * materializes on a task), so the sweep is data-parallel fan-out,
+    * not a driver loop. The sweep long table is scope-persisted: it
+    * feeds the P4 pivot legs AND the W5 threshold join, and both run
+    * over 10×19 rows — scheduling floor, not data cost. The moment
+    * aggregate itself is plan-identical to l9's, so Spark's plan-keyed
+    * cache shares ONE aggregation across both queries in a session. */
+  val e2eGlm = Q("pipeline_glm_sensitivity",
+    Some(Q.fixtureOracle("pipeline_glm_sensitivity", "label")))((s, d) => {
+    import s.implicits._
+    val minN = 45L // F6: a 13-dim OLS needs headroom over p = 13
+    val rhos = (0 to 90 by 5).toArray
+    val sweep = labelMoments(s, d, 13)
+      .filter(_._2 >= minN) // F6 gate, before any solve
+      .flatMap { case (label, n, sv, m) =>
+        def fit(keepDims: Seq[Int]) = {
+          val (xtx, xty, yty) = olsBlocks(n, sv, m, 13, 0, keepDims)
+          LinAlg.olsFromMoments(xtx, xty, yty, n)
+        }
+        val base = fit(1 to 12) // L8
+        val order = (0 until 12).sortBy(j => -math.abs(base.beta(j + 1))) // W1
+        rhos.iterator.map { rho =>
+          val nDrop = math.round(12 * rho / 100.0).toInt
+          val keep = order.drop(nDrop).sorted // W3
+          if (keep.length < 2) (label.toString, n, rho, Double.NaN)
+          else (label.toString, n, rho,
+            r6(math.max(fit(keep.map(_ + 1)).r2, 0.0))) // L9 refit
+        }
+      }.toDF("label", "n_vecs", "rho_pct", "r2")
+    // persisted: the 10×19-row sweep feeds the pivot AND the W5 join
+    val sweepP = graft.operators.CacheScope.persist(sweep)
+    val base = sweepP.groupBy("label", "n_vecs").agg( // P4 pivot legs
+      max(when(col("rho_pct") === 0, col("r2"))).as("r2_full"),
+      max(when(col("rho_pct") === 50, col("r2"))).as("r2_half"))
+    val halfRho = sweepP.join(base.select(col("label"), col("r2_full").as("rf")), "label")
+      .filter(col("r2") <= col("rf") * 0.5) // W5 first-match
+      .groupBy("label").agg(min("rho_pct").cast("double").as("rho_half"))
+    val perLabel = base.join(halfRho, Seq("label"), "left")
+      .select(col("label"), col("n_vecs"), col("r2_full"), col("r2_half"),
+        round(col("r2_full") - col("r2_half"), 6).as("concentration"), // P4
+        col("rho_half"))
+    val perLabelP = graft.operators.CacheScope.persist(perLabel)
+    val rollup = perLabelP.agg( // A4: pooled second level (summary.m:245-250)
+        sum(col("n_vecs")).as("n_vecs"),
+        round(stableSumHi(col("r2_full")) / count(lit(1)), 6).as("r2_full"),
+        round(stableSumHi(col("r2_half")) / count(lit(1)), 6).as("r2_half"),
+        round(stableSumHi(col("concentration")) / count(lit(1)), 6).as("concentration"),
+        round(stableSumHi(col("rho_half")) / count(col("rho_half")), 6).as("rho_half"))
+      .select(lit("ALL (mean)").as("label"), col("n_vecs"), col("r2_full"),
+        col("r2_half"), col("concentration"), col("rho_half"))
+    perLabelP.unionByName(rollup)
+      .repartition(1).sortWithinPartitions("label")
+  })
+
   /** L7 companion: CCA A-side weights long table for L11 — from the
     * label moments, no group materialization. */
   private def ccaWeights(s: SparkSession, d: String): DataFrame = {
@@ -681,5 +754,5 @@ object QKernels {
       .repartition(1).sortWithinPartitions("label")
   })
 
-  val all: Seq[Q] = Seq(l6, l7, l7ref, l8, l9, l10, l11, l12, e2e)
+  val all: Seq[Q] = Seq(l6, l7, l7ref, l8, l9, l10, l11, l12, e2e, e2eGlm)
 }

@@ -44,8 +44,9 @@ class FixtureSpec extends AnyFunSuite {
       "curate_quality_classifier",
       // decile calibration of the same IRLS scores — same solve upstream
       "curate_classifier_calibration",
-      // the end-to-end entry-point composition ends in a CCA solve
-      "pipeline_region_cca")
+      // the end-to-end entry-point compositions end in dense solves
+      // (CCA / per-subset OLS refits respectively)
+      "pipeline_region_cca", "pipeline_glm_sensitivity")
     assert(gated.map(_._1).toSet == expected)
   }
 

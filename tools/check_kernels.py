@@ -651,6 +651,54 @@ assert sorted(got_e2e["region"]) == sorted(exp), (
     f"pipeline_region_cca regions {list(got_e2e['region'])} != {sorted(exp)}")
 check("pipeline_region_cca", rows, got_e2e, ["n_trials", "r_1", "r_2"])
 
+# ------------------------------ pipeline_glm_sensitivity (entry point C)
+# The GLM lifecycle composition: per label (min-n gated), base OLS of
+# dim0 on dims 1-12, rank by |beta| desc, refit sweep rho = 0:5:90,
+# then the summary's concentration C = R2(0) - R2(50), the first rho
+# whose refit R2 falls to <= half baseline, and the pooled mean row —
+# all re-derived here through this file's own ols(), independent of
+# the engine's moment-aggregate path.
+exp_glm = {}
+for lb, m in groups.items():
+    if len(m) < 45:  # the query's F6 gate
+        continue
+    y, x = m[:, 0], m[:, 1:13]
+    base = ols(x, y)[0]
+    order = sorted(range(12), key=lambda j: -abs(base[j + 1]))
+    r2s = {}
+    for rho in range(0, 95, 5):
+        n_drop = int(round(12 * rho / 100.0))
+        keep = sorted(order[n_drop:])
+        if len(keep) < 2:
+            r2s[rho] = float("nan")
+        else:
+            r2s[rho] = max(ols(x[:, keep], y)[6], 0.0)
+    r2_full, r2_half = r2s[0], r2s[50]
+    # first-match on the engine's 6-dp values (both sides are rounded
+    # there, so the threshold comparison must see the same grid)
+    halves = [rho for rho in range(0, 95, 5)
+              if not math.isnan(r2s[rho])
+              and np.round(r2s[rho], 6) <= np.round(r2_full, 6) * 0.5]
+    rho_half = float(min(halves)) if halves else float("nan")
+    exp_glm[str(lb)] = {"n_vecs": float(len(m)), "r2_full": r2_full,
+                        "r2_half": r2_half,
+                        "concentration": r2_full - r2_half,
+                        "rho_half": rho_half}
+pooled_rho = [v["rho_half"] for v in exp_glm.values()
+              if not math.isnan(v["rho_half"])]
+exp_glm["ALL (mean)"] = {
+    "n_vecs": float(sum(v["n_vecs"] for v in exp_glm.values())),
+    "r2_full": float(np.mean([v["r2_full"] for v in exp_glm.values()])),
+    "r2_half": float(np.mean([v["r2_half"] for v in exp_glm.values()])),
+    "concentration": float(np.mean([v["concentration"] for v in exp_glm.values()])),
+    "rho_half": float(np.mean(pooled_rho)) if pooled_rho else float("nan")}
+got_glm = load("pipeline_glm_sensitivity").sort_values("label")
+assert sorted(got_glm["label"]) == sorted(exp_glm), (
+    f"pipeline_glm_sensitivity labels {list(got_glm['label'])} != {sorted(exp_glm)}")
+rows = [exp_glm[lb] for lb in got_glm["label"]]
+check("pipeline_glm_sensitivity", rows, got_glm,
+      ["n_vecs", "r2_full", "r2_half", "concentration", "rho_half"])
+
 if failures:
     print("\nFAILED:\n  " + "\n  ".join(failures))
     sys.exit(1)

@@ -32,6 +32,9 @@ KERNELS = [
     # end-to-end entry-point composition (segment -> gates -> region CCA
     # -> rollup) — ends in a CCA solve, not SQL-expressible
     "pipeline_region_cca",
+    # entry-point-C composition (GLM moments -> |beta| rank-slice ->
+    # refit sweep -> concentration pivot) — per-subset OLS refits
+    "pipeline_glm_sensitivity",
 ]
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
