@@ -59,8 +59,18 @@ object Memo {
 
   private var ctxId: String = null
   private final case class Entry(df: DataFrame, tier: String, var hits: Long,
-    var repersists: Long)
+    var repersists: Long, writtenDir: Option[String] = None)
   private val entries = mutable.Map.empty[String, Entry]
+
+  /** Root directory for the corpus-tier WRITTEN-TABLE conversion, when
+    * configured (`spark.graft.memo.corpusSpillDir`). Unset (the
+    * default, and the bench/test posture) corpus entries persist
+    * MEMORY_AND_DISK like any scan cache. */
+  private def corpusSpillRoot: Option[String] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .flatMap(s => Option(s.conf.get("spark.graft.memo.corpusSpillDir", null)))
+      .filter(_.trim.nonEmpty)
 
   /** The frame for `key`, building (and persisting) it on first use.
     * BOUNDED tier: the frame's size must be bounded by model constants
@@ -72,9 +82,61 @@ object Memo {
   /** [[cached]] for corpus-PROPORTIONAL derived frames (per-doc
     * signature tables). Same mechanics, separate tier label so the
     * footprint report and MemoAuditSpec audit it against the corpus
-    * contract (annotated allowlist; disk-backed storage). */
+    * contract (annotated allowlist; disk-backed storage).
+    *
+    * WRITTEN-TABLE conversion (the 100 TB posture): with
+    * `spark.graft.memo.corpusSpillDir` set, a corpus-tier entry is a
+    * WRITTEN Parquet artifact — the S4 sink path — not an executor-
+    * cache pin: at corpus scale a per-doc signature table does not fit
+    * (and must not sit in) executor storage memory, and a written
+    * table survives executor loss, cache eviction and session
+    * restarts. The frame is written once under the fingerprint-keyed
+    * directory (skip-if-exists through the `meta`-style `_SUCCESS`
+    * gate — [[StoreFs.datasetComplete]], so hdfs://s3a:// roots work)
+    * and every consumer reads the committed table; a regenerated
+    * corpus changes [[corpusKey]]'s fingerprint and therefore the
+    * directory, making staleness structurally impossible. Row-identity
+    * with the cached posture is pinned by MemoAuditSpec (signature
+    * columns are strings/longs — exact Parquet round-trip). */
   def cachedCorpus(key: String)(build: => DataFrame): DataFrame =
-    cachedTier(key, "corpus")(build)
+    corpusSpillRoot match {
+      case Some(root) => writtenCorpus(root, key)(build)
+      case None => cachedTier(key, "corpus")(build)
+    }
+
+  /** Path-safe directory token for a memo key: readable tag prefix +
+    * a content hash of the FULL key (the key embeds the corpus path
+    * and listing fingerprint, which are not path-safe). */
+  private def keyToken(key: String): String = {
+    val tag = key.takeWhile(_ != ':').filter(c => c.isLetterOrDigit || c == '-')
+    val h = java.util.UUID.nameUUIDFromBytes(key.getBytes("UTF-8")).toString
+    s"${if (tag.nonEmpty) tag else "entry"}-$h"
+  }
+
+  private def writtenCorpus(root: String, key: String)(
+      build: => DataFrame): DataFrame = synchronized {
+    entries.get(key) match {
+      case Some(e) if sameContext(e.df) && e.writtenDir.isDefined =>
+        e.hits += 1
+        e.df
+      case _ =>
+        val spark = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .getOrElse(throw new IllegalStateException(
+            "corpus memo spill requires an active SparkSession"))
+        val dir = s"$root/${keyToken(key)}"
+        // skip-if-exists on the committer marker: an earlier write —
+        // this session's or a previous one's — serves as-is, which is
+        // the cross-eviction / cross-session hit the conversion buys
+        if (!StoreFs.datasetComplete(spark, dir))
+          build.write.mode("overwrite").parquet(dir)
+        val served = spark.read.parquet(dir)
+        val id = contextId(served)
+        if (ctxId != id) { entries.clear(); ctxId = id }
+        entries.put(key, Entry(served, "corpus", 0L, 0L, Some(dir)))
+        served
+    }
+  }
 
   private def cachedTier(key: String, tier: String)(build: => DataFrame): DataFrame =
     synchronized {
@@ -176,7 +238,8 @@ object Memo {
             if (bi.isValidLong) bi.toLong else Long.MaxValue
           } catch { case _: Throwable => -1L }
         Some(MemoEntryStat(key, e.tier, e.hits, e.repersists, bytes,
-          e.df.storageLevel.toString))
+          e.writtenDir.map(d => s"written:$d")
+            .getOrElse(e.df.storageLevel.toString)))
       }
     }
   }

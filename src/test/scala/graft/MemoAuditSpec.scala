@@ -78,7 +78,7 @@ class MemoAuditSpec extends AnyFunSuite {
           Some(s"${e.key}: registered in tier '${e.tier}', allowlisted as '$tiers'")
         case Some(_) if e.tier == "corpus" && !corpusBound.contains(tag) =>
           Some(s"${e.key}: corpus-tier tag '$tag' has no declared row bound")
-        case _ if !e.storage.contains("disk") =>
+        case _ if !e.storage.contains("disk") && !e.storage.startsWith("written:") =>
           Some(s"${e.key}: storage '${e.storage}' has no disk fallback")
         case _ => None
       }
@@ -104,6 +104,59 @@ class MemoAuditSpec extends AnyFunSuite {
       else None
     }
     assert(sizeOffenders.isEmpty, sizeOffenders.mkString("\n"))
+    Memo.clear()
+  }
+
+  test("corpus-tier written-table conversion: identical rows, build-once, hit after eviction") {
+    import spark.implicits._
+    val conf = "spark.graft.memo.corpusSpillDir"
+    val root = java.nio.file.Files.createTempDirectory("graft-memo-spill").toString
+    Memo.clear()
+    try {
+      spark.conf.set(conf, root)
+      val key = "tok:/spec/spill-corpus@deadbeef"
+      def corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"))
+        .toDF("doc_id", "text")
+      val expected = corpus.collect().map(_.toSeq).toSet
+
+      // first call: builds, WRITES the table (committer marker present),
+      // serves the written rows exactly
+      val first = Memo.cachedCorpus(key)(corpus)
+      assert(first.collect().map(_.toSeq).toSet == expected,
+        "written-table serve diverged from the built frame")
+      val writtenDirs = new java.io.File(root).listFiles.filter(_.isDirectory)
+      assert(writtenDirs.length == 1 && writtenDirs.head.getName.startsWith("tok-"),
+        s"expected one tok-prefixed written dir, got ${writtenDirs.map(_.getName).toSeq}")
+      assert(graft.operators.StoreFs.datasetComplete(spark, writtenDirs.head.toString),
+        "written corpus entry lacks its _SUCCESS commit marker")
+
+      // in-session hit: the builder must not run again
+      val second = Memo.cachedCorpus(key)(fail("in-session hit must not rebuild"))
+      assert(second.collect().map(_.toSeq).toSet == expected)
+
+      // the report marks the entry as written (the 100 TB posture is
+      // observable, not inferred)
+      val stat = Memo.report.find(_.key == key).get
+      assert(stat.tier == "corpus" && stat.storage.startsWith("written:"),
+        s"written entry reported as (${stat.tier}, ${stat.storage})")
+
+      // EVICTION (and session-restart) hit: clearing the in-memory memo
+      // models losing every executor cache pin — the next call must
+      // serve from the committed table without rebuilding
+      Memo.clear()
+      val third = Memo.cachedCorpus(key)(fail("post-eviction hit must not rebuild"))
+      assert(third.collect().map(_.toSeq).toSet == expected,
+        "post-eviction serve from the written table diverged")
+    } finally {
+      spark.conf.unset(conf)
+      Memo.clear()
+    }
+    // with the conf unset the default executor-cache posture is intact
+    val df = Memo.cachedCorpus("tok:/spec/spill-default@cafe") {
+      Seq((1L, "a")).toDF("doc_id", "text")
+    }
+    assert(df.storageLevel.useDisk && df.storageLevel.useMemory,
+      "default corpus-tier posture must remain MEMORY_AND_DISK")
     Memo.clear()
   }
 }
