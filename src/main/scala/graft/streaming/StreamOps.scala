@@ -45,22 +45,27 @@ object StreamOps {
   def docsStream(spark: SparkSession, sfDir: String): DataFrame =
     singleFileStream(spark, s"$sfDir/documents.parquet")._1
 
-  /** A readStream over one parquet FILE: the file-stream source
-    * requires a DIRECTORY of files (its basePath and discovery model),
-    * so the table is exposed through a per-path temp directory
-    * containing one symlink. Schema comes from a cached batch probe —
-    * file streams require a declared schema. */
+  /** A readStream over one parquet FILE: the file-stream source wants a
+    * DIRECTORY (its basePath and discovery model), so the stream reads
+    * the file's PARENT directory with a `pathGlobFilter` pinned to the
+    * file name — the standard file-source option, applied by the
+    * stream's own listing. No staging, no copies, and (unlike the
+    * previous tmpdir-symlink staging, which only java.nio local paths
+    * could serve) the source path may live on ANY Hadoop filesystem —
+    * hdfs://, s3a://, or a scheme-qualified file: URI — because both
+    * the discovery and the schema probe go through the same FS API
+    * Spark reads with. A production deployment points the stream at a
+    * directory per table and drops the filter; the single-file shape is
+    * the bounded-replay harness's. Schema comes from a cached batch
+    * probe — file streams require a declared schema. */
   private def singleFileStream(spark: SparkSession,
       path: String): (DataFrame, org.apache.spark.sql.types.StructType) = {
     val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_src", Integer.toHexString(path.hashCode))
-    java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve(java.nio.file.Paths.get(path).getFileName)
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
-    (spark.readStream.schema(schema).parquet(dir.toString), schema)
+    val p = new org.apache.hadoop.fs.Path(path)
+    require(p.getParent != null, s"single-file stream path has no parent: $path")
+    (spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString), schema)
   }
 
   /** Run a bounded streaming query to a memory sink and return the final
@@ -109,16 +114,27 @@ object StreamOps {
     scoped.foreach { case (k, v) => spark.conf.set(k, v) }
     // The replay checkpoint is throwaway by construction (unique dir,
     // deleted after the run — the same contract as Spark's temp
-    // checkpoint), so it goes on memory-backed storage when available:
-    // /tmp here is real disk, and the stream-stream join's state delta
-    // files were pure disk IO in a harness whose state never needs to
-    // survive the process. A live deployment points this at durable
-    // storage; the query is unchanged.
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val ckptBase =
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, s"graft_ckpt_$name")
+    // checkpoint). Base selection is EXPLICIT, not a silent local
+    // assumption: `spark.graft.stream.checkpointDir` (any Hadoop FS
+    // URI — hdfs://, s3a://, scheme-qualified file:) wins when set;
+    // otherwise the bounded-replay harness default of memory-backed
+    // /dev/shm (falling back to the local tmpdir) applies, where the
+    // stream-stream join's state delta files are pure throwaway IO.
+    // A live deployment sets the conf to durable storage; the query is
+    // unchanged. Creation and cleanup go through the Hadoop FileSystem
+    // API so a remote base actually works (java.nio would resolve
+    // nothing there — the StoreFs discipline).
+    val ckptBase = Option(spark.conf.get("spark.graft.stream.checkpointDir", null))
+      .filter(_.trim.nonEmpty)
+      .getOrElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        (if (java.nio.file.Files.isDirectory(shm) &&
+             java.nio.file.Files.isWritable(shm)) shm
+         else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))).toString
+      }
+    val ckpt = s"$ckptBase/graft_ckpt_${name}_${java.util.UUID.randomUUID}"
+    graft.operators.StoreFs.fs(spark, ckpt)
+      .mkdirs(new org.apache.hadoop.fs.Path(ckpt))
     try {
       // Trigger.AvailableNow: process everything available, run the
       // watermark-flush no-data batch, then self-terminate — the
@@ -132,16 +148,12 @@ object StreamOps {
       // trigger and keep the identical plan.
       val trigger = if (watermarkFlush) Trigger.AvailableNow() else Trigger.Once()
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
-        .option("checkpointLocation", ckpt.toString)
+        .option("checkpointLocation", ckpt)
         .trigger(trigger).start()
       try q.awaitTermination() finally q.stop()
     } finally {
       prior.foreach { case (k, v) => spark.conf.set(k, v) }
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(ckpt)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      graft.operators.StoreFs.delete(spark, ckpt)
     }
     spark.table(name)
   }

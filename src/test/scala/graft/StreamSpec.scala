@@ -295,6 +295,31 @@ class StreamSpec extends AnyFunSuite {
     assert(bcast == multi, s"broadcast-index path diverged: $bcast vs $multi")
   }
 
+  test("streaming source and checkpoint work through scheme-qualified (non-POSIX-path) URIs") {
+    // The replay staging used to symlink the source into java.io.tmpdir
+    // and walk the checkpoint with java.nio — both silently local-only
+    // (the same class the sig store was cured of: java.nio resolves
+    // nothing on hdfs:// or even a scheme-qualified file: URI). The
+    // stream now reads the file's parent directory with a
+    // pathGlobFilter and creates/deletes the checkpoint through the
+    // Hadoop FileSystem API, so BOTH paths must work when every URI is
+    // scheme-qualified. No HDFS minicluster here; "file:" URIs pin the
+    // FS-API path exactly as LibraryOpsSpec's store test does.
+    val sf = s"${graft.queries.Q.testdataRoot}/sf0.001"
+    assert(!new java.io.File(s"file:$sf/events.parquet").exists,
+      "precondition: java.io.File must NOT resolve the qualified URI")
+    val plain = StreamOps.streamingDedup(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val ckptBase = java.nio.file.Files.createTempDirectory("graft-ckpt-uri")
+    spark.conf.set("spark.graft.stream.checkpointDir", s"file:$ckptBase")
+    try {
+      val qualified = StreamOps.streamingDedup(spark, s"file:$sf")
+        .collect().map(_.toSeq).toSet
+      assert(qualified == plain,
+        "scheme-qualified source/checkpoint replay diverged from the local-path replay")
+    } finally spark.conf.unset("spark.graft.stream.checkpointDir")
+  }
+
   test("nearDupIndex from a signature table equals the inline text stage") {
     import spark.implicits._
     import graft.operators.Dedup
