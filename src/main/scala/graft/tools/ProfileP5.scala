@@ -74,6 +74,55 @@ object ProfileP5 {
         .agg(count(lit(1)).as("n_obs"))
         .filter(col("n_obs") >= 2)
     }
+    // ---- r16 fusion experiment: the stable-unit gate (F4) as
+    // aggregate+semi-join (the shipped plan: trials persist → per-user
+    // count → left-semi back) vs FUSED into one user-partitioned window
+    // over the trial frame (one shuffle, no persist, no join). Both end
+    // at the region moment aggregate — everything downstream (solve,
+    // rollup) is identical 5-row work in either shape.
+    def trialsFrame = {
+      import graft.functions.Deterministic
+      val e = Tables.events(spark, sfDir).withColumn(
+        "t", (unix_micros(col("ts")) / lit(1000000L)).cast("long"))
+      val trg = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("trig_id"), col("user_id"), col("t").as("trig_t"))
+      val ser = e.filter(col("event_type") =!= "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("t").as("obs_t"), col("value"))
+      val seg = graft.operators.RangeJoin
+        .segment(trg, ser, Seq("user_id"), "trig_t", "obs_t", 43200L, 28799L)
+        .withColumn("rel_bin", floor(col("rel_off") / lit(14400.0)).cast("long"))
+      def binMean(i: Int) = {
+        val v = when(col("rel_bin") === (i - 3), col("value"))
+        coalesce(Deterministic.stableSumGuarded(v) / count(v), lit(0.0)).as(s"bb$i")
+      }
+      seg.groupBy("trig_id", "user_id")
+        .agg(count(lit(1)).as("n_obs"), (0 until 5).map(binMean): _*)
+        .filter(col("n_obs") >= 2)
+    }
+    def regDim = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey").as("user_id"), col("r_name").as("region"))
+    def moments(kept: org.apache.spark.sql.DataFrame) = {
+      import spark.implicits._
+      val magg = udaf(new graft.functions.MomentsAgg(5),
+        implicitly[org.apache.spark.sql.Encoder[Seq[Double]]])
+      kept.join(regDim, "user_id").groupBy("region")
+        .agg(magg(array((0 until 5).map(i => col(s"bb$i")): _*)).as("mm"))
+    }
+    def gateAggSemi = {
+      val trialsP = graft.operators.CacheScope.persist(trialsFrame)
+      val stable = trialsP.groupBy("user_id")
+        .agg(count(lit(1)).as("nt")).filter(col("nt") >= 3).select("user_id")
+      moments(trialsP.join(stable, Seq("user_id"), "left_semi"))
+    }
+    def gateWindow = {
+      import org.apache.spark.sql.expressions.Window
+      moments(trialsFrame
+        .withColumn("nt", count(lit(1)).over(Window.partitionBy("user_id")))
+        .filter(col("nt") >= 3).drop("nt"))
+    }
+
     for (rep <- 1 to 3) {
       println(s"--- rep $rep")
       run("fact->cells only") { cells.collect() }
@@ -81,6 +130,8 @@ object ProfileP5 {
       run("p5 static full") { fullStatic.build(spark, sfDir).collect() }
       run("e2e seg+trials") { e2eTrials.collect() }
       run("e2e full") { e2e.build(spark, sfDir).collect() }
+      run("gate agg+semi") { gateAggSemi.collect() }
+      run("gate window") { gateWindow.collect() }
     }
     spark.stop()
   }
