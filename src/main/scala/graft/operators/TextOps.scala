@@ -799,15 +799,18 @@ object TextOps {
     * sort is bounded by one group's vocabulary, never the corpus —
     * truncated to `topN` before the ln/regression pass, which runs on
     * the (groups × topN)-row remainder. No unpartitioned window, no
-    * corpus-frame sort; the regression aggregates are map-side
-    * combinable. Double accumulation order varies per partitioning, so
-    * callers round regr outputs (the l13 convention, 4 dp).
+    * corpus-frame sort. The regression runs on exact-decimal moment
+    * sums of the per-row ln values (the j10 boundary class): the
+    * regr_* aggregates accumulate doubles in partitioning-dependent
+    * order, while the 12-dp stable sums make slope/intercept/R² the
+    * identical IEEE double in any engine and under any shuffle.
     *
     * Output: (groupCol, n_types, slope, intercept, r2) — n_types ≤
     * topN (smaller when the group's vocabulary is smaller). */
   def zipfFit(docs: DataFrame, groupCol: String, textCol: String,
       topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.functions.Deterministic.stableSum
     val tc = docs.filter(col(textCol).isNotNull)
       .select(col(groupCol), explode(split(col(textCol), " ")).as("__tok"))
       .groupBy(col(groupCol), col("__tok"))
@@ -816,10 +819,18 @@ object TextOps {
         row_number().over(Window.partitionBy(col(groupCol))
           .orderBy(col("__cnt").desc, col("__tok"))))
       .filter(col("__rnk") <= topN)
+    val x = log(col("__rnk")); val y = log(col("__cnt"))
+    val n = count(lit(1))
+    val sx = stableSum(x, 12); val sy = stableSum(y, 12)
+    val sxy = stableSum(x * y, 12)
+    val sxx = stableSum(x * x, 12); val syy = stableSum(y * y, 12)
+    val slopeRaw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r2Raw = (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
     ranked.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_types"),
-        round(regr_slope(log(col("__cnt")), log(col("__rnk"))), 4).as("slope"),
-        round(regr_intercept(log(col("__cnt")), log(col("__rnk"))), 4).as("intercept"),
-        round(regr_r2(log(col("__cnt")), log(col("__rnk"))), 4).as("r2"))
+      .agg(n.as("n_types"),
+        round(slopeRaw, 4).as("slope"),
+        round((sy - slopeRaw * sx) / n, 4).as("intercept"),
+        round(r2Raw, 4).as("r2"))
   }
 }

@@ -16,24 +16,40 @@ object QAgg {
     * partial+final hash aggregation, map-side combine for free.
     * Ref: Matlab_part/save_session_results.m:87-106 (headline query:
     * the TPC-H Q1-shaped pricing summary). */
-  val a1 = Q("a1_group_summary", Some("""
-    SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc,
-      round(avg(l_quantity), 4) AS avg_qty,
-      round(stddev(l_quantity), 4) AS std_qty,
-      count(*) AS n
-    FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""), headline = true
-  )((s, d) =>
+  /** std_qty runs on exact decimal first/second moments (the j10
+    * boundary class, retired across the registry in r16): stddev()'s
+    * double accumulation is order-dependent in both engines, while
+    * Σq and Σq² over 2-dp decimals are exact — both engines round the
+    * identical IEEE double. */
+  val a1 = Q("a1_group_summary", Some(s"""
+    WITH m AS (
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc,
+        round(avg(l_quantity), 4) AS avg_qty,
+        ${stableSumSql("l_quantity * l_quantity")} AS sqq,
+        count(*) AS n
+      FROM lineitem GROUP BY 1, 2)
+    SELECT l_returnflag, l_linestatus, sum_qty, sum_base, sum_disc, avg_qty,
+      round(CASE WHEN n > 1 THEN sqrt(greatest((sqq - sum_qty * sum_qty / n) / (n - 1), 0.0)) END, 4) AS std_qty,
+      n
+    FROM m ORDER BY 1, 2"""), headline = true
+  )((s, d) => {
+    val sq = stableSum(col("l_quantity"))
+    val sqq = stableSum(col("l_quantity") * col("l_quantity"))
+    val n = count(lit(1))
+    val nD = n.cast("double")
     Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
-      stableSum(col("l_quantity")).as("sum_qty"),
+      sq.as("sum_qty"),
       stableSum(col("l_extendedprice")).as("sum_base"),
       stableSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
       round(avg("l_quantity"), 4).as("avg_qty"),
-      round(stddev("l_quantity"), 4).as("std_qty"),
-      count(lit(1)).as("n"))
-      .orderBy("l_returnflag", "l_linestatus"))
+      round(when(n > 1,
+        sqrt(greatest((sqq - sq * sq / nD) / (nD - lit(1.0)), lit(0.0)))), 4).as("std_qty"),
+      n.as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  })
 
   // ------------------------------------------------------------ A3/A4
   /** Two-level roll-up with SEM: per-entity means, then cross-entity

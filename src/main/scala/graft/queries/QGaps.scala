@@ -292,18 +292,50 @@ object QGaps {
   /** Flip detection & report: per event_type, correlation of value with
     * time; `flipped` iff r < -0.5; report line (S5-style).
     * Ref: cross_trial_type_cca_analysis.py:2996-3129. */
+  /** r from exact Pearson moments (the j10 boundary class, retired
+    * r16): corr()'s double accumulation is order-dependent in both
+    * engines. t is integer epoch seconds, so Σt and Σt² ride scale-0
+    * decimals — exact integers with 10^28 headroom (t² ≈ 3·10^18/term
+    * would overflow both a long sum and the scale-6 decimal at corpus
+    * group sizes); the value legs ride the standard 6-dp stable sum. */
+  private def pearsonMomentsSql(yExpr: String, tExpr: String): String =
+    s"""count(*) AS n,
+        ${stableSumSql(yExpr)} AS sx,
+        ${stableSumSql(tExpr, 0)} AS sy,
+        ${stableSumSql(s"$yExpr * $tExpr")} AS sxy,
+        ${stableSumSql(yExpr + " * " + yExpr)} AS sxx,
+        ${stableSumSql(s"$tExpr * $tExpr", 0)} AS syy"""
+  private val pearsonRSql =
+    "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+  private def pearsonMoments = {
+    val n = count(lit(1))
+    (n,
+      stableSum(col("value")), stableSum(col("t"), 0),
+      stableSum(col("value") * col("t")),
+      stableSum(col("value") * col("value")),
+      stableSum(col("t") * col("t"), 0))
+  }
+  private def pearsonR = {
+    val (n, sx, sy, sxy, sxx, syy) = pearsonMoments
+    ((n * sxy - sx * sy) /
+      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), n)
+  }
+
   val t8 = Q("t8_flip_report", Some(s"""
     WITH e AS ($evSql),
-    c AS (SELECT event_type, round(corr(value, t), 6) AS r, count(*) AS n FROM e GROUP BY 1)
+    m AS (SELECT event_type, ${pearsonMomentsSql("value", "t")} FROM e GROUP BY 1),
+    c AS (SELECT event_type, round($pearsonRSql, 6) AS r, n FROM m)
     SELECT event_type, r, n,
            CASE WHEN r < -0.5 THEN 'FLIPPED' ELSE 'ok' END AS status
     FROM c ORDER BY 1"""
-  ))((s, d) =>
+  ))((s, d) => {
+    val (rr, n) = pearsonR
     ev(s, d).groupBy("event_type")
-      .agg(round(corr(col("value"), col("t")), 6).as("r"), count(lit(1)).as("n"))
+      .agg(round(rr, 6).as("r"), n.as("n"))
       .withColumn("status", when(col("r") < -0.5, "FLIPPED").otherwise("ok"))
       .select("event_type", "r", "n", "status")
-      .orderBy("event_type"))
+      .orderBy("event_type")
+  })
 
   // ------------------------------------------------------- T8 (grouped)
   /** Grouped text rendering of the flip report: one line per event type
@@ -315,7 +347,8 @@ object QGaps {
     * Ref: cross_trial_type_cca_analysis.py:2996-3129. */
   val t8g = Q("t8_flip_report_grouped", Some(s"""
     WITH e AS ($evSql),
-    c AS (SELECT event_type, round(corr(value, t), 6) AS r, count(*) AS n FROM e GROUP BY 1),
+    m AS (SELECT event_type, ${pearsonMomentsSql("value", "t")} FROM e GROUP BY 1),
+    c AS (SELECT event_type, round($pearsonRSql, 6) AS r, n FROM m),
     s AS (SELECT event_type,
                  event_type || '(r=' || CAST(CAST(r AS DECIMAL(9,6)) AS VARCHAR) || ')' AS line,
                  CASE WHEN r < -0.5 THEN 'FLIPPED' ELSE 'ok' END AS status,
@@ -324,9 +357,10 @@ object QGaps {
     SELECT status, count(*) AS n_types, CAST(SUM(n) AS BIGINT) AS n_events,
            string_agg(line, '; ' ORDER BY line) AS report
     FROM s GROUP BY 1 ORDER BY 1"""
-  ))((s, d) =>
+  ))((s, d) => {
+    val (rr, n) = pearsonR
     ev(s, d).groupBy("event_type")
-      .agg(round(corr(col("value"), col("t")), 6).as("r"), count(lit(1)).as("n"))
+      .agg(round(rr, 6).as("r"), n.as("n"))
       .select(col("event_type"),
         concat(col("event_type"), lit("(r="),
           col("r").cast("decimal(9,6)").cast("string"), lit(")")).as("line"),
@@ -335,7 +369,8 @@ object QGaps {
       .groupBy("status")
       .agg(count(lit(1)).as("n_types"), sum("n").as("n_events"),
         array_join(array_sort(collect_list(col("line"))), "; ").as("report"))
-      .orderBy("status"))
+      .orderBy("status")
+  })
 
   // ------------------------------------------------------------ P3/P4
   /** Concentration pivot: condition-state pivot (low vs high discount)

@@ -187,25 +187,42 @@ object QGaps2 {
     * analysis as one relational DAG (sizes × iterations fan-out via a
     * broadcast cross join, not a driver loop).
     * Ref: Matlab_part/oxford_neuron_stability.m:465-565. */
-  val l14 = Q("l14_stability_sweep", Some("""
+  /** stability_r from exact Pearson moments (the j10 boundary class):
+    * the per-nation means are forced to ONE shared double on both sides
+    * (exact decimal sum / count — Spark's avg(decimal) stays decimal
+    * while DuckDB's goes double), and the correlation is the identical
+    * IEEE expression over stable decimal sums of those doubles. */
+  val l14 = Q("l14_stability_sweep", Some(s"""
     WITH combos(n_sample, iter) AS (VALUES (3,1),(3,2),(5,1),(5,2),(10,1),(10,2)),
-    f AS (SELECT c_nationkey, avg(c_acctbal) AS v_full FROM customer GROUP BY 1),
+    f AS (SELECT c_nationkey,
+                 CAST(SUM(c_acctbal) AS DOUBLE) / count(c_acctbal) AS v_full
+          FROM customer GROUP BY 1),
     r AS (SELECT co.n_sample, co.iter, c.c_nationkey, c.c_acctbal,
             row_number() OVER (PARTITION BY co.n_sample, co.iter, c.c_nationkey
               ORDER BY ((c.c_custkey * 1103515245 + (12345 + co.iter * 100) * 12345 + 104729)
                         % 2147483648 + 2147483648) % 2147483648, c.c_custkey) AS rn
           FROM customer c CROSS JOIN combos co),
-    samp AS (SELECT n_sample, iter, c_nationkey, avg(c_acctbal) AS v_samp
-             FROM r WHERE rn <= n_sample GROUP BY 1, 2, 3)
-    SELECT s.n_sample, s.iter, count(*) AS n_groups,
-           round(corr(s.v_samp, f.v_full), 6) AS stability_r
-    FROM samp s JOIN f ON s.c_nationkey = f.c_nationkey
-    GROUP BY 1, 2 ORDER BY 1, 2"""
+    samp AS (SELECT n_sample, iter, c_nationkey,
+                    CAST(SUM(c_acctbal) AS DOUBLE) / count(c_acctbal) AS v_samp
+             FROM r WHERE rn <= n_sample GROUP BY 1, 2, 3),
+    m AS (SELECT s.n_sample, s.iter, count(*) AS n,
+                 ${stableSumSql("s.v_samp", 10)} AS sx,
+                 ${stableSumSql("f.v_full", 10)} AS sy,
+                 ${stableSumSql("s.v_samp * f.v_full", 10)} AS sxy,
+                 ${stableSumSql("s.v_samp * s.v_samp", 10)} AS sxx,
+                 ${stableSumSql("f.v_full * f.v_full", 10)} AS syy
+          FROM samp s JOIN f ON s.c_nationkey = f.c_nationkey
+          GROUP BY 1, 2)
+    SELECT n_sample, iter, n AS n_groups,
+           round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS stability_r
+    FROM m ORDER BY 1, 2"""
   ))((s, d) => {
     val combos = s.createDataFrame(Seq((3, 1), (3, 2), (5, 1), (5, 2), (10, 1), (10, 2)))
       .toDF("n_sample", "iter")
     val c = Tables.customer(s, d).select("c_nationkey", "c_custkey", "c_acctbal")
-    val fullM = c.groupBy("c_nationkey").agg(avg("c_acctbal").as("v_full"))
+    val fullM = c.groupBy("c_nationkey")
+      .agg((sum(col("c_acctbal")).cast("double") / count(col("c_acctbal"))).as("v_full"))
     val hr = pmod(
       col("c_custkey") * lit(1103515245L) +
         (lit(12345L) + col("iter") * lit(100L)) * lit(12345L) + lit(104729L),
@@ -216,11 +233,18 @@ object QGaps2 {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n_sample"))
       .groupBy("n_sample", "iter", "c_nationkey")
-      .agg(avg("c_acctbal").as("v_samp"))
+      .agg((sum(col("c_acctbal")).cast("double") / count(col("c_acctbal"))).as("v_samp"))
+    val n = count(lit(1))
+    val sx = stableSum(col("v_samp"), 10)
+    val sy = stableSum(col("v_full"), 10)
+    val sxy = stableSum(col("v_samp") * col("v_full"), 10)
+    val sxx = stableSum(col("v_samp") * col("v_samp"), 10)
+    val syy = stableSum(col("v_full") * col("v_full"), 10)
     samp.join(broadcast(fullM), "c_nationkey")
       .groupBy("n_sample", "iter")
-      .agg(count(lit(1)).as("n_groups"),
-        round(corr(col("v_samp"), col("v_full")), 6).as("stability_r"))
+      .agg(n.as("n_groups"),
+        round((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6).as("stability_r"))
       .orderBy("n_sample", "iter")
   })
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.Deterministic.{stableSum, stableSumSql}
 
 /** Normalization & projection math (L2–L5), statistics layer (T1–T9,
   * L13), streaming twin — SURVEY §2.8 (Catalyst-expressible part),
@@ -20,21 +21,39 @@ object QStats {
 
   // ------------------------------------------------------------ L2/L3
   /** Z-score per group via window aggregates (pure Catalyst — no UDF);
-    * NaN→0 guard for degenerate groups.
+    * NaN→0 guard for degenerate groups. Mean/std come from windowed
+    * EXACT decimal moment sums (the j10 boundary class — and with one
+    * rounded z per ROW, this query's boundary exposure was n×, the
+    * largest in the registry): both engines now derive every z from
+    * the identical IEEE mean/std doubles.
     * Ref: Matlab_part/perform_region_pca.m:174;
     * cross_trial_type_cca_analysis.py:678-683. */
   val l3 = Q("l3_zscore_window", Some("""
+    WITH m AS (
+      SELECT event_id, value,
+        count(*) OVER w AS n,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx,
+        CAST(SUM(CAST(value * value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sxx
+      FROM events WINDOW w AS (PARTITION BY event_type)),
+    z AS (
+      SELECT event_id, value, n, sx,
+        CASE WHEN n > 1 THEN sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) END AS sd
+      FROM m)
     SELECT event_id,
-      round(COALESCE(
-        (value - avg(value) OVER (PARTITION BY event_type))
-          / NULLIF(stddev(value) OVER (PARTITION BY event_type), 0), 0), 4) AS z
-    FROM events ORDER BY event_id"""
+      round(COALESCE((value - sx / n) / NULLIF(sd, 0), 0), 4) AS z
+    FROM z ORDER BY event_id"""
   ))((s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
     val w = Window.partitionBy("event_type")
+    val n = count(lit(1)).over(w)
+    val nD = n.cast("double")
+    val sx = sum(col("value").cast(dec6)).over(w).cast("double")
+    val sxx = sum((col("value") * col("value")).cast(dec6)).over(w).cast("double")
+    val sd = when(n > 1,
+      sqrt(greatest((sxx - sx * sx / nD) / (nD - lit(1.0)), lit(0.0))))
     Tables.events(s, d).select(col("event_id"),
       round(coalesce(
-        (col("value") - avg("value").over(w)) /
-          nullif(stddev("value").over(w), lit(0)), lit(0)), 4).as("z"))
+        (col("value") - sx / nD) / nullif(sd, lit(0)), lit(0)), 4).as("z"))
       .orderBy("event_id")
   })
 
@@ -109,13 +128,34 @@ object QStats {
     "round(2.0 * dd * u * (0.319381530 + u * (-0.356563782 + u * (1.781477937 + " +
       "u * (-1.821255978 + u * 1.330274429)))), 6)"
 
-  val t1 = Q("t1_pearson_corr", Some("""
-    WITH c AS (
+  /** r runs on the exact-decimal Pearson moments (the j10 boundary
+    * class): corr()'s double accumulation is order-dependent in both
+    * engines; the five stable sums make r (and the t statistic derived
+    * from the same unrounded r) the identical IEEE double everywhere.
+    * The time leg uses RAW integer seconds (scale-0 decimals — exact),
+    * not t/86400: dividing first puts 1/27 of the values ON a 6-dp tie
+    * of the decimal cast, where the two engines' double→decimal
+    * rounding disagrees (Spark rounds the shortest string half-up,
+    * DuckDB the exact binary value). Pearson r is scale-invariant, so
+    * the day conversion cancels identically. */
+  val t1 = Q("t1_pearson_corr", Some(s"""
+    WITH m AS (
       SELECT event_type, count(*) AS n,
-        round(corr(value, t / 86400.0), 4) AS r,
-        round(corr(value, t / 86400.0)
-          * sqrt((count(*) - 2) / (1 - corr(value, t / 86400.0) * corr(value, t / 86400.0))), 4) AS t_stat
-      FROM (""" + evSql + """) GROUP BY 1),
+        ${stableSumSql("value")} AS sx,
+        ${stableSumSql("t", 0)} AS sy,
+        ${stableSumSql("value * t")} AS sxy,
+        ${stableSumSql("value * value")} AS sxx,
+        ${stableSumSql("t * t", 0)} AS syy
+      FROM ($evSql) GROUP BY 1),
+    c0 AS (
+      SELECT event_type, n,
+        (n * sxy - sx * sy)
+          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS rr
+      FROM m),
+    c AS (
+      SELECT event_type, n, round(rr, 4) AS r,
+        round(rr * sqrt((n - 2) / (1 - rr * rr)), 4) AS t_stat
+      FROM c0),""" + """
     z AS (
       SELECT *, 1.0 / (1.0 + 0.2316419 * abs(t_stat)) AS u,
              0.3989422804014327 * exp(-(t_stat * t_stat) / 2.0) AS dd
@@ -131,13 +171,19 @@ object QStats {
       else BigDecimal(graft.kernels.SpecialFunctions.tTwoSidedP(t, nu))
         .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
     })
-    val e = evT(s, d).withColumn("td", col("t") / 86400.0)
+    val e = evT(s, d)
+    val n = count(lit(1))
+    val sx = stableSum(col("value"))
+    val sy = stableSum(col("t"), 0)
+    val sxy = stableSum(col("value") * col("t"))
+    val sxx = stableSum(col("value") * col("value"))
+    val syy = stableSum(col("t") * col("t"), 0)
+    val rr = (n * sxy - sx * sy) /
+      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
     e.groupBy("event_type").agg(
-      count(lit(1)).as("n"),
-      round(corr("value", "td"), 4).as("r"),
-      round(corr(col("value"), col("td")) *
-        sqrt((count(lit(1)) - 2) /
-          (lit(1) - corr(col("value"), col("td")) * corr(col("value"), col("td")))), 4).as("t_stat"))
+      n.as("n"),
+      round(rr, 4).as("r"),
+      round(rr * sqrt((n - 2) / (lit(1) - rr * rr)), 4).as("t_stat"))
       .withColumn("u", lit(1.0) / (lit(1.0) + lit(0.2316419) * abs(col("t_stat"))))
       .withColumn("dd", lit(0.3989422804014327) * exp(-(col("t_stat") * col("t_stat")) / lit(2.0)))
       .withColumn("p_norm", expr(normApproxP))
@@ -302,20 +348,38 @@ object QStats {
   // ------------------------------------------------------------ T4/T5
   /** Paired t-test + Cohen's d on the same paired diffs.
     * Ref: cross_trial_type_cca_analysis_within_session.py:683-690. */
+  /** Mean/std from EXACT integer moments (the j10 boundary class): the
+    * diffs are integer counts, so Σd and Σd² are exact long sums in
+    * both engines and every derived statistic is the identical IEEE
+    * double — where stddev()'s running double accumulation was
+    * order-dependent. */
   val t4 = Q("t4_paired_t_cohens_d", Some(s"""
-    WITH p AS ($pairsSql)
-    SELECT count(*) AS n,
-      round(avg(x - y), 4) AS mean_diff,
-      round(avg(x - y) / (stddev(x - y) / sqrt(count(*))), 4) AS t_stat,
-      round(avg(x - y) / stddev(x - y), 4) AS cohens_d
-    FROM p"""
+    WITH p AS ($pairsSql),
+    m AS (SELECT count(*) AS n,
+                 CAST(SUM(x - y) AS BIGINT) AS sd,
+                 CAST(SUM((x - y) * (x - y)) AS BIGINT) AS sdd
+          FROM p),
+    st AS (SELECT n, CAST(sd AS DOUBLE) / n AS mean_d,
+                  sqrt(greatest((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n) / (n - 1), 0.0)) AS std_d
+           FROM m)
+    SELECT n,
+      round(mean_d, 4) AS mean_diff,
+      round(mean_d / (std_d / sqrt(n)), 4) AS t_stat,
+      round(mean_d / std_d, 4) AS cohens_d
+    FROM st"""
   ))((s, d) => {
     val dcol = col("x") - col("y")
+    val n = count(lit(1))
+    val nD = n.cast("double")
+    val sd = sum(dcol).cast("double")
+    val sdd = sum(dcol * dcol).cast("double")
+    val meanD = sd / nD
+    val stdD = sqrt(greatest((sdd - sd * sd / nD) / (nD - lit(1.0)), lit(0.0)))
     pairsDf(s, d).agg(
-      count(lit(1)).as("n"),
-      round(avg(dcol), 4).as("mean_diff"),
-      round(avg(dcol) / (stddev(dcol) / sqrt(count(lit(1)))), 4).as("t_stat"),
-      round(avg(dcol) / stddev(dcol), 4).as("cohens_d"))
+      n.as("n"),
+      round(meanD, 4).as("mean_diff"),
+      round(meanD / (stdD / sqrt(nD)), 4).as("t_stat"),
+      round(meanD / stdD, 4).as("cohens_d"))
   })
 
   // ---------------------------------------------------------------- T6
@@ -336,6 +400,11 @@ object QStats {
     * under any partitioning, where corr()-over-rows depended on
     * accumulation order.
     * Ref: History/.../Dimensionality_communication_analysis.py:322-540. */
+  /** Oracle side mirrors the engine's exact-decimal moment sums (the
+    * j10 boundary class): ranks are exact halves, products exact
+    * quarters, DECIMAL(38,2) sums exact — corr()-over-rows in the
+    * oracle was the one remaining order-dependent leg. The final rho
+    * expression is the engine's, token for token. */
   val t6 = Q("t6_spearman", Some("""
     WITH r AS (
       SELECT event_type,
@@ -343,9 +412,20 @@ object QStats {
           + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS rx,
         rank() OVER (PARTITION BY event_type ORDER BY len(props))
           + (count(*) OVER (PARTITION BY event_type, len(props)) - 1) / 2.0 AS ry
-      FROM events)
-    SELECT event_type, round(corr(rx, ry), 4) AS rho, count(*) AS n
-    FROM r GROUP BY 1 ORDER BY 1"""
+      FROM events),
+    m AS (
+      SELECT event_type, count(*) AS n,
+        CAST(SUM(CAST(rx AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(ry AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(rx * rx AS DECIMAL(38,2))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(ry * ry AS DECIMAL(38,2))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(rx * ry AS DECIMAL(38,2))) AS DOUBLE) AS sxy
+      FROM r GROUP BY 1)
+    SELECT event_type,
+      round((n * sxy - sx * sy)
+        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS rho,
+      n
+    FROM m ORDER BY 1"""
   ))((s, d) => {
     // ONE fact aggregation into the joint histogram, then the
     // average-tie ranks come from RANGE-frame windows over the cells
@@ -422,21 +502,54 @@ object QStats {
     * layer; the multi-predictor kernel lives in graft.linalg.GLM.
     * Ref: oxford_GLM_CCA_coefficients_extract.m:402-485;
     * Dimensionality_communication_analysis.py:380-398. */
+  /** Slope/intercept/R² from the exact-decimal regression moments (the
+    * j10 boundary class): the regr_* aggregates accumulate doubles in
+    * engine-specific order; the stable sums make every reported value
+    * the identical IEEE double on both sides. The moments run on RAW
+    * integer seconds (scale-0 decimals — exact; see t1 for why a
+    * pre-divided t/86400 leg is engine-divergent at decimal-cast
+    * ties) and the per-day x axis is recovered analytically:
+    * slope_days = slope_secs · 86400 (exact scale equivariance),
+    * intercept and R² are x-scale-invariant. */
   val l13 = Q("l13_linear_trend", Some(s"""
-    WITH e AS ($evSql)
+    WITH e AS ($evSql),
+    m AS (
+      SELECT event_type, count(*) AS n,
+        ${stableSumSql("t", 0)} AS sx,
+        ${stableSumSql("value")} AS sy,
+        ${stableSumSql("t * value")} AS sxy,
+        ${stableSumSql("t * t", 0)} AS sxx,
+        ${stableSumSql("value * value")} AS syy
+      FROM e GROUP BY 1),
+    c AS (
+      SELECT event_type, n,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_secs,
+        (n * sxy - sx * sy) * (n * sxy - sx * sy)
+          / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2_raw,
+        sx, sy
+      FROM m)
     SELECT event_type,
-      round(regr_slope(value, t / 86400.0), 4) AS slope,
-      round(regr_intercept(value, t / 86400.0), 4) AS intercept,
-      round(regr_r2(value, t / 86400.0), 4) AS r2,
-      count(*) AS n
-    FROM e GROUP BY 1 ORDER BY 1"""
+      round(slope_secs * 86400.0, 4) AS slope,
+      round((sy - slope_secs * sx) / n, 4) AS intercept,
+      round(r2_raw, 4) AS r2,
+      n
+    FROM c ORDER BY 1"""
   ))((s, d) => {
-    val e = evT(s, d).withColumn("td", col("t") / 86400.0)
+    val e = evT(s, d)
+    val n = count(lit(1))
+    val sx = stableSum(col("t"), 0)
+    val sy = stableSum(col("value"))
+    val sxy = stableSum(col("t") * col("value"))
+    val sxx = stableSum(col("t") * col("t"), 0)
+    val syy = stableSum(col("value") * col("value"))
+    val slopeSecs = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r2Raw = (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
     e.groupBy("event_type").agg(
-      round(regr_slope(col("value"), col("td")), 4).as("slope"),
-      round(regr_intercept(col("value"), col("td")), 4).as("intercept"),
-      round(regr_r2(col("value"), col("td")), 4).as("r2"),
-      count(lit(1)).as("n"))
+      round(slopeSecs * lit(86400.0), 4).as("slope"),
+      round((sy - slopeSecs * sx) / n, 4).as("intercept"),
+      round(r2Raw, 4).as("r2"),
+      n.as("n"))
       .orderBy("event_type")
   })
 

@@ -679,12 +679,25 @@ object QText {
                 GROUP BY 1, 2),
     top AS (SELECT source, c,
                    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rnk
-            FROM tc QUALIFY rnk <= $zipfN)
-    SELECT source, count(*) AS n_types,
-           round(regr_slope(ln(c), ln(rnk)), 4) AS slope,
-           round(regr_intercept(ln(c), ln(rnk)), 4) AS intercept,
-           round(regr_r2(ln(c), ln(rnk)), 4) AS r2
-    FROM top GROUP BY 1 ORDER BY 1"""
+            FROM tc QUALIFY rnk <= $zipfN),
+    m AS (SELECT source, count(*) AS n,
+                 ${graft.functions.Deterministic.stableSumSql("ln(rnk)", 12)} AS sx,
+                 ${graft.functions.Deterministic.stableSumSql("ln(c)", 12)} AS sy,
+                 ${graft.functions.Deterministic.stableSumSql("ln(rnk) * ln(c)", 12)} AS sxy,
+                 ${graft.functions.Deterministic.stableSumSql("ln(rnk) * ln(rnk)", 12)} AS sxx,
+                 ${graft.functions.Deterministic.stableSumSql("ln(c) * ln(c)", 12)} AS syy
+          FROM top GROUP BY 1),
+    cc AS (SELECT source, n,
+                  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw,
+                  (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2_raw,
+                  sx, sy
+           FROM m)
+    SELECT source, n AS n_types,
+           round(slope_raw, 4) AS slope,
+           round((sy - slope_raw * sx) / n, 4) AS intercept,
+           round(r2_raw, 4) AS r2
+    FROM cc ORDER BY 1"""
   ))((s, d) =>
     TextOps.zipfFit(Tables.documentsP(s, d), "source", "text", zipfN)
       .orderBy("source"))
