@@ -92,7 +92,10 @@ object Memo {
     * table survives executor loss, cache eviction and session
     * restarts. The frame is written once under the fingerprint-keyed
     * directory (skip-if-exists through the `meta`-style `_SUCCESS`
-    * gate — [[StoreFs.datasetComplete]], so hdfs://s3a:// roots work)
+    * gate — [[StoreFs.datasetComplete]], so hdfs://s3a:// roots work;
+    * the write is staged and first-writer-wins promoted via
+    * [[StoreFs.promoteIfAbsent]], making a complete directory
+    * immutable under concurrent sessions)
     * and every consumer reads the committed table; a regenerated
     * corpus changes [[corpusKey]]'s fingerprint and therefore the
     * directory, making staleness structurally impossible. Row-identity
@@ -127,9 +130,20 @@ object Memo {
         val dir = s"$root/${keyToken(key)}"
         // skip-if-exists on the committer marker: an earlier write —
         // this session's or a previous one's — serves as-is, which is
-        // the cross-eviction / cross-session hit the conversion buys
-        if (!StoreFs.datasetComplete(spark, dir))
-          build.write.mode("overwrite").parquet(dir)
+        // the cross-eviction / cross-session hit the conversion buys.
+        // The write itself is staged + first-writer-wins promoted
+        // (marker-bracketed, appendMinhashSigStore-style): a complete
+        // directory is IMMUTABLE, so a concurrent session that also saw
+        // "not complete" can never overwrite files under this reader —
+        // the loser's stage is discarded and the winner's table serves.
+        if (!StoreFs.datasetComplete(spark, dir)) {
+          val stage =
+            s"$root/.stage-${keyToken(key)}-${java.util.UUID.randomUUID()}"
+          build.write.mode("overwrite").parquet(stage)
+          StoreFs.deleteMarker(spark, stage)
+          if (StoreFs.promoteIfAbsent(spark, stage, dir))
+            StoreFs.createMarker(spark, dir)
+        }
         val served = spark.read.parquet(dir)
         val id = contextId(served)
         if (ctxId != id) { entries.clear(); ctxId = id }

@@ -84,6 +84,39 @@ object StoreFs {
       s"promote failed: rename($src -> $dest) returned false")
   }
 
+  /** First-writer-wins promotion of an IMMUTABLE dataset: rename the
+    * staged `src` to `dest` only if no COMPLETE dataset is already
+    * there, and never touch a complete one — the discipline that makes
+    * a fingerprint-keyed directory safe for concurrent writers (two
+    * sessions that both saw "not complete" both build; one promotes,
+    * the other discards its stage and reads the winner's table).
+    * A `dest` that exists WITHOUT a marker is a crashed partial from a
+    * writer that died mid-promote; it is deleted and replaced. Returns
+    * true when `src` was promoted, false on a lost race (`src` is
+    * deleted either way). Like [[promote]], callers must marker-
+    * bracket: strip `src`'s own `_SUCCESS` before calling and
+    * [[createMarker]] on `dest` after a `true` return, so a non-atomic
+    * object-store rename never exposes a half-copied dataset as
+    * complete. */
+  def promoteIfAbsent(spark: SparkSession, src: String, dest: String): Boolean = {
+    val f = fs(spark, dest)
+    val d = new Path(dest)
+    if (datasetComplete(spark, dest)) { f.delete(new Path(src), true); false }
+    else {
+      if (f.exists(d)) f.delete(d, true) // crashed partial — no marker
+      val parent = d.getParent
+      if (parent != null && !f.exists(parent)) f.mkdirs(parent)
+      if (f.rename(new Path(src), d)) true
+      else if (datasetComplete(spark, dest)) {
+        // a concurrent writer renamed into place between our delete and
+        // rename — their complete dataset serves; ours is discarded
+        f.delete(new Path(src), true); false
+      } else throw new IllegalStateException(
+        s"promoteIfAbsent: rename($src -> $dest) failed with no complete " +
+          "dataset at the destination — filesystem fault, not a lost race")
+    }
+  }
+
   /** (Re-)create a zero-length `_SUCCESS` marker under `dir` — the
     * closing half of a marker-bracketed rewrite. */
   def createMarker(spark: SparkSession, dir: String): Unit = {

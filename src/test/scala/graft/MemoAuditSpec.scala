@@ -159,4 +159,50 @@ class MemoAuditSpec extends AnyFunSuite {
       "default corpus-tier posture must remain MEMORY_AND_DISK")
     Memo.clear()
   }
+
+  test("written-table promotion: crashed partials repaired, complete dirs immutable, lost race discarded") {
+    import spark.implicits._
+    import graft.operators.StoreFs
+    val conf = "spark.graft.memo.corpusSpillDir"
+    val root = java.nio.file.Files.createTempDirectory("graft-memo-race").toString
+    Memo.clear()
+    try {
+      spark.conf.set(conf, root)
+      val key = "tok:/spec/race-corpus@feedface"
+      def corpus = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+      val expected = corpus.collect().map(_.toSeq).toSet
+
+      // CRASHED PARTIAL: a writer that died mid-promote leaves data
+      // files but no _SUCCESS. The next cachedCorpus must replace it
+      // and serve the rebuilt rows, not trust (or trip over) the wreck.
+      val first = Memo.cachedCorpus(key)(corpus)
+      val dir = new java.io.File(root).listFiles.filter(_.isDirectory).head.toString
+      Memo.clear()
+      StoreFs.deleteMarker(spark, dir)
+      val repaired = Memo.cachedCorpus(key)(corpus)
+      assert(repaired.collect().map(_.toSeq).toSet == expected,
+        "crashed-partial repair served wrong rows")
+      assert(StoreFs.datasetComplete(spark, dir),
+        "repair did not restore the commit marker")
+
+      // COMPLETE DIR IS IMMUTABLE: promoteIfAbsent over a complete
+      // dataset must refuse (lost race), delete the loser's stage, and
+      // leave the winner's files byte-identical.
+      val before = new java.io.File(dir).listFiles.map(_.getName).toSet
+      val stage = s"$root/.stage-loser"
+      Seq((9L, "loser")).toDF("doc_id", "text").write.parquet(stage)
+      StoreFs.deleteMarker(spark, stage)
+      assert(!StoreFs.promoteIfAbsent(spark, stage, dir),
+        "promoteIfAbsent clobbered a complete dataset")
+      assert(!new java.io.File(stage).exists, "lost-race stage not discarded")
+      assert(new java.io.File(dir).listFiles.map(_.getName).toSet == before,
+        "complete dataset mutated by a lost-race promotion")
+      Memo.clear()
+      val served = Memo.cachedCorpus(key)(fail("complete dir must serve without rebuild"))
+      assert(served.collect().map(_.toSeq).toSet == expected)
+    } finally {
+      spark.conf.unset(conf)
+      Memo.clear()
+    }
+  }
 }
