@@ -63,6 +63,15 @@ object StreamOps {
     val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
     val p = new org.apache.hadoop.fs.Path(path)
     require(p.getParent != null, s"single-file stream path has no parent: $path")
+    // `pathGlobFilter` matches LEAF file names during listing, so a
+    // parquet DIRECTORY here (part-* files under `path`) would match
+    // nothing and stream silently empty — the wrong-answer-no-error
+    // shape. Fail loudly instead; a directory table streams directly
+    // (`spark.readStream.parquet(dir)`), no filter needed.
+    require(graft.operators.StoreFs.fs(spark, path)
+        .getFileStatus(p).isFile,
+      s"singleFileStream requires a single FILE; $path is a directory — " +
+        "stream the directory itself without a pathGlobFilter")
     (spark.readStream.schema(schema)
       .option("pathGlobFilter", p.getName)
       .parquet(p.getParent.toString), schema)

@@ -320,6 +320,21 @@ class StreamSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.stream.checkpointDir")
   }
 
+  test("a directory handed to the single-file stream fails loudly, not silently empty") {
+    // pathGlobFilter matches LEAF file names, so a parquet DIRECTORY
+    // (part-* files inside) would match nothing and replay an empty
+    // stream — zero rows, zero errors. The guard must trip instead.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dir-table")
+    val table = s"$dir/events.parquet" // a DIRECTORY named like the file
+    Seq((1L, "a")).toDF("id", "v").write.parquet(table)
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.streamingDedup(spark, dir.toString)
+    }
+    assert(e.getMessage.contains("directory"),
+      s"expected the loud directory guard, got: ${e.getMessage}")
+  }
+
   test("nearDupIndex from a signature table equals the inline text stage") {
     import spark.implicits._
     import graft.operators.Dedup
