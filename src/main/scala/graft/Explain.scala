@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val names = args(0).split(",").toSeq
+    val names =
+      if (args(0) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = GraftSession.configure(
       SparkSession.builder().master("local[4]").appName("graft-explain"), "4")
