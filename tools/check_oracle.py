@@ -2,7 +2,8 @@
 """Dev harness mirroring the driver's t2 gate: for each Verify output
 parquet, replay the oracle SQL in DuckDB on the same sf dir and compare
 (column-name-sorted, row-sorted, exact values)."""
-import sys, json, glob, os, math
+import sys, json, glob, os, math, functools
+print = functools.partial(print, flush=True)  # progress visible under redirection
 import duckdb, pyarrow.parquet as pq
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
