@@ -519,7 +519,6 @@ object TextOps {
     * memo contract excludes. */
   def bigramLogprob(docs: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.5, memoKey: Option[String] = None): DataFrame = {
-    import graft.functions.Deterministic.stableSum
     require(alpha > 0.0, s"bigramLogprob needs alpha > 0, got $alpha")
     val w = docs
       .withColumn("w", split(col(textCol), " "))
@@ -547,12 +546,23 @@ object TextOps {
       .select(col(idCol),
         round(-log((col("c") + lit(alpha)) /
           (col("c1") + lit(alpha) * col("nv"))), 6).as("nll"))
+    // The per-term nll is an exact 6-dp decimal, so the 6-dp-rounded
+    // mean has an EXACT integer form: with K = Σ nll·10⁶ and n terms,
+    // half-up rounding is (2K + n) div (2n), all in integers. Rounding
+    // the double quotient instead is a latent engine split: the same
+    // pre-round double (e.g. 3.3986804999999998, sf1 doc family 885)
+    // rounds DOWN under Spark's exact-BigDecimal round but UP under
+    // DuckDB's, whose value·10⁶ multiply lands exactly on .5 — a
+    // round()-implementation divergence the stable SUM alone cannot
+    // close. Integer arithmetic is identical everywhere.
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        (stableSum(col("nll"), 6) / count(lit(1))).as("avg_raw"))
+        (sum(col("nll").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          * lit(1000000L)).cast("long").as("k6"))
       .select(col(idCol), col("n_bigrams"),
-        round(col("avg_raw"), 6).as("avg_nll"),
-        round(exp(round(col("avg_raw"), 6)), 4).as("ppl"))
+        (expr("(2 * k6 + n_bigrams) div (2 * n_bigrams)").cast("double")
+          / lit(1000000.0)).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 4))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N

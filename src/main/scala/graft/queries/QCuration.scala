@@ -425,8 +425,8 @@ object QCuration {
     * text_perplexity_bigram. */
   val pplPrune = Q("curate_perplexity_prune", Some(s"""
     WITH ${QText.pplDocCte},
-    d AS (SELECT p.doc_id, doc.source, round(avg_raw, 6) AS avg_nll,
-                 round(exp(round(avg_raw, 6)), 4) AS ppl
+    d AS (SELECT p.doc_id, doc.source, p.avg_nll,
+                 round(exp(p.avg_nll), 4) AS ppl
           FROM p JOIN documents doc ON p.doc_id = doc.doc_id),
     h AS (SELECT source, avg_nll, count(*) AS c FROM d GROUP BY 1, 2),
     cm AS (SELECT source, avg_nll,

@@ -457,10 +457,15 @@ object QText {
   private[queries] val ppxAlpha = 0.5
 
   /** The bigram-NLL oracle CTE chain (everything after WITH, ending at
-    * the per-doc frame `p` = (doc_id, n_bigrams, avg_raw)) — shared
+    * the per-doc frame `p` = (doc_id, n_bigrams, avg_nll)) — shared
     * verbatim between text_perplexity_bigram and QCuration's
     * curate_perplexity_prune so both replay the identical count
-    * tables, smoothing and rounded-term DECIMAL sums. */
+    * tables, smoothing and rounded-term DECIMAL sums. The 6-dp mean is
+    * rounded in EXACT INTEGER arithmetic — (2K + n) // (2n) with
+    * K = Σ nll·10⁶ — because rounding the double quotient splits
+    * engines at multiply-created ties (DuckDB's value·10⁶ lands
+    * exactly on .5 where Spark's exact-BigDecimal round sees …499…;
+    * surfaced by sf1 doc family 885). Mirrors TextOps.bigramLogprob. */
   private[queries] lazy val pplDocCte: String = s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
                WHERE len(string_split(text, ' ')) >= 2),
     bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
@@ -472,13 +477,14 @@ object QText {
                  round(-ln((cb.c + $ppxAlpha) / (c1.c1 + $ppxAlpha * v.nv)), 6) AS nll
           FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
     p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                 CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_raw
+                 CAST((2 * CAST(SUM(CAST(nll AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+                       + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_nll
           FROM s GROUP BY 1)"""
 
   val perplexity = Q("text_perplexity_bigram", Some(s"""
     WITH $pplDocCte
-    SELECT doc_id, n_bigrams, round(avg_raw, 6) AS avg_nll,
-           round(exp(round(avg_raw, 6)), 4) AS ppl
+    SELECT doc_id, n_bigrams, avg_nll,
+           round(exp(avg_nll), 4) AS ppl
     FROM p ORDER BY doc_id"""
   ))((s, d) =>
     TextOps.bigramLogprob(Tables.documentsP(s, d), "doc_id", "text", ppxAlpha,
