@@ -223,8 +223,13 @@ object Bench {
     val totalMed = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
     val nFailed = results.count(_._2.isEmpty)
     val cps = passCanaries.map(c => f"$c%.3f").mkString("[", ",", "]")
+    // The artifact applies its own trust rule (the scaladoc band) so a
+    // recording that violates it says so IN the JSON — the r15 closing
+    // bench shipped with ratio 0.523 and nothing in the file flagged it.
+    val loadSuspect = canaryRatio < 0.67 || canaryRatio > 1.5 ||
+      passCanaries.exists(c => c >= 1.5 * math.max(canaryStart, canaryEnd))
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"total_median":$totalMed%.3f,"canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_ratio":$canaryRatio%.3f,"canary_passes":$cps,"queries":$qs,"queries_median":$qsMed,"queries_cold":$qsCold,"memo":$memoJson,"sf":"${esc(sfDir)}"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"total_median":$totalMed%.3f,"canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"canary_ratio":$canaryRatio%.3f,"canary_passes":$cps,"load_suspect":$loadSuspect,"queries":$qs,"queries_median":$qsMed,"queries_cold":$qsCold,"memo":$memoJson,"sf":"${esc(sfDir)}"}"""
     println(full)
     // The full line (~3 KB at 86 queries) outgrows the harness's 2000-char
     // output tail, so per-query numbers also go to a FILE, and the very
