@@ -34,7 +34,8 @@ object GraftSession {
     children
   }
 
-  def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder =
+  def configure(b0: SparkSession.Builder, cores: String): SparkSession.Builder = {
+    val b = localDirDefault.fold(b0)(d => b0.config("spark.local.dir", d))
     b.withExtensions { ext =>
         ext.injectFunction((
           FunctionIdentifier("graft_cosine"),
@@ -111,6 +112,57 @@ object GraftSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.ui.enabled", "false")
+      // Shuffle write path (r16, measured): the bypass merge writer
+      // creates one file PER REDUCE PARTITION per map task (M·R file
+      // opens + an M·R-way copy-merge); with 32 maps × 32 reducers per
+      // shuffle, stack sampling showed task threads dominated by
+      // FileOutputStream.open0/copyFileStreamNIO inside
+      // BypassMergeSortShuffleWriter — fixed metadata IO, not data.
+      // Threshold 1 routes every SQL shuffle through the serialized
+      // sort writer (one spill file + index per map task regardless of
+      // R — the same path Spark itself picks whenever R > 200). The
+      // sort the bypass writer exists to avoid is over partition IDs of
+      // in-memory serialized rows; its cost scales with the DATA, the
+      // file-create cost with M·R on every filesystem — so the
+      // serialized writer is the right default at both bench and
+      // cluster scale (measured at sf0.1: summed task time of the two
+      // worst shuffle-wave queries 39.3 s → 9.5 s and 21 s → 6.5 s).
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // Deployment overrides, applied LAST so they win over every
+      // default above: SPARK_GRAFT_CONF="k=v;k=v". This is how the
+      // scale-dependent settings (shuffle width, local dirs, bypass
+      // threshold, broadcast threshold) are re-pointed at cluster
+      // values without a code change — and how the bench A/Bs a
+      // candidate conf against the standard session.
+      .applyOverrides
+  }
+
+  private implicit class BuilderOps(private val b: SparkSession.Builder)
+      extends AnyVal {
+    def applyOverrides: SparkSession.Builder =
+      sys.env.get("SPARK_GRAFT_CONF").iterator
+        .flatMap(_.split(";")).filter(_.contains("="))
+        .foldLeft(b) { (acc, kv) =>
+          val Array(k, v) = kv.split("=", 2)
+          acc.config(k.trim, v)
+        }
+  }
+
+  /** Shuffle/spill scratch space: prefer the memory-backed /dev/shm
+    * when present (the bench's shuffle blocks are MBs; file create +
+    * fsync latency on the sandbox overlay fs dominated small-stage task
+    * time — same adjudication as the streaming checkpoint default in
+    * StreamOps). Deployments keep full control: Spark's own precedence
+    * honors the SPARK_LOCAL_DIRS env var over `spark.local.dir`, and
+    * cluster managers (YARN/K8s) inject their own local dirs that win
+    * outright, so this default only ever binds in bare local mode. */
+  private def localDirDefault: Option[String] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      Some(shm.resolve("graft-spark-local").toString)
+    else None
+  }
 
   /** Standalone session for tests / benchmarks. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
