@@ -118,7 +118,14 @@ object StreamOps {
       // bounded replay: the checkpoint is deleted right after the run,
       // so retaining 100 batches of offset/commit/state history (the
       // live-restart default) is pure metadata IO here
-      "spark.sql.streaming.minBatchesToRetain" -> "1")
+      "spark.sql.streaming.minBatchesToRetain" -> "1",
+      // the replay checkpoint is throwaway by construction (unique dir,
+      // deleted after the run), so the 4.x per-file checksum companion
+      // writes/reads are pure metadata IO here — measured r16 at sf0.1:
+      // −0.08…−0.21 s on every stream query (cross-run minima). A live
+      // deployment owns its durable checkpoint's integrity posture via
+      // the same conf on its own session.
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
     val prior = scoped.map { case (k, _) => k -> spark.conf.get(k) }
     scoped.foreach { case (k, v) => spark.conf.set(k, v) }
     // The replay checkpoint is throwaway by construction (unique dir,
