@@ -16,9 +16,11 @@ object Explain {
       SparkSession.builder().master("local[4]").appName("graft-explain"), "4")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional args(2): explain mode (formatted | codegen | extended…)
+    val mode = if (args.length > 2) args(2) else "formatted"
     names.foreach { n =>
       println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      SparkEntry.queries(n)(spark, sfDir).explain(mode)
     }
     spark.stop()
   }

@@ -24,7 +24,8 @@ import graft.operators.CacheScope
 object StageProfile {
 
   private case class St(id: Int, name: String, runMs: Long, tasks: Int,
-    cpuMs: Long, deserMs: Long, gcMs: Long)
+    cpuMs: Long, deserMs: Long, gcMs: Long,
+    inRec: Long, shRdRec: Long, shWrRec: Long)
 
   private class Acc extends SparkListener {
     val stages = scala.collection.mutable.ArrayBuffer.empty[St]
@@ -36,7 +37,10 @@ object StageProfile {
           if (m != null) m.executorRunTime else 0L, i.numTasks,
           if (m != null) m.executorCpuTime / 1000000L else 0L,
           if (m != null) m.executorDeserializeTime else 0L,
-          if (m != null) m.jvmGCTime else 0L)
+          if (m != null) m.jvmGCTime else 0L,
+          if (m != null) m.inputMetrics.recordsRead else 0L,
+          if (m != null) m.shuffleReadMetrics.recordsRead else 0L,
+          if (m != null) m.shuffleWriteMetrics.recordsWritten else 0L)
       }
     def reset(): Unit = synchronized { stages.clear() }
   }
@@ -113,7 +117,7 @@ object StageProfile {
       val tot = acc.stages.map(_.runMs).sum / 1e3
       println(f"===== $n wall=$wall%.3f s, stage task-time total=$tot%.3f s, stages=${acc.stages.size}")
       acc.stages.sortBy(-_.runMs).take(12).foreach { s =>
-        println(f"  run=${s.runMs / 1e3}%7.3f s cpu=${s.cpuMs / 1e3}%7.3f s gc=${s.gcMs / 1e3}%6.3f s deser=${s.deserMs / 1e3}%6.3f s tasks=${s.tasks}%4d  ${s.name}")
+        println(f"  run=${s.runMs / 1e3}%7.3f s cpu=${s.cpuMs / 1e3}%7.3f s gc=${s.gcMs / 1e3}%6.3f s tasks=${s.tasks}%4d in=${s.inRec}%8d shR=${s.shRdRec}%8d shW=${s.shWrRec}%8d  ${s.name}")
       }
       val totSamples = frames.map(_._2).sum.max(1)
       println(s"  --- task-thread stack samples (total $totSamples) ---")
